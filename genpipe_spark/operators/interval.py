@@ -1,0 +1,100 @@
+"""Interval (point-in-range) join — the flagship custom operator.
+
+Reference implementation: custom range partitioner + secondary sort +
+zipPartitions streaming merge (steps/intersectSwap.scala:85-136,
+steps/binPartitioner.scala:6-29), plus a naive explode-to-positions form
+(steps/toRange.scala:50-64) used as its semantic oracle.
+
+Spark-first design: a bare range-predicate join plans as
+BroadcastNestedLoopJoin (O(n·m) — unusable at scale), so the scalable
+form is a **banded equi-join**:
+
+  1. assign each point  ``bin = floor(p / W)``
+  2. explode each interval across every bin it overlaps:
+     ``bin ∈ [floor(lo/W), floor(hi/W)]`` via ``sequence()``
+  3. equi-join on ``bin`` (+ any extra keys, e.g. chrom) — a plain
+     shuffle/sort-merge join Catalyst and AQE fully manage (skew split,
+     partition coalesce)
+  4. residual predicate ``lo <= p <= hi``
+
+Cost: each interval is replicated ``ceil(len/W)+1`` times; with W chosen
+near the typical interval length replication stays O(1), the join is a
+pure equi-join on a dense integer key, and both sides shuffle exactly
+once — same shuffle count as the reference's hand-built merge, zero
+custom partitioner code. AQE's skew-join splitting handles pile-up bins
+(genomic hotspots / hot keys) that the reference's fixed BinPartitioner
+could not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: int = 10_000,
+    extra_keys: Sequence[str] = (),
+    how: str = "inner",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Match each point row to every interval row with lo <= p <= hi.
+
+    Closed on both ends — reference semantics ``doIntersect``
+    (steps/intersectSwap.scala:17-27: start==p and end==p both match).
+    Output columns: all point columns + all interval columns (callers
+    pre-rename collisions).
+
+    ``broadcast_intervals=True`` skips banding and broadcasts the interval
+    side into a range-predicate nested-loop join — the right physical plan
+    when intervals fit in memory (the reference considered exactly this via
+    ADAM's BroadcastRegionJoin, steps/toRange.scala:4-10).
+    """
+    p, lo, hi = F.col(point_col), F.col(lo_col), F.col(hi_col)
+    residual = (p >= lo) & (p <= hi)
+    keys_eq = [points[k] == intervals[k] for k in extra_keys]
+
+    if broadcast_intervals:
+        cond = residual
+        for e in keys_eq:
+            cond = cond & e
+        return points.join(F.broadcast(intervals), cond, how)
+
+    w = F.lit(int(band_width))
+    pts = points.withColumn("__bin", F.floor(p / w))
+    ivs = intervals.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(lo / w), F.floor(hi / w)))
+    )
+    cond = pts["__bin"] == ivs["__bin"]
+    for k in extra_keys:
+        cond = cond & (pts[k] == ivs[k])
+    joined = pts.join(ivs, cond, how).where(residual)
+    return joined.drop(pts["__bin"]).drop(ivs["__bin"])
+
+
+def interval_join_explode(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Naive oracle form: explode each interval into one row per covered
+    position, then inner equi-join on position (steps/toRange.scala:50-64).
+    O(total interval length) rows — correct, simple, and only sane when
+    intervals are short; kept as the semantics oracle for interval_join."""
+    exploded = intervals.withColumn(
+        "__p", F.explode(F.sequence(F.col(lo_col), F.col(hi_col)))
+    )
+    cond = points[point_col] == exploded["__p"]
+    for k in extra_keys:
+        cond = cond & (points[k] == exploded[k])
+    return points.join(exploded, cond, "inner").drop("__p")

@@ -1,0 +1,128 @@
+"""Relational core operators (SURVEY.md §2.2, §2.3, §2.5).
+
+Each is a plain ``DataFrame -> DataFrame`` function built on column
+expressions so Catalyst keeps predicate pushdown / column pruning /
+join-selection control. Nothing here shuffles unless the relational
+semantics require it.
+
+Reference parity notes (file:line cites are to /root/reference):
+  - quality/equality/range filters: steps/Parser.scala:196-199,
+    steps/toRange.scala:31-47, steps/intersectSwap.scala:101-119
+  - joins: steps/toRange.scala:64 (inner equi),
+    steps/toVariant.scala:33 + steps/UMD.scala:47 (left multikey)
+  - union: steps/toSampleGrouped.scala:36
+  - secondary sort: steps/intersectSwap.scala:121-127
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Half-open positional band predicate ``lo <= col < hi``.
+
+    The reference drove one Spark job per band (GenomicsLoader.scala:121-123);
+    here it is just a pushed-down predicate — Catalyst turns it into parquet
+    row-group min/max skipping and partition pruning.
+    """
+    return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+
+
+def filter_quality(df: DataFrame, gates: dict[str, tuple[str, float]]) -> DataFrame:
+    """Conjunctive numeric gates, e.g. {"sample.dp": (">", 7), "sample.gq": (">", 19)}.
+
+    Works on nested struct fields (dotted paths) exactly like the
+    reference's dp/gq gate (steps/Parser.scala:199).
+    """
+    cond = F.lit(True)
+    for path, (op, v) in gates.items():
+        c = F.col(path)
+        cond = cond & {
+            ">": c > v,
+            ">=": c >= v,
+            "<": c < v,
+            "<=": c <= v,
+            "==": c == v,
+            "!=": c != v,
+        }[op]
+    return df.where(cond)
+
+
+def filter_equality(df: DataFrame, eq: dict | None = None, neq: dict | None = None) -> DataFrame:
+    cond = F.lit(True)
+    for k, v in (eq or {}).items():
+        cond = cond & (F.col(k) == F.lit(v))
+    for k, v in (neq or {}).items():
+        cond = cond & (F.col(k) != F.lit(v))
+    return df.where(cond)
+
+
+def project(df: DataFrame, cols: Sequence[str | Column]) -> DataFrame:
+    return df.select(*cols)
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    return df.withColumnsRenamed(mapping)
+
+
+def with_computed(df: DataFrame, **exprs: Column) -> DataFrame:
+    return df.withColumns(dict(exprs))
+
+
+def join_inner(df: DataFrame, other: DataFrame, on, broadcast_right: bool = False) -> DataFrame:
+    """Inner equi-join. ``broadcast_right`` hints the dimension side —
+    at 100 TB the fact side never moves; AQE auto-broadcasts <=10MB sides
+    anyway, the hint makes it deterministic for known dims."""
+    right = F.broadcast(other) if broadcast_right else other
+    return df.join(right, on=on, how="inner")
+
+
+def join_left(df: DataFrame, other: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Left outer join on a composite natural key (steps/toVariant.scala:33)."""
+    return df.join(other, on=list(on), how="left")
+
+
+def join_semi(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    return df.join(other, on=on, how="left_semi")
+
+
+def join_anti(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """Anti-join — the dedup-against-reference primitive for data pipelines."""
+    return df.join(other, on=on, how="left_anti")
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """Position-safe union by column name (reference used unionAll,
+    steps/toSampleGrouped.scala:36)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def sort_within_partitions(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
+    """Range-partition + secondary sort — the modern spelling of the
+    reference's BinPartitioner + repartitionAndSortWithinPartitions
+    (steps/binPartitioner.scala:6-29, steps/intersectSwap.scala:123-127).
+    One shuffle; each partition is sorted and range-disjoint."""
+    parts = [F.col(col)]
+    rp = df.repartitionByRange(num_partitions, *parts) if num_partitions else df.repartitionByRange(*parts)
+    return rp.sortWithinPartitions(col)
+
+
+def sort_global(df: DataFrame, *cols: Column | str) -> DataFrame:
+    return df.orderBy(*cols)
+
+
+def topk(df: DataFrame, k: int, *order_cols: Column | str) -> DataFrame:
+    """Global top-k. Spark plans orderBy().limit() as TakeOrderedAndProject —
+    per-partition heaps + single small merge, no full sort/shuffle."""
+    return df.orderBy(*order_cols).limit(k)

@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword/n-gram heuristic), quality scoring, token counting,
+document fingerprinting. All pure column expressions — JVM-side, no
+Python row loops, so they hold up on a 100 TB documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic language-ID
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ein", "nicht", "ist"],
+}
+
+# whitespace tokens; BPE-ish pieces: letter runs, single digits, punctuation
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count per document."""
+    text = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(words(text)),
+            "n_bpe_ish": F.regexp_count(text, F.lit(BPE_ISH_PATTERN)),
+        }
+    )
+
+
+def _stopword_hits(ws: Column, stops: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: token count, mean token length,
+    stopword ratio, punctuation ratio, uppercase ratio. Floor-truncated at
+    4 decimals for cross-engine determinism."""
+    text = F.col(text_col)
+    ws = words(text)
+    n = F.size(ws)
+    total_len = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    stop_hits = _stopword_hits(ws, STOPWORDS["en"])
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    n_upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+
+    def t4(c: Column) -> Column:
+        return F.floor(c * 10000) / 10000.0
+
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "mean_token_len": t4(total_len / n),
+            "stopword_ratio": t4(stop_hits / n),
+            "punct_ratio": t4(n_punct / F.length(text)),
+            "upper_ratio": t4(n_upper / F.length(text)),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken alphabetically, zero hits → 'und'."""
+    ws = words(F.col(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                (-_stopword_hits(ws, stops)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, stops in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_min(scored)  # struct compare: lowest neg_hits, then lang
+    pred = F.when(best["neg_hits"] == 0, F.lit("und")).otherwise(best["lang"])
+    return df.withColumn(alias, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
+    """Deterministic rolling (polynomial) hash over whitespace tokens:
+    fp = sum_i hash31(token_i) * 31^i  (mod 2^61-1 via bigint arithmetic).
+
+    Implemented with ``aggregate`` so both Spark and an ANSI-SQL oracle
+    (DuckDB list_reduce) can compute the identical value — unlike
+    xxhash64/murmur which are engine-specific."""
+    ws = words(F.col(text_col))
+    m = F.lit(2305843009213693951)  # 2^61 - 1
+
+    def h31(w: Column) -> Column:
+        # char-level polynomial hash, same in any engine with ascii()
+        return F.aggregate(
+            F.split(w, ""),
+            F.lit(7).cast("long"),
+            lambda a, ch: (a * 31 + F.ascii(ch)) % m,
+        )
+
+    fp = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: (acc * 1000003 + h31(w)) % m
+    )
+    return df.withColumn(alias, fp)

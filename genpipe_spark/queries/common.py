@@ -1,0 +1,43 @@
+"""Shared helpers for queries()/oracle_sql() twins.
+
+Determinism rules (FIXTURES.md):
+  - money sums go through integer cents (`round(x*100)::bigint`), summed
+    exactly, divided once — bit-identical between Spark and DuckDB
+    regardless of accumulation order;
+  - truncation is floor-based (`floor(x*10^p)/10^p`) on both sides;
+  - timestamps leave as 'yyyy-MM-dd' strings;
+  - collected arrays are canonically sorted on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genpipe_spark.tables import load
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load(spark, sf_dir, name)
+
+
+def money_sum(col: str, alias: str) -> Column:
+    """Exact money sum via integer cents; see module docstring."""
+    return (
+        F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(100.0)
+    ).alias(alias)
+
+
+MONEY_SUM_SQL = "sum(cast(round({col}*100) as bigint))/100.0 AS {alias}"
+
+
+def trunc(col: Column, p: int) -> Column:
+    s = float(10**p)
+    return F.floor(col * F.lit(s)) / F.lit(s)
+
+
+def day(col: str, alias: str) -> Column:
+    return F.date_format(F.col(col), "yyyy-MM-dd").alias(alias)
+
+
+DAY_SQL = "strftime({col}, '%Y-%m-%d') AS {alias}"

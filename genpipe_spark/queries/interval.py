@@ -1,0 +1,91 @@
+"""Interval-join queries()/oracle_sql() twins (SURVEY.md §2.3).
+
+Points come from lineitem (partkey as position), intervals are derived
+deterministically from supplier — both sides reproducible in DuckDB,
+whose IEJoin handles the BETWEEN range join as the oracle.
+
+`join-interval` (banded equi-join) and `join-interval-explode` (naive
+position-explode) share one oracle: the reference's own swap/interception
+duality (GenomicsLoader.scala:153-166) — both must match it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.operators.interval import interval_join, interval_join_explode
+from genpipe_spark.registry import query
+from genpipe_spark.queries.common import t
+
+_ORACLE = """
+    WITH points AS (
+      SELECT l_orderkey, l_linenumber, l_partkey AS p
+      FROM lineitem WHERE l_linenumber <= 2
+    ), intervals AS (
+      SELECT s_suppkey,
+             (s_suppkey * 37) % 1900 AS lo,
+             (s_suppkey * 37) % 1900 + (s_suppkey % 13) AS hi
+      FROM supplier
+    )
+    SELECT l_orderkey, l_linenumber, p, s_suppkey, lo, hi
+    FROM points JOIN intervals ON p >= lo AND p <= hi
+"""
+
+
+def _points(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .where(F.col("l_linenumber") <= 2)
+        .select("l_orderkey", "l_linenumber", F.col("l_partkey").alias("p"))
+    )
+
+
+def _intervals(spark, sf):
+    s = t(spark, sf, "supplier")
+    lo = (F.col("s_suppkey") * 37) % 1900
+    return s.select(
+        "s_suppkey",
+        lo.alias("lo"),
+        (lo + F.col("s_suppkey") % 13).alias("hi"),
+    )
+
+
+@query("join-interval", _ORACLE)
+def join_interval_banded(spark, sf):
+    # the scalable banded equi-join form; band width ≈ typical interval
+    # length so interval replication stays O(1)
+    return interval_join(
+        _points(spark, sf),
+        _intervals(spark, sf),
+        point_col="p",
+        lo_col="lo",
+        hi_col="hi",
+        band_width=16,
+    ).select("l_orderkey", "l_linenumber", "p", "s_suppkey", "lo", "hi")
+
+
+@query("join-interval-explode", _ORACLE)
+def join_interval_exploded(spark, sf):
+    # naive oracle form (steps/toRange.scala:50-64)
+    return interval_join_explode(
+        _points(spark, sf),
+        _intervals(spark, sf),
+        point_col="p",
+        lo_col="lo",
+        hi_col="hi",
+    ).select("l_orderkey", "l_linenumber", "p", "s_suppkey", "lo", "hi")
+
+
+@query("join-interval-broadcast", _ORACLE)
+def join_interval_broadcast(spark, sf):
+    # broadcast range join — right plan when intervals fit in memory
+    # (the ADAM BroadcastRegionJoin the reference considered,
+    # steps/toRange.scala:4-10)
+    return interval_join(
+        _points(spark, sf),
+        _intervals(spark, sf),
+        point_col="p",
+        lo_col="lo",
+        hi_col="hi",
+        broadcast_intervals=True,
+    ).select("l_orderkey", "l_linenumber", "p", "s_suppkey", "lo", "hi")

@@ -1,0 +1,129 @@
+"""Nested/document-model queries()/oracle_sql() twins (SURVEY.md §2.4, §2.7).
+
+The document-building aggregations of the reference (group-collect of
+per-sample maps, representative-scalar collect, LATERAL VIEW explode,
+map-merge, allele-frequency) exercised on the TPC-H-ish tables.
+Collected arrays are canonically sorted on both sides so the driver's
+value hash is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.operators import nested as N
+from genpipe_spark.registry import query
+from genpipe_spark.queries.common import t
+
+
+@query(
+    "agg-group-collect",
+    """
+    SELECT l_orderkey,
+           list_sort(list(concat('ln=', l_linenumber, ';pk=', l_partkey,
+                                 ';qty=', CAST(l_quantity AS INT)))) AS samples,
+           count(*) AS n_samples
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_group_collect(spark, sf):
+    # the "samples" document builder (steps/toSampleGrouped.scala:39-45):
+    # one canonical serialized map per line, collected + sorted per group
+    li = t(spark, sf, "lineitem")
+    payload = F.concat(
+        F.lit("ln="), F.col("l_linenumber").cast("string"),
+        F.lit(";pk="), F.col("l_partkey").cast("string"),
+        F.lit(";qty="), F.col("l_quantity").cast("int").cast("string"),
+    )
+    return N.group_collect(
+        li,
+        ["l_orderkey"],
+        payload,
+        alias="samples",
+        distinct=False,
+        extra_aggs=[F.count(F.lit(1)).alias("n_samples")],
+    )
+
+
+@query(
+    "agg-collect-scalar",
+    """
+    SELECT o_custkey,
+           (list_sort(list(DISTINCT o_orderpriority)))[1:1] AS rep
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_scalar(spark, sf):
+    # array(collect(...))[0] idiom (steps/toEffectsGrouped.scala:29-38)
+    return N.collect_scalar(
+        t(spark, sf, "orders"), ["o_custkey"], F.col("o_orderpriority"), "rep"
+    )
+
+
+@query(
+    "udtf-explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udtf_explode(spark, sf):
+    # LATERAL VIEW explode (steps/UMD.scala:14-16,45)
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return N.explode_array(
+        docs.withColumn("words", F.split(F.col("text"), " ")),
+        "words",
+        "word",
+        keep=["doc_id"],
+    )
+
+
+@query(
+    "udf-allele-freq",
+    """
+    SELECT l_orderkey,
+           sum(l_linenumber % 3 + l_partkey % 3) / (2.0 * count(*)) AS freqInt
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def udf_allele_freq(spark, sf):
+    # freqInt (steps/toVariant.scala:28-30): sum gt allele digits / 2n over an
+    # array of string maps — computed with the real higher-order expression
+    # over collected gt maps; oracle recomputes from base rows.
+    li = t(spark, sf, "lineitem")
+    gt = F.concat(
+        (F.col("l_linenumber") % 3).cast("string"),
+        F.lit("/"),
+        (F.col("l_partkey") % 3).cast("string"),
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.create_map(F.lit("gt"), gt)).alias("samples")
+    )
+    return grouped.select(
+        "l_orderkey", N.allele_freq(F.col("samples")).alias("freqInt")
+    )
+
+
+@query(
+    "udf-pop-merge",
+    """
+    SELECT o_custkey,
+           list_sort(list(concat('o', o_orderkey, '=',
+                    CASE WHEN o_orderstatus = '' THEN '0' ELSE o_orderstatus END))) AS merged
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def udf_pop_merge(spark, sf):
+    # pop() map-merge UDF (steps/toElastic.scala:11) as pure map expressions:
+    # collect per-row single-entry maps, merge, ""→"0", serialize sorted.
+    o = t(spark, sf, "orders")
+    per_row = F.create_map(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
+        F.col("o_orderstatus"),
+    )
+    grouped = o.groupBy("o_custkey").agg(F.collect_list(per_row).alias("maps"))
+    merged = N.merge_maps(F.col("maps"))
+    entries = F.transform(
+        F.map_entries(merged), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+    )
+    return grouped.select("o_custkey", F.sort_array(entries).alias("merged"))

@@ -1,0 +1,377 @@
+"""Relational-core queries()/oracle_sql() twins (SURVEY.md §2.1-2.5).
+
+Each entry exercises one operator slug on the driver's TPC-H-ish tables
+with a DuckDB oracle. Every computed column is aliased identically on
+both sides; see queries/common.py for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.operators import relational as R
+from genpipe_spark.registry import query
+from genpipe_spark.queries.common import day, money_sum, t
+
+
+@query(
+    "scan-parquet-partitioned",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-09-01'
+    """,
+)
+def scan_parquet(spark, sf):
+    # predicate + projection reach the parquet scan (PushedFilters/ReadSchema)
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-09-01")
+        ).select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", day("l_shipdate", "ship_day")
+        )
+    )
+
+
+@query(
+    "filter-header",
+    "SELECT doc_id, source, n_chars FROM documents WHERE text NOT LIKE 'the %'",
+)
+def filter_header(spark, sf):
+    # header-drop semantics (filter-header): drop rows by line prefix
+    docs = t(spark, sf, "documents")
+    return docs.where(~F.col("text").startswith("the ")).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "filter-band-range",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem WHERE l_partkey >= 500 AND l_partkey < 900
+    """,
+)
+def filter_band_range(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return R.filter_range(li, "l_partkey", 500, 900).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+@query(
+    "filter-quality",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity AS dp, l_extendedprice AS gq
+    FROM lineitem WHERE l_quantity > 7 AND l_extendedprice > 19000
+    """,
+)
+def filter_quality(spark, sf):
+    # the dp>7 ∧ gq>19 nested-field gate (steps/Parser.scala:199): build the
+    # nested sample struct, predicate on dotted paths, then flatten.
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_quantity").alias("dp"), F.col("l_extendedprice").alias("gq")
+        ).alias("sample"),
+    )
+    gated = R.filter_quality(li, {"sample.dp": (">", 7), "sample.gq": (">", 19000)})
+    return gated.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("sample.dp").alias("dp"),
+        F.col("sample.gq").alias("gq"),
+    )
+
+
+@query(
+    "filter-equality",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
+    """,
+)
+def filter_equality(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return R.filter_equality(
+        li, eq={"l_returnflag": "R"}, neq={"l_linestatus": "O"}
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+
+@query(
+    "project-select",
+    "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
+)
+def project_select(spark, sf):
+    return R.project(t(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+@query(
+    "project-rename",
+    "SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderstatus AS status FROM orders",
+)
+def project_rename(spark, sf):
+    return R.rename(
+        t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+        {"o_orderkey": "orderkey", "o_custkey": "custkey", "o_orderstatus": "status"},
+    )
+
+
+@query(
+    "project-computed",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 10000)/10000.0 AS revenue
+    FROM lineitem
+    """,
+)
+def project_computed(spark, sf):
+    li = t(spark, sf, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) / 10000.0
+    return R.with_computed(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        revenue=rev,
+    ).select("l_orderkey", "l_linenumber", "revenue")
+
+
+@query(
+    "join-inner-equi",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark, sf):
+    # dimension side broadcast — the fact side never shuffles
+    return R.join_inner(
+        t(spark, sf, "orders"),
+        t(spark, sf, "customer"),
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join-left-multikey",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, r.big_qty
+    FROM lineitem l
+    LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity AS big_qty
+               FROM lineitem WHERE l_quantity > 40) r
+      ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+    """,
+)
+def join_left_multikey(spark, sf):
+    li = t(spark, sf, "lineitem")
+    right = li.where(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("big_qty")
+    )
+    return R.join_left(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        right,
+        on=["l_orderkey", "l_linenumber"],
+    )
+
+
+@query(
+    "join-semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi(spark, sf):
+    big = t(spark, sf, "orders").where(F.col("o_totalprice") > 200000)
+    return R.join_semi(
+        t(spark, sf, "customer"),
+        big,
+        on=F.col("c_custkey") == F.col("o_custkey"),
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join-anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf):
+    return R.join_anti(
+        t(spark, sf, "customer"),
+        t(spark, sf, "orders"),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "agg-distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct(spark, sf):
+    return R.distinct_rows(t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus"))
+
+
+@query(
+    "agg-count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+@query(
+    "agg-group-first",
+    """
+    SELECT l_orderkey, min(o_orderpriority) AS o_orderpriority,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS order_day
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey
+    """,
+)
+def agg_group_first(spark, sf):
+    # first() over functionally-dependent columns; implemented as min for
+    # determinism (operators/nested.group_first)
+    from genpipe_spark.operators.nested import group_first
+
+    j = t(spark, sf, "lineitem").join(
+        t(spark, sf, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "o_orderpriority", day("o_orderdate", "order_day"))
+    return group_first(j, ["l_orderkey"], ["o_orderpriority", "order_day"])
+
+
+@query(
+    "agg-reducebykey",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+    """,
+)
+def agg_reducebykey(spark, sf):
+    # word-count — groupBy replaces reduceByKey; map-side partial agg is automatic
+    docs = t(spark, sf, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return words.where(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "agg-min-max-rowside",
+    """
+    SELECT l_orderkey, l_linenumber,
+           least(l_quantity, l_discount, l_tax) AS vmin,
+           greatest(l_quantity, l_discount, l_tax) AS vmax
+    FROM lineitem
+    """,
+)
+def agg_min_max_rowside(spark, sf):
+    # per-row min/max over a split list (SIFT_score.min / polyphen.max shape,
+    # steps/Parser.scala:159-164): build the list, array_min/array_max it
+    li = t(spark, sf, "lineitem")
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_min(arr).alias("vmin"),
+        F.array_max(arr).alias("vmax"),
+    )
+
+
+@query(
+    "set-union",
+    """
+    SELECT o_orderkey, o_totalprice, 'big' AS src FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union(spark, sf):
+    o = t(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", "o_totalprice", F.lit("big").alias("src")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("urgent").alias("src")
+    )
+    return R.union_all(big, urgent)
+
+
+@query(
+    "sort-within-partitions",
+    "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_partkey < 1000",
+)
+def sort_within_partitions(spark, sf):
+    # range-partition + secondary sort (steps/intersectSwap.scala:121-127);
+    # row content is order-insensitively hashed, the physical property is
+    # asserted in tests/test_operators.py
+    li = t(spark, sf, "lineitem").where(F.col("l_partkey") < 1000).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return R.sort_within_partitions(li, "l_partkey", num_partitions=8)
+
+
+@query(
+    "sort-global",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+)
+def sort_global(spark, sf):
+    return R.sort_global(
+        t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        F.desc("o_totalprice"),
+        "o_orderkey",
+    )
+
+
+@query(
+    "topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk(spark, sf):
+    # plans as TakeOrderedAndProject: per-partition heaps, no global sort
+    return R.topk(
+        t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        25,
+        F.desc("o_totalprice"),
+        "o_orderkey",
+    )
+
+
+@query(
+    "window-rank-first",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def window_rank_first(spark, sf):
+    # best-impact-per-transcript semantics (steps/Parser.scala:299-327) as a window
+    from genpipe_spark.operators.nested import window_rank_first as wrf
+
+    return wrf(
+        t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+    )

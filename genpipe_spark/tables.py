@@ -1,0 +1,38 @@
+"""Testdata table loader.
+
+The driver's synthetic tables (TESTDATA.md): a TPC-H-ish star schema plus
+``events`` (stream-shaped), ``documents`` and ``embeddings`` (LLM-data
+shaped). One parquet file per table under ``{sf_dir}/{name}.parquet``.
+
+At 100 TB these would be partitioned/bucketed datasets; reading the root
+path + filtering keeps Catalyst's partition pruning in play either way
+(the reference instead did manual path arithmetic —
+``GenomicsLoader.scala:120,126`` — which we deliberately do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load(spark, sf_dir, n) for n in TABLE_NAMES}

@@ -1,0 +1,60 @@
+"""Local mirror of the driver's correctness gate: run a registered Spark
+query and its DuckDB oracle on the same parquet tables, compare row count,
+column names, and an order-insensitive value multiset."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from genpipe_spark.tables import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def compare(spark_df, oracle_pdf) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems = []
+    spdf = spark_df.toPandas()
+    if sorted(spdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"schema: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spdf) != len(oracle_pdf):
+        problems.append(f"rowcount: spark={len(spdf)} oracle={len(oracle_pdf)}")
+    a, b = canonical_rows(spdf), canonical_rows(oracle_pdf)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:3]
+        diff_b = [r for r in b if r not in set(a)][:3]
+        problems.append(f"values: spark-only={diff_a} oracle-only={diff_b}")
+    return problems
