@@ -62,7 +62,7 @@ def format_dispatch(format_col: Column, sample_col: Column) -> Column:
     sa = F.split(sample_col, ":")
 
     def g(i: int) -> Column:  # 0-based accessor, matching sA(i)
-        return F.element_at(sa, i + 1)
+        return F.coalesce(F.try_element_at(sa, F.lit(i + 1)), F.lit(""))
 
     def mk(gt, dp, gq, pl, ad) -> Column:
         return F.struct(
@@ -103,8 +103,8 @@ def ad_ratio(ad: Column, gt: Column) -> Column:
     arr = F.split(ad, ",")
     total = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
     # Scala adArray(gt.split("/")(1).toInt) is 0-based → element_at is 1-based
-    alt_idx = F.element_at(F.split(gt, "/"), 2).cast("int") + F.lit(1)
-    ratio = F.element_at(arr, alt_idx).cast("double") / total.cast("double")
+    alt_idx = F.try_element_at(F.split(gt, "/"), F.lit(2)).cast("int") + F.lit(1)
+    ratio = F.try_element_at(arr, alt_idx).cast("double") / total.cast("double")
     return F.when(ad == "", ad).otherwise(truncate_at(ratio, 3).cast("string"))
 
 
@@ -112,7 +112,7 @@ def end_pos(alt: Column, info: Column, pos: Column) -> Column:
     """``end_pos`` = INFO END for `<NON_REF>` reference-block rows, else pos;
     missing END → 0 (endPos, steps/toSample.scala:61-66)."""
     endv = F.coalesce(
-        F.element_at(str_to_map_expr(info), F.lit("END")).cast("long"), F.lit(0)
+        F.try_element_at(str_to_map_expr(info), F.lit("END")).cast("long"), F.lit(0)
     )
     return F.when(alt == "<NON_REF>", endv).otherwise(pos.cast("long"))
 
@@ -126,7 +126,9 @@ def getter(info: Column, key: str) -> Column:
     import re
 
     parts = F.split(info, re.escape(key + "="))
-    values = F.split(F.element_at(F.split(F.element_at(parts, 2), ";"), 1), ",")
+    values = F.split(
+        F.element_at(F.split(F.try_element_at(parts, F.lit(2)), ";"), 1), ","
+    )
     return F.when(F.size(parts) == 1, F.array(F.lit(""))).otherwise(values)
 
 
@@ -147,7 +149,7 @@ def get_or_empty(arr: Column, index: int) -> Column:
     (getOrEmpty, steps/Parser.scala:68-71)."""
     if index == 0:
         return F.lit("")
-    return F.coalesce(F.element_at(arr, index), F.lit(""))
+    return F.coalesce(F.try_element_at(arr, F.lit(index)), F.lit(""))
 
 
 def chrom_normalize(chrom: Column) -> Column:

@@ -80,7 +80,7 @@ def alt_decompose(ref: Column, alt: Column, gt: Column) -> Column:
     g0 = F.element_at(g, 1)
     # haploid "x" behaves as "x/x" for decomposition (getDiploid normalizes
     # the *emitted* gt afterwards, steps/Parser.scala:238-248)
-    g1 = F.coalesce(F.when(F.size(g) >= 2, F.element_at(g, 2)), g0)
+    g1 = F.coalesce(F.try_element_at(g, F.lit(2)), g0)
     g0i = g0.cast("int")
     g1i = g1.cast("int")
 
@@ -95,16 +95,16 @@ def alt_decompose(ref: Column, alt: Column, gt: Column) -> Column:
         )
         .when(
             g0 == "0",
-            F.array(_alt_entry(F.element_at(alt_list, g1i), F.lit("0/1"), g1, multi)),
+            F.array(_alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi)),
         )
         .when(
             g0 == g1,
-            F.array(_alt_entry(F.element_at(alt_list, g1i), F.lit("1/1"), g1, multi)),
+            F.array(_alt_entry(F.try_element_at(alt_list, g1i), F.lit("1/1"), g1, multi)),
         )
         .otherwise(
             F.array(
-                _alt_entry(F.element_at(alt_list, g0i), F.lit("0/1"), g0, F.lit(True)),
-                _alt_entry(F.element_at(alt_list, g1i), F.lit("0/1"), g1, multi),
+                _alt_entry(F.try_element_at(alt_list, g0i), F.lit("0/1"), g0, F.lit(True)),
+                _alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi),
             )
         )
     )
@@ -129,7 +129,7 @@ def parse_functional_effects(ann: Column) -> Column:
 
         aal = F.when(
             F.size(F.split(idx(14), "/")) == 2,
-            F.element_at(F.split(idx(14), "/"), 2),
+            F.try_element_at(F.split(idx(14), "/"), F.lit(2)),
         ).otherwise(F.lit(""))
         return F.struct(
             idx(2).alias("effect"),
@@ -285,7 +285,7 @@ def sample_parse(raw: DataFrame) -> DataFrame:
     """
     fs = format_dispatch(F.col("format"), F.col("sample"))
     rs0 = F.element_at(getter_rs(F.col("id")), 1)
-    ann = F.element_at(
+    ann = F.try_element_at(
         F.str_to_map(F.col("info"), F.lit(";"), F.lit("=")), F.lit("ANN")
     )
 

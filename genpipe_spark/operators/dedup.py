@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-M61 = 2305843009213693951  # 2^61 - 1, prime
+M31 = 2147483647  # 2^31 - 1, prime: keeps every product < 2^62 (no
+# int64 overflow in Spark OR an ANSI-SQL oracle), folds are portable
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -41,10 +42,11 @@ def shingles(text: Column, k: int = 3) -> Column:
 def _shingle_hash(sh: Column) -> Column:
     """Deterministic 61-bit polynomial hash of a shingle string (portable
     across engines, unlike xxhash64)."""
+    chars = F.filter(F.split(sh, ""), lambda c: c != "")
     return F.aggregate(
-        F.split(sh, ""),
+        chars,
         F.lit(7).cast("long"),
-        lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(M61),
+        lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(M31),
     )
 
 
@@ -52,15 +54,16 @@ def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     """MinHash signature: min over shingle hashes of (a_i*h + b_i) mod p
     for num_hashes fixed affine permutations (deterministic seeds)."""
     hs = F.transform(shingles(text, k), _shingle_hash)
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so no default-arg trick
+        return lambda h: (h * a + b) % F.lit(M31)
+
     sig = []
     for i in range(num_hashes):
-        a = (2 * i + 1) * 1103515245 % M61  # odd multiplier, fixed seed
-        b = (i * 12345 + 6789) % M61
-        sig.append(
-            F.array_min(
-                F.transform(hs, lambda h, a=a, b=b: (h * a + b) % F.lit(M61))
-            ).alias(f"mh{i}")
-        )
+        a = (2 * i + 1) * 1103515245 % M31  # odd multiplier, fixed seed
+        b = (i * 12345 + 6789) % M31
+        sig.append(F.array_min(F.transform(hs, perm(a, b))).alias(f"mh{i}"))
     return F.array(*sig)
 
 
@@ -85,21 +88,23 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
     )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[bi * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
     banded = sigd.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "id", "sig", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
@@ -172,14 +177,16 @@ def ngram_jaccard_pairs(
 def simhash(text: Column, bits: int = 64, k: int = 3) -> Column:
     """SimHash over shingle hashes: per bit, sign of the sum of ±1 votes."""
     hs = F.transform(shingles(text, k), _shingle_hash)
+
+    def voter(i: int):
+        # closure factory: PySpark inspects lambda arity, so no default-arg trick
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i % 31).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_cols = []
     for i in range(bits):
-        votes = F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i % 61).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        votes = F.aggregate(hs, F.lit(0).cast("long"), voter(i))
         bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
     out = F.lit(0).cast("long")
     for i, bc in enumerate(bit_cols):
@@ -200,20 +207,17 @@ def simhash_pairs(
     # 4 bit-blocks: a pair within hamming<=3 must agree on >=1 block
     blocks = 4
     width = bits // blocks
+    block_structs = [
+        F.struct(
+            F.lit(bno).alias("block"),
+            F.shiftright(F.col("sh"), bno * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for bno in range(blocks)
+    ]
     banded = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda bno: F.struct(
-                    bno.alias("block"),
-                    F.shiftright(F.col("sh"), bno * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                ),
-            )
-        ).alias("bb"),
+        "id", "sh", F.explode(F.array(*block_structs)).alias("bb")
     ).select("id", "sh", "bb.block", "bb.key")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -103,8 +103,8 @@ def allele_freq(samples_col: Column, gt_key: str = "gt") -> Column:
         samples_col,
         F.lit(0).cast("long"),
         lambda acc, m: acc
-        + _digit(F.element_at(F.split(F.element_at(m, F.lit(gt_key)), "/"), 1))
-        + _digit(F.element_at(F.split(F.element_at(m, F.lit(gt_key)), "/"), 2)),
+        + _digit(F.try_element_at(F.split(F.try_element_at(m, F.lit(gt_key)), "/"), F.lit(1)))
+        + _digit(F.try_element_at(F.split(F.try_element_at(m, F.lit(gt_key)), "/"), F.lit(2))),
     )
     n = F.size(samples_col)
     return (digit_sum / (2.0 * n)).cast("double")

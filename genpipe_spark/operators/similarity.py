@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k with the small query side broadcast —
+the fact (corpus) side is scanned once, never shuffled, and the per-pair
+cosine is a JVM higher-order expression (zip_with + aggregate), no
+Python. Scale paths: IVF (centroid-bucketed probe) and random-hyperplane
+LSH bucketing, both of which shrink the candidate set before any pairwise
+math; at 100 TB only the bucketed variants are sane and both are plain
+equi-joins on a bucket key.
+
+Determinism note: the cosine is computed as a strict left fold
+(((0+x1·y1)+x2·y2)+...) so an ANSI-SQL oracle using the same fold
+(DuckDB list_reduce) reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product — see module docstring."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast; the
+    corpus is scanned once; ranking is a per-query window (deterministic
+    tie-break on neighbor id). Output: query_id, neighbor_id, rank, cos."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: centroids are the first
+    ``num_centroids`` corpus vectors (deterministic); every vector is
+    assigned to its nearest centroid; a query probes only its own cell.
+
+    At scale: the centroid set is tiny and broadcast twice (assignment +
+    probe); the corpus is partitioned by cell id — a plain equi-join.
+    Approximate by construction → no SQL oracle; recall is tested against
+    brute_force_topk in tests/."""
+    cents = corpus.orderBy(id_col).limit(num_centroids).select(
+        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cent_v")
+    )
+
+    def assign(df: DataFrame, idc: str, vout: str) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(idc), as_double(F.col(vec_col)).alias(vout)
+        ).join(F.broadcast(cents), how="cross")
+        w = Window.partitionBy(idc).orderBy(
+            F.desc(cosine(F.col(vout), F.col("cent_v"))), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(idc, vout, F.col("cent_id").alias("cell"))
+        )
+
+    c_assigned = assign(corpus, "neighbor_id", "cv").alias("c")
+    q_assigned = assign(queries, "query_id", "qv").alias("q")
+    pairs = c_assigned.join(
+        F.broadcast(q_assigned),
+        (F.col("c.cell") == F.col("q.cell"))
+        & (F.col("c.neighbor_id") != F.col("q.query_id")),
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= τ).
+    Brute-force form — the oracle-checkable semantics; the LSH-bucketed
+    variant below is the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing: vectors agreeing on all
+    ``num_planes`` signs in any of ``num_tables`` tables become candidate
+    pairs; exact cosine filters them. Planes are deterministic
+    (hash-derived pseudo-random components), so the operator is
+    reproducible run-to-run. Candidate join is an equi-join on
+    (table, signature) — no cross join anywhere."""
+
+    def plane_component(t: int, p: int, d: int) -> float:
+        # deterministic pseudo-random in [-0.5, 0.5)
+        h = (t * 1_000_003 + p * 10_007 + d * 97 + 12345) * 2654435761 % (2**32)
+        return (h % 1000) / 1000.0 - 0.5
+
+    v = as_double(F.col(vec_col))
+    sigs = []
+    for t in range(num_tables):
+        bits = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = F.array(
+                *[F.lit(plane_component(t, p, d)) for d in range(dim)]
+            )
+            bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bits = bits * 2 + bit
+        sigs.append(F.struct(F.lit(t).alias("table"), bits.alias("sig")))
+    tagged = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), F.explode(F.array(*sigs)).alias("ts")
+    ).select("id", "v", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)

@@ -93,12 +93,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> Dat
     (DuckDB list_reduce) can compute the identical value — unlike
     xxhash64/murmur which are engine-specific."""
     ws = words(F.col(text_col))
-    m = F.lit(2305843009213693951)  # 2^61 - 1
+    m = F.lit(2147483647)  # 2^31-1: all products stay < 2^62, portable to SQL
 
     def h31(w: Column) -> Column:
         # char-level polynomial hash, same in any engine with ascii()
+        chars = F.filter(F.split(w, ""), lambda c: c != "")
         return F.aggregate(
-            F.split(w, ""),
+            chars,
             F.lit(7).cast("long"),
             lambda a, ch: (a * 31 + F.ascii(ch)) % m,
         )

@@ -1,0 +1,182 @@
+"""Operator-level tests: interval-join equivalence + physical properties,
+secondary sort, approximate-dedup recall, similarity recall, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------- interval joins
+
+def _fixture_points_intervals(spark):
+    # FIXTURES.md §3 edge cases: start==point, end==point, nested intervals,
+    # point outside all intervals, interval containing no points
+    points = spark.createDataFrame(
+        [Row(p=16915619), Row(p=16915620), Row(p=16915621), Row(p=1)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(lo=16915619, hi=16915620, iv="a"),   # start == p1, end == p2
+            Row(lo=16915620, hi=16915621, iv="b"),   # start == p2, end == p3
+            Row(lo=16915000, hi=16999999, iv="c"),   # contains p1..p3 (nested)
+            Row(lo=5000000, hi=5000010, iv="empty"), # contains no points
+        ]
+    )
+    return points, intervals
+
+
+def test_interval_join_edge_semantics(spark):
+    from genpipe_spark.operators.interval import interval_join, interval_join_explode
+
+    points, intervals = _fixture_points_intervals(spark)
+    expected = {  # closed-interval semantics, computed by hand
+        (16915619, "a"), (16915619, "c"),
+        (16915620, "a"), (16915620, "b"), (16915620, "c"),
+        (16915621, "b"), (16915621, "c"),
+    }
+    for form in ["banded", "explode", "broadcast"]:
+        if form == "explode":
+            out = interval_join_explode(points, intervals, "p", "lo", "hi")
+        else:
+            out = interval_join(
+                points, intervals, "p", "lo", "hi",
+                band_width=1000, broadcast_intervals=(form == "broadcast"),
+            )
+        got = {(r["p"], r["iv"]) for r in out.collect()}
+        assert got == expected, form
+
+
+def test_interval_join_banded_is_equijoin(spark):
+    """The banded form must plan as a hash/sort-merge equi-join, never a
+    BroadcastNestedLoopJoin — the whole point of banding (SURVEY.md §7.4)."""
+    from genpipe_spark.operators.interval import interval_join
+
+    points, intervals = _fixture_points_intervals(spark)
+    plan = interval_join(
+        points, intervals, "p", "lo", "hi", band_width=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_within_partitions_properties(spark):
+    from genpipe_spark.operators.relational import sort_within_partitions
+
+    df = spark.range(0, 10000).select((F.col("id") * 37 % 1000).alias("k"))
+    out = sort_within_partitions(df, "k", num_partitions=8)
+
+    def check(it):
+        vals = [r["k"] for r in it]
+        yield Row(ok=vals == sorted(vals), lo=vals[0] if vals else None,
+                  hi=vals[-1] if vals else None)
+
+    parts = out.rdd.mapPartitions(check).collect()
+    assert all(p["ok"] for p in parts)  # each partition sorted
+    ranges = sorted((p["lo"], p["hi"]) for p in parts if p["lo"] is not None)
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # partitions are range-disjoint
+
+
+# ------------------------------------------------- approximate-op recall
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    from genpipe_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(truth & est) / len(truth)
+    assert recall >= 0.8, (recall, truth, est)
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    from genpipe_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, (recall, truth, got)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from genpipe_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, num_centroids=4, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q_] & approx_sets.get(q_, set())) / len(exact_sets[q_])
+        for q_ in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # coarse cells, small corpus
+
+
+def test_lsh_pairs_match_brute_force_above_threshold(spark):
+    from genpipe_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(emb, 0.35).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in lsh_near_dup_pairs(emb, 0.35).collect()}
+    # LSH output must be a subset (same exact-cosine filter) with sane recall
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.3
+
+
+# -------------------------------------------------- multimodal plumbing
+
+def test_multimodal_feature_extraction(spark, docs):
+    from genpipe_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(docs)
+    feats = extract_features(media, dim=16, use_fake_decoder=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: second run bit-identical
+    rows2 = extract_features(media, dim=16, use_fake_decoder=True).collect()
+    assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
+
+
+def test_multimodal_real_decoder_is_gated(spark, docs):
+    from genpipe_spark.operators.multimodal import documents_as_media, extract_features
+
+    with pytest.raises(NotImplementedError):
+        extract_features(documents_as_media(docs))
