@@ -1,0 +1,214 @@
+"""Staged-pipeline runner — the reference's lifecycle (SURVEY.md §3.1)
+minus its driver-side chrom×band job loops.
+
+The reference dispatches named stages from config
+(``pipeline = ["load","parser",...]``, application.conf.template:28;
+GenomicsLoader.scala:107-215), each stage reading one or two parquet
+stage tables and writing a new one, with manual path arithmetic per chrom
+and per band. Here:
+
+  - a stage is ``fn(spark, ctx) -> DataFrame | None`` registered by name;
+  - the IR between stages is a partitioned parquet table under
+    ``ctx.dest/<version>/<stage_output>``;
+  - there are NO driver loops: one Spark job per stage over all
+    chroms/bands, with `chrom`/`band` as partition columns so Catalyst
+    prunes what the reference selected by path arithmetic;
+  - stages that share a lineage can be fused by returning a DataFrame and
+    letting the next stage consume it un-materialized (the runner only
+    materializes when the stage declares an output).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from genpipe_spark.sources.sinks import write_parquet_partitioned
+
+
+@dataclass
+class PipelineContext:
+    dest: str
+    version: str = "v1"
+    conf: dict = field(default_factory=dict)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def path(self, table: str) -> str:
+        return f"{self.dest}/{self.version}/{table}"
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, PipelineContext], DataFrame | None]
+    output: str | None = None  # stage table name; None = side-effect only
+    partition_by: tuple[str, ...] = ()
+
+
+class Pipeline:
+    """Named-stage registry + runner. ``run(spark, ctx, stages)`` mirrors
+    the reference's ``if pipeline.contains(step)`` dispatch."""
+
+    def __init__(self) -> None:
+        self._stages: dict[str, Stage] = {}
+        self._order: list[str] = []
+
+    def stage(
+        self,
+        name: str,
+        output: str | None = None,
+        partition_by: tuple[str, ...] = (),
+    ):
+        def deco(fn):
+            self._stages[name] = Stage(name, fn, output, partition_by)
+            self._order.append(name)
+            return fn
+
+        return deco
+
+    def run(
+        self,
+        spark: SparkSession,
+        ctx: PipelineContext,
+        stages: list[str] | None = None,
+    ) -> PipelineContext:
+        selected = stages if stages is not None else list(self._order)
+        for name in selected:
+            st = self._stages[name]
+            out = st.fn(spark, ctx)
+            if out is not None and st.output:
+                if st.partition_by:
+                    write_parquet_partitioned(
+                        out, ctx.path(st.output), st.partition_by
+                    )
+                else:
+                    out.write.mode("overwrite").parquet(ctx.path(st.output))
+                # re-read so downstream stages see the materialized table
+                # (partition discovery recovers layout keys as columns)
+                ctx.tables[st.output] = spark.read.parquet(ctx.path(st.output))
+            elif out is not None:
+                ctx.tables[st.output or name] = out
+        return ctx
+
+
+def build_genomics_pipeline() -> Pipeline:
+    """The reference's batch pipeline re-expressed: load → parser → swap
+    (interval join) → sampleGroup → variants (SURVEY.md §3.1 stage order;
+    umd stages join in when annotation input is configured)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.functions.variant import sample_parse
+    from genpipe_spark.operators.interval import interval_join
+    from genpipe_spark.operators.nested import allele_freq
+
+    p = Pipeline()
+
+    @p.stage("load", output="loaded", partition_by=("chrom_n",))
+    def load(spark, ctx):
+        from genpipe_spark.sources.vcf import scan_vcf_text
+
+        return scan_vcf_text(spark, ctx.conf["vcf_paths"])
+
+    @p.stage("parser", output="parsedSamples", partition_by=("chrom",))
+    def parser(spark, ctx):
+        raw = ctx.tables.get("loaded") or spark.read.parquet(ctx.path("loaded"))
+        raw = raw.withColumn("chrom", F.col("chrom_n").cast("string"))
+        parsed = sample_parse(raw)
+        # quality + multiallelic gate exactly as the write in
+        # steps/Parser.scala:199
+        return parsed.where(
+            (~F.col("sample.multiallelic"))
+            & (F.col("sample.dp") > 7)
+            & (F.col("sample.gq") > 19)
+        )
+
+    @p.stage("swap", output="rangesSwap", partition_by=("chrom",))
+    def swap(spark, ctx):
+        parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(
+            ctx.path("parsedSamples")
+        )
+        variants = (
+            parsed.where(
+                (F.col("alt") != "<NON_REF>") & (F.col("sample.gt") != "0/0")
+            )
+            .select("chrom", "pos", "ref", "alt", "indel")
+            .distinct()
+        )
+        blocks = parsed.where(
+            (F.col("alt") == "<NON_REF>") & (F.col("end_pos") != 0)
+        ).select(
+            "chrom",
+            F.col("pos").alias("b_pos"),
+            "end_pos",
+            F.col("sample").alias("b_sample"),
+        )
+        return interval_join(
+            variants,
+            blocks,
+            point_col="pos",
+            lo_col="b_pos",
+            hi_col="end_pos",
+            band_width=int(ctx.conf.get("band_width", 100_000)),
+            extra_keys=("chrom",),
+        ).select(
+            variants["chrom"].alias("chrom"),
+            "pos",
+            "ref",
+            "alt",
+            "indel",
+            F.col("b_sample").alias("sample"),
+        )
+
+    @p.stage("sampleGroup", output="samples", partition_by=("chrom",))
+    def sample_group(spark, ctx):
+        parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(
+            ctx.path("parsedSamples")
+        )
+        swapped = ctx.tables.get("rangesSwap") or spark.read.parquet(
+            ctx.path("rangesSwap")
+        )
+        direct = parsed.where(F.col("alt") != "<NON_REF>").select(
+            "chrom", "pos", "ref", "alt", "indel", "sample"
+        )
+        both = direct.unionByName(swapped.select(direct.columns))
+        sample_map = F.create_map(
+            F.lit("sample"), F.col("sample.sampleId"),
+            F.lit("gt"), F.col("sample.gt"),
+            F.lit("dp"), F.col("sample.dp").cast("string"),
+            F.lit("gq"), F.col("sample.gq").cast("string"),
+            F.lit("ad"), F.col("sample.ad"),
+            F.lit("multi"), F.col("sample.multiallelic").cast("string"),
+            F.lit("diploid"), F.col("sample.diploid").cast("string"),
+        )
+        # collect_set of canonical string form + rebuild maps: sortable,
+        # deterministic (FIXTURES.md determinism rules)
+        ser = F.to_json(sample_map)
+        return (
+            both.groupBy("chrom", "pos", "ref", "alt", "indel")
+            .agg(F.sort_array(F.collect_set(ser)).alias("samples_json"))
+        )
+
+    @p.stage("variants", output="variants", partition_by=("chrom",))
+    def variants(spark, ctx):
+        parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(
+            ctx.path("parsedSamples")
+        )
+        samples = ctx.tables.get("samples") or spark.read.parquet(ctx.path("samples"))
+        annotations = (
+            parsed.where(F.col("alt") != "<NON_REF>")
+            .groupBy("chrom", "pos", "ref", "alt")
+            .agg(
+                F.min(F.to_json("predictions")).alias("predictions_json"),
+                F.min(F.to_json("populations")).alias("populations_json"),
+            )
+        )
+        joined = annotations.join(samples, ["chrom", "pos", "ref", "alt"], "left")
+        maps = F.transform(
+            F.col("samples_json"),
+            lambda s: F.from_json(s, "map<string,string>"),
+        )
+        return joined.withColumn("freqInt", allele_freq(maps))
+
+    return p

@@ -1,3 +1,457 @@
-"""Parse-layer queries()/oracle_sql() twins (SURVEY.md §2.6) — stub,
-filled in after the relational core lands. The fn-* expression library
-itself lives in genpipe_spark/functions/ and is unit-tested in tests/."""
+"""Parse-layer queries()/oracle_sql() twins (SURVEY.md §2.6).
+
+The harness tables carry no VCF text, so each fn-* slug is exercised on
+*constructed* columns: deterministic strings built from lineitem keys in
+BOTH engines, run through the real operator expression on the Spark side,
+with the oracle encoding the expected truth table directly in SQL. The
+operator implementations under test are the exact ones the genomics
+pipeline uses (genpipe_spark/functions/*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.functions import parse as P
+from genpipe_spark.functions import variant as V
+from genpipe_spark.registry import query
+from genpipe_spark.queries.common import t
+
+# row selector shared by both engines
+_M = "(l_orderkey * 7 + l_linenumber) % {n}"
+
+
+def _li(spark, sf):
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber"))).alias("__sel"),
+        "l_partkey",
+        "l_quantity",
+        "l_suppkey",
+    )
+
+
+@query(
+    "fn-str-to-map",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INT) AS dp_val,
+           l_linenumber AS gq_val
+    FROM lineitem
+    """,
+)
+def fn_str_to_map(spark, sf):
+    li = _li(spark, sf)
+    info = F.concat(
+        F.lit("dp="), F.col("l_quantity").cast("int").cast("string"),
+        F.lit(";gq="), F.col("l_linenumber").cast("string"),
+        F.lit(";note"),
+    )
+    m = P.str_to_map_expr(info)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_element_at(m, F.lit("dp")).cast("int").alias("dp_val"),
+        F.try_element_at(m, F.lit("gq")).cast("int").alias("gq_val"),
+    )
+
+
+@query(
+    "fn-gq-bands",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN q < 20 THEN 0 WHEN q < 25 THEN 20 WHEN q < 30 THEN 25
+                WHEN q < 35 THEN 30 WHEN q < 40 THEN 35 WHEN q < 45 THEN 40
+                WHEN q < 50 THEN 45 WHEN q < 70 THEN 50 WHEN q < 90 THEN 70
+                WHEN q < 99 THEN 90 ELSE 99 END AS gq_band
+    FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) * 2 AS q FROM lineitem)
+    """,
+)
+def fn_gq_bands(spark, sf):
+    li = _li(spark, sf)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.gq_bands(F.col("l_quantity").cast("int") * 2).alias("gq_band"),
+    )
+
+
+@query(
+    "fn-format-dispatch",
+    """
+    SELECT l_orderkey, l_linenumber,
+           '0/1' AS gt,
+           CASE m WHEN 0 THEN 0 ELSE CAST(l_quantity AS INT) END AS dp,
+           CASE m WHEN 0 THEN l_partkey % 90 + 5
+                  ELSE l_suppkey % 80 + 20 END AS gq,
+           CASE m WHEN 0 THEN '9,0,200' ELSE '58,0,300' END AS pl,
+           CASE m WHEN 0 THEN '' ELSE concat(l_partkey % 9, ',', l_suppkey % 9 + 1) END AS ad
+    FROM (SELECT *, {m} AS m FROM lineitem)
+    """.format(m=_M.format(n=2)),
+)
+def fn_format_dispatch(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 2
+    fmt = F.when(m == 0, F.lit("GT:GQ:PL:SB")).otherwise(F.lit("GT:AD:DP:GQ:PL:SB"))
+    sample = F.when(
+        m == 0,
+        # GT:GQ:PL:SB → gq = pk%90+5
+        F.concat(
+            F.lit("0/1:"),
+            (F.col("l_partkey") % 90 + 5).cast("string"),
+            F.lit(":9,0,200:1,2"),
+        ),
+    ).otherwise(
+        # GT:AD:DP:GQ:PL:SB → ad, dp=qty, gq=sk%80+20
+        F.concat(
+            F.lit("0/1:"),
+            (F.col("l_partkey") % 9).cast("string"),
+            F.lit(","),
+            (F.col("l_suppkey") % 9 + 1).cast("string"),
+            F.lit(":"),
+            F.col("l_quantity").cast("int").cast("string"),
+            F.lit(":"),
+            (F.col("l_suppkey") % 80 + 20).cast("string"),
+            F.lit(":58,0,300:1,2"),
+        ),
+    )
+    fs = P.format_dispatch(fmt, sample)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fs["gt"].alias("gt"),
+        fs["dp"].alias("dp"),
+        fs["gq"].alias("gq"),
+        fs["pl"].alias("pl"),
+        fs["ad"].alias("ad"),
+    )
+
+
+@query(
+    "fn-ad-ratio",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(b / CAST(a + b AS DOUBLE) * 1000)/1000.0 AS VARCHAR) AS ad_ratio
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_partkey % 9 + 1 AS a, l_suppkey % 9 + 1 AS b
+          FROM lineitem)
+    """,
+)
+def fn_ad_ratio(spark, sf):
+    li = _li(spark, sf)
+    ad = F.concat(
+        (F.col("l_partkey") % 9 + 1).cast("string"),
+        F.lit(","),
+        (F.col("l_suppkey") % 9 + 1).cast("string"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.ad_ratio(ad, F.lit("0/1")).alias("ad_ratio"),
+    )
+
+
+@query(
+    "fn-end-pos",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN {m} = 0 THEN l_partkey + 9 ELSE l_partkey END AS end_pos
+    FROM lineitem
+    """.format(m=_M.format(n=3)),
+)
+def fn_end_pos(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 3
+    alt = F.when(m == 0, F.lit("<NON_REF>")).otherwise(F.lit("G"))
+    info = F.concat(F.lit("END="), (F.col("l_partkey") + 9).cast("string"), F.lit(";X=1"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.end_pos(alt, info, F.col("l_partkey")).alias("end_pos"),
+    )
+
+
+@query(
+    "fn-truncate",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice / 7 * 1000)/1000.0 AS trunc3,
+           floor(l_extendedprice / 7 * 10000)/10000.0 AS trunc4
+    FROM lineitem
+    """,
+)
+def fn_truncate(spark, sf):
+    li = t(spark, sf, "lineitem")
+    v = F.col("l_extendedprice") / 7
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.truncate_at(v, 3).alias("trunc3"),
+        P.truncate_at(v, 4).alias("trunc4"),
+    )
+
+
+@query(
+    "fn-removedot",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN {m} = 0 THEN 0.0
+                ELSE floor(l_discount * l_tax * 100 * 10000)/10000.0 END AS val
+    FROM lineitem
+    """.format(m=_M.format(n=4)),
+)
+def fn_removedot(spark, sf):
+    li = t(spark, sf, "lineitem").withColumn(
+        "__sel", F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    )
+    m = F.col("__sel") % 4
+    raw = F.when(m == 0, F.lit(".")).otherwise(
+        (F.col("l_discount") * F.col("l_tax") * 100).cast("string")
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", P.removedot(raw).alias("val")
+    )
+
+
+@query(
+    "fn-getter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 100 AS VARCHAR) AS first_af,
+           CASE WHEN {m} = 0 THEN CAST(l_suppkey % 10 AS VARCHAR) ELSE '' END AS exac_first
+    FROM lineitem
+    """.format(m=_M.format(n=2)),
+)
+def fn_getter(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 2
+    # AF always present (two alleles); ;ExAC_AF present on half the rows —
+    # exercises both the value-list path and the missing→[""] path
+    info = F.concat(
+        F.lit("X=1;AF="),
+        (F.col("l_partkey") % 100).cast("string"),
+        F.lit(","),
+        (F.col("l_partkey") % 7).cast("string"),
+        F.when(
+            m == 0,
+            F.concat(F.lit(";ExAC_AF="), (F.col("l_suppkey") % 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.get_or_empty(P.getter(info, "AF"), 1).alias("first_af"),
+        P.get_or_empty(P.getter(info, ";ExAC_AF"), 1).alias("exac_first"),
+    )
+
+
+@query(
+    "fn-getter-rs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN {m} = 0 THEN concat('rs', l_partkey)
+                ELSE concat('rs', l_suppkey % 100) END AS rs0
+    FROM lineitem
+    """.format(m=_M.format(n=2)),
+)
+def fn_getter_rs(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 2
+    # single token → passthrough; multi-token → "rs"+token1
+    idcol = F.when(
+        m == 0, F.concat(F.lit("rs"), F.col("l_partkey").cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("rs"),
+            F.col("l_partkey").cast("string"),
+            F.lit(","),
+            (F.col("l_suppkey") % 100).cast("string"),
+            F.lit(";junk,77"),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(P.getter_rs(idcol), 1).alias("rs0"),
+    )
+
+
+@query(
+    "fn-chrom-normalize",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE {m} WHEN 0 THEN 23 WHEN 1 THEN 24 WHEN 2 THEN 25
+                    ELSE l_partkey % 22 + 1 END AS chrom_n
+    FROM lineitem
+    """.format(m=_M.format(n=5)),
+)
+def fn_chrom_normalize(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 5
+    chrom = (
+        F.when(m == 0, F.lit("MT"))
+        .when(m == 1, F.lit("X"))
+        .when(m == 2, F.lit("Y"))
+        .otherwise((F.col("l_partkey") % 22 + 1).cast("string"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", P.chrom_normalize(chrom).alias("chrom_n")
+    )
+
+
+@query(
+    "fn-diploidize",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE {m} WHEN 0 THEN '0/0' WHEN 1 THEN '1/1' ELSE '0/1' END AS gt,
+           CASE {m} WHEN 0 THEN FALSE WHEN 1 THEN FALSE ELSE TRUE END AS diploid
+    FROM lineitem
+    """.format(m=_M.format(n=3)),
+)
+def fn_diploidize(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 3
+    gt = F.when(m == 0, F.lit("0")).when(m == 1, F.lit("1")).otherwise(F.lit("0/1"))
+    d = P.diploidize(gt)
+    return li.select(
+        "l_orderkey", "l_linenumber", d["gt"].alias("gt"), d["diploid"].alias("diploid")
+    )
+
+
+@query(
+    "fn-pred-consensus",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'T' ELSE '' END AS sift,
+           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'P' ELSE 'B' END AS polyphen,
+           CASE {m} WHEN 0 THEN '9' WHEN 1 THEN '0' ELSE '5' END AS clinvar_f
+    FROM lineitem
+    """.format(m=_M.format(n=3)),
+)
+def fn_pred_consensus(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 3
+    sift_letters = (
+        F.when(m == 0, F.lit("T,D")).when(m == 1, F.lit("T,.")).otherwise(F.lit("."))
+    )
+    pp_letters = (
+        F.when(m == 0, F.lit("B,D")).when(m == 1, F.lit("P,B")).otherwise(F.lit("B"))
+    )
+    clin = F.when(m == 0, F.lit("5|4")).when(m == 1, F.lit("2|0")).otherwise(F.lit("5"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        P.sift_pred_rules(F.split(sift_letters, ",")).alias("sift"),
+        P.polyphen2_pred_rules(F.split(pp_letters, ",")).alias("polyphen"),
+        P.clinvar_rules(clin).alias("clinvar_f"),
+    )
+
+
+@query(
+    "fn-umd-label",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'B' WHEN 2 THEN 'P'
+                    WHEN 3 THEN 'U' ELSE '' END AS umd
+    FROM lineitem
+    """.format(m=_M.format(n=5)),
+)
+def fn_umd_label(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 5
+    phrase = (
+        F.when(m == 0, F.lit("Pathogenic"))
+        .when(m == 1, F.lit("Polymorphism"))
+        .when(m == 2, F.lit("Probably pathogenic"))
+        .when(m == 3, F.lit("Probable polymorphism"))
+        .otherwise(F.lit("???"))
+    )
+    return li.select("l_orderkey", "l_linenumber", P.umd_label(phrase).alias("umd"))
+
+
+_DECOMP_ORACLE = """
+    WITH src AS (SELECT l_orderkey, l_linenumber, {m} AS m FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CASE m WHEN 0 THEN '<NON_REF>' WHEN 1 THEN 'G' WHEN 2 THEN 'G'
+                  WHEN 3 THEN 'C' ELSE 'A' END AS alt_allele,
+           CASE m WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '0/1'
+                  WHEN 3 THEN '1/1' ELSE '0/0' END AS gt,
+           CASE m WHEN 0 THEN '0' WHEN 1 THEN '1' WHEN 2 THEN '1'
+                  WHEN 3 THEN '2' ELSE '0' END AS gt_index,
+           CASE m WHEN 2 THEN TRUE WHEN 3 THEN TRUE ELSE FALSE END AS multiallelic
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'C', '0/1', '2', TRUE
+    FROM src WHERE m = 2
+""".format(m=_M.format(n=5))
+
+
+@query("fn-alt-decompose", _DECOMP_ORACLE)
+def fn_alt_decompose(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 5
+    # m: 0 ref-block | 1 simple het | 2 het-alt 1/2 (two rows) |
+    #    3 hom-alt 2/2 multiallelic | 4 hom-ref
+    alt = (
+        F.when(m == 0, F.lit("<NON_REF>"))
+        .when(m == 1, F.lit("G,<NON_REF>"))
+        .otherwise(F.lit("G,C,<NON_REF>"))
+    )
+    gt = (
+        F.when(m == 0, F.lit("0/0"))
+        .when(m == 1, F.lit("0/1"))
+        .when(m == 2, F.lit("1/2"))
+        .when(m == 3, F.lit("2/2"))
+        .otherwise(F.lit("0/0"))
+    )
+    x = F.explode(V.alt_decompose(F.lit("A"), alt, gt)).alias("x")
+    ex = li.select("l_orderkey", "l_linenumber", x)
+    return ex.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("x.alt_allele").alias("alt_allele"),
+        F.col("x.gt").alias("gt"),
+        F.col("x.gt_index").alias("gt_index"),
+        F.col("x.multiallelic").alias("multiallelic"),
+    )
+
+
+_ANN_ORACLE = """
+    WITH src AS (SELECT l_orderkey, l_linenumber, {m} AS m FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CASE m WHEN 0 THEN 'stop_gained' ELSE 'missense_variant' END AS effect,
+           CASE m WHEN 0 THEN 'HIGH' ELSE 'MODERATE' END AS effect_impact,
+           'TRANSCRIPT00001' AS transcript_id
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'intron_variant', 'MODIFIER', 'TRANSCRIPT00002'
+    FROM src
+""".format(m=_M.format(n=2))
+
+
+@query("fn-snpeff-ann-parse", _ANN_ORACLE)
+def fn_snpeff_ann_parse(spark, sf):
+    li = _li(spark, sf)
+    m = F.col("__sel") % 2
+    # two entries on TRANSCRIPT00001 (best-impact dedup keeps one: HIGH when
+    # m=0, the MODERATE duplicate otherwise) + one on TRANSCRIPT00002
+    e1 = F.concat(
+        F.lit("G|missense_variant|MODERATE|GENE1|g|t|TRANSCRIPT00001|pc|1/2|c|p|1/10|2/20|30/40|x")
+    )
+    e2 = F.when(
+        m == 0,
+        F.lit("G|stop_gained|HIGH|GENE1|g|t|TRANSCRIPT00001|pc|1/2|c|p|1/10|2/20|30/40|x"),
+    ).otherwise(
+        F.lit("G|missense_variant|MODERATE|GENE1|g|t|TRANSCRIPT00001|pc|1/2|c|p|1/10|2/20|30/40|x")
+    )
+    e3 = F.lit("G|intron_variant|MODIFIER|GENE2|g|t|TRANSCRIPT00002|pc|1/2|c|p|1/10|2/20|30/40|x")
+    ann = F.concat_ws(",", e1, e2, e3)
+    effs = V.dedup_effects_best_impact(V.parse_functional_effects(ann))
+    ex = li.select("l_orderkey", "l_linenumber", F.explode(effs).alias("e"))
+    return ex.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("e.effect").alias("effect"),
+        F.col("e.effect_impact").alias("effect_impact"),
+        F.col("e.transcript_id").alias("transcript_id"),
+    )

@@ -50,4 +50,5 @@ def load_all_query_modules() -> None:
         nested,
         parse,
         relational,
+        streaming,
     )

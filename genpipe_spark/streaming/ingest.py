@@ -1,0 +1,98 @@
+"""Structured Streaming ingest (SURVEY.md §2.8).
+
+The reference's DStream variant (StreamGenomicsLoader.scala:14-54):
+60 s textFileStream → header filter → split/typed map → foreachRDD with a
+``toDebugString`` filename hack → per-file parquet write. Re-expressed:
+
+  - one incremental Catalyst plan: ``readStream.text`` + the SAME column
+    expressions as the batch scan (code reuse by construction —
+    scan_vcf_text's projection is shared);
+  - ``input_file_name()`` replaces the debugString hack;
+  - partitioned parquet sink with checkpointing; trigger configurable
+    (60 s processing-time like the reference, or availableNow for
+    catch-up/batch-drain runs);
+  - additive capability the reference lacks: watermarked event-time
+    windowed aggregation (demonstrated on the events fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from genpipe_spark.functions.parse import chrom_normalize
+from genpipe_spark.sources.vcf import VCF_COLUMNS
+
+
+def stream_vcf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    dest: str,
+    checkpoint: str,
+    trigger_seconds: int | None = 60,
+) -> StreamingQuery:
+    """Micro-batch file-arrival ingest: text files → parsed typed rows →
+    parquet partitioned by chrom (stream-ingest + stream-foreachbatch-write)."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", 100)
+        .text(source_dir)
+        .where(~F.col("value").startswith("#"))
+    )
+    cols = F.split(F.col("value"), "\t")
+    parsed = lines.select(
+        *[
+            F.try_element_at(cols, F.lit(i + 1)).alias(name)
+            for i, name in enumerate(VCF_COLUMNS)
+        ],
+        F.input_file_name().alias("__file"),
+    ).select(
+        chrom_normalize(F.col("chrom")).alias("chrom_n"),
+        F.col("pos").cast("long").alias("pos"),
+        "id",
+        "ref",
+        "alt",
+        "info",
+        "format",
+        "sample",
+        F.regexp_extract(
+            F.regexp_extract(F.col("__file"), r"([^/]+)$", 1), r"^([^.]+)", 1
+        ).alias("sample_id"),
+    )
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("chrom_n")
+        .outputMode("append")
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def stream_windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Additive generic capability: watermarked tumbling-window counts per
+    event type (no equivalent in the reference — SURVEY.md §2.8 note).
+    Works identically on a batch DataFrame (for oracle checks) and a
+    streaming one."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

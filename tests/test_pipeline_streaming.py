@@ -1,0 +1,242 @@
+"""End-to-end tests for sources, sinks, the staged pipeline runner, and
+streaming ingest — the reference's test layers 3-4 (golden counts through
+stage sequence, gzToParquetSpec.scala) on hermetic synthetic fixtures."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+HEADER = "##fileformat=VCFv4.1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA0000%d\n"
+
+ANN = (
+    "G|missense_variant|MODERATE|GENE1|G1|transcript|TX000001|"
+    "protein_coding|3/10|c.1A>G|p.Thr2Ala|10/1000|2/500|100/333|x"
+)
+
+
+def _vcf_line(chrom, pos, ref, alt, info, fmt, sample):
+    return f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t100\tPASS\t{info}\t{fmt}\t{sample}\n"
+
+
+def make_vcf_fixture(tmpdir: str, n_samples: int = 2, n_sites: int = 50) -> list[str]:
+    """Deterministic per-sample gVCF-ish files: SNPs with annotations,
+    <NON_REF> blocks covering them, some 0/0 and low-quality rows."""
+    paths = []
+    for s in range(n_samples):
+        path = os.path.join(tmpdir, f"NA0000{s}.vcf.gz")
+        with gzip.open(path, "wt") as fh:
+            fh.write(HEADER % s)
+            for i in range(n_sites):
+                pos = 1000 + i * 10
+                chrom = "1" if i % 2 == 0 else "X"
+                if i % 5 == s % 5:
+                    # variant site with annotations
+                    fh.write(
+                        _vcf_line(
+                            chrom, pos, "A", "G,<NON_REF>",
+                            f"dbNSFP_SIFT_pred=D;CADD13_PHRED=10.5;ANN={ANN}",
+                            "GT:AD:DP:GQ:PL:SB", "0/1:7,3:30:80:58,0:1,2",
+                        )
+                    )
+                elif i % 7 == 0:
+                    # low quality: dp gate drops it (dp=5)
+                    fh.write(
+                        _vcf_line(
+                            chrom, pos, "C", "T,<NON_REF>", "X=1",
+                            "GT:AD:DP:GQ:PL:SB", "0/1:3,2:5:80:9,0:1,1",
+                        )
+                    )
+                else:
+                    # reference block spanning 10 positions
+                    fh.write(
+                        _vcf_line(
+                            chrom, pos, "C", "<NON_REF>", f"END={pos + 9}",
+                            "GT:DP:GQ:MIN_DP:PL", "0/0:40:60:35:0,0",
+                        )
+                    )
+        paths.append(path)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def vcf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vcf")
+    make_vcf_fixture(str(d))
+    return str(d)
+
+
+def test_scan_vcf_text(spark, vcf_dir):
+    from genpipe_spark.sources.vcf import scan_vcf_text
+
+    df = scan_vcf_text(spark, f"{vcf_dir}/*.vcf.gz")
+    rows = df.collect()
+    assert len(rows) == 100  # 2 samples × 50 sites, headers dropped
+    assert {r["sample_id"] for r in rows} == {"NA00000", "NA00001"}
+    assert {r["chrom_n"] for r in rows} == {1, 24}  # X normalized to 24
+    assert all(r["pos"] >= 1000 for r in rows)
+
+
+def test_scan_annotation_text(spark, tmp_path):
+    from genpipe_spark.sources.vcf import scan_annotation_text
+
+    p = tmp_path / "chrom1.annotated"
+    p.write_text(
+        "NB_LINES 3\n"
+        "chr1\t1000\t.\t.\tA\tG\tx\tPathogenic\n"
+        "chr1\t2000\t.\t.\tC\tT\tx\n"  # 7 cols → umd ""
+        "chr1\t3000\t.\t.\tG\tA\tx\tPolymorphism\n"
+    )
+    out = scan_annotation_text(spark, str(p)).orderBy("pos").collect()
+    assert [(r["chrom"], r["pos"], r["umd"]) for r in out] == [
+        ("1", 1000, "D"), ("1", 2000, ""), ("1", 3000, "B"),
+    ]
+
+
+def test_pipeline_end_to_end(spark, vcf_dir, tmp_path):
+    from genpipe_spark.plans.pipeline import PipelineContext, build_genomics_pipeline
+
+    p = build_genomics_pipeline()
+    ctx = PipelineContext(
+        dest=str(tmp_path / "stages"),
+        conf={"vcf_paths": f"{vcf_dir}/*.vcf.gz", "band_width": 50},
+    )
+    p.run(spark, ctx)
+
+    loaded = spark.read.parquet(ctx.path("loaded"))
+    assert loaded.count() == 100
+    parsed = spark.read.parquet(ctx.path("parsedSamples"))
+    # low-quality rows (dp=5) gated out; everything else passes (gq 45/60)
+    assert 0 < parsed.count() < 100
+    assert parsed.where(F.col("sample.dp") <= 7).count() == 0
+
+    variants = spark.read.parquet(ctx.path("variants"))
+    vrows = variants.collect()
+    assert len(vrows) > 0
+    # each variant site: its own sample + any overlapping ref-block sample
+    for r in vrows:
+        assert 1 <= len(r["samples_json"]) <= 2
+        assert 0 < r["freqInt"] <= 1.0
+
+    # partition layout is directory-encoded and recoverable
+    assert any("chrom=" in d for d in os.listdir(ctx.path("variants")))
+
+
+def test_interval_swap_matches_block_cover(spark, vcf_dir, tmp_path):
+    """The swap stage must attach exactly the ref-block samples whose
+    [pos, end_pos] covers each variant position (reference golden idiom,
+    gzToParquetSpec ranges count)."""
+    from genpipe_spark.plans.pipeline import PipelineContext, build_genomics_pipeline
+
+    p = build_genomics_pipeline()
+    ctx = PipelineContext(
+        dest=str(tmp_path / "stages"),
+        conf={"vcf_paths": f"{vcf_dir}/*.vcf.gz", "band_width": 50},
+    )
+    p.run(spark, ctx, ["load", "parser", "swap"])
+    parsed = spark.read.parquet(ctx.path("parsedSamples"))
+    swapped = spark.read.parquet(ctx.path("rangesSwap")).collect()
+
+    blocks = parsed.where(F.col("alt") == "<NON_REF>").select(
+        "chrom", "pos", "end_pos", F.col("sample.sampleId").alias("sid")
+    ).collect()
+    variants = parsed.where(F.col("alt") != "<NON_REF>").select(
+        "chrom", "pos", "ref", "alt"
+    ).distinct().collect()
+    expected = {
+        (v["chrom"], v["pos"], b["sid"])
+        for v in variants
+        for b in blocks
+        if b["chrom"] == v["chrom"] and b["pos"] <= v["pos"] <= b["end_pos"]
+    }
+    got = {(r["chrom"], r["pos"], r["sample"]["sampleId"]) for r in swapped}
+    assert got == expected and expected
+
+
+def test_sinks(spark, tmp_path):
+    from genpipe_spark.sources.sinks import (
+        write_es_shaped,
+        write_parquet_partitioned,
+        write_single_tsv,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("chrom"),
+        (F.col("id") * 2).alias("pos"),
+    )
+    dest = str(tmp_path / "pq")
+    write_parquet_partitioned(df, dest, ("chrom",))
+    assert sorted(d for d in os.listdir(dest) if d.startswith("chrom=")) == [
+        "chrom=0", "chrom=1", "chrom=2",
+    ]
+    # dynamic overwrite: rewriting one partition leaves siblings intact
+    write_parquet_partitioned(
+        df.where(F.col("chrom") == "0").withColumn("pos", F.lit(0)), dest, ("chrom",)
+    )
+    back = spark.read.parquet(dest)
+    assert back.where("chrom = '1'").count() == 33
+    assert back.where("chrom = '0' and pos != 0").count() == 0
+
+    tsv = str(tmp_path / "tsv")
+    write_single_tsv(df.limit(10), tsv, ["id", "chrom", "pos"])
+    files = [f for f in glob.glob(f"{tsv}/part-*") if not f.endswith(".crc")]
+    assert len(files) == 1  # single-file contract
+    assert len(open(files[0]).readlines()) == 10
+
+    es = str(tmp_path / "es")
+    write_es_shaped(df.limit(5), es, "variants", "v1")
+    out = spark.read.json(f"{es}/variants-v1")
+    assert out.count() == 5 and set(out.columns) == {"id", "chrom", "pos"}
+
+
+def test_stream_vcf_ingest_available_now(spark, vcf_dir, tmp_path):
+    from genpipe_spark.streaming.ingest import stream_vcf_ingest
+
+    dest = str(tmp_path / "out")
+    q = stream_vcf_ingest(
+        spark,
+        vcf_dir,
+        dest,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_seconds=None,  # availableNow: drain existing files, stop
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dest)
+    assert out.count() == 100
+    assert {r["chrom_n"] for r in out.select("chrom_n").distinct().collect()} == {1, 24}
+    assert {r["sample_id"] for r in out.select("sample_id").distinct().collect()} == {
+        "NA00000", "NA00001",
+    }
+
+
+def test_stream_windowed_event_counts_matches_oracle(spark):
+    """Batch-mode check of the streaming windowed agg against DuckDB
+    time_bucket — same rows either way."""
+    import duckdb
+
+    from genpipe_spark.streaming.ingest import stream_windowed_event_counts
+    from tests.conftest import SF_SMALL
+    from tests.oracle_utils import compare
+
+    from genpipe_spark.tables import load
+
+    events = load(spark, SF_SMALL, "events")
+    got = stream_windowed_event_counts(events)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    oracle = con.execute(
+        """
+        SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, count(*) AS n_events,
+               sum(cast(round(value*100) AS BIGINT))/100.0 AS value_sum
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchdf()
+    assert not compare(got, oracle)
