@@ -30,6 +30,13 @@ HEADLINE = [
     "agg-reducebykey",
     "join-inner-equi",
     "topk",
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "dedup-ngram-jaccard",
+    "ann-cosine-topk",
+    "text-token-count",
+    "stream-window-agg",
+    "fn-alt-decompose",
 ]
 
 
