@@ -101,6 +101,31 @@ def source_filestream(spark, sf):
     return spark.read.parquet(os.path.join(out, "data"))
 
 
+@query("row-sample-parser")  # generated text input → rows-only check;
+# exact-value coverage lives in tests/test_genomics.py::test_sample_parse_e2e
+def row_sample_parser(spark, sf):
+    from genpipe_spark.functions.variant import sample_parse
+    from genpipe_spark.sources.vcf import scan_vcf_text
+
+    raw = scan_vcf_text(spark, f"{_vcf_fixture_dir()}/*.vcf.gz").withColumn(
+        "chrom", F.col("chrom_n").cast("string")
+    )
+    parsed = sample_parse(raw)
+    return parsed.select(
+        "chrom",
+        "pos",
+        "end_pos",
+        "ref",
+        "alt",
+        "indel",
+        F.col("sample.gt").alias("gt"),
+        F.col("sample.dp").alias("dp"),
+        F.col("sample.gq").alias("gq"),
+        F.col("sample.sampleId").alias("sample_id"),
+        F.col("predictions.CADD_phred").alias("cadd"),
+    )
+
+
 @query(
     "sink-parquet-partitioned",
     """

@@ -240,3 +240,28 @@ def test_stream_windowed_event_counts_matches_oracle(spark):
         """
     ).fetchdf()
     assert not compare(got, oracle)
+
+
+def test_read_sample_manifest(tmp_path):
+    from genpipe_spark.sources.vcf import read_sample_manifest
+
+    p = tmp_path / "filesList.txt"
+    p.write_text("# header\nNA12878\textra\tcols\n\nNA12891\nNA12892\tx\n")
+    assert read_sample_manifest(str(p)) == ["NA12878", "NA12891", "NA12892"]
+
+
+def test_write_table_metastore(spark, tmp_path):
+    import uuid
+
+    from genpipe_spark.sources.sinks import write_table
+
+    # unique name: the in-memory catalog forgets tables between sessions but
+    # the warehouse directory survives, and saveAsTable refuses orphans
+    name = f"t_sink_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 7).withColumnRenamed("id", "k")
+    write_table(df, name)
+    assert spark.table(name).count() == 7
+    # overwrite semantics (insert overwrite, steps/toElastic.scala:12)
+    write_table(df.limit(3), name)
+    assert spark.table(name).count() == 3
+    spark.sql(f"DROP TABLE {name}")
