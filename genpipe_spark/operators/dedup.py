@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from genpipe_spark.operators.hof import bind
+
 M31 = 2147483647  # 2^31 - 1, prime: keeps every product < 2^62 (no
 # int64 overflow in Spark OR an ANSI-SQL oracle), folds are portable
 
@@ -39,15 +41,50 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def _shingle_hash(sh: Column) -> Column:
-    """Deterministic 61-bit polynomial hash of a shingle string (portable
-    across engines, unlike xxhash64)."""
-    chars = F.filter(F.split(sh, ""), lambda c: c != "")
+def _word_hash(w: Column) -> Column:
+    """Deterministic 31-bit polynomial char hash (portable across engines,
+    unlike xxhash64)."""
+    chars = F.filter(F.split(w, ""), lambda c: c != "")
     return F.aggregate(
         chars,
         F.lit(7).cast("long"),
         lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(M31),
     )
+
+
+# shingle-combine multipliers (arbitrary constants < 2^31; every product
+# is taken mod M31 before summing so nothing overflows int64)
+_P1, _P2 = 1_000_003, 9176
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingle *hashes*: chars are folded once per word,
+    then each shingle combines k consecutive word hashes arithmetically —
+    ~3x less interpreted work than hashing concatenated shingle strings,
+    and the join key is a long instead of a string. Only k=3 is wired
+    (the combine is explicit so an ANSI-SQL oracle can mirror it)."""
+    if k != 3:
+        raise ValueError("shingle_hashes is specialized for k=3")
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    wh_expr = F.transform(ws, _word_hash)
+
+    def combine(wh: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: (
+                    (F.try_element_at(wh, i) * _P1) % F.lit(M31)
+                    + (F.try_element_at(wh, i + 1) * _P2) % F.lit(M31)
+                    + F.try_element_at(wh, i + 2)
+                )
+                % F.lit(M31),
+            )
+        )
+
+    # bind: without it the word-hash array is re-evaluated per shingle
+    # (66 s -> 0.9 s at sf0.1, see operators/hof.py)
+    return bind(wh_expr, combine)
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
@@ -60,7 +97,7 @@ def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     codegen'd), so evaluating the shingle-hash fold once — instead of
     once per permutation — is a ~num_hashes× win (it took the sf0.1
     bench from 257 s to seconds)."""
-    hs = F.transform(shingles(text, k), _shingle_hash)
+    hs = shingle_hashes(text, k)
     coeff_a = F.array(
         *[F.lit((2 * i + 1) * 1103515245 % M31) for i in range(num_hashes)]
     )
@@ -95,23 +132,29 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
     )
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.hash(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[bi * rows_per_band + j].cast("string")
-                        for j in range(rows_per_band)
-                    ],
+    def band_structs(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                sig[bi * rows_per_band + j].cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
                 )
-            ).alias("bucket"),
+                for bi in range(bands)
+            ]
         )
-        for bi in range(bands)
-    ]
+
+    # bind sig: CollapseProject would otherwise inline the signature
+    # computation into all bands x rows_per_band use sites
     banded = sigd.select(
-        "id", "sig", F.explode(F.array(*band_structs)).alias("bb")
+        "id", "sig", F.explode(bind(F.col("sig"), band_structs)).alias("bb")
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
@@ -151,12 +194,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted shingle index: explode distinct
-    shingles, self-join on shingle (only docs sharing ≥1 shingle pair up),
-    count intersections, compute |A∩B|/|A∪B|. Output: id_a < id_b, jaccard
-    (floor-truncated at 4)."""
+    shingle hashes, self-join on hash (only docs sharing >=1 shingle pair
+    up), count intersections, compute |A∩B|/|A∪B|. Output: id_a < id_b,
+    jaccard (floor-truncated at 4). Jaccard is over hashed shingles — the
+    31-bit hash is identical in the SQL oracle, so any collision affects
+    both engines identically (and is vanishingly rare per pair)."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -188,7 +233,7 @@ def simhash(text: Column, bits: int = 64, k: int = 3) -> Column:
     ``aggregate`` carries a bits-wide vote accumulator; bit i of each
     31-bit shingle hash is read arithmetically (floor(h / 2^i) % 2 — exact
     in doubles below 2^53) because shiftright needs a literal shift."""
-    hs = F.transform(shingles(text, k), _shingle_hash)
+    hs = shingle_hashes(text, k)
     idx = F.array(*[F.lit(i % 31) for i in range(bits)])
     init = F.array_repeat(F.lit(0).cast("long"), bits)
 

@@ -36,14 +36,25 @@ def dedup_exact(spark, sf):
     return D.exact_dedup(t(spark, sf, "documents"))
 
 
-_SHINGLES_CTE = """
+# hashed 3-word shingles, mirroring operators/dedup.py shingle_hashes:
+# per-word 31-bit polynomial char fold, then (wh[i]*P1 + wh[i+1]*P2 + wh[i+2]) % M
+_SHINGLES_CTE = r"""
     WITH d AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+      SELECT doc_id,
+             list_apply(
+               list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+               w -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_apply(list_filter(string_split(w, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483647)) AS wh
       FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(len(words) - 1, 1)),
-               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+               range(1, greatest(len(wh) - 1, 1)),
+               i -> ((wh[i] * 1000003) % 2147483647
+                     + (wh[i+1] * 9176) % 2147483647
+                     + wh[i+2]) % 2147483647))) AS sh
       FROM d
     )
 """
