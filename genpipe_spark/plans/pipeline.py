@@ -124,6 +124,85 @@ def build_genomics_pipeline() -> Pipeline:
             & (F.col("sample.gq") > 19)
         )
 
+    @p.stage("umd.prepare", output=None)
+    def umd_prepare(spark, ctx):
+        # distinct HIGH/MODERATE/LOW effect sites → single TSV for the
+        # external UMD web service (umd.prepareInput, steps/UMD.scala:12-18;
+        # the human-in-the-loop machine boundary of SURVEY.md §3.1)
+        from genpipe_spark.sources.sinks import write_single_tsv
+
+        if "umd_prepare_dest" not in ctx.conf:
+            return None
+        parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(
+            ctx.path("parsedSamples")
+        )
+        sites = (
+            parsed.select("chrom", "pos", "ref", "alt", F.explode("effects").alias("e"))
+            .where(F.col("e.effect_impact").isin("HIGH", "MODERATE", "LOW"))
+            .select("chrom", "pos", "ref", "alt")
+            .distinct()
+        )
+        write_single_tsv(
+            sites.withColumn("id", F.lit(".")).select("chrom", "pos", "id", "ref", "alt"),
+            ctx.conf["umd_prepare_dest"],
+            ["chrom", "pos", "id", "ref", "alt"],
+        )
+        return None
+
+    @p.stage("umd.parse", output="umdAnnotated")
+    def umd_parse(spark, ctx):
+        # annotated responses → umdAnnotated table (steps/UMD.scala:20-27)
+        from genpipe_spark.sources.vcf import scan_annotation_text
+
+        if "umd_annotated_paths" not in ctx.conf:
+            return None
+        return scan_annotation_text(spark, ctx.conf["umd_annotated_paths"])
+
+    @p.stage("umd.join", output="effectsUMD", partition_by=("chrom",))
+    def umd_join(spark, ctx):
+        # LATERAL VIEW explode(effects) ⟕ UMD on (pos, ref, alt) —
+        # steps/UMD.scala:39-49; UMD letter lands on matching sites, ""
+        # elsewhere (the stepsTest/UMD.scala golden idiom)
+        umd = ctx.tables.get("umdAnnotated")
+        if umd is None:
+            return None
+        parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(
+            ctx.path("parsedSamples")
+        )
+        # unique sites before explode (ParsedSampleUnique.distinct,
+        # steps/UMD.scala:41); multiallelic filter as in the reference
+        sites = (
+            parsed.where(~F.col("sample.multiallelic"))
+            .select("chrom", "pos", "ref", "alt", "effects")
+            .distinct()
+        )
+        exploded = sites.select(
+            "chrom", "pos", "ref", "alt", F.explode("effects").alias("effect")
+        )
+        umd_side = umd.select(
+            F.col("chrom").alias("u_chrom"),
+            "pos",
+            "ref",
+            "alt",
+            F.col("umd").alias("u_umd"),
+        )
+        joined = exploded.join(
+            F.broadcast(umd_side),
+            (exploded["chrom"] == umd_side["u_chrom"])
+            & (exploded["pos"] == umd_side["pos"])
+            & (exploded["ref"] == umd_side["ref"])
+            & (exploded["alt"] == umd_side["alt"]),
+            "left",
+        )
+        return joined.select(
+            exploded["chrom"],
+            exploded["pos"],
+            exploded["ref"],
+            exploded["alt"],
+            "effect",
+            F.coalesce(F.col("u_umd"), F.lit("")).alias("umd"),
+        )
+
     @p.stage("swap", output="rangesSwap", partition_by=("chrom",))
     def swap(spark, ctx):
         parsed = ctx.tables.get("parsedSamples") or spark.read.parquet(

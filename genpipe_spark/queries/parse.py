@@ -455,3 +455,53 @@ def fn_snpeff_ann_parse(spark, sf):
         F.col("e.effect_impact").alias("effect_impact"),
         F.col("e.transcript_id").alias("transcript_id"),
     )
+
+
+@query(
+    "fn-annotation-parse",
+    """
+    SELECT l_orderkey, l_linenumber,
+           'D' AS sift_pred,
+           least(floor(CAST('0.' || (l_partkey % 90 + 5) AS DOUBLE)*10000)/10000.0, 0.5)
+             AS sift_score,
+           floor(CAST('0.' || (l_suppkey % 9) AS DOUBLE)*10000)/10000.0 AS pp_score,
+           '0.25' AS mt,
+           floor(CAST('2' || l_linenumber || '.75' AS DOUBLE)*10000)/10000.0 AS cadd,
+           '9' AS clinvar_f,
+           0.6827 AS gp1_af,
+           floor(CAST('0.8' || (l_partkey % 10) AS DOUBLE)*10000)/10000.0 AS exac
+    FROM lineitem
+    """,
+)
+def fn_annotation_parse(spark, sf):
+    # the full annotation_parser (steps/Parser.scala:117-183) over a
+    # constructed INFO string; oracle recomputes each consensus /
+    # min-max / truncation rule directly
+    li = _li(spark, sf)
+    info = F.concat(
+        F.lit("dbNSFP_SIFT_pred=T,D;dbNSFP_SIFT_score=0."),
+        (F.col("l_partkey") % 90 + 5).cast("string"),
+        F.lit(",0.5;dbNSFP_Polyphen2_HDIV_pred=B,P;dbNSFP_Polyphen2_HDIV_score=0."),
+        (F.col("l_suppkey") % 9).cast("string"),
+        F.lit(",.;dbNSFP_MutationTaster_pred=N;dbNSFP_MutationTaster_score=0.25"),
+        F.lit(";CADD13_PHRED=2"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(".75;CLNSIG=5|4;dbNSFP_1000Gp1_AF=0.68271;ExAC_AF=0.8"),
+        (F.col("l_partkey") % 10).cast("string"),
+    )
+    from genpipe_spark.functions.variant import populations_parse, predictions_parse
+
+    pred = predictions_parse(info, F.lit("rs1"))
+    pop = populations_parse(info)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pred["SIFT_pred"].alias("sift_pred"),
+        pred["SIFT_score"].alias("sift_score"),
+        pred["polyphen2_hvar_score"].alias("pp_score"),
+        pred["mt"].alias("mt"),
+        pred["CADD_phred"].alias("cadd"),
+        pred["clinvar_filter"].alias("clinvar_f"),
+        pop["gp1_af"].alias("gp1_af"),
+        pop["exac"].alias("exac"),
+    )

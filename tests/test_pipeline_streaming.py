@@ -265,3 +265,39 @@ def test_write_table_metastore(spark, tmp_path):
     write_table(df.limit(3), name)
     assert spark.table(name).count() == 3
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_umd_stages(spark, vcf_dir, tmp_path):
+    """UMD annotation flow: prepare TSV → parse annotated responses →
+    site-level left join (steps/UMD.scala; golden idiom: the matched site's
+    exploded effects carry the letter, every other row carries "")."""
+    from genpipe_spark.plans.pipeline import PipelineContext, build_genomics_pipeline
+
+    umd_file = tmp_path / "chrom1.annotated"
+    # fixture: variant sites are (A→G); annotate exactly one known pos
+    umd_file.write_text("NB_LINES 1\nchr1\t1000\t.\t.\tA\tG\tx\tPathogenic\n")
+
+    p = build_genomics_pipeline()
+    ctx = PipelineContext(
+        dest=str(tmp_path / "stages"),
+        conf={
+            "vcf_paths": f"{vcf_dir}/*.vcf.gz",
+            "band_width": 50,
+            "umd_prepare_dest": str(tmp_path / "umd_input"),
+            "umd_annotated_paths": str(umd_file),
+        },
+    )
+    p.run(spark, ctx, ["load", "parser", "umd.prepare", "umd.parse", "umd.join"])
+
+    # prepare: single TSV of distinct HIGH/MODERATE/LOW sites
+    import glob as g
+
+    tsv = [f for f in g.glob(str(tmp_path / "umd_input" / "part-*")) if not f.endswith(".crc")]
+    assert len(tsv) == 1
+    lines = open(tsv[0]).read().splitlines()
+    assert lines and all(len(line.split("\t")) == 5 for line in lines)
+
+    joined = spark.read.parquet(ctx.path("effectsUMD"))
+    matched = joined.where("pos = 1000 AND alt = 'G'").collect()
+    assert matched and all(r["umd"] == "D" for r in matched)
+    assert joined.where("pos <> 1000").where("umd <> ''").count() == 0

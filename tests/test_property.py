@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): the custom operators against
+brute-force Python models on randomized inputs — coverage the reference
+never had (SURVEY.md §5: 'No property-based/randomized tests')."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+# ---------------------------------------------------------- interval join
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 60)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=12,
+)
+points_strategy = st.lists(st.integers(0, 360), min_size=1, max_size=15)
+
+
+@settings(max_examples=12, deadline=None)
+@given(points=points_strategy, intervals=intervals_strategy, width=st.sampled_from([7, 64, 1000]))
+def test_interval_join_matches_model(spark, points, intervals, width):
+    from genpipe_spark.operators.interval import interval_join
+
+    pdf = spark.createDataFrame([Row(idx=i, p=p) for i, p in enumerate(points)])
+    idf = spark.createDataFrame(
+        [Row(iv=i, lo=lo, hi=hi) for i, (lo, hi) in enumerate(intervals)]
+    )
+    got = {
+        (r["idx"], r["iv"])
+        for r in interval_join(pdf, idf, "p", "lo", "hi", band_width=width).collect()
+    }
+    expected = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, hi) in enumerate(intervals)
+        if lo <= p <= hi
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------- alt-decompose
+
+def _model_alt_decompose(ref: str, alt: str, gt: str):
+    """Python model of altMultiallelic (steps/Parser.scala:252-270), with
+    our haploid guard (x behaves as x/x)."""
+    alt_list = alt.split(",")
+    multi = len(alt_list) > 2
+    if alt == "<NON_REF>":
+        return [(alt, "0/0", "0", False)]
+    if gt in ("0/0", "0"):
+        return [(ref, "0/0", "0", False)]
+    g = gt.split("/")
+    g0 = g[0]
+    g1 = g[1] if len(g) > 1 else g0
+    if g0 == "0":
+        return [(alt_list[int(g1) - 1], "0/1", g1, multi)]
+    if g0 == g1:
+        return [(alt_list[int(g1) - 1], "1/1", g1, multi)]
+    return [
+        (alt_list[int(g0) - 1], "0/1", g0, True),
+        (alt_list[int(g1) - 1], "0/1", g1, multi),
+    ]
+
+
+alleles = st.sampled_from(["G", "C", "T", "GA"])
+
+
+@st.composite
+def site(draw):
+    n_alt = draw(st.integers(1, 3))
+    alts = [draw(alleles) for _ in range(n_alt)] + ["<NON_REF>"]
+    # gt indices must reference existing alts
+    i = draw(st.integers(0, n_alt))
+    j = draw(st.integers(0, n_alt))
+    if i != 0 and j == 0:
+        i, j = j, i  # reference path only handles x(0)=='0' or x0==x1 or het-alt
+    gt = f"{i}/{j}" if draw(st.booleans()) else (str(j) if i == j else f"{i}/{j}")
+    non_ref = draw(st.booleans()) and i == 0 and j == 0
+    return ("A", "<NON_REF>" if non_ref else ",".join(alts), gt)
+
+
+@settings(max_examples=20, deadline=None)
+@given(sites=st.lists(site(), min_size=1, max_size=8))
+def test_alt_decompose_matches_model(spark, sites):
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.functions.variant import alt_decompose
+
+    df = spark.createDataFrame(
+        [Row(i=i, ref=r, alt=a, gt=g) for i, (r, a, g) in enumerate(sites)]
+    )
+    out = df.select(
+        "i", alt_decompose(F.col("ref"), F.col("alt"), F.col("gt")).alias("d")
+    ).collect()
+    for row in out:
+        r, a, g = sites[row["i"]]
+        got = [
+            (e["alt_allele"], e["gt"], e["gt_index"], e["multiallelic"])
+            for e in row["d"]
+        ]
+        assert got == _model_alt_decompose(r, a, g), (r, a, g)
+
+
+# ------------------------------------------------------------- fingerprint
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XYZ.,", min_size=0, max_size=40), min_size=1, max_size=5
+    )
+)
+def test_fingerprint_matches_model(spark, texts):
+    from genpipe_spark.operators.text import fingerprint
+
+    M = 2147483647
+
+    def model(text: str) -> int:
+        acc = 0
+        for w in text.split():
+            h = 7
+            for ch in w:
+                h = (h * 31 + ord(ch)) % M
+            acc = (acc * 1000003 + h) % M
+        return acc
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == model(t), repr(t)
