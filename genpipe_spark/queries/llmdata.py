@@ -257,3 +257,26 @@ def text_fingerprint(spark, sf):
 def multimodal_features(spark, sf):
     media = documents_as_media(t(spark, sf, "documents"))
     return extract_features(media, dim=16, use_fake_decoder=True)
+
+
+@query(
+    "text-normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf):
+    # canonicalization pass ahead of dedup: lowercase, strip punctuation,
+    # collapse whitespace — pure regexp_replace chain, codegen-side
+    d = t(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
