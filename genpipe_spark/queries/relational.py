@@ -196,13 +196,18 @@ def join_semi(spark, sf):
     "join-anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def join_anti(spark, sf):
+    # dedup-against-reference shape: keep customers with NO matching row on
+    # the right (every customer has *some* order in the fixture, so the
+    # anti-join keys on high-value orders to exercise both outcomes)
+    big = t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
     return R.join_anti(
         t(spark, sf, "customer"),
-        t(spark, sf, "orders"),
+        big,
         on=F.col("c_custkey") == F.col("o_custkey"),
     ).select("c_custkey", "c_name")
 
