@@ -380,3 +380,27 @@ def window_rank_first(spark, sf):
         ["o_custkey"],
         [F.desc("o_totalprice"), F.col("o_orderkey")],
     )
+
+
+@query(
+    "agg-salted-group",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_salted_group(spark, sf):
+    # two-phase salted aggregation for skewed low-cardinality keys —
+    # identical results to the direct groupBy (the oracle), no hot reducer
+    from genpipe_spark.operators.skew import salted_group_agg
+
+    li = t(spark, sf, "lineitem").withColumn(
+        "qty_l", F.col("l_quantity").cast("long")
+    )
+    return salted_group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"n": ("l_quantity", "count"), "qty_sum": ("qty_l", "sum")},
+        salt_buckets=16,
+    )

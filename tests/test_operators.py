@@ -180,3 +180,58 @@ def test_multimodal_real_decoder_is_gated(spark, docs):
 
     with pytest.raises(NotImplementedError):
         extract_features(documents_as_media(docs))
+
+
+# ------------------------------------------------- skew / co-location
+
+def test_salted_group_agg_matches_direct(spark):
+    from genpipe_spark.operators.skew import salted_group_agg
+
+    df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["qty"])
+        for r in df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["qty"])
+        for r in salted_group_agg(
+            df.withColumn("qty_l", F.col("l_quantity").cast("long")),
+            ["l_returnflag", "l_linestatus"],
+            {"n": ("l_quantity", "count"), "qty": ("qty_l", "sum")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import uuid
+
+    from genpipe_spark.operators.skew import bucketed_join, write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, f"b_li_{suffix}", "l_orderkey", 8)
+    write_bucketed(orders, f"b_ord_{suffix}", "l_orderkey", 8)
+
+    # AQE wraps the plan; disable broadcast to force the SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, f"b_li_{suffix}", f"b_ord_{suffix}", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE b_li_{suffix}")
+        spark.sql(f"DROP TABLE b_ord_{suffix}")
