@@ -386,7 +386,7 @@ def window_rank_first(spark, sf):
     "agg-salted-group",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
