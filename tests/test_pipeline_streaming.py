@@ -301,3 +301,51 @@ def test_umd_stages(spark, vcf_dir, tmp_path):
     matched = joined.where("pos = 1000 AND alt = 'G'").collect()
     assert matched and all(r["umd"] == "D" for r in matched)
     assert joined.where("pos <> 1000").where("umd <> ''").count() == 0
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """normalize → quality-gate → exact-dedup → near-dedup → featurize on
+    the documents fixture: monotone shrinking row counts, near-dup losers
+    removed, fingerprints present."""
+    from genpipe_spark.plans.curation import build_curation_pipeline
+    from genpipe_spark.plans.pipeline import PipelineContext
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    ctx = PipelineContext(dest=str(tmp_path / "cur"), conf={})
+    ctx.tables["documents"] = docs
+    build_curation_pipeline().run(spark, ctx)
+
+    n0 = docs.count()
+    n_norm = spark.read.parquet(ctx.path("normalized")).count()
+    n_q = spark.read.parquet(ctx.path("quality_gated")).count()
+    n_e = spark.read.parquet(ctx.path("exact_unique")).count()
+    curated = spark.read.parquet(ctx.path("curated"))
+    n_c = curated.count()
+    assert n_norm == n0
+    assert n0 >= n_q >= n_e >= n_c > 0
+    assert n_c < n_e  # the fixture's planted near-dups were removed
+    row = curated.first()
+    assert row["fp"] is not None and row["n_tokens"] > 0
+
+
+def test_stream_processing_time_trigger(spark, vcf_dir, tmp_path):
+    """The reference's 60 s micro-batch mode (StreamGenomicsLoader): start
+    with a processing-time trigger, let >=1 batch commit, stop."""
+    import time
+
+    from genpipe_spark.streaming.ingest import stream_vcf_ingest
+
+    dest = str(tmp_path / "out")
+    q = stream_vcf_ingest(
+        spark, vcf_dir, dest, checkpoint=str(tmp_path / "ckpt"), trigger_seconds=2
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(1)
+        assert q.isActive
+    finally:
+        q.stop()
+    assert spark.read.parquet(dest).count() == 100
