@@ -149,3 +149,72 @@ def sink_parquet_partitioned(spark, sf):
     return back.select(
         "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
     )
+
+
+@query(
+    "stream-sessionize-batch",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1, TIMESTAMP '1970-01-01')
+                    OVER (PARTITION BY user_id ORDER BY ts)) > 600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize_batch(spark, sf):
+    # gaps-and-islands session windows (batch semantics of the stateful
+    # operator; exact value match incl. microsecond timestamps)
+    from pyspark.sql import Window
+
+    events = t(spark, sf, "events").select("ts", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = events.withColumn(
+        "new_session",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts"), 1, -(10**18)).over(w)
+            > 600_000_000
+        ).cast("int"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("value_sum"),
+    ).drop("session_id")
+
+
+@query("stream-sessionize")  # real stateful streaming op → rows-only check
+def stream_sessionize(spark, sf):
+    from genpipe_spark.streaming.stateful import sessionize
+    from genpipe_spark.tables import load
+
+    events = load(spark, sf, "events").select("ts", "user_id", "value")
+    src = tempfile.mkdtemp(prefix="genpipe_sess_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="genpipe_sess_out_")
+    q = (
+        sessionize(stream, gap="10 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data")

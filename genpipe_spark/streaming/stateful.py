@@ -1,0 +1,167 @@
+"""Custom stateful streaming operator: per-user session windows via
+``applyInPandasWithState`` (SURVEY.md §2.8 ceiling — the reference has no
+stateful streaming at all; this is the additive capability the engine
+exposes for event streams).
+
+Semantics: events for a user belong to one session while gaps between
+consecutive event times stay under ``gap``; a session closes when the
+event-time watermark passes its end + gap (timeout), emitting one row
+(user_id, session_start, session_end, n_events, value_sum).
+
+Scale notes: state is partitioned by user_id (the groupBy key), lives in
+the state store per partition, and is bounded by the event-time timeout —
+no unbounded state. The Python hook is Arrow-batched per group-batch,
+not per row."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("vsum", DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1_000).to_numpy()
+        vals = rows["value"].to_numpy()
+
+        # split THIS batch into sessions on internal gaps (a micro-batch —
+        # or an availableNow catch-up — can span many sessions)
+        sessions: list[list] = []  # [start_ms, end_ms, n, vsum]
+        for t, v in zip(ts_us, vals):
+            t, v = int(t), float(v)
+            if sessions and t - sessions[-1][1] <= gap_ms * 1000:
+                s = sessions[-1]
+                s[1] = t
+                s[2] += 1
+                s[3] += v
+            else:
+                sessions.append([t, t, 1, v])
+
+        # merge the open session from state with the first batch session
+        if state.exists:
+            start_us, end_us, n, vsum = state.get
+            if sessions and sessions[0][0] - end_us <= gap_ms * 1000:
+                s = sessions[0]
+                s[0] = min(s[0], start_us)
+                s[2] += n
+                s[3] += vsum
+            else:
+                sessions.insert(0, [start_us, end_us, n, vsum])
+
+        *closed, last = sessions
+        state.update((last[0], last[1], last[2], last[3]))
+        # close the open session `gap` after its (event-time) end
+        # (timeout API is in epoch millis; state is in micros)
+        state.setTimeoutTimestamp(last[1] // 1000 + gap_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                    "n_events": [n for _, _, n, _ in closed],
+                    "value_sum": [v for _, _, _, v in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful session windows over a *streaming* events DataFrame
+    (columns: ts timestamp, user_id long, value double)."""
+    gap_ms = {"30 minutes": 1_800_000, "10 minutes": 600_000, "1 hour": 3_600_000}.get(
+        gap
+    )
+    if gap_ms is None:
+        raise ValueError(f"unsupported gap {gap!r}")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_oracle(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch-mode reference semantics for :func:`sessionize`: classic
+    gaps-and-islands with a window (session = run of events with
+    inter-event gap <= gap). Used to cross-check the stateful operator's
+    total output in tests."""
+    from pyspark.sql import Window
+
+    gap_s = {"30 minutes": 1800, "10 minutes": 600, "1 hour": 3600}[gap]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = events.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1, -10**12).over(w)
+            > gap_s
+        ).cast("int"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )

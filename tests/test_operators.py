@@ -235,3 +235,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE b_li_{suffix}")
         spark.sql(f"DROP TABLE b_ord_{suffix}")
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Stage tables written partitionBy(key) must show PartitionFilters
+    (directory pruning) when filtered on the key — the Catalyst-native
+    replacement for the reference's path arithmetic (SCALE.md 'Scans')."""
+    from genpipe_spark.sources.sinks import write_parquet_partitioned
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").withColumn(
+        "rf", F.col("l_returnflag")
+    )
+    dest = str(tmp_path / "part")
+    write_parquet_partitioned(li, dest, ("rf",))
+    q = spark.read.parquet(dest).where(F.col("rf") == "R").select("l_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the partition-key predicate lands in PartitionFilters (directory
+    # pruning), not as a data filter; inputFiles() is pre-pruning so the
+    # plan text is the observable
+    assert "PartitionFilters" in plan
+    assert "= R" in plan.split("PartitionFilters", 1)[1][:140]

@@ -349,3 +349,50 @@ def test_stream_processing_time_trigger(spark, vcf_dir, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(dest).count() == 100
+
+
+def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState session windows: feed the events fixture
+    through a real stream (availableNow), compare CLOSED sessions against
+    the batch gaps-and-islands oracle."""
+    import shutil
+
+    from genpipe_spark.streaming.stateful import sessionize, sessionize_batch_oracle
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    events = load(spark, SF_SMALL, "events").select("ts", "user_id", "value")
+    src = tmp_path / "events_src"
+    src.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema(events.schema).parquet(str(src / "batch0"))
+    )
+    out = sessionize(stream, gap="10 minutes", watermark="1 hour")
+    dest = str(tmp_path / "sessions")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(dest).collect()
+    oracle = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch_oracle(events, gap="10 minutes").collect()
+    }
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    # the stream emits only sessions whose timeout passed the final
+    # watermark; everything it DID emit must be an exact oracle session
+    assert got_set, "expected at least some closed sessions"
+    assert got_set <= oracle
+    # and most sessions should have closed given the fixture's time span
+    assert len(got_set) >= 0.5 * len(oracle), (len(got_set), len(oracle))
