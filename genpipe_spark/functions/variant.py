@@ -332,3 +332,41 @@ def sample_parse(raw: DataFrame) -> DataFrame:
         .otherwise(zero_populations())
         .alias("populations"),
     )
+
+
+def parse_legacy_eff(eff: Column) -> Column:
+    """Legacy snpEff ``EFF=`` format parser (functionalMap_parser,
+    steps/toEffects.scala:95-115): entries are
+    ``effect(impact|functional_class|codon_change|aa_change|aa_length|
+    gene_name|biotype|gene_coding|transcript_id|exon_rank|geno_type_number)``
+    — effect before '(', pipe-separated fields inside, ')' stripped from
+    the last. Output struct matches :func:`parse_functional_effects` so
+    downstream operators (best-impact dedup, group-collect) are shared."""
+
+    def entry(item: Column) -> Column:
+        head = F.split(item, r"\(")
+        inner = F.split(
+            F.regexp_replace(F.coalesce(F.try_element_at(head, F.lit(2)), F.lit("")), r"\)", ""),
+            r"\|",
+        )
+
+        def idx(i: int) -> Column:  # 0-based into the inner fields
+            return F.coalesce(F.try_element_at(inner, F.lit(i + 1)), F.lit(""))
+
+        return F.struct(
+            F.element_at(head, 1).alias("effect"),
+            idx(0).alias("effect_impact"),
+            idx(1).alias("functional_class"),
+            idx(2).alias("codon_change"),
+            idx(3).alias("amino_acid_change"),
+            idx(4).alias("amino_acid_length"),
+            idx(5).alias("gene_name"),
+            idx(6).alias("transcript_biotype"),
+            idx(7).alias("gene_coding"),
+            idx(8).alias("transcript_id"),
+            idx(9).alias("exon_rank"),
+            F.coalesce(idx(10).try_cast("int"), F.lit(1)).alias("geno_type_number"),
+        )
+
+    parsed = F.transform(F.split(eff, ","), entry)
+    return F.when(eff.isNull() | (eff == ""), F.slice(parsed, 1, 0)).otherwise(parsed)

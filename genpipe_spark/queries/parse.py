@@ -505,3 +505,40 @@ def fn_annotation_parse(spark, sf):
         pop["gp1_af"].alias("gp1_af"),
         pop["exac"].alias("exac"),
     )
+
+
+@query(
+    "fn-snpeff-eff-parse",
+    """
+    WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, {m} AS m FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CASE m WHEN 0 THEN 'STOP_GAINED' ELSE 'NON_SYNONYMOUS_CODING' END AS effect,
+           CASE m WHEN 0 THEN 'HIGH' ELSE 'MODERATE' END AS effect_impact,
+           concat('TX', l_partkey % 100) AS transcript_id
+    FROM src
+    """.format(m="(l_orderkey * 7 + l_linenumber) % 2"),
+)
+def fn_snpeff_eff_parse(spark, sf):
+    # legacy EFF= format (steps/toEffects.scala:95-115) through the real
+    # parser, exploded; oracle encodes the expected plucks
+    li = _li(spark, sf)
+    m = F.col("__sel") % 2
+    head = F.when(m == 0, F.lit("STOP_GAINED(HIGH")).otherwise(
+        F.lit("NON_SYNONYMOUS_CODING(MODERATE")
+    )
+    eff = F.concat(
+        head,
+        F.lit("|MISSENSE|Cca/Aca|P1T|99|G1|protein_coding|CODING|TX"),
+        (F.col("l_partkey") % 100).cast("string"),
+        F.lit("|2|1)"),
+    )
+    ex = li.select(
+        "l_orderkey", "l_linenumber", F.explode(V.parse_legacy_eff(eff)).alias("e")
+    )
+    return ex.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("e.effect").alias("effect"),
+        F.col("e.effect_impact").alias("effect_impact"),
+        F.col("e.transcript_id").alias("transcript_id"),
+    )

@@ -275,3 +275,22 @@ def test_sample_parse_e2e(spark):
     assert all(r["sample"]["multiallelic"] for r in multi)
     assert all(r["predictions"]["SIFT_pred"] == "" for r in multi)  # zeroed
     assert all(r["effects"] == [] for r in multi)
+
+
+def test_parse_legacy_eff(spark):
+    eff = (
+        "NON_SYNONYMOUS_CODING(MODERATE|MISSENSE|Cca/Aca|P123T|456|GENE1|"
+        "protein_coding|CODING|TX0001|4|1)"
+        ",INTRON(MODIFIER|||||GENE2|protein_coding|CODING|TX0002||1)"
+    )
+    out = one(spark, V.parse_legacy_eff(F.col("e")), e=eff)
+    assert len(out) == 2
+    e0 = out[0]
+    assert e0["effect"] == "NON_SYNONYMOUS_CODING"
+    assert e0["effect_impact"] == "MODERATE"
+    assert e0["functional_class"] == "MISSENSE"
+    assert e0["amino_acid_change"] == "P123T"
+    assert e0["transcript_id"] == "TX0001"
+    assert e0["geno_type_number"] == 1
+    assert out[1]["effect"] == "INTRON" and out[1]["gene_name"] == "GENE2"
+    assert one(spark, V.parse_legacy_eff(F.col("e")), e="") == []
