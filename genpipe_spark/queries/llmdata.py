@@ -280,3 +280,27 @@ def text_normalize(spark, sf):
         )
     )
     return d.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "multimodal-frame-sample",
+    """
+    SELECT doc_id AS media_id, unnest(range(0, n_chars % 5000 + 1, 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf):
+    # video frame sampling plumbing: one row per sampled timestamp
+    # (operators/multimodal.frame_sample_stub); duration derived
+    # deterministically from n_chars so DuckDB can oracle the row fan-out
+    from genpipe_spark.operators.multimodal import frame_sample_stub
+
+    d = t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("fake/raw").alias("codec"),
+        (F.col("n_chars") % 5000 + 1).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_stub(media, every_ms=1000).select("media_id", "frame_ts_ms")

@@ -127,3 +127,29 @@ def udf_pop_merge(spark, sf):
         F.map_entries(merged), lambda e: F.concat(e["key"], F.lit("="), e["value"])
     )
     return grouped.select("o_custkey", F.sort_array(entries).alias("merged"))
+
+
+@query(
+    "sql-group-collect",
+    """
+    SELECT l_orderkey,
+           list_sort(list(concat('ln=', l_linenumber, ';qty=', CAST(l_quantity AS INT)))) AS samples,
+           count(*) AS n_samples
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def sql_group_collect(spark, sf):
+    # the SQL-string interface the reference used for its document builds
+    # (HiveContext.sql, steps/toSampleGrouped.scala:39-45) — same engine
+    # path as the DataFrame API, exposed for SQL users
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               sort_array(collect_list(
+                 concat('ln=', CAST(l_linenumber AS STRING),
+                        ';qty=', CAST(CAST(l_quantity AS INT) AS STRING)))) AS samples,
+               count(1) AS n_samples
+        FROM lineitem_v GROUP BY l_orderkey
+        """
+    )
