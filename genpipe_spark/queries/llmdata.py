@@ -304,3 +304,86 @@ def multimodal_frame_sample(spark, sf):
         (F.col("n_chars") % 5000 + 1).cast("long").alias("duration_ms"),
     )
     return frame_sample_stub(media, every_ms=1000).select("media_id", "frame_ts_ms")
+
+
+@query(
+    "text-chunk",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(ws[(i*64+1):(i*64+64)], ' ') AS chunk_text,
+           least(64, len(ws) - i*64) AS n_tokens
+    FROM d, unnest(range(0, CAST(ceil(len(ws)/64.0) AS BIGINT))) AS t(i)
+    """,
+)
+def text_chunk(spark, sf):
+    # fixed-size token-window chunking for training pipelines: one row per
+    # 64-token window, generated with sequence+transform (no Python)
+    from genpipe_spark.operators.hof import bind
+
+    d = t(spark, sf, "documents")
+    ws_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+
+    def chunks(ws):
+        n = F.size(ws)
+        idx = F.sequence(F.lit(0), F.ceil(n / 64.0).cast("long") - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(ws, i * 64 + 1, 64)).alias("chunk_text"),
+                F.least(F.lit(64), n - i * 64).alias("n_tokens"),
+            ),
+        )
+
+    ex = d.select("doc_id", F.explode(bind(ws_expr, chunks)).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+# portable deterministic row hash for sampling/splitting: engine-agnostic
+# arithmetic on the id (NOT xxhash/murmur)
+_SPLIT_HASH = "(doc_id * 2654435761) % 2147483647"
+
+
+@query(
+    "sample-deterministic",
+    f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE ({_SPLIT_HASH}) % 100 < 10
+    """,
+)
+def sample_deterministic(spark, sf):
+    # reproducible 10% sample via portable hash arithmetic — the same rows
+    # on any engine, any partitioning, any run (unlike rand() or TABLESAMPLE)
+    d = t(spark, sf, "documents")
+    h = (F.col("doc_id") * 2654435761) % 2147483647
+    return d.where(h % 100 < 10).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "split-train-val-test",
+    f"""
+    SELECT doc_id,
+           CASE WHEN ({_SPLIT_HASH}) % 100 < 80 THEN 'train'
+                WHEN ({_SPLIT_HASH}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark, sf):
+    # deterministic 80/10/10 split assignment, stable across engines/runs
+    d = t(spark, sf, "documents")
+    h = ((F.col("doc_id") * 2654435761) % 2147483647) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))

@@ -404,3 +404,71 @@ def agg_salted_group(spark, sf):
         {"n": ("l_quantity", "count"), "qty_sum": ("qty_l", "sum")},
         salt_buckets=16,
     )
+
+
+@query(
+    "tpch-q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+           sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf):
+    # TPC-H Q1 shape (pricing summary) under the engine's determinism
+    # rules: money through integer cents, exact at any parallelism
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    cents = lambda c: F.sum(F.round(c * 100).cast("long")) / 100.0  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        cents(F.col("l_extendedprice")).alias("sum_base_price"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch-q3",
+    """
+    SELECT l_orderkey,
+           sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf):
+    # TPC-H Q3 shape: broadcast dim filter, fact join, agg, top-k
+    cust = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
