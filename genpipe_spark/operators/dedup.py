@@ -119,19 +119,30 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    impl: str = "arrow",
+    verify: bool = True,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
-    bucket-join → estimate Jaccard from signature agreement.
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join
+    for candidates, then (with ``verify=True``, the default) EXACT Jaccard
+    over the candidates' shingle sets — the production shape: LSH bounds
+    the pair space (recall), the verify stage restores precision, and the
+    exact computation touches only |candidates| pairs, never n².
 
-    Output: id_a < id_b, est_jaccard (fraction of agreeing signature
-    slots, floor-truncated at 4). Only rows whose band-hash collides are
-    compared — the join key is (band_index, band_hash), never a cross
-    join, so the candidate join scales with collision count not n^2."""
+    ``impl``: "arrow" (numpy-vectorized signatures, the fast path) or
+    "expr" (pure column-expression fold — portable, slower).
+
+    Output: id_a < id_b, jaccard (exact when verify=True, floor-truncated
+    at 4) or est_jaccard (signature-agreement fraction) otherwise. The
+    band join key is (band_index, band_hash) — candidate count scales with
+    collisions, not n²."""
     rows_per_band = num_hashes // bands
-    sigd = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    )
+    if impl == "arrow":
+        sigd = minhash_signatures_arrow(df, text_col, id_col, num_hashes, k)
+    else:
+        sigd = df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+        )
     def band_structs(sig: Column) -> Column:
         return F.array(
             *[
@@ -174,15 +185,41 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
+    if not verify:
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
         )
+        est = F.floor(agree / F.lit(float(num_hashes)) * 10000) / 10000.0
+        return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
+            F.col("est_jaccard") >= threshold
+        )
+
+    # exact-verify stage: join the candidates back to per-doc distinct
+    # shingle sets and compute true |A∩B| / |A∪B| per candidate pair only.
+    # Shingle sets are computed only for docs that appear in a candidate
+    # pair (semi-join) — at scale that is a tiny fraction of the corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    est = F.floor(agree / F.lit(float(num_hashes)) * 10000) / 10000.0
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= threshold
+    shs = df.join(
+        cand_ids, df[id_col] == cand_ids["id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), k).alias("shset"),
+    )
+    sh_a = shs.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    sh_b = shs.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    pairs = cand.select("id_a", "id_b").join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.floor(inter / union * 10000) / 10000.0
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -301,3 +338,55 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Arrow-vectorized MinHash signatures via mapInPandas — the
+    documented fast path when the interpreted HOF fold dominates
+    (SCALE.md "Known costs"). Per Arrow batch: crc32 word hashes (C
+    speed), 3-word window combine, then one numpy broadcast
+    ``min((a*h+b) % M)`` over all permutations at once.
+
+    Same banding/estimation downstream as the expression path; the hash
+    family differs (crc32 vs portable polynomial), which is fine for the
+    approximate operator (recall-tested, not oracle-matched)."""
+    import numpy as np
+    import pandas as pd
+    from zlib import crc32
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    a = np.array(
+        [(2 * i + 1) * 1103515245 % M31 for i in range(num_hashes)], dtype=np.int64
+    )
+    b = np.array([(i * 12345 + 6789) % M31 for i in range(num_hashes)], dtype=np.int64)
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("sig", ArrayType(LongType()))]
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = text.split()
+                wh = np.fromiter(
+                    (crc32(w.encode()) for w in words), dtype=np.int64, count=len(words)
+                )
+                if len(wh) >= k:
+                    sh = (wh[:-2] * _P1 + wh[1:-1] * _P2 + wh[2:]) % M31
+                    sh = np.unique(sh)
+                else:
+                    sh = np.array([0], dtype=np.int64)
+                # (num_hashes, n_shingles) broadcast, min along shingles
+                sig = ((a[:, None] * sh[None, :] + b[:, None]) % M31).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

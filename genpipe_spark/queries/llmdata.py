@@ -82,8 +82,29 @@ def dedup_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(t(spark, sf, "documents"), k=3, threshold=0.2)
 
 
-@query("dedup-minhash-lsh")  # approximate → rows-only check; recall tested in pytest
+@query(
+    "dedup-minhash-lsh",
+    _SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark, sf):
+    # LSH candidate generation + exact Jaccard verification: output equals
+    # the exact pair set whenever LSH recall is 1 (verified across SFs in
+    # tests), so the exact-Jaccard SQL is a true oracle; a recall miss
+    # would surface here as a hash mismatch — by design.
     return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.5)
 
 
