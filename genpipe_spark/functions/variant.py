@@ -74,40 +74,53 @@ def alt_decompose(ref: Column, alt: Column, gt: Column) -> Column:
     split("0","/") = ["0"] makes g0 == "0" true → single-entry branch with
     g1 null; we guard that by coalescing g1 to g0 for haploid inputs.
     """
-    alt_list = F.split(alt, ",")
-    multi = F.size(alt_list) > 2
-    g = F.split(gt, "/")
-    g0 = F.element_at(g, 1)
-    # haploid "x" behaves as "x/x" for decomposition (getDiploid normalizes
-    # the *emitted* gt afterwards, steps/Parser.scala:238-248)
-    g1 = F.coalesce(F.try_element_at(g, F.lit(2)), g0)
-    g0i = g0.cast("int")
-    g1i = g1.cast("int")
+    from genpipe_spark.operators.hof import bind
 
-    return (
-        F.when(
-            alt == "<NON_REF>",
-            F.array(_alt_entry(alt, F.lit("0/0"), F.lit("0"), F.lit(False))),
-        )
-        .when(
-            (gt == "0/0") | (gt == "0"),
-            F.array(_alt_entry(ref, F.lit("0/0"), F.lit("0"), F.lit(False))),
-        )
-        .when(
-            g0 == "0",
-            F.array(_alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi)),
-        )
-        .when(
-            g0 == g1,
-            F.array(_alt_entry(F.try_element_at(alt_list, g1i), F.lit("1/1"), g1, multi)),
-        )
-        .otherwise(
-            F.array(
-                _alt_entry(F.try_element_at(alt_list, g0i), F.lit("0/1"), g0, F.lit(True)),
-                _alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi),
+    # bind the split arrays once — the when-chain references them many
+    # times and HOF/CollapseProject re-evaluation would repeat the splits
+    # per branch (measured ~2x on the sf0.1 bench; see operators/hof.py)
+    pieces = F.struct(F.split(alt, ",").alias("al"), F.split(gt, "/").alias("g"))
+
+    def decompose(p: Column) -> Column:
+        alt_list = p["al"]
+        g = p["g"]
+        multi = F.size(alt_list) > 2
+        g0 = F.element_at(g, 1)
+        # haploid "x" behaves as "x/x" for decomposition (getDiploid
+        # normalizes the *emitted* gt afterwards, steps/Parser.scala:238-248)
+        g1 = F.coalesce(F.try_element_at(g, F.lit(2)), g0)
+        g0i = g0.cast("int")
+        g1i = g1.cast("int")
+        return (
+            F.when(
+                alt == "<NON_REF>",
+                F.array(_alt_entry(alt, F.lit("0/0"), F.lit("0"), F.lit(False))),
+            )
+            .when(
+                (gt == "0/0") | (gt == "0"),
+                F.array(_alt_entry(ref, F.lit("0/0"), F.lit("0"), F.lit(False))),
+            )
+            .when(
+                g0 == "0",
+                F.array(
+                    _alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi)
+                ),
+            )
+            .when(
+                g0 == g1,
+                F.array(
+                    _alt_entry(F.try_element_at(alt_list, g1i), F.lit("1/1"), g1, multi)
+                ),
+            )
+            .otherwise(
+                F.array(
+                    _alt_entry(F.try_element_at(alt_list, g0i), F.lit("0/1"), g0, F.lit(True)),
+                    _alt_entry(F.try_element_at(alt_list, g1i), F.lit("0/1"), g1, multi),
+                )
             )
         )
-    )
+
+    return bind(pieces, decompose)
 
 
 def _take_right(col: Column, n: int) -> Column:
