@@ -59,11 +59,19 @@ def format_dispatch(format_col: Column, sample_col: Column) -> Column:
 
     Note the first layout runs gq through gq_bands and takes MIN_DP as dp,
     exactly as the reference does."""
-    sa = F.split(sample_col, ":")
+    from genpipe_spark.operators.hof import bind
 
-    def g(i: int) -> Column:  # 0-based accessor, matching sA(i)
-        return F.coalesce(F.try_element_at(sa, F.lit(i + 1)), F.lit(""))
+    def dispatch(sa: Column) -> Column:
+        def g(i: int) -> Column:  # 0-based accessor, matching sA(i)
+            return F.coalesce(F.try_element_at(sa, F.lit(i + 1)), F.lit(""))
 
+        return _dispatch_cases(format_col, g)
+
+    # bind: each branch plucks several fields from the same split
+    return bind(F.split(sample_col, ":"), dispatch)
+
+
+def _dispatch_cases(format_col: Column, g) -> Column:
     def mk(gt, dp, gq, pl, ad) -> Column:
         return F.struct(
             gt.alias("gt"),

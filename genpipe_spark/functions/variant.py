@@ -170,21 +170,28 @@ def dedup_effects_best_impact(effs: Column) -> Column:
     mirroring ``.distinct.groupBy(_.transcript_id).map(sortWith…).map(_.head)``
     (steps/Parser.scala:325). Pure higher-order expression, no shuffle:
     the dedup is *within one row's array*."""
-    distinct = F.array_distinct(effs)
-    tids = F.array_distinct(F.transform(distinct, lambda e: e["transcript_id"]))
+    from genpipe_spark.operators.hof import bind
 
-    def best_for(tid: Column) -> Column:
-        cands = F.filter(distinct, lambda e: e["transcript_id"] == tid)
-        # stable left-fold argmin on impact points (strict <)
-        return F.aggregate(
-            F.slice(cands, 2, F.greatest(F.size(cands) - 1, F.lit(0))),
-            F.element_at(cands, 1),
-            lambda acc, e: F.when(
-                impact_points(e["effect_impact"]) < impact_points(acc["effect_impact"]), e
-            ).otherwise(acc),
-        )
+    def dedup(distinct: Column) -> Column:
+        tids = F.array_distinct(F.transform(distinct, lambda e: e["transcript_id"]))
 
-    return F.transform(tids, best_for)
+        def best_for(tid: Column) -> Column:
+            cands = F.filter(distinct, lambda e: e["transcript_id"] == tid)
+            # stable left-fold argmin on impact points (strict <)
+            return F.aggregate(
+                F.slice(cands, 2, F.greatest(F.size(cands) - 1, F.lit(0))),
+                F.element_at(cands, 1),
+                lambda acc, e: F.when(
+                    impact_points(e["effect_impact"]) < impact_points(acc["effect_impact"]),
+                    e,
+                ).otherwise(acc),
+            )
+
+        return F.transform(tids, best_for)
+
+    # bind: the distinct array is referenced once per transcript — without
+    # binding, the whole upstream parse re-evaluates per reference
+    return bind(F.array_distinct(effs), dedup)
 
 
 _ZERO_PREDICTIONS = None  # built lazily below
@@ -314,11 +321,26 @@ def sample_parse(raw: DataFrame) -> DataFrame:
         ann.alias("__ann"),
     ).withColumn("__alt", F.explode(alt_decompose(F.col("ref"), F.col("alt"), F.col("__fs.gt"))))
 
+    from genpipe_spark.operators.hof import bind
+
     x = F.col("__alt")
     primary = (~x["multiallelic"]) & (x["gt_index"] == "1")
     dip = diploidize(x["gt"])
-    effs = dedup_effects_best_impact(parse_functional_effects(F.coalesce(F.col("__ann"), F.lit(""))))
-    effs = F.filter(effs, lambda e: e["geno_type_number"] == x["gt_index"].cast("int"))
+
+    def gated_effects(deduped: Column) -> Column:
+        flt = F.filter(
+            deduped, lambda e: e["geno_type_number"] == x["gt_index"].cast("int")
+        )
+        return F.when(primary, flt).otherwise(F.slice(flt, 1, 0))
+
+    # bind: the parse+dedup tree would otherwise evaluate once per
+    # reference (when/otherwise + filter) — the parser-stage hot spot
+    effects_col = bind(
+        dedup_effects_best_impact(
+            parse_functional_effects(F.coalesce(F.col("__ann"), F.lit("")))
+        ),
+        gated_effects,
+    )
 
     return staged.select(
         "chrom",
@@ -337,7 +359,7 @@ def sample_parse(raw: DataFrame) -> DataFrame:
             F.col("sample_id").alias("sampleId"),
             dip["diploid"].alias("diploid"),
         ).alias("sample"),
-        F.when(primary, effs).otherwise(F.slice(effs, 1, 0)).alias("effects"),
+        effects_col.alias("effects"),
         F.when(primary, predictions_parse(F.col("info"), F.col("__rs")))
         .otherwise(zero_predictions())
         .alias("predictions"),
