@@ -37,6 +37,7 @@ HEADLINE = [
     "text-token-count",
     "stream-window-agg",
     "fn-alt-decompose",
+    "pipeline-parse-bulk",
 ]
 
 

@@ -218,3 +218,23 @@ def stream_sessionize(spark, sf):
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{out_dir}/data")
+
+
+@query("pipeline-parse-bulk")  # rows-only: genomics parse throughput probe
+def pipeline_parse_bulk(spark, sf):
+    # the parser stage (scan → sample_parse → quality gate) over a
+    # generated 50k-row cohort — the genomics hot path the bench tracks
+    from genpipe_spark.functions.variant import sample_parse
+    from genpipe_spark.sources.fixtures import vcf_fixture_dir
+    from genpipe_spark.sources.vcf import scan_vcf_text
+
+    d = vcf_fixture_dir(n_samples=2, n_sites=25000, tag="bulk")
+    raw = scan_vcf_text(spark, f"{d}/*.vcf.gz").withColumn(
+        "chrom", F.col("chrom_n").cast("string")
+    )
+    parsed = sample_parse(raw)
+    return parsed.where(
+        (~F.col("sample.multiallelic"))
+        & (F.col("sample.dp") > 7)
+        & (F.col("sample.gq") > 19)
+    )
