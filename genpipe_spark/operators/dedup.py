@@ -168,8 +168,20 @@ def minhash_lsh_pairs(
         "id", "sig", F.explode(bind(F.col("sig"), band_structs)).alias("bb")
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if verify:
+        # signatures are not needed downstream: shed them before the
+        # candidate dedup so the shuffle carries only the id pair
+        banded = banded.drop("sig")
     a = banded.alias("a")
     b = banded.alias("b")
+    pair_cols = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+    ] + (
+        []
+        if verify
+        else [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+    )
     cand = (
         a.join(
             b,
@@ -177,12 +189,7 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(*pair_cols)
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
