@@ -101,7 +101,6 @@ def build_genomics_pipeline() -> Pipeline:
 
     from genpipe_spark.functions.variant import sample_parse
     from genpipe_spark.operators.interval import interval_join
-    from genpipe_spark.operators.nested import allele_freq
 
     p = Pipeline()
 
@@ -252,21 +251,12 @@ def build_genomics_pipeline() -> Pipeline:
             "chrom", "pos", "ref", "alt", "indel", "sample"
         )
         both = direct.unionByName(swapped.select(direct.columns))
-        sample_map = F.create_map(
-            F.lit("sample"), F.col("sample.sampleId"),
-            F.lit("gt"), F.col("sample.gt"),
-            F.lit("dp"), F.col("sample.dp").cast("string"),
-            F.lit("gq"), F.col("sample.gq").cast("string"),
-            F.lit("ad"), F.col("sample.ad"),
-            F.lit("multi"), F.col("sample.multiallelic").cast("string"),
-            F.lit("diploid"), F.col("sample.diploid").cast("string"),
-        )
-        # collect_set of canonical string form + rebuild maps: sortable,
-        # deterministic (FIXTURES.md determinism rules)
-        ser = F.to_json(sample_map)
+        # structs are orderable in Spark, so the collected document stays
+        # TYPED and still deterministic via sort_array — no JSON
+        # serialization roundtrip (FIXTURES.md determinism rules)
         return (
             both.groupBy("chrom", "pos", "ref", "alt", "indel")
-            .agg(F.sort_array(F.collect_set(ser)).alias("samples_json"))
+            .agg(F.sort_array(F.collect_set(F.col("sample"))).alias("samples"))
         )
 
     @p.stage("variants", output="variants", partition_by=("chrom",))
@@ -279,15 +269,23 @@ def build_genomics_pipeline() -> Pipeline:
             parsed.where(F.col("alt") != "<NON_REF>")
             .groupBy("chrom", "pos", "ref", "alt")
             .agg(
-                F.min(F.to_json("predictions")).alias("predictions_json"),
-                F.min(F.to_json("populations")).alias("populations_json"),
+                # functionally dependent per site; min for determinism
+                F.min("predictions").alias("predictions"),
+                F.min("populations").alias("populations"),
             )
         )
         joined = annotations.join(samples, ["chrom", "pos", "ref", "alt"], "left")
-        maps = F.transform(
-            F.col("samples_json"),
-            lambda s: F.from_json(s, "map<string,string>"),
+        # freqInt over the typed struct array (same digit-sum semantics as
+        # the map form, steps/toVariant.scala:28-30)
+        digit = lambda c: F.coalesce(c.cast("long"), F.lit(0))  # noqa: E731
+        gt_digits = F.aggregate(
+            F.col("samples"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + digit(F.try_element_at(F.split(s["gt"], "/"), F.lit(1)))
+            + digit(F.try_element_at(F.split(s["gt"], "/"), F.lit(2))),
         )
-        return joined.withColumn("freqInt", allele_freq(maps))
+        freq = (gt_digits / (2.0 * F.size(F.col("samples")))).cast("double")
+        return joined.withColumn("freqInt", freq)
 
     return p

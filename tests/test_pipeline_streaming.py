@@ -119,7 +119,7 @@ def test_pipeline_end_to_end(spark, vcf_dir, tmp_path):
     assert len(vrows) > 0
     # each variant site: its own sample + any overlapping ref-block sample
     for r in vrows:
-        assert 1 <= len(r["samples_json"]) <= 2
+        assert 1 <= len(r["samples"]) <= 2
         assert 0 < r["freqInt"] <= 1.0
 
     # partition layout is directory-encoded and recoverable
