@@ -96,3 +96,48 @@ def stream_windowed_event_counts(
             "value_sum",
         )
     )
+
+
+def stream_dedup_events(
+    events_stream: DataFrame,
+    key_cols: list[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon — bounded state for an unbounded
+    stream (the streaming sibling of operators/dedup.exact_dedup)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_vcf_ingest_foreachbatch(
+    spark: SparkSession,
+    source_dir: str,
+    dest: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """foreachBatch variant of the ingest sink (stream-foreachbatch-write):
+    each micro-batch is written through the SAME batch sink used by the
+    pipeline runner (write_parquet_partitioned) — batch/stream sink code
+    shared by construction, replacing the reference's foreachRDD
+    (StreamGenomicsLoader.scala:34-47)."""
+    from genpipe_spark.sources.sinks import write_parquet_partitioned
+
+    lines = spark.readStream.text(source_dir).where(~F.col("value").startswith("#"))
+    cols = F.split(F.col("value"), "\t")
+    parsed = lines.select(
+        chrom_normalize(F.try_element_at(cols, F.lit(1))).alias("chrom_n"),
+        F.try_element_at(cols, F.lit(2)).cast("long").alias("pos"),
+        F.input_file_name().alias("src_file"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_parquet_partitioned(batch_df, dest, ("chrom_n",), mode="append")
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

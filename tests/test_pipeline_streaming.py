@@ -396,3 +396,44 @@ def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
     assert got_set <= oracle
     # and most sessions should have closed given the fixture's time span
     assert len(got_set) >= 0.5 * len(oracle), (len(got_set), len(oracle))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicated event rows collapse to one per
+    key within the watermark horizon."""
+    from genpipe_spark.streaming.ingest import stream_dedup_events
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    events = load(spark, SF_SMALL, "events").select("event_id", "ts", "value")
+    doubled = events.unionByName(events)  # every event twice
+    src = tmp_path / "src"
+    doubled.coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema(doubled.schema).parquet(str(src / "b0"))
+    out = stream_dedup_events(stream, ["event_id"])
+    dest = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(dest)
+    assert got.count() == events.count()  # exact one row per event_id
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_foreachbatch_sink(spark, vcf_dir, tmp_path):
+    from genpipe_spark.streaming.ingest import stream_vcf_ingest_foreachbatch
+
+    dest = str(tmp_path / "out")
+    q = stream_vcf_ingest_foreachbatch(
+        spark, vcf_dir, dest, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dest)
+    assert out.count() == 100
+    assert {r["chrom_n"] for r in out.select("chrom_n").distinct().collect()} == {1, 24}
