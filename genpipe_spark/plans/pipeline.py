@@ -34,6 +34,7 @@ class PipelineContext:
     version: str = "v1"
     conf: dict = field(default_factory=dict)
     tables: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: list = field(default_factory=list)  # (stage, rows, seconds)
 
     def path(self, table: str) -> str:
         return f"{self.dest}/{self.version}/{table}"
@@ -73,9 +74,17 @@ class Pipeline:
         spark: SparkSession,
         ctx: PipelineContext,
         stages: list[str] | None = None,
+        collect_metrics: bool = False,
     ) -> PipelineContext:
+        """Run the selected stages. ``collect_metrics=True`` records
+        (stage, rows_out, seconds) per materialized stage into
+        ``ctx.metrics`` — the rows-in/rows-out observability a long
+        curation/ETL run needs (one extra count per stage)."""
+        import time as _time
+
         selected = stages if stages is not None else list(self._order)
         for name in selected:
+            t0 = _time.perf_counter()
             st = self._stages[name]
             out = st.fn(spark, ctx)
             if out is not None and st.output:
@@ -88,8 +97,18 @@ class Pipeline:
                 # re-read so downstream stages see the materialized table
                 # (partition discovery recovers layout keys as columns)
                 ctx.tables[st.output] = spark.read.parquet(ctx.path(st.output))
+                if collect_metrics:
+                    ctx.metrics.append(
+                        (
+                            name,
+                            ctx.tables[st.output].count(),
+                            round(_time.perf_counter() - t0, 3),
+                        )
+                    )
             elif out is not None:
                 ctx.tables[st.output or name] = out
+            if collect_metrics and (out is None or not st.output):
+                ctx.metrics.append((name, None, round(_time.perf_counter() - t0, 3)))
         return ctx
 
 

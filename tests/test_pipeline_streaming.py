@@ -315,7 +315,12 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     docs = load(spark, SF_SMALL, "documents")
     ctx = PipelineContext(dest=str(tmp_path / "cur"), conf={})
     ctx.tables["documents"] = docs
-    build_curation_pipeline().run(spark, ctx)
+    build_curation_pipeline().run(spark, ctx, collect_metrics=True)
+    # per-stage observability: every materialized stage reports rows + time
+    assert [m[0] for m in ctx.metrics] == [
+        "normalize", "quality", "dedup_exact", "dedup_near", "featurize",
+    ]
+    assert all(m[1] is not None and m[2] >= 0 for m in ctx.metrics)
 
     n0 = docs.count()
     n_norm = spark.read.parquet(ctx.path("normalized")).count()
