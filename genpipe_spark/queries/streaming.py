@@ -40,9 +40,10 @@ def _vcf_fixture_dir() -> str:
     depends only on constants; safe under /tmp, regenerated idempotently)."""
     d = os.path.join(tempfile.gettempdir(), "genpipe_vcf_fixture_v1")
     if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
+        # atomic publish (concurrent driver processes)
+        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
         for s in range(2):
-            with gzip.open(os.path.join(d, f"SAMPLE{s}.vcf.gz"), "wt") as fh:
+            with gzip.open(os.path.join(tmp, f"SAMPLE{s}.vcf.gz"), "wt") as fh:
                 fh.write("##fileformat=VCFv4.1\n#CHROM\tPOS\n")
                 for i in range(30):
                     pos = 500 + 10 * i
@@ -57,6 +58,10 @@ def _vcf_fixture_dir() -> str:
                             f"{chrom}\t{pos}\t.\tC\t<NON_REF>\t99\tPASS\tEND={pos + 9}"
                             f"\tGT:DP:GQ:MIN_DP:PL\t0/0:40:60:35:0,0\n"
                         )
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            pass  # another process published first; identical content
     return d
 
 
@@ -75,12 +80,14 @@ def scan_text_annotation(spark, sf):
     path = os.path.join(d, "chrom1.annotated")
     if not os.path.isfile(path):
         os.makedirs(d, exist_ok=True)
-        with open(path, "w") as fh:
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as fh:
             fh.write("NB_LINES 4\n")
             for i, phrase in enumerate(
                 ["Pathogenic", "Polymorphism", "Probably pathogenic", "Probable polymorphism"]
             ):
                 fh.write(f"chr1\t{1000 + i}\t.\t.\tA\tG\tx\t{phrase}\n")
+        os.replace(tmp, path)  # atomic publish
     return scan_annotation_text(spark, path)
 
 

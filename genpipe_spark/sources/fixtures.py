@@ -23,9 +23,11 @@ def vcf_fixture_dir(n_samples: int = 2, n_sites: int = 30, tag: str = "v1") -> s
     )
     if os.path.isdir(d):
         return d
-    os.makedirs(d, exist_ok=True)
+    # atomic publish: build in a scratch dir, rename into place (concurrent
+    # callers must never observe partially written fixtures)
+    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
     for s in range(n_samples):
-        with gzip.open(os.path.join(d, f"SAMPLE{s}.vcf.gz"), "wt") as fh:
+        with gzip.open(os.path.join(tmp, f"SAMPLE{s}.vcf.gz"), "wt") as fh:
             fh.write("##fileformat=VCFv4.1\n#CHROM\tPOS\n")
             for i in range(n_sites):
                 pos = 1000 + 10 * i
@@ -44,4 +46,8 @@ def vcf_fixture_dir(n_samples: int = 2, n_sites: int = 30, tag: str = "v1") -> s
                         f"{chrom}\t{pos}\t.\tC\t<NON_REF>\t100\tPASS\tEND={pos + 9}"
                         f"\tGT:DP:GQ:MIN_DP:PL\t0/0:40:60:35:0,0\n"
                     )
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        pass  # another process published first; theirs is identical
     return d
