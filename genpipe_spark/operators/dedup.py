@@ -397,3 +397,49 @@ def minhash_signatures_arrow(
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``threshold`` of their k-word shingles with ANY benchmark document —
+    the n-gram-overlap contamination test run before training on scraped
+    data.
+
+    Shape: inverted index on shingle hashes, corpus ⋈ benchmark on the
+    hash (never a cross join), per (corpus, benchmark) overlap counts,
+    then max overlap fraction per corpus doc. Output: doc_id,
+    worst_benchmark_id, overlap_frac (fraction of the CORPUS doc's
+    shingles found in that benchmark doc, floor-truncated at 4)."""
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        c_sh.join(b_sh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frac = F.floor(F.col("n_shared") / F.col("n_sh") * 10000) / 10000.0
+    scored = overlap.join(F.broadcast(sizes), "doc_id").select(
+        "doc_id", "bench_id", frac.alias("overlap_frac")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("overlap_frac"), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("overlap_frac") >= threshold))
+        .select("doc_id", F.col("bench_id").alias("worst_benchmark_id"), "overlap_frac")
+    )

@@ -408,3 +408,36 @@ def split_train_val_test(spark, sf):
         F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
     )
     return d.select("doc_id", split.alias("split"))
+
+
+@query(
+    "dedup-contamination",
+    _SHINGLES_CTE
+    + """
+    , c_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+    b_sh AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM c_sh GROUP BY doc_id),
+    overlap AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM c_sh c JOIN b_sh b ON c.sh = b.sh
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT o.doc_id, o.bench_id,
+             floor(o.n_shared / s.n_sh * 10000)/10000.0 AS overlap_frac
+      FROM overlap o JOIN sizes s ON s.doc_id = o.doc_id
+    )
+    SELECT doc_id, bench_id AS worst_benchmark_id, overlap_frac FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY overlap_frac DESC, bench_id) AS rn
+      FROM scored)
+    WHERE rn = 1 AND overlap_frac >= 0.05
+    """,
+)
+def dedup_contamination(spark, sf):
+    # benchmark decontamination: corpus = 90% of documents, benchmark =
+    # the doc_id%10==0 slice; flag corpus docs overlapping any benchmark
+    # doc by >=5% of their shingles
+    d = t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    benchmark = d.where(F.col("doc_id") % 10 == 0)
+    return D.contamination_check(corpus, benchmark, threshold=0.05)
