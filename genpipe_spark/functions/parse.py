@@ -112,7 +112,9 @@ def ad_ratio(ad: Column, gt: Column) -> Column:
     total = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
     # Scala adArray(gt.split("/")(1).toInt) is 0-based → element_at is 1-based
     alt_idx = F.try_element_at(F.split(gt, "/"), F.lit(2)).cast("int") + F.lit(1)
-    ratio = F.try_element_at(arr, alt_idx).cast("double") / total.cast("double")
+    # try_divide: all-zero depth (total=0) yields null rather than an ANSI
+    # divide-by-zero error (the reference's Scala silently produced NaN)
+    ratio = F.try_divide(F.try_element_at(arr, alt_idx).cast("double"), total.cast("double"))
     return F.when(ad == "", ad).otherwise(truncate_at(ratio, 3).cast("string"))
 
 

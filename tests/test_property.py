@@ -131,3 +131,61 @@ def test_fingerprint_matches_model(spark, texts):
     out = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     for i, t in enumerate(texts):
         assert out[i] == model(t), repr(t)
+
+
+# ---------------------------------------------------------- parse layer
+
+@settings(max_examples=15, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.sampled_from(["AA", "BB", "dbNSFP_SIFT_pred", "END", "X"]),
+            st.lists(
+                st.sampled_from(["0.5", ".", "", "D", "T", "12"]),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    probe=st.sampled_from(["AA", "BB", "dbNSFP_SIFT_pred", "MISSING"]),
+)
+def test_getter_matches_model(spark, entries, probe):
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.functions.parse import getter
+
+    info = ";".join(f"{k}={','.join(vs)}" for k, vs in entries)
+
+    def model(info_s: str, key: str) -> list[str]:
+        parts = info_s.split(key + "=")
+        if len(parts) == 1:
+            return [""]
+        return parts[1].split(";")[0].split(",")
+
+    df = spark.createDataFrame([Row(info=info)])
+    got = df.select(getter(F.col("info"), probe).alias("out")).first()["out"]
+    assert got == model(info, probe), (info, probe)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ad=st.lists(st.integers(0, 99), min_size=2, max_size=4), alt=st.integers(1, 3))
+def test_ad_ratio_matches_model(spark, ad, alt):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.functions.parse import ad_ratio
+
+    alt = min(alt, len(ad) - 1)
+    ad_s = ",".join(map(str, ad))
+    gt = f"0/{alt}"
+    df = spark.createDataFrame([Row(ad=ad_s, gt=gt)])
+    got = df.select(ad_ratio(F.col("ad"), F.col("gt")).alias("out")).first()["out"]
+    total = sum(ad)
+    if total == 0:
+        assert got is None  # all-zero depth → null (no ANSI error)
+        return
+    expected = str(math.floor(ad[alt] / total * 1000) / 1000)
+    assert got == expected, (ad_s, gt)
