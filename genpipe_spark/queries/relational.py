@@ -472,3 +472,60 @@ def tpch_q3(spark, sf):
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "agg-rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf):
+    # hierarchical totals (generic-engine addition; the reference has no
+    # grouping sets — SURVEY.md §2.4 note)
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "qty_sum",
+        )
+    )
+
+
+@query(
+    "window-running-sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf):
+    # running aggregate + sequence number per customer (generic window
+    # surface beyond rank-first); integer cents keep the sum exact
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_cents"),
+        F.row_number().over(w).alias("seq"),
+    )
