@@ -203,8 +203,8 @@ def zero_predictions() -> Column:
     return F.struct(
         F.lit("").alias("SIFT_pred"),
         F.lit(0.0).alias("SIFT_score"),
-        F.lit("").alias("pp2"),
         F.lit("").alias("polyphen2_hvar_pred"),
+        F.lit("").alias("pp2"),
         F.lit(0.0).alias("polyphen2_hvar_score"),
         F.lit("").alias("MutationTaster_pred"),
         F.lit("").alias("mt"),
@@ -255,8 +255,8 @@ def predictions_parse(info: Column, rs: Column) -> Column:
     return F.struct(
         sift_pred_rules(sift_pred).alias("SIFT_pred"),
         F.array_min(F.transform(sift_score, removedot)).alias("SIFT_score"),
-        F.lit("").alias("pp2"),
         polyphen2_pred_rules(pp_hvar_pred).alias("polyphen2_hvar_pred"),
+        F.lit("").alias("pp2"),
         F.array_max(F.transform(pp_hvar_score, removedot)).alias("polyphen2_hvar_score"),
         mutation_taster_pred_rules(mt_pred).alias("MutationTaster_pred"),
         F.array_max(F.transform(mt_score, removedot)).cast("string").alias("mt"),

@@ -236,18 +236,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted shingle index: explode distinct
     shingle hashes, self-join on hash (only docs sharing >=1 shingle pair
     up), count intersections, compute |A∩B|/|A∪B|. Output: id_a < id_b,
     jaccard (floor-truncated at 4). Jaccard is over hashed shingles — the
     31-bit hash is identical in the SQL oracle, so any collision affects
-    both engines identically (and is vanishingly rare per pair)."""
+    both engines identically (and is vanishingly rare per pair).
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents from the inverted index before the self-join. A shingle in d
+    docs yields d^2/2 candidate rows, so stop-word shingles make the join
+    quadratic on real corpora; the cap bounds it (standard practice for
+    inverted-index dedup at scale). None = exact Jaccard (the oracle
+    semantics); with a cap, intersection counts exclude the hot shingles
+    while |A| and |B| still count them, so reported jaccard is a lower
+    bound. Size/intersection tables are per-document — joined with plain
+    shuffle joins (NEVER broadcast: billions of rows at corpus scale; AQE
+    still auto-broadcasts when genuinely small)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -259,8 +279,8 @@ def ngram_jaccard_pairs(
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -270,34 +290,58 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 64, k: int = 3) -> Column:
+# second derived hash for simhash bits >= 31 (bit i of a 31-bit hash only
+# exists for i < 31; reusing bit i%31 would double-count low bits)
+_SIMHASH_H2_A, _SIMHASH_H2_B = 1_103_515_245, 12_345
+
+
+def simhash(text: Column, bits: int = 32, k: int = 3) -> Column:
     """SimHash over shingle hashes: per bit, sign of the sum of ±1 votes.
 
     Single-pass vector fold like :func:`minhash_signature`: one
     ``aggregate`` carries a bits-wide vote accumulator; bit i of each
     31-bit shingle hash is read arithmetically (floor(h / 2^i) % 2 — exact
-    in doubles below 2^53) because shiftright needs a literal shift."""
+    in doubles below 2^53) because shiftright needs a literal shift.
+    Bits 31..61 come from an independently derived second hash
+    h2 = (h*a + b) mod M31 so no bit duplicates another; bits is capped at
+    62 so the weighted recombination stays inside a signed long."""
+    if not 1 <= bits <= 62:
+        raise ValueError("simhash supports 1..62 bits (signed-long weights)")
     hs = shingle_hashes(text, k)
     idx = F.array(*[F.lit(i % 31) for i in range(bits)])
+    use_h2 = F.array(*[F.lit(i >= 31) for i in range(bits)])
     init = F.array_repeat(F.lit(0).cast("long"), bits)
 
     def step(acc: Column, h: Column) -> Column:
+        h2 = (h * _SIMHASH_H2_A + _SIMHASH_H2_B) % F.lit(M31)
+        pairs = F.zip_with(
+            idx, use_h2, lambda i, u: F.struct(i.alias("i"), u.alias("u"))
+        )
         return F.zip_with(
             acc,
-            idx,
-            lambda a, i: a
+            pairs,
+            lambda a, p: a
             + F.when(
-                (F.floor(h / F.pow(F.lit(2.0), i)) % 2).cast("long") == 1, 1
+                (
+                    F.floor(
+                        F.when(p["u"], h2).otherwise(h) / F.pow(F.lit(2.0), p["i"])
+                    )
+                    % 2
+                ).cast("long")
+                == 1,
+                1,
             ).otherwise(-1),
         )
 
     votes = F.aggregate(hs, init, step)
-    weights = F.array(*[F.lit(float(1 << i)) for i in range(bits)])
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     return F.aggregate(
-        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0.0))),
-        F.lit(0.0),
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
         lambda a, x: a + x,
-    ).cast("long")
+    )
 
 
 def simhash_pairs(
@@ -432,7 +476,9 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     frac = F.floor(F.col("n_shared") / F.col("n_sh") * 10000) / 10000.0
-    scored = overlap.join(F.broadcast(sizes), "doc_id").select(
+    # sizes is one row per corpus document — plain shuffle join (a
+    # broadcast here OOMs at corpus scale; AQE broadcasts when small)
+    scored = overlap.join(sizes, "doc_id").select(
         "doc_id", "bench_id", frac.alias("overlap_frac")
     )
     w = Window.partitionBy("doc_id").orderBy(

@@ -255,7 +255,19 @@ def build_genomics_pipeline() -> Pipeline:
             "ref",
             "alt",
             "indel",
-            F.col("b_sample").alias("sample"),
+            # reference swap emits Sample("0/0", dp, gq, "", ad, false,
+            # sampleId) — pl explicitly emptied, gt/multiallelic pinned
+            # (intersectSwap.scala:131)
+            F.struct(
+                F.lit("0/0").alias("gt"),
+                F.col("b_sample.dp").alias("dp"),
+                F.col("b_sample.gq").alias("gq"),
+                F.lit("").alias("pl"),
+                F.col("b_sample.ad").alias("ad"),
+                F.lit(False).alias("multiallelic"),
+                F.col("b_sample.sampleId").alias("sampleId"),
+                F.col("b_sample.diploid").alias("diploid"),
+            ).alias("sample"),
         )
 
     @p.stage("sampleGroup", output="samples", partition_by=("chrom",))

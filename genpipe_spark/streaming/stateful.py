@@ -92,6 +92,9 @@ def _session_fn(gap_ms: int):
             if sessions and sessions[0][0] - end_us <= gap_ms * 1000:
                 s = sessions[0]
                 s[0] = min(s[0], start_us)
+                # a late (within-watermark) batch whose events all precede
+                # the stored session end must not regress the end/timeout
+                s[1] = max(s[1], end_us)
                 s[2] += n
                 s[3] += vsum
             else:
