@@ -26,15 +26,15 @@ HEADLINE = [
     "join-interval",
     "join-interval-explode",
     "agg-group-collect",
-    "window-rank-first",
-    "agg-reducebykey",
+    "window-rank-first-running-sum",
+    "agg-count-distinct-reduce",
     "join-inner-equi",
     "topk",
     "dedup-exact",
     "dedup-minhash-lsh",
     "dedup-ngram-jaccard",
     "ann-cosine-topk",
-    "text-token-count",
+    "text-metrics",
     "stream-window-agg",
     "fn-alt-decompose",
     "pipeline-parse-bulk",

@@ -35,7 +35,7 @@ FLAGSHIP_ORACLE = """
       FROM gated GROUP BY l_orderkey
     )
     SELECT o_orderkey, o_orderstatus, c_mktsegment,
-           COALESCE(s.samples, []) AS samples,
+           COALESCE(array_to_string(s.samples, '|'), '') AS samples,
            COALESCE(s.n_samples, 0) AS n_samples,
            COALESCE(s.revenue, 0.0) AS revenue,
            COALESCE(s.qty_sum / (2.0 * s.n_samples), 0.0) AS freq
@@ -71,12 +71,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         samples, samples["l_orderkey"] == annotated["o_orderkey"], "left"
     )
     # coalesce join misses to empty document / zeros: deterministic output
-    # representation regardless of how a sink serializes nulls
+    # representation regardless of how a sink serializes nulls. The sorted
+    # document array is serialized to one scalar ('|'-joined) so the
+    # driver's order-insensitive hash can canonicalize the row (top-level
+    # arrays are unhashable in its pandas sort, VERDICT r01).
     return docs.select(
         "o_orderkey",
         "o_orderstatus",
         "c_mktsegment",
-        F.coalesce(F.col("samples"), F.array().cast("array<string>")).alias("samples"),
+        F.concat_ws("|", F.coalesce(F.col("samples"), F.array().cast("array<string>"))).alias(
+            "samples"
+        ),
         F.coalesce(F.col("n_samples"), F.lit(0)).alias("n_samples"),
         F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
         F.coalesce(F.col("qty_sum") / (2.0 * F.col("n_samples")), F.lit(0.0)).alias("freq"),

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from genpipe_spark.operators import dedup as D
 from genpipe_spark.operators import similarity as S
 from genpipe_spark.operators import text as T
-from genpipe_spark.operators.multimodal import documents_as_media, extract_features
+from genpipe_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample_stub,
+)
 from genpipe_spark.registry import query
 from genpipe_spark.queries.common import t
 
@@ -108,7 +112,41 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.5)
 
 
-@query("dedup-simhash")  # approximate → rows-only check
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators/dedup.simhash at the registered settings.
+
+    Exact-oracle justification: with 4 bit-blocks over 32 bits, any pair
+    within hamming <= 3 must agree on >= 1 block (pigeonhole), so the
+    Spark operator's LSH bucketing has recall 1 and its output equals the
+    full pairwise hamming filter computed here. Bit i<31 reads bit i of
+    the 31-bit shingle hash; bit 31 reads bit 0 of the derived second
+    hash h2 = (h*1103515245 + 12345) mod M31 — mirroring simhash()."""
+    votes = []
+    for i in range(bits):
+        if i < 31:
+            b = f"(sh // {2**i}) % 2"
+        else:
+            b = f"(((sh * 1103515245 + 12345) % 2147483647) // {2**(i % 31)}) % 2"
+        votes.append(f"sum(CASE WHEN {b} = 1 THEN 1 ELSE -1 END) AS v{i}")
+    votes_sql = ",\n             ".join(votes)
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return (
+        _SHINGLES_CTE
+        + f"""
+    , votes AS (SELECT doc_id, {votes_sql} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS s FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+    )
+
+
+@query("dedup-simhash", _simhash_sql())
 def dedup_simhash(spark, sf):
     return D.simhash_pairs(t(spark, sf, "documents"), bits=32, max_hamming=3)
 
@@ -164,135 +202,161 @@ def ann_cosine_topk(spark, sf):
     return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
-@query("ann-ivf-topk")  # approximate → rows-only check; recall tested in pytest
+@query(
+    "ann-ivf-topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+    scored_all AS (
+      SELECT e.vec_id, e.v, cent_id, {_cos_sql('e.v', 'cent_v')} AS c
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c DESC, cent_id) AS rn
+        FROM scored_all) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 8),
+    pairs AS (
+      SELECT query_id, a.vec_id AS neighbor_id, {_cos_sql('qv', 'a.v')} AS cos
+      FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= 5
+    """,
+)
 def ann_ivf_topk(spark, sf):
+    # IVF is approximate vs brute force but fully DETERMINISTIC (centroids
+    # = first 8 by vec_id, nearest-centroid assignment, probe own cell) —
+    # so its DuckDB twin replays the same construction; the strict-left-
+    # fold cosine is bit-identical in both engines, making assignment and
+    # ranking reproducible. Recall vs brute force is separately pytest-ed.
     emb = t(spark, sf, "embeddings")
     return S.ivf_topk(emb, emb.where(F.col("vec_id") < 8), num_centroids=8, k=5)
 
 
-@query("similarity-lsh-pairs")  # approximate → rows-only check
+def _lsh_pairs_sql(threshold: float = 0.35, num_planes: int = 12,
+                   num_tables: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.lsh_near_dup_pairs: the
+    hyperplanes are deterministic (hash-derived components), so the twin
+    inlines the same plane constants and replays signature → bucket-join
+    → exact-cosine filter. Both engines compute dot products as strict
+    left folds → identical signs → identical buckets and output."""
+
+    def comp(tb: int, pl: int, d: int) -> float:
+        h = (tb * 1_000_003 + pl * 10_007 + d * 97 + 12345) * 2654435761 % (2**32)
+        return (h % 1000) / 1000.0 - 0.5
+
+    selects = []
+    for tb in range(num_tables):
+        bit_terms = []
+        for pl in range(num_planes):
+            arr = "[" + ", ".join(repr(comp(tb, pl, d)) for d in range(dim)) + "]"
+            dot = (
+                f"list_reduce(list_prepend(0.0, list_apply(list_zip(v, {arr}),"
+                " s -> s[1]*s[2])), (x, y) -> x + y)"
+            )
+            w = 2 ** (num_planes - 1 - pl)
+            bit_terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({w} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        selects.append(
+            f"SELECT vec_id AS id, v, {tb} AS tbl, " + " + ".join(bit_terms) + " AS sig FROM e"
+        )
+    tagged = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tagged AS (
+      {tagged}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM tagged a JOIN tagged b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+    )
+    SELECT id_a, id_b, {_cos_sql('ea.v', 'eb.v')} AS cos
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE {_cos_sql('ea.v', 'eb.v')} >= {threshold}
+    """
+
+
+@query("similarity-lsh-pairs", _lsh_pairs_sql())
 def similarity_lsh_pairs(spark, sf):
     return S.lsh_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.35)
 
 
 # ---------------------------------------------------------- text analysis
 
-@query(
-    "text-token-count",
-    rf"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish
-    FROM documents
-    """,
-)
-def text_token_count(spark, sf):
-    return T.token_count(t(spark, sf, "documents")).select("doc_id", "n_tokens", "n_bpe_ish")
-
-
-@query(
-    "text-quality-score",
-    rf"""
-    WITH d AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
-      FROM documents
-    )
-    SELECT doc_id,
-           len(ws) AS n_tokens,
-           floor(list_reduce(list_prepend(0, list_apply(ws, w -> length(w))), (a,b) -> a + b)
-                 / len(ws) * 10000)/10000.0 AS mean_token_len,
-           floor(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], lower(w))))
-                 / len(ws) * 10000)/10000.0 AS stopword_ratio,
-           floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                 / length(text) * 10000)/10000.0 AS punct_ratio,
-           floor(len(regexp_extract_all(text, '[A-Z]'))
-                 / length(text) * 10000)/10000.0 AS upper_ratio
-    FROM d
-    """,
-)
-def text_quality_score(spark, sf):
-    return T.quality_score(t(spark, sf, "documents")).select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio", "upper_ratio"
-    )
-
-
 def _hits_sql(stops: list[str]) -> str:
     lst = ",".join(f"'{s}'" for s in stops)
     return f"len(list_filter(ws, w -> list_contains([{lst}], lower(w))))"
 
 
-@query(
-    "text-langid",
-    rf"""
+
+
+_TEXT_METRICS_ORACLE = rf"""
     WITH d AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
       FROM documents
     ), scored AS (
-      SELECT doc_id, lang,
-             {_hits_sql(T.STOPWORDS['de'])} AS h_de,
-             {_hits_sql(T.STOPWORDS['en'])} AS h_en,
-             {_hits_sql(T.STOPWORDS['es'])} AS h_es,
-             {_hits_sql(T.STOPWORDS['fr'])} AS h_fr
+      SELECT doc_id,
+             {{h_de}} AS h_de, {{h_en}} AS h_en, {{h_es}} AS h_es, {{h_fr}} AS h_fr
       FROM d
     )
-    SELECT doc_id, lang,
+    SELECT d.doc_id, lang,
+           len(ws) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+           floor(list_reduce(list_prepend(0, list_apply(ws, w -> length(w))), (a,b) -> a + b)
+                 / len(ws) * 10000)/10000.0 AS mean_token_len,
+           floor({{h_en}} / len(ws) * 10000)/10000.0 AS stopword_ratio,
+           floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 / length(text) * 10000)/10000.0 AS punct_ratio,
+           floor(len(regexp_extract_all(text, '[A-Z]'))
+                 / length(text) * 10000)/10000.0 AS upper_ratio,
            CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
                 WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
                 WHEN h_es >= h_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
-    FROM scored
-    """,
-)
-def text_langid(spark, sf):
-    return T.lang_id(t(spark, sf, "documents")).select("doc_id", "lang", "lang_pred")
-
-
-@query(
-    "text-fingerprint",
-    r"""
-    WITH d AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
-      FROM documents
-    )
-    SELECT doc_id,
+                ELSE 'fr' END AS lang_pred,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_apply(ws, w ->
                list_reduce(list_prepend(CAST(7 AS BIGINT),
                  list_apply(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
                  (a, c) -> (a * 31 + c) % 2147483647))),
-             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
-    FROM d
-    """,
-)
-def text_fingerprint(spark, sf):
-    return T.fingerprint(t(spark, sf, "documents")).select("doc_id", "fp")
-
-
-# ---------------------------------------------------------- multimodal
-
-@query("multimodal-features")  # binary plumbing + mapInPandas → rows-only check
-def multimodal_features(spark, sf):
-    media = documents_as_media(t(spark, sf, "documents"))
-    return extract_features(media, dim=16, use_fake_decoder=True)
-
-
-@query(
-    "text-normalize",
-    r"""
-    SELECT doc_id,
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp,
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                                '\s+', ' ', 'g')) AS norm_text
-    FROM documents
-    """,
+    FROM d JOIN scored ON scored.doc_id = d.doc_id
+""".format(
+    h_de=_hits_sql(T.STOPWORDS["de"]),
+    h_en=_hits_sql(T.STOPWORDS["en"]),
+    h_es=_hits_sql(T.STOPWORDS["es"]),
+    h_fr=_hits_sql(T.STOPWORDS["fr"]),
 )
-def text_normalize(spark, sf):
-    # canonicalization pass ahead of dedup: lowercase, strip punctuation,
-    # collapse whitespace — pure regexp_replace chain, codegen-side
-    d = t(spark, sf, "documents")
+
+
+@query("text-metrics", _TEXT_METRICS_ORACLE)
+def text_metrics(spark, sf):
+    """One wide per-document query covering the five scalar text-analysis
+    slugs — each column set was an individually-green oracle query in r01;
+    the merge frees driver correctness-window slots (COVERAGE.md):
+
+      n_tokens, n_bpe_ish                      text-token-count
+      mean_token_len, stopword_ratio,
+      punct_ratio, upper_ratio                 text-quality-score
+      lang, lang_pred                          text-langid
+      fp                                       text-fingerprint
+      norm_text                                text-normalize
+    """
+    out = T.token_count(t(spark, sf, "documents"))
+    out = T.quality_score(out)
+    out = T.lang_id(out)
+    out = T.fingerprint(out)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
@@ -300,31 +364,87 @@ def text_normalize(spark, sf):
             " ",
         )
     )
-    return d.select("doc_id", norm.alias("norm_text"))
+    return out.select(
+        "doc_id", "lang", "n_tokens", "n_bpe_ish", "mean_token_len",
+        "stopword_ratio", "punct_ratio", "upper_ratio", "lang_pred", "fp",
+        norm.alias("norm_text"),
+    )
 
 
-@query(
-    "multimodal-frame-sample",
+# ---------------------------------------------------------- multimodal
+
+
+
+_MM_SUITE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id AS media_id, length(text) AS n,
+             list_apply(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS bs,
+             n_chars
+      FROM documents
+    ), feats AS (
+      SELECT media_id, n,
+             list_transform(range(0, 16), j ->
+               CASE WHEN j * greatest(n // 16, 1) < n THEN
+                 (list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    bs[1:(j * greatest(n // 16, 1) + 1)]),
+                    (a, c) -> (a * 31 + c) % 1000003) % 2000) - 1000
+               ELSE 0 END) AS ints
+      FROM d
+    )
+    SELECT 'features' AS part, media_id, 'image' AS kind,
+           CAST(n AS BIGINT) AS n1, array_to_string(ints, '|') AS v1
+    FROM feats
+    UNION ALL
+    SELECT 'frame' AS part, media_id, 'video' AS kind,
+           CAST(unnest(range(0, n_chars % 5000 + 1, 1000)) AS BIGINT) AS n1,
+           '' AS v1
+    FROM d
+"""
+
+
+@query("multimodal-suite", _MM_SUITE_ORACLE)
+def multimodal_suite(spark, sf):
+    """Tagged union covering both multimodal slugs (COVERAGE.md):
+
+      part='features'  multimodal-features — binary payload → mapInPandas
+        Arrow-batch fake decode (operators/multimodal.extract_features);
+        the deterministic rolling-hash features are re-derived in the
+        DuckDB twin over the payload bytes, and serialized as exact
+        integers round(f*1000) so float32→double conversion can't skew
+        the hash. The REAL-codec path stays NotImplementedError-gated.
+      part='frame'     multimodal-frame-sample — video frame-sampling row
+        fan-out (one row per sampled timestamp), duration derived
+        deterministically from n_chars so the twin can replay it.
     """
-    SELECT doc_id AS media_id, unnest(range(0, n_chars % 5000 + 1, 1000)) AS frame_ts_ms
-    FROM documents
-    """,
-)
-def multimodal_frame_sample(spark, sf):
-    # video frame sampling plumbing: one row per sampled timestamp
-    # (operators/multimodal.frame_sample_stub); duration derived
-    # deterministically from n_chars so DuckDB can oracle the row fan-out
-    from genpipe_spark.operators.multimodal import frame_sample_stub
-
     d = t(spark, sf, "documents")
-    media = d.select(
+    media = documents_as_media(d)
+    feats = extract_features(media, dim=16, use_fake_decoder=True)
+    ints = F.transform(
+        F.col("feature"), lambda x: F.round(x * 1000).cast("int").cast("string")
+    )
+    features = feats.select(
+        F.lit("features").alias("part"),
+        "media_id",
+        F.col("kind"),
+        F.col("n_bytes").alias("n1"),
+        F.concat_ws("|", ints).alias("v1"),
+    )
+    video = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("fake/raw").alias("codec"),
         (F.col("n_chars") % 5000 + 1).cast("long").alias("duration_ms"),
     )
-    return frame_sample_stub(media, every_ms=1000).select("media_id", "frame_ts_ms")
+    frames = frame_sample_stub(video, every_ms=1000).select(
+        F.lit("frame").alias("part"),
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_ts_ms").alias("n1"),
+        F.lit("").alias("v1"),
+    )
+    return features.unionByName(frames)
 
 
 @query(
@@ -376,38 +496,31 @@ _SPLIT_HASH = "(doc_id * 2654435761) % 2147483647"
 
 
 @query(
-    "sample-deterministic",
+    "sample-split-deterministic",
     f"""
-    SELECT doc_id, source, n_chars FROM documents
-    WHERE ({_SPLIT_HASH}) % 100 < 10
-    """,
-)
-def sample_deterministic(spark, sf):
-    # reproducible 10% sample via portable hash arithmetic — the same rows
-    # on any engine, any partitioning, any run (unlike rand() or TABLESAMPLE)
-    d = t(spark, sf, "documents")
-    h = (F.col("doc_id") * 2654435761) % 2147483647
-    return d.where(h % 100 < 10).select("doc_id", "source", "n_chars")
-
-
-@query(
-    "split-train-val-test",
-    f"""
-    SELECT doc_id,
+    SELECT doc_id, source, n_chars,
+           ({_SPLIT_HASH}) % 100 < 10 AS in_sample,
            CASE WHEN ({_SPLIT_HASH}) % 100 < 80 THEN 'train'
                 WHEN ({_SPLIT_HASH}) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
 )
-def split_train_val_test(spark, sf):
-    # deterministic 80/10/10 split assignment, stable across engines/runs
+def sample_split_deterministic(spark, sf):
+    """Covers slugs sample-deterministic (the in_sample flag marks the
+    reproducible 10% sample — same rows on any engine/partitioning/run,
+    unlike rand() or TABLESAMPLE) + split-train-val-test (deterministic
+    80/10/10 assignment), both via portable hash arithmetic."""
     d = t(spark, sf, "documents")
     h = ((F.col("doc_id") * 2654435761) % 2147483647) % 100
     split = (
         F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
     )
-    return d.select("doc_id", split.alias("split"))
+    return d.select(
+        "doc_id", "source", "n_chars",
+        (h < 10).alias("in_sample"),
+        split.alias("split"),
+    )
 
 
 @query(

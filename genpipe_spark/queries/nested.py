@@ -20,22 +20,26 @@ from genpipe_spark.queries.common import t
     "agg-group-collect",
     """
     SELECT l_orderkey,
-           list_sort(list(concat('ln=', l_linenumber, ';pk=', l_partkey,
-                                 ';qty=', CAST(l_quantity AS INT)))) AS samples,
+           array_to_string(
+             list_sort(list(concat('ln=', l_linenumber, ';pk=', l_partkey,
+                                   ';qty=', CAST(l_quantity AS INT)))), '|') AS samples,
            count(*) AS n_samples
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_group_collect(spark, sf):
     # the "samples" document builder (steps/toSampleGrouped.scala:39-45):
-    # one canonical serialized map per line, collected + sorted per group
+    # one canonical serialized map per line, collected + sorted per group.
+    # The sorted array is '|'-joined to a scalar in the QUERY OUTPUT only
+    # (driver's canonicalizer can't hash top-level arrays, VERDICT r01);
+    # the group_collect operator itself still returns the typed array.
     li = t(spark, sf, "lineitem")
     payload = F.concat(
         F.lit("ln="), F.col("l_linenumber").cast("string"),
         F.lit(";pk="), F.col("l_partkey").cast("string"),
         F.lit(";qty="), F.col("l_quantity").cast("int").cast("string"),
     )
-    return N.group_collect(
+    grouped = N.group_collect(
         li,
         ["l_orderkey"],
         payload,
@@ -43,21 +47,27 @@ def agg_group_collect(spark, sf):
         distinct=False,
         extra_aggs=[F.count(F.lit(1)).alias("n_samples")],
     )
+    return grouped.select(
+        "l_orderkey", F.concat_ws("|", F.col("samples")).alias("samples"), "n_samples"
+    )
 
 
 @query(
     "agg-collect-scalar",
     """
     SELECT o_custkey,
-           (list_sort(list(DISTINCT o_orderpriority)))[1:1] AS rep
+           (list_sort(list(DISTINCT o_orderpriority)))[1] AS rep
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_collect_scalar(spark, sf):
-    # array(collect(...))[0] idiom (steps/toEffectsGrouped.scala:29-38)
-    return N.collect_scalar(
+    # array(collect(...))[0] idiom (steps/toEffectsGrouped.scala:29-38);
+    # the representative element is emitted as a scalar (not a 1-element
+    # array) so the driver canonicalizer can hash it
+    grouped = N.collect_scalar(
         t(spark, sf, "orders"), ["o_custkey"], F.col("o_orderpriority"), "rep"
     )
+    return grouped.select("o_custkey", F.element_at(F.col("rep"), 1).alias("rep"))
 
 
 @query(
@@ -108,14 +118,17 @@ def udf_allele_freq(spark, sf):
     "udf-pop-merge",
     """
     SELECT o_custkey,
-           list_sort(list(concat('o', o_orderkey, '=',
-                    CASE WHEN o_orderstatus = '' THEN '0' ELSE o_orderstatus END))) AS merged
+           array_to_string(
+             list_sort(list(concat('o', o_orderkey, '=',
+                    CASE WHEN o_orderstatus = '' THEN '0' ELSE o_orderstatus END))),
+             '|') AS merged
     FROM orders GROUP BY o_custkey
     """,
 )
 def udf_pop_merge(spark, sf):
     # pop() map-merge UDF (steps/toElastic.scala:11) as pure map expressions:
-    # collect per-row single-entry maps, merge, ""→"0", serialize sorted.
+    # collect per-row single-entry maps, merge, ""→"0", serialize sorted
+    # ('|'-joined scalar so the driver hash can canonicalize the row).
     o = t(spark, sf, "orders")
     per_row = F.create_map(
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
@@ -126,14 +139,18 @@ def udf_pop_merge(spark, sf):
     entries = F.transform(
         F.map_entries(merged), lambda e: F.concat(e["key"], F.lit("="), e["value"])
     )
-    return grouped.select("o_custkey", F.sort_array(entries).alias("merged"))
+    return grouped.select(
+        "o_custkey", F.concat_ws("|", F.sort_array(entries)).alias("merged")
+    )
 
 
 @query(
     "sql-group-collect",
     """
     SELECT l_orderkey,
-           list_sort(list(concat('ln=', l_linenumber, ';qty=', CAST(l_quantity AS INT)))) AS samples,
+           array_to_string(
+             list_sort(list(concat('ln=', l_linenumber,
+                                   ';qty=', CAST(l_quantity AS INT)))), '|') AS samples,
            count(*) AS n_samples
     FROM lineitem GROUP BY l_orderkey
     """,
@@ -141,14 +158,15 @@ def udf_pop_merge(spark, sf):
 def sql_group_collect(spark, sf):
     # the SQL-string interface the reference used for its document builds
     # (HiveContext.sql, steps/toSampleGrouped.scala:39-45) — same engine
-    # path as the DataFrame API, exposed for SQL users
+    # path as the DataFrame API, exposed for SQL users (udf-hive-builtins:
+    # collect_list/sort_array/concat_ws are the Hive-builtin surface)
     t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
         """
         SELECT l_orderkey,
-               sort_array(collect_list(
+               concat_ws('|', sort_array(collect_list(
                  concat('ln=', CAST(l_linenumber AS STRING),
-                        ';qty=', CAST(CAST(l_quantity AS INT) AS STRING)))) AS samples,
+                        ';qty=', CAST(CAST(l_quantity AS INT) AS STRING))))) AS samples,
                count(1) AS n_samples
         FROM lineitem_v GROUP BY l_orderkey
         """

@@ -31,342 +31,202 @@ def _li(spark, sf):
     )
 
 
-@query(
-    "fn-str-to-map",
-    """
+_SUITE_ORACLE = """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_discount, l_tax,
+             (l_orderkey * 7 + l_linenumber) AS sel,
+             CAST(l_quantity AS INT) * 2 AS q
+      FROM lineitem
+    )
     SELECT l_orderkey, l_linenumber,
+           -- fn-str-to-map
            CAST(l_quantity AS INT) AS dp_val,
-           l_linenumber AS gq_val
-    FROM lineitem
-    """,
-)
-def fn_str_to_map(spark, sf):
-    li = _li(spark, sf)
-    info = F.concat(
+           l_linenumber AS gq_val,
+           -- fn-gq-bands
+           CASE WHEN q < 20 THEN 0 WHEN q < 25 THEN 20 WHEN q < 30 THEN 25
+                WHEN q < 35 THEN 30 WHEN q < 40 THEN 35 WHEN q < 45 THEN 40
+                WHEN q < 50 THEN 45 WHEN q < 70 THEN 50 WHEN q < 90 THEN 70
+                WHEN q < 99 THEN 90 ELSE 99 END AS gq_band,
+           -- fn-format-dispatch
+           '0/1' AS fd_gt,
+           CASE sel % 2 WHEN 0 THEN 0 ELSE CAST(l_quantity AS INT) END AS fd_dp,
+           CASE sel % 2 WHEN 0 THEN l_partkey % 90 + 5
+                        ELSE l_suppkey % 80 + 20 END AS fd_gq,
+           CASE sel % 2 WHEN 0 THEN '9,0,200' ELSE '58,0,300' END AS fd_pl,
+           CASE sel % 2 WHEN 0 THEN ''
+                        ELSE concat(l_partkey % 9, ',', l_suppkey % 9 + 1) END AS fd_ad,
+           -- fn-ad-ratio (a = pk%9+1, b = sk%9+1)
+           CAST(floor((l_suppkey % 9 + 1)
+                      / CAST(l_partkey % 9 + 1 + l_suppkey % 9 + 1 AS DOUBLE)
+                      * 1000)/1000.0 AS VARCHAR) AS ad_ratio,
+           -- fn-end-pos
+           CASE WHEN sel % 3 = 0 THEN l_partkey + 9 ELSE l_partkey END AS end_pos,
+           -- fn-truncate
+           floor(l_extendedprice / 7 * 1000)/1000.0 AS trunc3,
+           floor(l_extendedprice / 7 * 10000)/10000.0 AS trunc4,
+           -- fn-removedot
+           CASE WHEN sel % 4 = 0 THEN 0.0
+                ELSE floor(l_discount * l_tax * 100 * 10000)/10000.0 END AS rd_val,
+           -- fn-getter + fn-get-or-empty
+           CAST(l_partkey % 100 AS VARCHAR) AS first_af,
+           CASE WHEN sel % 2 = 0 THEN CAST(l_suppkey % 10 AS VARCHAR)
+                ELSE '' END AS exac_first,
+           -- fn-getter-rs
+           CASE WHEN sel % 2 = 0 THEN concat('rs', l_partkey)
+                ELSE concat('rs', l_suppkey % 100) END AS rs0,
+           -- fn-chrom-normalize
+           CASE sel % 5 WHEN 0 THEN 23 WHEN 1 THEN 24 WHEN 2 THEN 25
+                        ELSE l_partkey % 22 + 1 END AS chrom_n,
+           -- fn-diploidize
+           CASE sel % 3 WHEN 0 THEN '0/0' WHEN 1 THEN '1/1' ELSE '0/1' END AS dip_gt,
+           CASE sel % 3 WHEN 0 THEN FALSE WHEN 1 THEN FALSE ELSE TRUE END AS dip_diploid,
+           -- fn-pred-consensus
+           CASE sel % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'T' ELSE '' END AS sift,
+           CASE sel % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'P' ELSE 'B' END AS polyphen,
+           CASE sel % 3 WHEN 0 THEN '9' WHEN 1 THEN '0' ELSE '5' END AS clinvar_f,
+           -- fn-umd-label
+           CASE sel % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'B' WHEN 2 THEN 'P'
+                        WHEN 3 THEN 'U' ELSE '' END AS umd,
+           -- agg-min-max-rowside (per-row min/max over a split list,
+           -- SIFT_score.min / polyphen.max shape, steps/Parser.scala:159-164)
+           least(l_quantity, l_discount, l_tax) AS vmin,
+           greatest(l_quantity, l_discount, l_tax) AS vmax,
+           -- project-computed
+           floor(l_extendedprice * (1 - l_discount) * 10000)/10000.0 AS revenue
+    FROM src
+"""
+
+
+@query("fn-parse-suite", _SUITE_ORACLE)
+def fn_parse_suite(spark, sf):
+    """One wide per-row query covering every simple scalar parse slug
+    (SURVEY.md §2.6) on constructed inputs, through the REAL operator
+    expressions (genpipe_spark/functions/parse.py). Column → slug map
+    (also in COVERAGE.md):
+
+      dp_val,gq_val       fn-str-to-map        gq_band      fn-gq-bands
+      fd_gt..fd_ad        fn-format-dispatch   ad_ratio     fn-ad-ratio
+      end_pos             fn-end-pos           trunc3/4     fn-truncate
+      rd_val              fn-removedot         first_af     fn-getter
+      exac_first          fn-get-or-empty      rs0          fn-getter-rs
+      chrom_n             fn-chrom-normalize   dip_*        fn-diploidize
+      sift/polyphen/clinvar_f  fn-pred-consensus    umd     fn-umd-label
+      vmin,vmax           agg-min-max-rowside  revenue      project-computed
+
+    Each column was an individually-green oracle query in r01; merging
+    them into one driver slot frees the 50-query correctness window for
+    the relational core (VERDICT r01 "Next round" #1)."""
+    li = t(spark, sf, "lineitem")
+    sel = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    m2, m3, m4, m5 = sel % 2, sel % 3, sel % 4, sel % 5
+
+    # constructed inputs (deterministic from the row keys, mirrored in SQL)
+    info_map = F.concat(
         F.lit("dp="), F.col("l_quantity").cast("int").cast("string"),
         F.lit(";gq="), F.col("l_linenumber").cast("string"),
         F.lit(";note"),
     )
-    m = P.str_to_map_expr(info)
+    m = P.str_to_map_expr(info_map)
+    fd_fmt = F.when(m2 == 0, F.lit("GT:GQ:PL:SB")).otherwise(F.lit("GT:AD:DP:GQ:PL:SB"))
+    fd_sample = F.when(
+        m2 == 0,
+        F.concat(
+            F.lit("0/1:"), (F.col("l_partkey") % 90 + 5).cast("string"),
+            F.lit(":9,0,200:1,2"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("0/1:"),
+            (F.col("l_partkey") % 9).cast("string"), F.lit(","),
+            (F.col("l_suppkey") % 9 + 1).cast("string"), F.lit(":"),
+            F.col("l_quantity").cast("int").cast("string"), F.lit(":"),
+            (F.col("l_suppkey") % 80 + 20).cast("string"), F.lit(":58,0,300:1,2"),
+        )
+    )
+    fs = P.format_dispatch(fd_fmt, fd_sample)
+    ad = F.concat(
+        (F.col("l_partkey") % 9 + 1).cast("string"), F.lit(","),
+        (F.col("l_suppkey") % 9 + 1).cast("string"),
+    )
+    ep_alt = F.when(m3 == 0, F.lit("<NON_REF>")).otherwise(F.lit("G"))
+    ep_info = F.concat(F.lit("END="), (F.col("l_partkey") + 9).cast("string"), F.lit(";X=1"))
+    trunc_v = F.col("l_extendedprice") / 7
+    rd_raw = F.when(m4 == 0, F.lit(".")).otherwise(
+        (F.col("l_discount") * F.col("l_tax") * 100).cast("string")
+    )
+    getter_info = F.concat(
+        F.lit("X=1;AF="), (F.col("l_partkey") % 100).cast("string"),
+        F.lit(","), (F.col("l_partkey") % 7).cast("string"),
+        F.when(
+            m2 == 0,
+            F.concat(F.lit(";ExAC_AF="), (F.col("l_suppkey") % 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    rs_id = F.when(
+        m2 == 0, F.concat(F.lit("rs"), F.col("l_partkey").cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("rs"), F.col("l_partkey").cast("string"), F.lit(","),
+            (F.col("l_suppkey") % 100).cast("string"), F.lit(";junk,77"),
+        )
+    )
+    chrom = (
+        F.when(m5 == 0, F.lit("MT"))
+        .when(m5 == 1, F.lit("X"))
+        .when(m5 == 2, F.lit("Y"))
+        .otherwise((F.col("l_partkey") % 22 + 1).cast("string"))
+    )
+    dip_gt_in = F.when(m3 == 0, F.lit("0")).when(m3 == 1, F.lit("1")).otherwise(F.lit("0/1"))
+    dip = P.diploidize(dip_gt_in)
+    sift_letters = (
+        F.when(m3 == 0, F.lit("T,D")).when(m3 == 1, F.lit("T,.")).otherwise(F.lit("."))
+    )
+    pp_letters = (
+        F.when(m3 == 0, F.lit("B,D")).when(m3 == 1, F.lit("P,B")).otherwise(F.lit("B"))
+    )
+    clin = F.when(m3 == 0, F.lit("5|4")).when(m3 == 1, F.lit("2|0")).otherwise(F.lit("5"))
+    phrase = (
+        F.when(m5 == 0, F.lit("Pathogenic"))
+        .when(m5 == 1, F.lit("Polymorphism"))
+        .when(m5 == 2, F.lit("Probably pathogenic"))
+        .when(m5 == 3, F.lit("Probable polymorphism"))
+        .otherwise(F.lit("???"))
+    )
+    minmax_arr = F.array("l_quantity", "l_discount", "l_tax")
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.try_element_at(m, F.lit("dp")).cast("int").alias("dp_val"),
         F.try_element_at(m, F.lit("gq")).cast("int").alias("gq_val"),
-    )
-
-
-@query(
-    "fn-gq-bands",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN q < 20 THEN 0 WHEN q < 25 THEN 20 WHEN q < 30 THEN 25
-                WHEN q < 35 THEN 30 WHEN q < 40 THEN 35 WHEN q < 45 THEN 40
-                WHEN q < 50 THEN 45 WHEN q < 70 THEN 50 WHEN q < 90 THEN 70
-                WHEN q < 99 THEN 90 ELSE 99 END AS gq_band
-    FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) * 2 AS q FROM lineitem)
-    """,
-)
-def fn_gq_bands(spark, sf):
-    li = _li(spark, sf)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
         P.gq_bands(F.col("l_quantity").cast("int") * 2).alias("gq_band"),
-    )
-
-
-@query(
-    "fn-format-dispatch",
-    """
-    SELECT l_orderkey, l_linenumber,
-           '0/1' AS gt,
-           CASE m WHEN 0 THEN 0 ELSE CAST(l_quantity AS INT) END AS dp,
-           CASE m WHEN 0 THEN l_partkey % 90 + 5
-                  ELSE l_suppkey % 80 + 20 END AS gq,
-           CASE m WHEN 0 THEN '9,0,200' ELSE '58,0,300' END AS pl,
-           CASE m WHEN 0 THEN '' ELSE concat(l_partkey % 9, ',', l_suppkey % 9 + 1) END AS ad
-    FROM (SELECT *, {m} AS m FROM lineitem)
-    """.format(m=_M.format(n=2)),
-)
-def fn_format_dispatch(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 2
-    fmt = F.when(m == 0, F.lit("GT:GQ:PL:SB")).otherwise(F.lit("GT:AD:DP:GQ:PL:SB"))
-    sample = F.when(
-        m == 0,
-        # GT:GQ:PL:SB → gq = pk%90+5
-        F.concat(
-            F.lit("0/1:"),
-            (F.col("l_partkey") % 90 + 5).cast("string"),
-            F.lit(":9,0,200:1,2"),
-        ),
-    ).otherwise(
-        # GT:AD:DP:GQ:PL:SB → ad, dp=qty, gq=sk%80+20
-        F.concat(
-            F.lit("0/1:"),
-            (F.col("l_partkey") % 9).cast("string"),
-            F.lit(","),
-            (F.col("l_suppkey") % 9 + 1).cast("string"),
-            F.lit(":"),
-            F.col("l_quantity").cast("int").cast("string"),
-            F.lit(":"),
-            (F.col("l_suppkey") % 80 + 20).cast("string"),
-            F.lit(":58,0,300:1,2"),
-        ),
-    )
-    fs = P.format_dispatch(fmt, sample)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        fs["gt"].alias("gt"),
-        fs["dp"].alias("dp"),
-        fs["gq"].alias("gq"),
-        fs["pl"].alias("pl"),
-        fs["ad"].alias("ad"),
-    )
-
-
-@query(
-    "fn-ad-ratio",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(floor(b / CAST(a + b AS DOUBLE) * 1000)/1000.0 AS VARCHAR) AS ad_ratio
-    FROM (SELECT l_orderkey, l_linenumber,
-                 l_partkey % 9 + 1 AS a, l_suppkey % 9 + 1 AS b
-          FROM lineitem)
-    """,
-)
-def fn_ad_ratio(spark, sf):
-    li = _li(spark, sf)
-    ad = F.concat(
-        (F.col("l_partkey") % 9 + 1).cast("string"),
-        F.lit(","),
-        (F.col("l_suppkey") % 9 + 1).cast("string"),
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+        fs["gt"].alias("fd_gt"),
+        fs["dp"].alias("fd_dp"),
+        fs["gq"].alias("fd_gq"),
+        fs["pl"].alias("fd_pl"),
+        fs["ad"].alias("fd_ad"),
         P.ad_ratio(ad, F.lit("0/1")).alias("ad_ratio"),
-    )
-
-
-@query(
-    "fn-end-pos",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN {m} = 0 THEN l_partkey + 9 ELSE l_partkey END AS end_pos
-    FROM lineitem
-    """.format(m=_M.format(n=3)),
-)
-def fn_end_pos(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 3
-    alt = F.when(m == 0, F.lit("<NON_REF>")).otherwise(F.lit("G"))
-    info = F.concat(F.lit("END="), (F.col("l_partkey") + 9).cast("string"), F.lit(";X=1"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        P.end_pos(alt, info, F.col("l_partkey")).alias("end_pos"),
-    )
-
-
-@query(
-    "fn-truncate",
-    """
-    SELECT l_orderkey, l_linenumber,
-           floor(l_extendedprice / 7 * 1000)/1000.0 AS trunc3,
-           floor(l_extendedprice / 7 * 10000)/10000.0 AS trunc4
-    FROM lineitem
-    """,
-)
-def fn_truncate(spark, sf):
-    li = t(spark, sf, "lineitem")
-    v = F.col("l_extendedprice") / 7
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        P.truncate_at(v, 3).alias("trunc3"),
-        P.truncate_at(v, 4).alias("trunc4"),
-    )
-
-
-@query(
-    "fn-removedot",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN {m} = 0 THEN 0.0
-                ELSE floor(l_discount * l_tax * 100 * 10000)/10000.0 END AS val
-    FROM lineitem
-    """.format(m=_M.format(n=4)),
-)
-def fn_removedot(spark, sf):
-    li = t(spark, sf, "lineitem").withColumn(
-        "__sel", F.col("l_orderkey") * 7 + F.col("l_linenumber")
-    )
-    m = F.col("__sel") % 4
-    raw = F.when(m == 0, F.lit(".")).otherwise(
-        (F.col("l_discount") * F.col("l_tax") * 100).cast("string")
-    )
-    return li.select(
-        "l_orderkey", "l_linenumber", P.removedot(raw).alias("val")
-    )
-
-
-@query(
-    "fn-getter",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_partkey % 100 AS VARCHAR) AS first_af,
-           CASE WHEN {m} = 0 THEN CAST(l_suppkey % 10 AS VARCHAR) ELSE '' END AS exac_first
-    FROM lineitem
-    """.format(m=_M.format(n=2)),
-)
-def fn_getter(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 2
-    # AF always present (two alleles); ;ExAC_AF present on half the rows —
-    # exercises both the value-list path and the missing→[""] path
-    info = F.concat(
-        F.lit("X=1;AF="),
-        (F.col("l_partkey") % 100).cast("string"),
-        F.lit(","),
-        (F.col("l_partkey") % 7).cast("string"),
-        F.when(
-            m == 0,
-            F.concat(F.lit(";ExAC_AF="), (F.col("l_suppkey") % 10).cast("string")),
-        ).otherwise(F.lit("")),
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        P.get_or_empty(P.getter(info, "AF"), 1).alias("first_af"),
-        P.get_or_empty(P.getter(info, ";ExAC_AF"), 1).alias("exac_first"),
-    )
-
-
-@query(
-    "fn-getter-rs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN {m} = 0 THEN concat('rs', l_partkey)
-                ELSE concat('rs', l_suppkey % 100) END AS rs0
-    FROM lineitem
-    """.format(m=_M.format(n=2)),
-)
-def fn_getter_rs(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 2
-    # single token → passthrough; multi-token → "rs"+token1
-    idcol = F.when(
-        m == 0, F.concat(F.lit("rs"), F.col("l_partkey").cast("string"))
-    ).otherwise(
-        F.concat(
-            F.lit("rs"),
-            F.col("l_partkey").cast("string"),
-            F.lit(","),
-            (F.col("l_suppkey") % 100).cast("string"),
-            F.lit(";junk,77"),
-        )
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.element_at(P.getter_rs(idcol), 1).alias("rs0"),
-    )
-
-
-@query(
-    "fn-chrom-normalize",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE {m} WHEN 0 THEN 23 WHEN 1 THEN 24 WHEN 2 THEN 25
-                    ELSE l_partkey % 22 + 1 END AS chrom_n
-    FROM lineitem
-    """.format(m=_M.format(n=5)),
-)
-def fn_chrom_normalize(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 5
-    chrom = (
-        F.when(m == 0, F.lit("MT"))
-        .when(m == 1, F.lit("X"))
-        .when(m == 2, F.lit("Y"))
-        .otherwise((F.col("l_partkey") % 22 + 1).cast("string"))
-    )
-    return li.select(
-        "l_orderkey", "l_linenumber", P.chrom_normalize(chrom).alias("chrom_n")
-    )
-
-
-@query(
-    "fn-diploidize",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE {m} WHEN 0 THEN '0/0' WHEN 1 THEN '1/1' ELSE '0/1' END AS gt,
-           CASE {m} WHEN 0 THEN FALSE WHEN 1 THEN FALSE ELSE TRUE END AS diploid
-    FROM lineitem
-    """.format(m=_M.format(n=3)),
-)
-def fn_diploidize(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 3
-    gt = F.when(m == 0, F.lit("0")).when(m == 1, F.lit("1")).otherwise(F.lit("0/1"))
-    d = P.diploidize(gt)
-    return li.select(
-        "l_orderkey", "l_linenumber", d["gt"].alias("gt"), d["diploid"].alias("diploid")
-    )
-
-
-@query(
-    "fn-pred-consensus",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'T' ELSE '' END AS sift,
-           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'P' ELSE 'B' END AS polyphen,
-           CASE {m} WHEN 0 THEN '9' WHEN 1 THEN '0' ELSE '5' END AS clinvar_f
-    FROM lineitem
-    """.format(m=_M.format(n=3)),
-)
-def fn_pred_consensus(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 3
-    sift_letters = (
-        F.when(m == 0, F.lit("T,D")).when(m == 1, F.lit("T,.")).otherwise(F.lit("."))
-    )
-    pp_letters = (
-        F.when(m == 0, F.lit("B,D")).when(m == 1, F.lit("P,B")).otherwise(F.lit("B"))
-    )
-    clin = F.when(m == 0, F.lit("5|4")).when(m == 1, F.lit("2|0")).otherwise(F.lit("5"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+        P.end_pos(ep_alt, ep_info, F.col("l_partkey")).alias("end_pos"),
+        P.truncate_at(trunc_v, 3).alias("trunc3"),
+        P.truncate_at(trunc_v, 4).alias("trunc4"),
+        P.removedot(rd_raw).alias("rd_val"),
+        P.get_or_empty(P.getter(getter_info, "AF"), 1).alias("first_af"),
+        P.get_or_empty(P.getter(getter_info, ";ExAC_AF"), 1).alias("exac_first"),
+        F.element_at(P.getter_rs(rs_id), 1).alias("rs0"),
+        P.chrom_normalize(chrom).alias("chrom_n"),
+        dip["gt"].alias("dip_gt"),
+        dip["diploid"].alias("dip_diploid"),
         P.sift_pred_rules(F.split(sift_letters, ",")).alias("sift"),
         P.polyphen2_pred_rules(F.split(pp_letters, ",")).alias("polyphen"),
         P.clinvar_rules(clin).alias("clinvar_f"),
+        P.umd_label(phrase).alias("umd"),
+        F.array_min(minmax_arr).alias("vmin"),
+        F.array_max(minmax_arr).alias("vmax"),
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) / 10000.0).alias(
+            "revenue"
+        ),
     )
-
-
-@query(
-    "fn-umd-label",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE {m} WHEN 0 THEN 'D' WHEN 1 THEN 'B' WHEN 2 THEN 'P'
-                    WHEN 3 THEN 'U' ELSE '' END AS umd
-    FROM lineitem
-    """.format(m=_M.format(n=5)),
-)
-def fn_umd_label(spark, sf):
-    li = _li(spark, sf)
-    m = F.col("__sel") % 5
-    phrase = (
-        F.when(m == 0, F.lit("Pathogenic"))
-        .when(m == 1, F.lit("Polymorphism"))
-        .when(m == 2, F.lit("Probably pathogenic"))
-        .when(m == 3, F.lit("Probable polymorphism"))
-        .otherwise(F.lit("???"))
-    )
-    return li.select("l_orderkey", "l_linenumber", P.umd_label(phrase).alias("umd"))
 
 
 _DECOMP_ORACLE = """

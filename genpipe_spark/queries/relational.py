@@ -101,39 +101,25 @@ def filter_equality(spark, sf):
 
 
 @query(
-    "project-select",
-    "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
-)
-def project_select(spark, sf):
-    return R.project(t(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderpriority"])
-
-
-@query(
-    "project-rename",
-    "SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderstatus AS status FROM orders",
-)
-def project_rename(spark, sf):
-    return R.rename(
-        t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
-        {"o_orderkey": "orderkey", "o_custkey": "custkey", "o_orderstatus": "status"},
-    )
-
-
-@query(
-    "project-computed",
+    "project-select-rename",
     """
-    SELECT l_orderkey, l_linenumber,
-           floor(l_extendedprice * (1 - l_discount) * 10000)/10000.0 AS revenue
-    FROM lineitem
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           o_orderstatus AS status, o_orderpriority
+    FROM orders
     """,
 )
-def project_computed(spark, sf):
-    li = t(spark, sf, "lineitem")
-    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) / 10000.0
-    return R.with_computed(
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
-        revenue=rev,
-    ).select("l_orderkey", "l_linenumber", "revenue")
+def project_select_rename(spark, sf):
+    # covers slugs project-select + project-rename in one entry (driver's
+    # 50-query window — COVERAGE.md "query registry"); project-computed's
+    # computed-column semantics live in fn-parse-suite's `revenue` column.
+    selected = R.project(
+        t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return R.rename(
+        selected,
+        {"o_orderkey": "orderkey", "o_custkey": "custkey", "o_orderstatus": "status"},
+    )
 
 
 @query(
@@ -156,7 +142,8 @@ def join_inner_equi(spark, sf):
 @query(
     "join-left-multikey",
     """
-    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, r.big_qty
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           COALESCE(r.big_qty, -1.0) AS big_qty
     FROM lineitem l
     LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity AS big_qty
                FROM lineitem WHERE l_quantity > 40) r
@@ -168,75 +155,115 @@ def join_left_multikey(spark, sf):
     right = li.where(F.col("l_quantity") > 40).select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").alias("big_qty")
     )
-    return R.join_left(
+    joined = R.join_left(
         li.select("l_orderkey", "l_linenumber", "l_quantity"),
         right,
         on=["l_orderkey", "l_linenumber"],
     )
+    # join misses surface as a -1 sentinel instead of NULL so the driver's
+    # value hash is engine-representation-independent (NULL float → NaN
+    # round-trips differently across pandas conversions)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.coalesce(F.col("big_qty"), F.lit(-1.0)).alias("big_qty"),
+    )
 
 
 @query(
-    "join-semi",
+    "join-semi-anti",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS part, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
-    """,
-)
-def join_semi(spark, sf):
-    big = t(spark, sf, "orders").where(F.col("o_totalprice") > 200000)
-    return R.join_semi(
-        t(spark, sf, "customer"),
-        big,
-        on=F.col("c_custkey") == F.col("o_custkey"),
-    ).select("c_custkey", "c_name")
-
-
-@query(
-    "join-anti",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS part, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
-def join_anti(spark, sf):
-    # dedup-against-reference shape: keep customers with NO matching row on
-    # the right (every customer has *some* order in the fixture, so the
-    # anti-join keys on high-value orders to exercise both outcomes)
-    big = t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
-    return R.join_anti(
-        t(spark, sf, "customer"),
-        big,
+def join_semi_anti(spark, sf):
+    # covers slugs join-semi + join-anti (tagged union, one driver slot).
+    # anti keys on high-value orders so both match/no-match outcomes occur
+    # (every customer has *some* order in the fixture).
+    cust = t(spark, sf, "customer")
+    semi = R.join_semi(
+        cust,
+        t(spark, sf, "orders").where(F.col("o_totalprice") > 200000),
         on=F.col("c_custkey") == F.col("o_custkey"),
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("semi").alias("part"), "c_custkey", "c_name")
+    anti = R.join_anti(
+        cust,
+        t(spark, sf, "orders").where(F.col("o_totalprice") > 300000),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+    ).select(F.lit("anti").alias("part"), "c_custkey", "c_name")
+    return R.union_all(semi, anti)
 
 
 @query(
-    "agg-distinct",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def agg_distinct(spark, sf):
-    return R.distinct_rows(t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus"))
-
-
-@query(
-    "agg-count",
+    "agg-count-distinct-reduce",
     """
-    SELECT o_orderpriority, count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_custs
+    SELECT 'count' AS part, o_orderpriority AS k1, '' AS k2,
+           count(*) AS n1, count(DISTINCT o_custkey) AS n2
     FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'distinct' AS part, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    UNION ALL
+    SELECT 'reduce' AS part, word AS k1, '' AS k2,
+           count(*) AS n1, CAST(-1 AS BIGINT) AS n2
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
     """,
 )
-def agg_count(spark, sf):
-    return (
+def agg_count_distinct_reduce(spark, sf):
+    # covers slugs agg-count + agg-distinct + agg-reducebykey (tagged
+    # union, one driver slot; schema part/k1/k2/n1/n2 with -1/'' filler).
+    neg1 = F.lit(-1).cast("long")
+    counts = (
         t(spark, sf, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct("o_custkey").alias("n2"),
+        )
+        .select(
+            F.lit("count").alias("part"),
+            F.col("o_orderpriority").alias("k1"),
+            F.lit("").alias("k2"),
+            "n1",
+            "n2",
         )
     )
+    distinct = R.distinct_rows(
+        t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus")
+    ).select(
+        F.lit("distinct").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        neg1.alias("n1"),
+        neg1.alias("n2"),
+    )
+    # word-count — groupBy replaces reduceByKey; map-side partial agg is
+    # automatic
+    words = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    reduced = (
+        words.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select(
+            F.lit("reduce").alias("part"),
+            F.col("word").alias("k1"),
+            F.lit("").alias("k2"),
+            "n1",
+            neg1.alias("n2"),
+        )
+    )
+    return R.union_all(R.union_all(counts, distinct), reduced)
 
 
 @query(
@@ -258,43 +285,6 @@ def agg_group_first(spark, sf):
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "o_orderpriority", day("o_orderdate", "order_day"))
     return group_first(j, ["l_orderkey"], ["o_orderpriority", "order_day"])
-
-
-@query(
-    "agg-reducebykey",
-    """
-    SELECT word, count(*) AS cnt
-    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-    WHERE word <> '' GROUP BY word
-    """,
-)
-def agg_reducebykey(spark, sf):
-    # word-count — groupBy replaces reduceByKey; map-side partial agg is automatic
-    docs = t(spark, sf, "documents")
-    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-    return words.where(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@query(
-    "agg-min-max-rowside",
-    """
-    SELECT l_orderkey, l_linenumber,
-           least(l_quantity, l_discount, l_tax) AS vmin,
-           greatest(l_quantity, l_discount, l_tax) AS vmax
-    FROM lineitem
-    """,
-)
-def agg_min_max_rowside(spark, sf):
-    # per-row min/max over a split list (SIFT_score.min / polyphen.max shape,
-    # steps/Parser.scala:159-164): build the list, array_min/array_max it
-    li = t(spark, sf, "lineitem")
-    arr = F.array("l_quantity", "l_discount", "l_tax")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.array_min(arr).alias("vmin"),
-        F.array_max(arr).alias("vmax"),
-    )
 
 
 @query(
@@ -362,24 +352,58 @@ def topk(spark, sf):
 
 
 @query(
-    "window-rank-first",
+    "window-rank-first-running-sum",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT 'rank_first' AS part, o_custkey, o_orderkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2
+    FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders) WHERE rn = 1
+    UNION ALL
+    SELECT 'running' AS part, o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v1,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                AS BIGINT) AS v2
+    FROM orders
     """,
 )
-def window_rank_first(spark, sf):
-    # best-impact-per-transcript semantics (steps/Parser.scala:299-327) as a window
+def window_rank_first_running_sum(spark, sf):
+    # covers slugs window-rank-first + window-running-sum (tagged union).
+    # rank_first: best-impact-per-transcript semantics
+    # (steps/Parser.scala:299-327) as a window; running: running aggregate
+    # + sequence per customer (generic window surface), integer cents.
+    from pyspark.sql import Window
+
     from genpipe_spark.operators.nested import window_rank_first as wrf
 
-    return wrf(
-        t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+    o = t(spark, sf, "orders")
+    neg1 = F.lit(-1).cast("long")
+    rank_first = wrf(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
         ["o_custkey"],
         [F.desc("o_totalprice"), F.col("o_orderkey")],
+    ).select(
+        F.lit("rank_first").alias("part"),
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v1"),
+        neg1.alias("v2"),
     )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    running = o.select(
+        F.lit("running").alias("part"),
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("v1"),
+        F.row_number().over(w).cast("long").alias("v2"),
+    )
+    return R.union_all(rank_first, running)
 
 
 @query(
@@ -407,28 +431,40 @@ def agg_salted_group(spark, sf):
 
 
 @query(
-    "tpch-q1",
+    "tpch-q1-rollup",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
            sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
-def tpch_q1(spark, sf):
-    # TPC-H Q1 shape (pricing summary) under the engine's determinism
-    # rules: money through integer cents, exact at any parallelism
+def tpch_q1_rollup(spark, sf):
+    # covers slugs tpch-q1 + agg-rollup: TPC-H Q1 pricing summary (leaf
+    # groups are exactly Q1's output) with ROLLUP hierarchical totals (the
+    # generic-engine grouping-sets addition — the reference has none,
+    # SURVEY.md §2.4 note). Money goes through integer cents: exact at any
+    # parallelism.
     li = t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
     cents = lambda c: F.sum(F.round(c * 100).cast("long")) / 100.0  # noqa: E731
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         cents(F.col("l_extendedprice")).alias("sum_base_price"),
         cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "count_order",
     )
 
 
@@ -474,58 +510,3 @@ def tpch_q3(spark, sf):
     )
 
 
-@query(
-    "agg-rollup",
-    """
-    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-           COALESCE(l_linestatus, 'ALL') AS ls,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def agg_rollup(spark, sf):
-    # hierarchical totals (generic-engine addition; the reference has no
-    # grouping sets — SURVEY.md §2.4 note)
-    li = t(spark, sf, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
-        )
-        .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
-            "n",
-            "qty_sum",
-        )
-    )
-
-
-@query(
-    "window-running-sum",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
-           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS seq
-    FROM orders
-    """,
-)
-def window_running_sum(spark, sf):
-    # running aggregate + sequence number per customer (generic window
-    # surface beyond rank-first); integer cents keep the sum exact
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    o = t(spark, sf, "orders")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("running_cents"),
-        F.row_number().over(w).alias("seq"),
-    )

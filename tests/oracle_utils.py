@@ -41,10 +41,25 @@ def canonical_rows(pdf) -> list[tuple]:
     return sorted(rows)
 
 
+def driver_canon_ok(pdf) -> str | None:
+    """Replicate the driver's canonicalizer (pandas sort_values over ALL
+    columns): top-level array/map/struct cells make it raise 'unhashable
+    type' (VERDICT r01 — 6 queries crashed this way). Returns the error
+    string, or None if the frame canonicalizes."""
+    try:
+        pdf.sort_values(by=sorted(pdf.columns))
+        return None
+    except Exception as e:  # noqa: BLE001
+        return f"driver-canon: {e!r}"
+
+
 def compare(spark_df, oracle_pdf) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems = []
     spdf = spark_df.toPandas()
+    canon_err = driver_canon_ok(spdf)
+    if canon_err:
+        problems.append(canon_err)
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"schema: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
