@@ -2,11 +2,16 @@
 columns with typed metadata, processed in Arrow batches via mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition-preserving
-transforms) is real and tested; the actual codec work is STUBBED with a
-deterministic fake because decode libraries (PIL/ffmpeg/etc.) are not in
-this container — each stub documents the exact integration point and the
-production implementation raises ``NotImplementedError`` unless the fake
-is requested.
+transforms) is real and tested. The codec layer is split:
+
+  - REAL codecs (functions/codecs.py, stdlib+numpy only): PPM (P6) image
+    encode/decode and WAV 16-bit PCM encode/decode. ``synth_media_real``
+    manufactures genuine PPM/WAV payloads, ``decode_features`` decodes
+    them back and aggregates — a full encode→decode→feature path with no
+    fakes, oracle-verified in the ``multimodal-suite`` query.
+  - STUBBED codecs: compressed formats (JPEG/PNG/MP4) need libraries not
+    in this container; those paths raise ``NotImplementedError`` with the
+    same call shape, so a production swap-in is a one-function change.
 
 Design for 100 TB of media:
   - binary payloads stay in parquet (or are pointers to object storage —
@@ -71,6 +76,138 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("codec", StringType()),
+        StructField("n_units", LongType()),  # pixels (image) / samples (audio)
+        StructField("v_sum", LongType()),
+        StructField("v_max", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def synth_media_real(df: DataFrame) -> DataFrame:
+    """Manufacture REAL media payloads deterministically from ``doc_id``:
+    even ids become PPM (P6) images, odd ids become WAV 16-bit PCM audio.
+    Pixel/sample values follow closed-form integer recurrences so a SQL
+    twin can re-derive the decoded content exactly (multimodal-suite
+    oracle):
+
+      image  w=id%13+4, h=id%11+4, px[y,x,c] = (id*7 + 3c + x + y) % 256
+      audio  n=id%512+64, rate 8000, s[i] = (id*31 + 17i) % 16384 - 8192
+    """
+    import numpy as np
+
+    from genpipe_spark.functions.codecs import encode_ppm, encode_wav
+
+    ids = df.select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = mid % 13 + 4, mid % 11 + 4
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((mid * 7 + 3 * c + x + y) % 256).astype(np.uint8)
+                    rows.append(
+                        (mid, "image", encode_ppm(px), "image/ppm", w, h, 0)
+                    )
+                else:
+                    n = mid % 512 + 64
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((mid * 31 + 17 * i) % 16384 - 8192).astype(np.int16)
+                    rows.append(
+                        (
+                            mid,
+                            "audio",
+                            encode_wav(s, rate=8000),
+                            "audio/wav",
+                            0,
+                            0,
+                            n * 1000 // 8000,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature-extract: parses each payload with the actual
+    codec named in its ``codec`` column (functions/codecs.py) and emits
+    integer aggregates of the decoded content — exact, so the full
+    encode→decode→aggregate path hash-verifies against a SQL twin.
+
+    Unsupported codecs raise inside the Arrow batch (fail-fast), keeping
+    the NotImplementedError contract for formats needing external libs.
+    """
+    import numpy as np
+
+    from genpipe_spark.functions import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload, codec in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["codec"]
+            ):
+                raw = bytes(payload)
+                if codec == "image/ppm":
+                    px = codecs.decode_ppm(raw).astype(np.int64)
+                    h, w, _ = px.shape
+                    vals = (int(px.sum()), int(px.max()), w * h)
+                elif codec == "audio/wav":
+                    _, s = codecs.decode_wav(raw)
+                    s64 = s.astype(np.int64)
+                    vals = (int(s64.sum()), int(s64.max()), len(s))
+                else:
+                    raise NotImplementedError(
+                        f"codec {codec!r} needs external libraries not in "
+                        "this container (real paths: image/ppm, audio/wav)"
+                    )
+                v_sum, v_max, n_units = vals
+                rows.append((int(mid), kind, codec, n_units, v_sum, v_max, len(raw)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=REAL_FEATURE_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for PPM payloads: decode → nearest-neighbor
+    sample → re-encode, inside the Arrow batch loop; metadata columns
+    update JVM-side. Non-PPM rows pass through unchanged (their resize is
+    the gated decode step)."""
+    import numpy as np
+
+    from genpipe_spark.functions.codecs import decode_ppm, encode_ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            for idx, (payload, codec) in enumerate(zip(pdf["payload"], pdf["codec"])):
+                if codec != "image/ppm":
+                    continue
+                px = decode_ppm(bytes(payload))
+                h, w, _ = px.shape
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                out.iat[idx, out.columns.get_loc("payload")] = encode_ppm(
+                    px[ys][:, xs]
+                )
+                out.iat[idx, out.columns.get_loc("width")] = width
+                out.iat[idx, out.columns.get_loc("height")] = height
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: rolling-hash the payload
     into a fixed-length feature vector. Production: replace with
@@ -93,9 +230,10 @@ def extract_features(
     this container)."""
     if not use_fake_decoder:
         raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; pass use_fake_decoder=True for the "
-            "deterministic stand-in (plumbing is identical)"
+            "this float-feature path models decoders needing libraries not "
+            "in this environment; pass use_fake_decoder=True for the "
+            "deterministic stand-in, or use decode_features() for the REAL "
+            "PPM/WAV codec path (functions/codecs.py)"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -20,9 +20,11 @@ from genpipe_spark.operators import dedup as D
 from genpipe_spark.operators import similarity as S
 from genpipe_spark.operators import text as T
 from genpipe_spark.operators.multimodal import (
+    decode_features,
     documents_as_media,
     extract_features,
     frame_sample_stub,
+    synth_media_real,
 )
 from genpipe_spark.registry import query
 from genpipe_spark.queries.common import t
@@ -400,6 +402,30 @@ _MM_SUITE_ORACLE = """
            CAST(unnest(range(0, n_chars % 5000 + 1, 1000)) AS BIGINT) AS n1,
            '' AS v1
     FROM d
+    UNION ALL
+    -- REAL-codec leg: re-derive the decoded PPM pixels / WAV samples from
+    -- their closed-form integer recurrences (operators/multimodal.py
+    -- synth_media_real) and aggregate; flat index i runs c-fastest
+    SELECT 'codec' AS part, doc_id AS media_id, 'image' AS kind,
+           CAST(w*h AS BIGINT) AS n1,
+           CAST(SUM(v) AS VARCHAR) || ':' || CAST(MAX(v) AS VARCHAR) AS v1
+    FROM (
+      SELECT doc_id, w, h,
+             (doc_id*7 + 3*(i%3) + (i//3)%w + (i//3)//w) % 256 AS v
+      FROM (SELECT doc_id, doc_id%13+4 AS w, doc_id%11+4 AS h,
+                   unnest(range((doc_id%13+4)*(doc_id%11+4)*3)) AS i
+            FROM documents WHERE doc_id%2=0)
+    )
+    GROUP BY doc_id, w, h
+    UNION ALL
+    SELECT 'codec' AS part, doc_id AS media_id, 'audio' AS kind,
+           CAST(n AS BIGINT) AS n1,
+           CAST(SUM(s) AS VARCHAR) || ':' || CAST(MAX(s) AS VARCHAR) AS v1
+    FROM (
+      SELECT doc_id, n, (doc_id*31 + 17*unnest(range(n))) % 16384 - 8192 AS s
+      FROM (SELECT doc_id, doc_id%512+64 AS n FROM documents WHERE doc_id%2=1)
+    )
+    GROUP BY doc_id, n
 """
 
 
@@ -416,6 +442,12 @@ def multimodal_suite(spark, sf):
       part='frame'     multimodal-frame-sample — video frame-sampling row
         fan-out (one row per sampled timestamp), duration derived
         deterministically from n_chars so the twin can replay it.
+      part='codec'     REAL codec path — synth_media_real manufactures
+        genuine PPM/WAV payloads, decode_features parses them back with
+        the actual codecs (functions/codecs.py) and aggregates the decoded
+        pixels/samples; the twin recomputes the same aggregates from the
+        generating integer recurrences, so a hash match verifies the full
+        encode→decode→feature chain bit-exactly.
     """
     d = t(spark, sf, "documents")
     media = documents_as_media(d)
@@ -444,7 +476,14 @@ def multimodal_suite(spark, sf):
         F.col("frame_ts_ms").alias("n1"),
         F.lit("").alias("v1"),
     )
-    return features.unionByName(frames)
+    real = decode_features(synth_media_real(d)).select(
+        F.lit("codec").alias("part"),
+        "media_id",
+        "kind",
+        F.col("n_units").alias("n1"),
+        F.concat_ws(":", F.col("v_sum"), F.col("v_max")).alias("v1"),
+    )
+    return features.unionByName(frames).unionByName(real)
 
 
 @query(

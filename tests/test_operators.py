@@ -175,11 +175,96 @@ def test_multimodal_feature_extraction(spark, docs):
     assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
 
 
-def test_multimodal_real_decoder_is_gated(spark, docs):
+def test_multimodal_float_feature_path_is_gated(spark, docs):
     from genpipe_spark.operators.multimodal import documents_as_media, extract_features
 
     with pytest.raises(NotImplementedError):
         extract_features(documents_as_media(docs))
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from genpipe_spark.functions.codecs import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        h, w = (int(v) for v in rng.integers(1, 48, 2))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+    # Netpbm header quirks: comments and arbitrary whitespace
+    quirky = b"P6\n# comment line\n  4\t3 # inline\n255\n" + bytes(range(36))
+    assert decode_ppm(quirky).shape == (3, 4, 3)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM, not P6
+    for _ in range(25):
+        n = int(rng.integers(1, 5000))
+        s = rng.integers(-(2**15), 2**15, n).astype(np.int16)
+        rate, out = decode_wav(encode_wav(s, rate=16000))
+        assert rate == 16000 and (out == s).all()
+
+
+def test_multimodal_real_codec_end_to_end(spark, docs):
+    import numpy as np
+
+    from genpipe_spark.operators.multimodal import decode_features, synth_media_real
+
+    feats = {r["media_id"]: r for r in decode_features(synth_media_real(docs)).collect()}
+    assert len(feats) == docs.count()
+    # hand-recompute one image and one audio doc from the recurrences
+    for mid, r in feats.items():
+        if mid % 2 == 0:
+            w, h = mid % 13 + 4, mid % 11 + 4
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            px = (mid * 7 + 3 * c + x + y) % 256
+            assert (r["kind"], r["n_units"]) == ("image", w * h)
+            assert (r["v_sum"], r["v_max"]) == (int(px.sum()), int(px.max()))
+        else:
+            n = mid % 512 + 64
+            s = (mid * 31 + 17 * np.arange(n, dtype=np.int64)) % 16384 - 8192
+            assert (r["kind"], r["n_units"]) == ("audio", n)
+            assert (r["v_sum"], r["v_max"]) == (int(s.sum()), int(s.max()))
+
+
+def test_multimodal_unknown_codec_raises(spark):
+    from pyspark.sql.utils import PythonException
+
+    from genpipe_spark.operators.multimodal import MEDIA_SCHEMA, decode_features
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\xff\xd8\xff", "image/jpeg", 2, 2, 0)], schema=MEDIA_SCHEMA
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_features(media).collect()
+
+
+def test_resize_ppm_real(spark, docs):
+    import numpy as np
+
+    from genpipe_spark.functions.codecs import decode_ppm
+    from genpipe_spark.operators.multimodal import resize_ppm, synth_media_real
+
+    media = synth_media_real(docs.limit(20))
+    resized = resize_ppm(media, width=8, height=6)
+    for r in resized.collect():
+        if r["codec"] != "image/ppm":
+            continue  # audio passes through untouched
+        px = decode_ppm(bytes(r["payload"]))
+        assert px.shape == (6, 8, 3)
+        assert (r["width"], r["height"]) == (8, 6)
+        # nearest-neighbor: every resized pixel exists in the source image
+        mid = r["media_id"]
+        w, h = mid % 13 + 4, mid % 11 + 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        src = ((mid * 7 + 3 * c + x + y) % 256).astype(np.uint8)
+        ys = (np.arange(6) * h // 6).clip(0, h - 1)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        assert (px == src[ys][:, xs]).all()
 
 
 # ------------------------------------------------- skew / co-location
