@@ -47,17 +47,39 @@ def filter_header(spark, sf):
 
 
 @query(
-    "filter-band-range",
+    "filter-band-equality",
     """
-    SELECT l_orderkey, l_linenumber, l_partkey
+    SELECT 'band' AS part, l_orderkey, l_linenumber,
+           CAST(l_partkey AS VARCHAR) AS k1, '' AS k2
     FROM lineitem WHERE l_partkey >= 500 AND l_partkey < 900
+    UNION ALL
+    SELECT 'eq' AS part, l_orderkey, l_linenumber, l_returnflag AS k1,
+           l_linestatus AS k2
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
     """,
 )
-def filter_band_range(spark, sf):
+def filter_band_equality(spark, sf):
+    # covers slugs filter-band-range + filter-equality (tagged union, one
+    # driver slot — COVERAGE.md "query registry"); both predicates push
+    # down to the parquet scan.
     li = t(spark, sf, "lineitem")
-    return R.filter_range(li, "l_partkey", 500, 900).select(
-        "l_orderkey", "l_linenumber", "l_partkey"
+    band = R.filter_range(li, "l_partkey", 500, 900).select(
+        F.lit("band").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
     )
+    eq = R.filter_equality(
+        li, eq={"l_returnflag": "R"}, neq={"l_linestatus": "O"}
+    ).select(
+        F.lit("eq").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+    )
+    return R.union_all(band, eq)
 
 
 @query(
@@ -84,20 +106,6 @@ def filter_quality(spark, sf):
         F.col("sample.dp").alias("dp"),
         F.col("sample.gq").alias("gq"),
     )
-
-
-@query(
-    "filter-equality",
-    """
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
-    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
-    """,
-)
-def filter_equality(spark, sf):
-    li = t(spark, sf, "lineitem")
-    return R.filter_equality(
-        li, eq={"l_returnflag": "R"}, neq={"l_linestatus": "O"}
-    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
 
 
 @query(

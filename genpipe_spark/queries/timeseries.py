@@ -1,0 +1,112 @@
+"""Time-series queries()/oracle_sql() twins: the as-of join.
+
+The as-of join is the canonical custom operator Spark's DataFrame API
+lacks (reference: the engine's temporal merge step). The oracle mirrors
+the operator's union+window formulation in ANSI SQL (DuckDB
+``last_value(... IGNORE NULLS)`` over the same (ts, side, tiebreak)
+ordering), so the hash check verifies the exact tie/tolerance semantics,
+not just row counts. Timestamps travel as epoch microseconds (exact
+integers in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.operators.asof import asof_join
+from genpipe_spark.queries.common import t
+from genpipe_spark.registry import query
+
+# one oracle part per direction/tolerance variant; each mirrors the
+# operator's union + last_value(IGNORE NULLS) window exactly
+_ASOF_PART_SQL = """
+    SELECT '{part}' AS part, event_id, user_id, ts_us,
+           COALESCE(mm.r_id, -1) AS r_id,
+           COALESCE(epoch_us(mm.r_ts), -1) AS r_ts_us,
+           COALESCE(mm.r_value, -1.0) AS r_value
+    FROM (
+      SELECT *, last_value(pay IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY uts {dir1}, side ASC, tb {dir2}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+      FROM (
+        SELECT user_id, ts AS uts, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+               event_id, epoch_us(ts) AS ts_us,
+               CAST(NULL AS STRUCT(r_ts TIMESTAMP, r_id BIGINT, r_value DOUBLE)) AS pay
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts AS uts, 0 AS side, event_id AS tb,
+               NULL, NULL,
+               struct_pack(r_ts := ts, r_id := event_id, r_value := value)
+        FROM events WHERE event_type = '{rtype}'
+      )
+    ) WHERE side = 1
+"""
+
+_TOL_CLAUSE = """
+    SELECT part, event_id, user_id, ts_us,
+           CASE WHEN ok THEN r_id ELSE -1 END AS r_id,
+           CASE WHEN ok THEN r_ts_us ELSE -1 END AS r_ts_us,
+           CASE WHEN ok THEN r_value ELSE -1.0 END AS r_value
+    FROM (SELECT *, r_id <> -1 AND abs(ts_us - r_ts_us) <= {tol_us} AS ok
+          FROM ({inner}))
+"""
+
+
+def _asof_oracle() -> str:
+    bwd = _ASOF_PART_SQL.format(part="bwd", rtype="view", dir1="ASC", dir2="ASC")
+    fwd = _ASOF_PART_SQL.format(part="fwd", rtype="purchase", dir1="DESC", dir2="DESC")
+    tol = _TOL_CLAUSE.format(
+        tol_us=600 * 1_000_000,
+        inner=_ASOF_PART_SQL.format(part="tol", rtype="view", dir1="ASC", dir2="ASC"),
+    )
+    return f"{bwd} UNION ALL {fwd} UNION ALL {tol}"
+
+
+@query("join-asof", _asof_oracle())
+def join_asof(spark, sf):
+    """Covers the as-of join in all three forms (tagged union, one driver
+    slot): 'bwd' = each click matched to the user's most recent view at
+    or before it; 'fwd' = to the next purchase at or after it; 'tol' =
+    'bwd' with a 600 s tolerance. Unmatched rows surface as -1 sentinels
+    (engine-independent hashing; see join-left-multikey)."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def right(rtype: str):
+        return ev.where(F.col("event_type") == rtype).select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+            F.col("value").alias("r_value"),
+        )
+
+    def leg(part: str, rtype: str, direction: str, tolerance_s: float | None):
+        j = asof_join(
+            clicks,
+            right(rtype),
+            on="user_id",
+            left_ts="ts",
+            right_ts="r_ts",
+            right_cols=["r_id", "r_value"],
+            tiebreak="r_id",
+            direction=direction,
+            tolerance_s=tolerance_s,
+        )
+        return j.select(
+            F.lit(part).alias("part"),
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.coalesce("r_id", F.lit(-1)).alias("r_id"),
+            F.coalesce(F.unix_micros("r_ts"), F.lit(-1)).alias("r_ts_us"),
+            F.coalesce("r_value", F.lit(-1.0)).alias("r_value"),
+        )
+
+    return (
+        leg("bwd", "view", "backward", None)
+        .unionByName(leg("fwd", "purchase", "forward", None))
+        .unionByName(leg("tol", "view", "backward", 600.0))
+    )

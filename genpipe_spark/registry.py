@@ -56,14 +56,14 @@ CURATED_ORDER: list[str] = [
     "source-filestream",
     "sink-parquet-partitioned",
     "filter-header",
-    "filter-band-range",
+    "filter-band-equality",
     "filter-quality",
-    "filter-equality",
     "project-select-rename",
     "join-inner-equi",
     "join-left-multikey",
     "join-semi-anti",
     "join-interval",
+    "join-asof",
     "agg-group-collect",
     "agg-collect-scalar",
     "agg-group-first",
@@ -116,6 +116,7 @@ def load_all_query_modules() -> None:
         relational,
         sources,
         streaming,
+        timeseries,
     )
 
     missing = [n for n in CURATED_ORDER if n not in QUERIES]

@@ -382,3 +382,61 @@ def test_dedup_size_joins_are_not_broadcast_hinted(spark, docs):
     for plan in (plan1, plan2):
         assert "ResolvedHint" not in plan
         assert "broadcast" not in plan.lower()
+
+
+def _asof_fixture(spark):
+    # key 1: ticks at t=10,20,30; key 2: no right rows at all; equal-ts
+    # tie at t=20 (two right rows) exercises the tiebreak rule
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 25, 102), (2, 15, 200)],
+        "k long, ts long, lid long",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 5, 900, 1.0), (1, 20, 901, 2.0), (1, 20, 902, 3.0), (1, 24, 903, 4.0)],
+        "k long, rts long, rid long, rv double",
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "rid", "rv")
+    return left, right
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from genpipe_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+
+    def run(**kw):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rid", "rv"], tiebreak="rid", **kw,
+        )
+        return {r["lid"]: r["rid"] for r in out.collect()}
+
+    # backward: <= semantics, equal-ts tie keeps max tiebreak (902 at t=20)
+    assert run() == {100: 900, 101: 902, 102: 903, 200: None}
+    # forward: >= semantics, equal-ts tie keeps min tiebreak
+    assert run(direction="forward") == {100: 901, 101: 901, 102: None, 200: None}
+    # tolerance: match farther than 5s reverts to null (t=10 vs t=5 is
+    # exactly 5s → kept; boundary is inclusive)
+    assert run(tolerance_s=5.0) == {100: 900, 101: 902, 102: 903, 200: None}
+    assert run(tolerance_s=4.0) == {100: None, 101: 902, 102: 903, 200: None}
+
+
+def test_asof_join_plans_single_shuffle_no_bnlj(spark):
+    """The union+window formulation must shuffle each side once on the
+    keys and never degrade to BroadcastNestedLoopJoin/CartesianProduct
+    (a naive l.ts >= r.ts range join would)."""
+    from genpipe_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    plan = (
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rid", "rv"], tiebreak="rid",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one Exchange per union leg (hashpartitioning on the key), nothing more
+    assert plan.count("Exchange hashpartitioning") <= 2
