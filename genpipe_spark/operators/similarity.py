@@ -66,6 +66,68 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical-k-means (cosine) centroid training, Lloyd iterations.
+
+    Seeds are the first ``num_centroids`` vectors by id (deterministic);
+    each iteration assigns every vector to its nearest centroid (centroid
+    set broadcast — the corpus never moves) and recomputes each centroid
+    as the elementwise mean of its members via posexplode → (cell, dim)
+    partial-aggregated sums: two keyed shuffles per iteration, nothing
+    quadratic, nothing collected but the k×dim centroid matrix itself
+    (the standard Spark k-means shape — per-iteration lineage is cut by
+    materializing only that tiny matrix on the driver). Empty cells keep
+    their previous centroid. Output: (cent_id, cent_v).
+
+    Float-sum ordering makes the means bit-nondeterministic across
+    re-runs, so IVF queries built on trained centroids register as
+    rows-only checks (the first-N-seed variant stays the oracle-matched
+    one)."""
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    cents: list[list[float]] = [
+        list(r["v"]) for r in c.orderBy("id").limit(num_centroids).collect()
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)], "cent_id long, cent_v array<double>"
+        )
+        scored = c.join(F.broadcast(cdf), how="cross")
+        w = Window.partitionBy("id").orderBy(
+            F.desc(cosine(F.col("v"), F.col("cent_v"))), F.col("cent_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "v", F.col("cent_id").alias("cell"))
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("dims")
+            )
+            .select("cell", F.transform("dims", lambda d: d["m"]).alias("mean_v"))
+        )
+        by_cell = {r["cell"]: list(r["mean_v"]) for r in sums.collect()}
+        cents = [by_cell.get(i, cents[i]) for i in range(num_centroids)]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cent_id long, cent_v array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,16 +135,21 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: centroids are the first
-    ``num_centroids`` corpus vectors (deterministic); every vector is
-    assigned to its nearest centroid; a query probes only its own cell.
+    ``num_centroids`` corpus vectors (deterministic) or a trained set
+    passed via ``centroids`` (cent_id, cent_v — see
+    :func:`kmeans_centroids`); every vector is assigned to its nearest
+    centroid; a query probes only its own cell.
 
     At scale: the centroid set is tiny and broadcast twice (assignment +
     probe); the corpus is partitioned by cell id — a plain equi-join.
     Approximate by construction → no SQL oracle; recall is tested against
     brute_force_topk in tests/."""
-    cents = corpus.orderBy(id_col).limit(num_centroids).select(
+    cents = centroids if centroids is not None else corpus.orderBy(id_col).limit(
+        num_centroids
+    ).select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cent_v")
     )
 

@@ -241,6 +241,17 @@ def ann_ivf_topk(spark, sf):
     return S.ivf_topk(emb, emb.where(F.col("vec_id") < 8), num_centroids=8, k=5)
 
 
+@query("ann-ivf-kmeans")  # rows-only: float-mean centroids are not
+# bit-reproducible across engines; recall is pytest-gated instead
+def ann_ivf_kmeans(spark, sf):
+    """IVF probe over TRAINED centroids (spherical k-means, 3 Lloyd
+    iterations) instead of the first-N seeds — the production IVF path;
+    the seeded variant above stays the oracle-matched twin."""
+    emb = t(spark, sf, "embeddings")
+    cents = S.kmeans_centroids(emb, num_centroids=8, iters=3)
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, centroids=cents)
+
+
 def _lsh_pairs_sql(threshold: float = 0.35, num_planes: int = 12,
                    num_tables: int = 4, dim: int = 64) -> str:
     """DuckDB twin of operators/similarity.lsh_near_dup_pairs: the
@@ -527,6 +538,78 @@ def text_chunk(spark, sf):
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+# the DuckDB twin of operators/dedup._word_hash (31-bit polynomial fold)
+_WORD_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_apply(list_filter(string_split({w}, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)"
+)
+
+
+def _kmv_sql(k: int = 64) -> str:
+    est = (
+        f"CASE WHEN n_mins < {k} THEN n_mins "
+        f"ELSE CAST(floor({k - 1} * 2147483647.0 / h_k) AS BIGINT) END"
+    )
+    return f"""
+    WITH words AS (
+      SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents) WHERE word <> ''
+    ),
+    hs AS (SELECT DISTINCT ({_WORD_HASH_SQL.format(w='word')}
+                            * {2654435761 % 2147483647}) % 2147483647 AS h
+           FROM words),
+    bk AS (SELECT h FROM hs ORDER BY h LIMIT {k}),
+    agg AS (SELECT count(*) AS n_mins, max(h) AS h_k FROM bk),
+    ex AS (SELECT count(DISTINCT word) AS n_exact FROM words)
+    SELECT 'global' AS part, {k} AS k, n_mins, h_k, {est} AS est, n_exact
+    FROM agg, ex
+    UNION ALL
+    SELECT 'merged' AS part, {k} AS k, n_mins, h_k, {est} AS est, n_exact
+    FROM agg, ex
+    """
+
+
+@query("sketch-kmv-distinct", _kmv_sql())
+def sketch_kmv_distinct(spark, sf):
+    """KMV (bottom-k) distinct-count sketch over the corpus vocabulary —
+    deterministic and oracle-replayable, unlike HLL (operators/sketch.py).
+    Two parts: 'global' sketches all words at once; 'merged' merges two
+    half-corpus sketches (doc_id parity split) — KMV merge is exact, so
+    both rows must agree on every value, verifying mergeability in-query."""
+    from genpipe_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    K = 64
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    n_exact = words.agg(F.countDistinct("w").alias("n_exact"))
+
+    def finish(sketch_df, part):
+        mins = F.col("mins")
+        return sketch_df.crossJoin(n_exact).select(
+            F.lit(part).alias("part"),
+            F.lit(K).alias("k"),
+            F.size(mins).cast("long").alias("n_mins"),
+            F.element_at(mins, F.least(F.lit(K), F.size(mins))).alias("h_k"),
+            kmv_estimate(mins, K).alias("est"),
+            "n_exact",
+        )
+
+    glob = kmv_sketch(words, "w", K)
+    halves = [
+        kmv_sketch(words.where(F.col("doc_id") % 2 == i), "w", K) for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .select(F.col("mins").alias("a"))
+        .crossJoin(halves[1].select(F.col("mins").alias("b")))
+        .select(kmv_merge(F.col("a"), F.col("b"), K).alias("mins"))
+    )
+    return finish(glob, "global").unionByName(finish(merged, "merged"))
 
 
 # portable deterministic row hash for sampling/splitting: engine-agnostic

@@ -440,3 +440,55 @@ def test_asof_join_plans_single_shuffle_no_bnlj(spark):
     assert "CartesianProduct" not in plan
     # one Exchange per union leg (hashpartitioning on the key), nothing more
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_kmeans_centroids_and_ivf_recall(spark):
+    """Trained centroids must cover every cell id, keep dimensionality,
+    and the IVF probe built on them must reach reasonable recall vs the
+    exact brute force on the harness embeddings."""
+    from genpipe_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = kmeans_centroids(emb, num_centroids=8, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 8 and all(len(r["cent_v"]) == 64 for r in rows)
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, centroids=cents).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3  # probe-1-cell floor
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV invariants: merging per-partition sketches reproduces the
+    global sketch exactly (bottom-k is an exact semigroup), and the
+    estimate lands within the standard ~1/sqrt(k) error band."""
+    from genpipe_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("tok"), F.col("id")).alias("w"))
+    k = 128
+    glob = kmv_sketch(df, "w", k).collect()[0]["mins"]
+    a = kmv_sketch(df.where(F.col("w").substr(4, 10).cast("long") % 2 == 0), "w", k)
+    b = kmv_sketch(df.where(F.col("w").substr(4, 10).cast("long") % 2 == 1), "w", k)
+    merged = (
+        a.select(F.col("mins").alias("ma"))
+        .crossJoin(b.select(F.col("mins").alias("mb")))
+        .select(kmv_merge(F.col("ma"), F.col("mb"), k).alias("mins"))
+    )
+    assert merged.collect()[0]["mins"] == glob
+
+    est = (
+        merged.select(kmv_estimate(F.col("mins"), k).alias("e")).collect()[0]["e"]
+    )
+    assert abs(est - n) / n < 3.0 / (k ** 0.5)  # 3 standard errors
