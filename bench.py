@@ -4,10 +4,13 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized via a count-ish action
-(``df.write.format("noop")`` is not available to DuckDB comparisons, so we
-use ``count`` on a cached-free plan — measures the full pipeline incl.
-scan, shuffle, and expression work, not result download)."""
+Each query is fully materialized through the ``noop`` sink: unlike
+``count()`` (which lets Catalyst prune projection-only expression work —
+it under-measured expression-heavy queries by up to 5x in rounds 1-2),
+the noop write evaluates EVERY output column on the executors without
+result download. Numbers from round 2 on therefore measure strictly more
+work than BENCH_r01's count()-based run — compare per-query deltas only
+within the noop era."""
 
 from __future__ import annotations
 
@@ -25,6 +28,7 @@ HEADLINE = [
     "flagship-variant-doc",
     "join-interval",
     "join-interval-explode",
+    "join-asof",
     "agg-group-collect",
     "window-rank-first-running-sum",
     "agg-count-distinct-reduce",
@@ -35,7 +39,9 @@ HEADLINE = [
     "dedup-ngram-jaccard",
     "ann-cosine-topk",
     "text-metrics",
+    "sketch-kmv-distinct",
     "stream-window-agg",
+    "fn-parse-suite",
     "fn-alt-decompose",
     "pipeline-parse-bulk",
 ]
@@ -49,8 +55,11 @@ def main() -> None:
     spark = get_spark("genpipe-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once so we measure steady-state
-    registry.QUERIES["join-inner-equi"](spark, SF_DIR).count()
+    materialize(registry.QUERIES["join-inner-equi"](spark, SF_DIR))
 
     # min of two warm runs per query: robust against noisy-neighbor
     # interference on shared hosts (observed up to 2x variance)
@@ -62,7 +71,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 

@@ -36,6 +36,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def cosine_prenormed(a: Column, b: Column, sq_a: Column, sq_b: Column) -> Column:
+    """Cosine with the self-dots precomputed per ROW (before any join) —
+    per pair only one fold remains. Bit-identical to :func:`cosine`: the
+    self-dot doubles are the same values, and the ``sqrt(sq_a * sq_b)``
+    op sequence is unchanged (NOT ``sqrt(a)*sqrt(b)``, which rounds
+    differently), so oracle parity is preserved."""
+    return dot(a, b) / F.sqrt(sq_a * sq_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,15 +57,17 @@ def brute_force_topk(
     tie-break on neighbor id). Output: query_id, neighbor_id, rank, cos."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("*", dot(F.col("qv"), F.col("qv")).alias("qq"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).select("*", dot(F.col("cv"), F.col("cv")).alias("cc"))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        cosine_prenormed(
+            F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -152,18 +163,28 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cent_v")
     )
+    cents = cents.select(
+        "*", dot(F.col("cent_v"), F.col("cent_v")).alias("cent_sq")
+    )
 
     def assign(df: DataFrame, idc: str, vout: str) -> DataFrame:
-        scored = df.select(
+        sq = f"{vout}_sq"
+        base = df.select(
             F.col(id_col).alias(idc), as_double(F.col(vec_col)).alias(vout)
-        ).join(F.broadcast(cents), how="cross")
+        ).select("*", dot(F.col(vout), F.col(vout)).alias(sq))
+        scored = base.join(F.broadcast(cents), how="cross")
         w = Window.partitionBy(idc).orderBy(
-            F.desc(cosine(F.col(vout), F.col("cent_v"))), F.col("cent_id")
+            F.desc(
+                cosine_prenormed(
+                    F.col(vout), F.col("cent_v"), F.col(sq), F.col("cent_sq")
+                )
+            ),
+            F.col("cent_id"),
         )
         return (
             scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .select(idc, vout, F.col("cent_id").alias("cell"))
+            .select(idc, vout, sq, F.col("cent_id").alias("cell"))
         )
 
     c_assigned = assign(corpus, "neighbor_id", "cv").alias("c")
@@ -174,7 +195,11 @@ def ivf_topk(
         & (F.col("c.neighbor_id") != F.col("q.query_id")),
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        cosine_prenormed(
+            F.col("qv"), F.col("cv"), F.col("qv_sq"), F.col("cv_sq")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -193,11 +218,17 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= τ).
     Brute-force form — the oracle-checkable semantics; the LSH-bucketed
     variant below is the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).select("*", dot(F.col("va"), F.col("va")).alias("sa"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).select("*", dot(F.col("vb"), F.col("vb")).alias("sb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "id_a",
+        "id_b",
+        cosine_prenormed(F.col("va"), F.col("vb"), F.col("sa"), F.col("sb")).alias("cos"),
     ).where(F.col("cos") >= threshold)
 
 
@@ -237,7 +268,13 @@ def lsh_near_dup_pairs(
         sigs.append(F.struct(F.lit(t).alias("table"), bits.alias("sig")))
     tagged = df.select(
         F.col(id_col).alias("id"), v.alias("v"), F.explode(F.array(*sigs)).alias("ts")
-    ).select("id", "v", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+    ).select(
+        "id",
+        "v",
+        dot(F.col("v"), F.col("v")).alias("sq"),
+        F.col("ts.table").alias("table"),
+        F.col("ts.sig").alias("sig"),
+    )
 
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (
@@ -252,9 +289,13 @@ def lsh_near_dup_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
+            F.col("a.sq").alias("sa"),
+            F.col("b.sq").alias("sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "id_a",
+        "id_b",
+        cosine_prenormed(F.col("va"), F.col("vb"), F.col("sa"), F.col("sb")).alias("cos"),
     ).where(F.col("cos") >= threshold)

@@ -110,3 +110,47 @@ def join_asof(spark, sf):
         .unionByName(leg("fwd", "purchase", "forward", None))
         .unionByName(leg("tol", "view", "backward", 600.0))
     )
+
+
+@query(
+    "rollup-time-hierarchy",
+    """
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS d,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS h,
+           COALESCE(strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS m,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts))
+    """,
+)
+def rollup_time_hierarchy(spark, sf):
+    """Hypertable-style hierarchical time rollup: one pass produces the
+    minute, hour, day, and grand-total continuous-aggregate levels via
+    ROLLUP (grouping sets). At scale this is ONE shuffle with map-side
+    partial aggregation per grouping set — the way to maintain a
+    multi-granularity dashboard table over an event stream's history.
+    Money-style exactness: value sums travel as integer cents."""
+    ev = t(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("d_t"),
+        F.date_trunc("hour", "ts").alias("h_t"),
+        F.date_trunc("minute", "ts").alias("m_t"),
+        "user_id",
+        "value",
+    )
+    agg = ev.rollup("d_t", "h_t", "m_t").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return agg.select(
+        F.coalesce(F.date_format("d_t", fmt), F.lit("ALL")).alias("d"),
+        F.coalesce(F.date_format("h_t", fmt), F.lit("ALL")).alias("h"),
+        F.coalesce(F.date_format("m_t", fmt), F.lit("ALL")).alias("m"),
+        "n_events",
+        "n_users",
+        "value_cents",
+    )
