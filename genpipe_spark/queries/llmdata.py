@@ -676,3 +676,47 @@ def dedup_contamination(spark, sf):
     corpus = d.where(F.col("doc_id") % 10 != 0)
     benchmark = d.where(F.col("doc_id") % 10 == 0)
     return D.contamination_check(corpus, benchmark, threshold=0.05)
+
+
+# connected components as a recursive CTE: reach(node, r) holds "r is
+# reachable from node"; min(r) per node is the component label — exact
+# twin of the operator's min-label-propagation fixpoint
+_CC_ORACLE = _SHINGLES_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 >= 0.2
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_members,
+           array_to_string(list_apply(list_sort(list(node)),
+                                      x -> CAST(x AS VARCHAR)), '|') AS member_ids
+    FROM comp GROUP BY component
+    """
+
+
+@query("dedup-components", _CC_ORACLE)
+def dedup_components(spark, sf):
+    """Near-dup pairs -> dedup GROUPS via iterative min-label propagation
+    (operators/graph.py): the clustering step after MinHash/Jaccard pair
+    emission that picks one canonical survivor per duplicate cluster.
+    Oracle is a DuckDB recursive CTE computing min-reachable-id — an
+    exact, engine-independent definition of the same fixpoint."""
+    from genpipe_spark.operators.graph import dedup_groups
+
+    pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"), k=3, threshold=0.2)
+    return dedup_groups(pairs.select("id_a", "id_b"))

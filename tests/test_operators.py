@@ -492,3 +492,35 @@ def test_kmv_sketch_merge_and_accuracy(spark):
         merged.select(kmv_estimate(F.col("mins"), k).alias("e")).collect()[0]["e"]
     )
     assert abs(est - n) / n < 3.0 / (k ** 0.5)  # 3 standard errors
+
+
+def test_connected_components_transitive(spark):
+    """Chains must collapse transitively (1-2, 2-3, 3-4 -> one component)
+    and disjoint pairs stay separate; labels are the component min."""
+    from genpipe_spark.operators.graph import connected_components, dedup_groups
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src: long, dst: long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+    groups = {
+        (r["component"], r["n_members"], r["member_ids"])
+        for r in dedup_groups(
+            edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        ).collect()
+    }
+    assert groups == {
+        (1, 4, "1|2|3|4"),
+        (10, 2, "10|11"),
+        (20, 2, "20|21"),
+    }
