@@ -108,3 +108,79 @@ def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> Dat
         ws, F.lit(0).cast("long"), lambda acc, w: (acc * 1000003 + h31(w)) % m
     )
     return df.withColumn(alias, fp)
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): char classes, bounded reps, \b — no lookaround/backrefs, so
+# both engines find identical non-overlapping leftmost matches
+PII_PATTERNS = {
+    # applied in this order; email first so phone can't eat digit runs
+    # inside addresses, ipv4 last (its dots are outside the phone class)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII from a text column: emails, phone-like digit runs, IPv4
+    addresses → '<KIND>' placeholders, with per-kind match counts (taken
+    on the ORIGINAL text) for curation stats. Pure regexp expressions —
+    one projection, no shuffle, safe on a 100 TB corpus."""
+    text = F.col(text_col)
+    counts = {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = text
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.withColumns({**counts, "redacted": red})
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms.
+
+    Shape at scale: one explode + two groupBys on (doc) and (doc, term) —
+    all map-side-combinable; the corpus-level scalars (N, avgdl) and the
+    per-term document frequencies (|query| rows) ride along as broadcast
+    crossJoins, so the corpus table itself is never reshuffled beyond the
+    tf aggregation. Scores are floor-truncated at 4 decimals BEFORE any
+    ranking so downstream order is engine-independent.
+    Output: doc_id, score (one row per doc with >=1 matching term)."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    hits = toks.where(F.array_contains(terms, F.col("w")))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+    )
+    return per_term.groupBy("doc_id").agg(
+        (F.floor(F.sum("s") * 10000) / 10000.0).alias("score")
+    )
