@@ -61,6 +61,12 @@ def asof_join(
     clash = (set(right_cols) | {right_ts}) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)}")
+    reserved = {"__ts", "__side", "__tb", "__pay", "__m"}
+    res_clash = reserved & (set(left.columns) | set(right.columns))
+    if res_clash:
+        raise ValueError(
+            f"columns collide with asof_join internals: {sorted(res_clash)}"
+        )
 
     payload = F.struct(
         F.col(right_ts).alias("__rts"),

@@ -16,13 +16,19 @@ Scale design (100 TB):
     it the plan doubles per round and the driver OOMs on analysis long
     before executors see data. On a real cluster swap in
     ``df.checkpoint()`` against durable storage for fault tolerance.
-  - convergence is detected from ``sum(label)``: labels only ever
-    decrease (new = min(old, neighbor mins)), so the total is strictly
-    decreasing until fixpoint; an unchanged sum means ZERO labels moved.
-    One scalar aggregate per round — no driver-side data, no join.
+  - convergence is a CHANGED-LABEL COUNT: the old label rides along the
+    min-aggregation as one extra column, so ``count(label < old)`` costs
+    no extra join and never overflows (it is bounded by the node count,
+    unlike a sum of raw 64-bit node ids under ANSI mode). Zero changed
+    labels means fixpoint.
+  - exhausting ``max_iter`` before the fixpoint raises (or warns with
+    ``strict=False``) instead of silently returning half-merged
+    components.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +39,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -40,6 +47,10 @@ def connected_components(
     Returns (node, component) for every node that appears in an edge;
     isolated nodes are their own singleton components and never enter
     the edge list — callers left-join and ``coalesce(component, id)``.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    the fixpoint (labels would be wrong); ``strict=False`` downgrades
+    that to a warning and returns the unconverged labels.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -51,22 +62,44 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    total = labels.agg(F.sum("label")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         msgs = e.join(labels, e.a == labels.node).select(
-            F.col("b").alias("node"), "label"
+            F.col("b").alias("node"), "label", F.lit(False).alias("__own")
         )
-        labels = (
-            labels.unionByName(msgs)
+        merged = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # every node has exactly one __own row, so this is its
+                # previous label riding along the same shuffle
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        new_total = labels.agg(F.sum("label")).first()[0]
-        if new_total == total:
+        changed = (
+            merged.agg(
+                F.sum((F.col("label") < F.col("__old")).cast("long"))
+            ).first()[0]
+            or 0
+        )
+        labels = merged.select("node", "label")
+        if changed == 0:
+            converged = True
             break
-        total = new_total
+
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "labels are incomplete — raise max_iter (iterations are "
+            "O(graph diameter))"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select("node", F.col("label").alias("component"))
 

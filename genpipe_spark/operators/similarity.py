@@ -107,6 +107,11 @@ def kmeans_centroids(
     cents: list[list[float]] = [
         list(r["v"]) for r in c.orderBy("id").limit(num_centroids).collect()
     ]
+    if not cents:
+        raise ValueError("kmeans_centroids: corpus is empty")
+    # corpus may hold fewer rows than requested centroids — clamp so the
+    # empty-cell fallback (cents[i]) below never indexes past the seeds
+    num_centroids = min(num_centroids, len(cents))
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [(i, v) for i, v in enumerate(cents)], "cent_id long, cent_v array<double>"

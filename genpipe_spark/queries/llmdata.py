@@ -27,7 +27,7 @@ from genpipe_spark.operators.multimodal import (
     synth_media_real,
 )
 from genpipe_spark.registry import query
-from genpipe_spark.queries.common import t
+from genpipe_spark.queries.common import t, widen
 
 # ---------------------------------------------------------------- dedup
 
@@ -85,7 +85,7 @@ _SHINGLES_CTE = r"""
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(t(spark, sf, "documents"), k=3, threshold=0.2)
+    return D.ngram_jaccard_pairs(widen(t(spark, sf, "documents")), k=3, threshold=0.2)
 
 
 @query(
@@ -111,7 +111,7 @@ def dedup_minhash_lsh(spark, sf):
     # the exact pair set whenever LSH recall is 1 (verified across SFs in
     # tests), so the exact-Jaccard SQL is a true oracle; a recall miss
     # would surface here as a hash mismatch — by design.
-    return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.5)
+    return D.minhash_lsh_pairs(widen(t(spark, sf, "documents")), threshold=0.5)
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
@@ -150,7 +150,7 @@ def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
 
 @query("dedup-simhash", _simhash_sql())
 def dedup_simhash(spark, sf):
-    return D.simhash_pairs(t(spark, sf, "documents"), bits=32, max_hamming=3)
+    return D.simhash_pairs(widen(t(spark, sf, "documents")), bits=32, max_hamming=3)
 
 
 _COS = """list_reduce(list_prepend(0.0, list_apply(list_zip({a}, {b}), s -> s[1]*s[2])), (x, y) -> x + y)"""
@@ -366,7 +366,7 @@ def text_metrics(spark, sf):
       fp                                       text-fingerprint
       norm_text                                text-normalize
     """
-    out = T.token_count(t(spark, sf, "documents"))
+    out = T.token_count(widen(t(spark, sf, "documents")))
     out = T.quality_score(out)
     out = T.lang_id(out)
     out = T.fingerprint(out)
@@ -460,7 +460,7 @@ def multimodal_suite(spark, sf):
         generating integer recurrences, so a hash match verifies the full
         encode→decode→feature chain bit-exactly.
     """
-    d = t(spark, sf, "documents")
+    d = widen(t(spark, sf, "documents"))
     media = documents_as_media(d)
     feats = extract_features(media, dim=16, use_fake_decoder=True)
     ints = F.transform(
@@ -516,7 +516,7 @@ def text_chunk(spark, sf):
     # 64-token window, generated with sequence+transform (no Python)
     from genpipe_spark.operators.hof import bind
 
-    d = t(spark, sf, "documents")
+    d = widen(t(spark, sf, "documents"))
     ws_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
 
     def chunks(ws):
@@ -582,6 +582,8 @@ def sketch_kmv_distinct(spark, sf):
     from genpipe_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
 
     K = 64
+    # no widen(): the per-word hash is cheap and kmv's distinct shuffles
+    # anyway — an extra text shuffle here measured net-negative
     docs = t(spark, sf, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -594,7 +596,12 @@ def sketch_kmv_distinct(spark, sf):
             F.lit(part).alias("part"),
             F.lit(K).alias("k"),
             F.size(mins).cast("long").alias("n_mins"),
-            F.element_at(mins, F.least(F.lit(K), F.size(mins))).alias("h_k"),
+            # empty corpus -> size 0 -> element_at(·, 0) throws under
+            # ANSI; guard to a null h_k instead
+            F.when(
+                F.size(mins) > 0,
+                F.element_at(mins, F.least(F.lit(K), F.size(mins))),
+            ).alias("h_k"),
             kmv_estimate(mins, K).alias("est"),
             "n_exact",
         )
@@ -672,7 +679,7 @@ def dedup_contamination(spark, sf):
     # benchmark decontamination: corpus = 90% of documents, benchmark =
     # the doc_id%10==0 slice; flag corpus docs overlapping any benchmark
     # doc by >=5% of their shingles
-    d = t(spark, sf, "documents")
+    d = widen(t(spark, sf, "documents"))
     corpus = d.where(F.col("doc_id") % 10 != 0)
     benchmark = d.where(F.col("doc_id") % 10 == 0)
     return D.contamination_check(corpus, benchmark, threshold=0.05)
@@ -718,5 +725,5 @@ def dedup_components(spark, sf):
     exact, engine-independent definition of the same fixpoint."""
     from genpipe_spark.operators.graph import dedup_groups
 
-    pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"), k=3, threshold=0.2)
+    pairs = D.ngram_jaccard_pairs(widen(t(spark, sf, "documents")), k=3, threshold=0.2)
     return dedup_groups(pairs.select("id_a", "id_b"))

@@ -14,14 +14,14 @@ from pyspark.sql import functions as F
 from genpipe_spark.functions import parse as P
 from genpipe_spark.functions import variant as V
 from genpipe_spark.registry import query
-from genpipe_spark.queries.common import t
+from genpipe_spark.queries.common import t, widen
 
 # row selector shared by both engines
 _M = "(l_orderkey * 7 + l_linenumber) % {n}"
 
 
 def _li(spark, sf):
-    return t(spark, sf, "lineitem").select(
+    return widen(t(spark, sf, "lineitem")).select(
         "l_orderkey",
         "l_linenumber",
         ((F.col("l_orderkey") * 7 + F.col("l_linenumber"))).alias("__sel"),
@@ -117,7 +117,7 @@ def fn_parse_suite(spark, sf):
     Each column was an individually-green oracle query in r01; merging
     them into one driver slot frees the 50-query correctness window for
     the relational core (VERDICT r01 "Next round" #1)."""
-    li = t(spark, sf, "lineitem")
+    li = widen(t(spark, sf, "lineitem"))
     sel = F.col("l_orderkey") * 7 + F.col("l_linenumber")
     m2, m3, m4, m5 = sel % 2, sel % 3, sel % 4, sel % 5
 

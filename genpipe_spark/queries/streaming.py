@@ -13,7 +13,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from genpipe_spark.registry import query
-from genpipe_spark.queries.common import t
+from genpipe_spark.queries.common import t, widen
 
 
 @query(
@@ -109,8 +109,12 @@ def pipeline_parse_bulk(spark, sf):
     from genpipe_spark.sources.vcf import scan_vcf_text
 
     d = vcf_fixture_dir(n_samples=2, n_sites=25000, tag="bulk")
-    raw = scan_vcf_text(spark, f"{d}/*.vcf.gz").withColumn(
-        "chrom", F.col("chrom_n").cast("string")
+    # gzip text is unsplittable — parallelism equals file count until the
+    # rows are redistributed; widen() before the expensive parse tree
+    raw = widen(
+        scan_vcf_text(spark, f"{d}/*.vcf.gz").withColumn(
+            "chrom", F.col("chrom_n").cast("string")
+        )
     )
     parsed = sample_parse(raw)
     gated = parsed.where(

@@ -524,3 +524,74 @@ def test_connected_components_transitive(spark):
         (10, 2, "10|11"),
         (20, 2, "20|21"),
     }
+
+
+def test_connected_components_max_iter_guard(spark):
+    """Exhausting max_iter before the fixpoint must raise (strict) or
+    warn (strict=False) instead of silently returning wrong labels —
+    a long chain needs ~diameter rounds to collapse."""
+    import warnings
+
+    from genpipe_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src: long, dst: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=1, strict=False)
+        assert any("did not converge" in str(x.message) for x in w)
+        assert out.count() == 9  # labels returned, flagged incomplete
+    # enough rounds: converges and is exact
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(chain, max_iter=20).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 10)}
+
+
+def test_asof_join_rejects_reserved_internal_names(spark):
+    from genpipe_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    with pytest.raises(ValueError, match="asof_join internals"):
+        asof_join(
+            left.withColumn("__ts", F.lit(1)), right, on="k",
+            left_ts="ts", right_ts="rts", right_cols=["rid"], tiebreak="rid",
+        )
+    with pytest.raises(ValueError, match="asof_join internals"):
+        asof_join(
+            left, right.withColumn("__pay", F.lit(1)), on="k",
+            left_ts="ts", right_ts="rts", right_cols=["rid"], tiebreak="rid",
+        )
+
+
+def test_kmeans_centroids_small_corpus_clamps(spark):
+    """Fewer corpus rows than requested centroids must clamp (not
+    IndexError in the empty-cell fallback); empty corpus raises."""
+    from genpipe_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    tiny = emb.where(F.col("vec_id") < 3)
+    cents = kmeans_centroids(tiny, num_centroids=8, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 3 and all(len(r["cent_v"]) == 64 for r in rows)
+
+    with pytest.raises(ValueError, match="corpus is empty"):
+        kmeans_centroids(emb.where(F.lit(False)), num_centroids=4)
+
+
+def test_kmv_query_empty_corpus_null_hk(spark, tmp_path):
+    """sketch-kmv-distinct on an empty corpus: size-0 sketch must yield
+    a null h_k (not an ANSI element_at(·, 0) crash)."""
+    from genpipe_spark.queries.llmdata import sketch_kmv_distinct
+
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sketch_kmv_distinct(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_mins"] == 0 and r["h_k"] is None and r["est"] == 0
