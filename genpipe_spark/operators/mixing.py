@@ -1,0 +1,115 @@
+"""Data-mixing operators for training-corpus assembly: per-source
+quotas, weighted sampling rates, and document→shard packing. These are
+the knobs a 100 TB pretraining pipeline turns after dedup/quality
+filtering (additive to SURVEY.md §2, same tier as operators/dedup.py).
+
+Determinism doctrine (same as sampling in queries/llmdata.py): every
+selection decision is a pure function of the row's id through a
+portable 31-bit multiplicative hash — never ``rand()`` — so reruns,
+retries, and the DuckDB oracle all agree bit-for-bit.
+
+Scale notes:
+  - quota_sample is one window over the group key. Hot groups
+    concentrate on one reducer ONLY up to the window stage; because the
+    hash order is uniform, a two-phase refinement (per-partition
+    pre-top-quota, then global) bounds that — provided here as
+    ``quota_sample(two_phase=True)``.
+  - mix_weighted is a pure per-row filter — no shuffle at all.
+  - pack_streaming is a running-sum window per pack group: the packing
+    order is an explicit column, so at scale you pack WITHIN date/domain
+    partitions (bounded window state), not one global stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+M31 = 2147483647
+_A = 2654435761 % M31
+
+
+def _id_hash(id_col: Column) -> Column:
+    """Portable deterministic per-row hash in [0, M31)."""
+    return (id_col * F.lit(_A)) % F.lit(M31)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen by deterministic
+    hash order (uniform over the group, stable across reruns).
+
+    ``two_phase=True`` first takes the per-partition top-``quota`` by
+    hash within each group (map-side, no shuffle), so the window stage
+    receives at most quota * num_partitions rows per group instead of
+    the whole hot group — the standard bounded-reducer refinement for
+    skewed group sizes at scale. Results are identical by construction
+    (the global top-quota is contained in every superset of
+    per-partition top-quotas).
+    """
+    h = _id_hash(F.col(id_col))
+    if two_phase:
+        pre = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("__prn", F.row_number().over(pre))
+            .where(F.col("__prn") <= quota)
+            .drop("__prn")
+        )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def mix_weighted(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group sampling rates (data mixing): keep a deterministic
+    ``rates[group]`` fraction of each group's rows. A row is kept when
+    its id-hash bucket (0..9999) falls below rate*10000 — a pure per-row
+    predicate, so the plan is a filter with NO shuffle and composes with
+    any downstream operator."""
+    bucket = _id_hash(F.col(id_col)) % F.lit(10000)
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.where(bucket < (rate * 10000).cast("long"))
+
+
+def pack_streaming(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    pack_group: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training shard (``pack_id``) by running
+    token offset in a deterministic order: a document starting at offset
+    o goes to shard floor(o / budget). One running-sum window; with
+    ``pack_group`` the stream (and the window state) is per group —
+    the at-scale form, since a single global ordered window funnels
+    through one task per range. Adds ``pack_id`` and ``pack_offset``
+    (the document's start offset within its shard)."""
+    keys = [pack_group] if pack_group else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(F.col(size_col)).over(w) - F.col(size_col)
+    return df.withColumn("pack_id", F.floor(start / F.lit(budget))).withColumn(
+        "pack_offset", start - F.col("pack_id") * F.lit(budget)
+    )

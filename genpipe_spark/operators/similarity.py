@@ -304,3 +304,51 @@ def lsh_near_dup_pairs(
         "id_b",
         cosine_prenormed(F.col("va"), F.col("vb"), F.col("sa"), F.col("sb")).alias("cos"),
     ).where(F.col("cos") >= threshold)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    reduction step before ANN indexing at corpus scale (4 bytes/dim ->
+    1). scale = max|v| / 127; q_i = floor(v_i/scale + 0.5) (explicit
+    half-up rounding — portable, unlike engine-dependent round());
+    all-zero vectors quantize to zeros with scale 0. Adds ``scale``,
+    ``q`` (array<int>) and ``err_max`` (max absolute reconstruction
+    error, floor-truncated at 6 decimals). Pure per-row expressions —
+    no shuffle, no Python; every value is reproducible in ANSI SQL."""
+    from genpipe_spark.operators.hof import bind
+
+    v0 = as_double(F.col(vec_col))
+
+    def with_v(v: Column) -> Column:
+        scale0 = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+
+        def with_scale(scale: Column) -> Column:
+            q = F.transform(
+                v,
+                lambda x: F.when(scale == 0, F.lit(0))
+                .otherwise(F.floor(x / scale + F.lit(0.5)))
+                .cast("int"),
+            )
+
+            def with_q(qv: Column) -> Column:
+                err = F.array_max(
+                    F.zip_with(qv, v, lambda qi, vi: F.abs(qi * scale - vi))
+                )
+                return F.struct(
+                    scale.alias("scale"),
+                    qv.alias("q"),
+                    (F.floor(err * F.lit(1e6)) / F.lit(1e6)).alias("err_max"),
+                )
+
+            return bind(q, with_q)
+
+        return bind(scale0, with_scale)
+
+    return df.withColumn("__qz", bind(v0, with_v)).select(
+        F.col(id_col),
+        F.col("__qz.scale").alias("scale"),
+        F.col("__qz.q").alias("q"),
+        F.col("__qz.err_max").alias("err_max"),
+    )

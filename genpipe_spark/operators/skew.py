@@ -76,6 +76,32 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_staged(
+    df: DataFrame,
+    table: str,
+    partition_cols: Sequence[str],
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Stage layout for recurring pipelines: directory-partitioned by
+    the downstream PRUNING key(s) and bucketed by the recurring JOIN
+    key, so one layout serves both access patterns — queries filtered
+    on the partition key read only its directories (PartitionFilters)
+    and joins on the bucket key shuffle neither side. This is the
+    at-scale layout SCALE.md 'Scans' prescribes for stage tables
+    (generalizing the reference's chrom/band directory scheme +
+    custom co-partitioner into Catalyst-native mechanisms)."""
+    w = (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
 ) -> DataFrame:

@@ -727,3 +727,116 @@ def dedup_components(spark, sf):
 
     pairs = D.ngram_jaccard_pairs(widen(t(spark, sf, "documents")), k=3, threshold=0.2)
     return dedup_groups(pairs.select("id_a", "id_b"))
+
+
+# --------------------------------------------------- data mixing / packing
+
+# portable id hash used by every mixing decision (same residue class as
+# the split hash above: 506952114 = 2654435761 mod M31, with more int64
+# headroom before the multiply overflows)
+_MIX_HASH = "(doc_id * 506952114) % 2147483647"
+
+
+@query(
+    "mix-quota-source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_MIX_HASH}, doc_id) AS rn
+      FROM documents) WHERE rn <= 30
+    """,
+)
+def mix_quota_source(spark, sf):
+    """Per-source quota sampling (operators/mixing.quota_sample): at most
+    30 docs per source, chosen by deterministic hash order — the
+    "cap every domain" step of corpus mixing. The two-phase variant is
+    equivalence-tested in tests/ (bounded reducers for hot domains)."""
+    from genpipe_spark.operators.mixing import quota_sample
+
+    d = t(spark, sf, "documents")
+    return quota_sample(d, "source", 30).select("doc_id", "source")
+
+
+@query(
+    "mix-weighted-sources",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({_MIX_HASH}) % 10000 <
+          CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+               ELSE 1.0 END * 10000 AS BIGINT)
+    """,
+)
+def mix_weighted_sources(spark, sf):
+    """Weighted per-source sampling rates (operators/mixing.mix_weighted):
+    downsample src0 to 50% and src1 to 25%, keep the rest — deterministic
+    data mixing as a pure per-row filter (no shuffle in the plan)."""
+    from genpipe_spark.operators.mixing import mix_weighted
+
+    d = t(spark, sf, "documents")
+    return mix_weighted(
+        d, "source", {"src0": 0.5, "src1": 0.25}
+    ).select("doc_id", "source")
+
+
+@query(
+    "pack-sequences",
+    """
+    SELECT doc_id, lang, pack_id,
+           CAST(start - pack_id * 4096 AS BIGINT) AS pack_offset
+    FROM (
+      SELECT doc_id, lang,
+             CAST(floor((sum(n_chars) OVER w - n_chars) / 4096.0) AS BIGINT)
+               AS pack_id,
+             sum(n_chars) OVER w - n_chars AS start
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    """,
+)
+def pack_sequences(spark, sf):
+    """Document→shard assignment by running token offset
+    (operators/mixing.pack_streaming): each doc lands in shard
+    floor(start_offset / budget), packed independently per language so
+    the window state stays bounded at scale (n_chars stands in for the
+    token count; compose with text.token_count for real tokens)."""
+    from genpipe_spark.operators.mixing import pack_streaming
+
+    d = t(spark, sf, "documents")
+    return pack_streaming(
+        d, "n_chars", 4096, order_col="doc_id", pack_group="lang"
+    ).select("doc_id", "lang", "pack_id", "pack_offset")
+
+
+@query(
+    "quantize-embedding-int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_apply(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+                 list_apply(v, x -> CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS qv
+          FROM s)
+    SELECT vec_id, scale,
+           array_to_string(qv, '|') AS q,
+           floor(list_reduce(list_prepend(0.0,
+               list_apply(list_zip(qv, v), p -> abs(p[1] * scale - p[2]))),
+               (a, b) -> CASE WHEN b > a THEN b ELSE a END) * 1e6) / 1e6
+             AS err_max
+    FROM q
+    """,
+)
+def quantize_embedding_int8(spark, sf):
+    """Symmetric per-vector int8 quantization
+    (operators/similarity.quantize_int8) with explicit half-up rounding
+    (floor(x/scale + 0.5) — portable, unlike engine round()) and the max
+    reconstruction error as an in-row quality metric. The q array is
+    serialized for driver hashability."""
+    from genpipe_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(t(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id", "scale", F.concat_ws("|", "q").alias("q"), "err_max"
+    )

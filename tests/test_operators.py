@@ -595,3 +595,116 @@ def test_kmv_query_empty_corpus_null_hk(spark, tmp_path):
     assert len(rows) == 2
     for r in rows:
         assert r["n_mins"] == 0 and r["h_k"] is None and r["est"] == 0
+
+
+def test_staged_layout_query_prunes_and_colocates(spark, tmp_path):
+    """Query-level demo of the SCALE.md stage layout: one table written
+    partitionBy(pruning key) + bucketBy(join key) must give a downstream
+    query BOTH directory pruning (PartitionFilters on the filter key)
+    and a shuffle-free join (no Exchange on either side), with results
+    identical to the same query over the raw files."""
+    import uuid
+
+    from genpipe_spark.operators.skew import write_staged, write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", F.col("l_returnflag").alias("rf")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    write_staged(li, f"s_li_{suffix}", ("rf",), "l_orderkey", 8)
+    write_bucketed(orders, f"s_ord_{suffix}", "l_orderkey", 8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            spark.table(f"s_li_{suffix}")
+            .where(F.col("rf") == "R")
+            .join(spark.table(f"s_ord_{suffix}"), "l_orderkey")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "= R" in plan.split("PartitionFilters", 1)[1][:200]
+        assert "Exchange" not in plan, plan  # co-located join, pruned scan
+
+        expect = (
+            li.where(F.col("rf") == "R").join(orders, "l_orderkey").count()
+        )
+        assert q.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE s_li_{suffix}")
+        spark.sql(f"DROP TABLE s_ord_{suffix}")
+
+
+def test_quota_sample_two_phase_equivalent_and_capped(spark):
+    """two_phase=True must return exactly the same rows as the plain
+    window form (per-partition pre-top-quota is a superset of the global
+    top-quota), and every group must be capped at the quota."""
+    from genpipe_spark.operators.mixing import quota_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(7)
+    plain = quota_sample(docs, "source", 5)
+    two = quota_sample(docs, "source", 5, two_phase=True)
+    assert {r["doc_id"] for r in plain.collect()} == {
+        r["doc_id"] for r in two.collect()
+    }
+    per_group = plain.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= 5 for r in per_group)
+
+
+def test_mix_weighted_is_pure_filter_no_shuffle(spark):
+    """mix_weighted must plan as scan+filter — zero Exchange — and keep
+    roughly rate-proportional group sizes."""
+    from genpipe_spark.operators.mixing import mix_weighted
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = mix_weighted(docs, "source", {"src0": 0.5, "src1": 0.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert "src1" not in got  # rate 0 drops the whole group
+    base = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert 0.2 < got["src0"] / base["src0"] < 0.8  # ~0.5 on a small group
+
+
+def test_pack_streaming_invariants(spark):
+    """Every document's pack assignment must satisfy the offset algebra:
+    0 <= pack_offset < budget + doc_size bound, pack_id monotone in the
+    packing order, and offsets reconstruct the running sum exactly."""
+    from genpipe_spark.operators.mixing import pack_streaming
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = pack_streaming(docs, "n_chars", 1000, pack_group="lang").collect()
+    by_lang: dict = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        run = by_lang.get(r["lang"], 0)
+        assert r["pack_id"] == run // 1000
+        assert r["pack_offset"] == run - r["pack_id"] * 1000
+        by_lang[r["lang"]] = run + r["n_chars"]
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    """Quantized values must fit int8 range, the reconstruction error
+    must be <= scale/2 per element (half-up rounding bound), and
+    all-zero vectors must produce scale 0 / zero arrays."""
+    from genpipe_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = quantize_int8(emb).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["q"])
+        assert r["err_max"] <= r["scale"] / 2 + 1e-9
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    z = quantize_int8(zero).collect()[0]
+    assert z["scale"] == 0.0 and list(z["q"]) == [0, 0, 0, 0] and z["err_max"] == 0.0

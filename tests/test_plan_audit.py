@@ -1,0 +1,60 @@
+"""Fleet-wide physical-plan audit.
+
+Every registered query's plan is checked for the two patterns that are
+fatal at 100 TB regardless of how green the sf0.001 results are:
+
+  - CartesianProduct / BroadcastNestedLoopJoin with an UNBOUNDED side —
+    O(n*m) pair evaluation;
+  - per-row Python UDFs (BatchEvalPython) — the row-at-a-time slow path
+    (Arrow-batched mapInPandas/ArrowEvalPython are allowed).
+
+A small whitelist names the queries where a nested-loop join is the
+DOCUMENTED intent against a provably bounded side (broadcast centroid
+sets, 1-row sketch arrays, oracle-only brute-force baselines whose scale
+siblings are the LSH/IVF operators). Each entry carries its
+justification so a new unbounded BNLJ cannot hide behind the list.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from genpipe_spark import registry
+from tests.conftest import SF_SMALL
+
+registry.load_all_query_modules()
+
+# query -> why a nested-loop/cartesian plan is acceptable THERE
+BOUNDED_NLJ_OK = {
+    # brute-force exact baselines: query side is a broadcast <=8-row set;
+    # corpus scans once. The scale path is ann-ivf-topk / similarity-lsh.
+    "ann-cosine-topk": "broadcast <=8 query vectors vs one corpus scan",
+    # centroid assignment: broadcast <=16-row centroid table
+    "ann-ivf-topk": "broadcast <=16 centroids vs one corpus scan",
+    "ann-ivf-kmeans": "broadcast <=16 trained centroids vs one corpus scan",
+    # documented oracle-only all-pairs exact form; scale path is
+    # similarity-lsh-pairs (bucketed equi-join)
+    "dedup-embedding-cosine": "oracle-only brute-force near-dup baseline",
+    # single-row bottom-k sketch arrays crossJoined to attach scalars
+    "sketch-kmv-distinct": "1-row sketch x 1-row exact-count joins",
+    # explicitly the broadcast-range-join VARIANT (small interval side by
+    # contract); the scale form is join-interval's banded equi-join
+    "join-interval-broadcast": "documented broadcast range-join variant",
+}
+
+# queries whose construction runs real side-effects (stream drains, temp
+# fixtures) — their plans are audited by their own dedicated tests
+SKIP = {"stream-sessionize", "stream-sessionize-batch", "pipeline-parse-bulk",
+        "source-filestream", "sink-parquet-partitioned", "scan-text-vcf",
+        "row-sample-parser", "stream-window-agg"}
+
+
+@pytest.mark.parametrize("name", [q for q in registry.QUERIES if q not in SKIP])
+def test_no_unbounded_nested_loop_or_row_python(spark, name):
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in BOUNDED_NLJ_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    # row-at-a-time Python is never acceptable; Arrow batches are
+    assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF"
