@@ -143,6 +143,15 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
         )
+    # the signature table feeds BOTH sides of the band self-join (and,
+    # with verify, the candidate-id semi-join chain). Python stages do
+    # not canonicalize for Spark's exchange reuse, so without a
+    # materialization barrier the signature pass is recomputed once per
+    # branch (10 MapInPandas nodes observed in the un-cut plan). Lazy
+    # localCheckpoint computes it once and rereads — the same
+    # persist-the-sketch step a 100 TB pipeline does explicitly (swap
+    # for checkpoint()/a stage table on a real cluster).
+    sigd = sigd.localCheckpoint(eager=False)
     def band_structs(sig: Column) -> Column:
         return F.array(
             *[
@@ -192,6 +201,11 @@ def minhash_lsh_pairs(
         .select(*pair_cols)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if verify:
+        # candidate pairs fan out into three downstream branches
+        # (id_a leg, id_b leg, final pair join) — cut once; the pair
+        # set is tiny by construction (collisions, not n²)
+        cand = cand.localCheckpoint(eager=False)
     if not verify:
         agree = F.size(
             F.filter(
@@ -259,6 +273,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
     )
+    # the inverted index feeds the self-join (both sides) and the size
+    # table — four derivations of the shingle HOF without a
+    # materialization barrier (exchange reuse does not fire across the
+    # differing branch shapes). Persist-once, reread: the same
+    # materialize-the-index step an at-scale pipeline does explicitly.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         rare = (
@@ -354,6 +374,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: bucket by simhash prefix bands (LSH on
     bit-blocks), compare hamming distance within buckets only."""
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    # one row per doc, feeds both sides of the block self-join — persist
+    # the fingerprint table once instead of running the fold twice
+    sh = sh.localCheckpoint(eager=False)
     # 4 bit-blocks: a pair within hamming<=3 must agree on >=1 block
     blocks = 4
     width = bits // blocks
@@ -465,6 +488,9 @@ def contamination_check(
         F.col(id_col).alias("doc_id"),
         F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
     )
+    # corpus index feeds both the size table and the overlap join —
+    # persist once instead of running the shingle fold twice
+    c_sh = c_sh.localCheckpoint(eager=False)
     b_sh = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),

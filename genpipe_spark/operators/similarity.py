@@ -223,12 +223,18 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= τ).
     Brute-force form — the oracle-checkable semantics; the LSH-bucketed
     variant below is the scale path."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
-    ).select("*", dot(F.col("va"), F.col("va")).alias("sa"))
-    b = df.select(
-        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
-    ).select("*", dot(F.col("vb"), F.col("vb")).alias("sb"))
+    pre = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select("*", dot(F.col("v"), F.col("v")).alias("sq"))
+    # prenormed table feeds both sides of the self-join — persist once
+    # instead of running the self-dot fold twice over the corpus
+    pre = pre.localCheckpoint(eager=False)
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sq").alias("sa")
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sq").alias("sb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
@@ -280,6 +286,9 @@ def lsh_near_dup_pairs(
         F.col("ts.table").alias("table"),
         F.col("ts.sig").alias("sig"),
     )
+    # signature table feeds both sides of the bucket self-join — persist
+    # once instead of evaluating num_tables*num_planes plane dots twice
+    tagged = tagged.localCheckpoint(eager=False)
 
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (

@@ -141,3 +141,47 @@ def stream_vcf_ingest_foreachbatch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich_static(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+) -> DataFrame:
+    """Stream–static enrichment join: each micro-batch joins against a
+    (small) dimension table, broadcast so the stream side never shuffles
+    — the standard lookup-enrichment shape. The dimension is re-read per
+    micro-batch by Structured Streaming, so slowly-changing dims pick up
+    updates without restarting the query. Works identically on a batch
+    frame for oracle checks."""
+    return events_stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_interval_self_join(
+    events: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream–stream self-join: pair each event with the events of the
+    SAME user in the following ``horizon`` (click→conversion attribution
+    shape). Both sides are watermarked and the join carries an explicit
+    event-time interval condition, so Spark bounds the buffered state to
+    watermark + horizon — the at-scale requirement for any stream-stream
+    join (an unconstrained join would buffer both streams forever).
+    Works identically on batch frames for the oracle check."""
+    a = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", watermark)
+    b = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    return a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {horizon}")),
+    ).select(a["user_id"], "event_a", "event_b", "ts_a", "ts_b")

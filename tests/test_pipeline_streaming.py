@@ -442,3 +442,80 @@ def test_stream_foreachbatch_sink(spark, vcf_dir, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == 100
     assert {r["chrom_n"] for r in out.select("chrom_n").distinct().collect()} == {1, 24}
+
+
+def test_stream_enrich_static_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment through a real availableNow
+    stream must equal the same join run in batch, and the batch plan
+    must broadcast the dimension (stream side never shuffles)."""
+    from genpipe_spark.streaming.ingest import stream_enrich_static
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    events = load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    batch = stream_enrich_static(events, dim)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    src = tmp_path / "src"
+    events.coalesce(1).write.parquet(str(src / "b0"))
+    dimdest = tmp_path / "dim"
+    dim.coalesce(1).write.parquet(str(dimdest))
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "b0"))
+    out = stream_enrich_static(stream, spark.read.parquet(str(dimdest)))
+    dest = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    expect = {(r["event_id"], r["segment"]) for r in batch.collect()}
+    assert got == expect
+
+
+def test_stream_interval_self_join_subset_of_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: every pair the stream
+    emits must be a pair the batch form produces, and (availableNow over
+    one batch, generous watermark) it must find most of them."""
+    from genpipe_spark.streaming.ingest import stream_interval_self_join
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    events = load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    batch_pairs = {
+        (r["event_a"], r["event_b"])
+        for r in stream_interval_self_join(events).collect()
+    }
+    assert batch_pairs, "fixture should produce within-horizon pairs"
+
+    src = tmp_path / "src"
+    events.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "b0"))
+    out = stream_interval_self_join(stream, watermark="10 days")
+    dest = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_a"], r["event_b"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert got <= batch_pairs
+    assert len(got) >= 0.9 * len(batch_pairs), (len(got), len(batch_pairs))
