@@ -1,0 +1,83 @@
+"""File-layout clustering for multi-dimension data skipping: Z-order.
+
+Partition directories prune on ONE key hierarchy; parquet row-group
+min/max stats prune on whatever the file happens to be sorted by. When
+queries filter on TWO independent keys (chrom+pos, user+day,
+source+length), a linear sort clusters only the leading key — files span
+the full range of the second key and nothing skips. Interleaving the
+keys' bits (Morton / Z-order) before a range-repartition + sort gives
+every file a small bounding box in BOTH dimensions, so parquet stats
+skip most files for a predicate on either key — the standard lakehouse
+layout trick (Delta/Iceberg `OPTIMIZE ZORDER BY`), here as a plain
+Spark expression, no table format required.
+
+All expression-level: rank-normalize each key to ``bits`` levels using
+min/max bounds (one tiny agg pass), then interleave with
+shiftleft/bitwise-or terms. The write is repartitionByRange(zkey) +
+sortWithinPartitions(zkey) — one shuffle, standard sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    scaled: Sequence[Column],
+    bits: int = 16,
+) -> Column:
+    """Interleave the low ``bits`` bits of already-scaled non-negative
+    integer columns (column i contributes bit b to output position
+    b*len(scaled)+i). 2 cols x 16 bits fills 32 output bits."""
+    n = len(scaled)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def scale_to_levels(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a numeric column into [0, 2**bits) by its [lo, hi] bounds
+    (clamped) — the rank normalization feeding :func:`zorder_key`."""
+    levels = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return F.floor(clamped * levels).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    dest: str,
+    zcols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order key of ``zcols``:
+    bounds from one min/max agg (tiny result, no collect of data rows),
+    then ONE range-shuffle on the interleaved key and a per-file sort so
+    row-group stats are tight in every dimension."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in zcols],
+        *[F.max(c).alias(f"hi_{c}") for c in zcols],
+    ).first()
+    scaled = [
+        scale_to_levels(
+            F.col(c), bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits
+        )
+        for c in zcols
+    ]
+    z = df.withColumn("__z", zorder_key(scaled, bits))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )

@@ -708,3 +708,55 @@ def test_quantize_int8_roundtrip_bounds(spark):
     )
     z = quantize_int8(zero).collect()[0]
     assert z["scale"] == 0.0 and list(z["q"]) == [0, 0, 0, 0] and z["err_max"] == 0.0
+
+
+def test_zorder_layout_tightens_per_file_bounds(spark, tmp_path):
+    """Z-ordered files must have small bounding boxes in BOTH dimensions:
+    the mean normalized (range_x * range_y) per file must beat a plain
+    single-key sort layout by a wide margin on the second key, which is
+    what makes parquet min/max stats skip files for predicates on either
+    column."""
+    import glob
+
+    from genpipe_spark.operators.layout import write_zordered
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+
+    def mean_ranges(path):
+        ro, rp, n = 0.0, 0.0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min("l_orderkey"), F.max("l_orderkey"),
+                F.min("l_partkey"), F.max("l_partkey"),
+            ).first()
+            ro += (r[1] - r[0]) / (hi_o - lo_o)
+            rp += (r[3] - r[2]) / (hi_p - lo_p)
+            n += 1
+        assert n >= 8
+        return ro / n, rp / n
+
+    zdest = str(tmp_path / "zorder")
+    write_zordered(li, zdest, ["l_orderkey", "l_partkey"], num_files=16)
+    linear = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(linear)
+    )
+
+    z_o, z_p = mean_ranges(zdest)
+    lin_o, lin_p = mean_ranges(linear)
+    # linear layout: tight on the sort key (~1/16) but every file spans
+    # ~ALL of partkey -> a partkey predicate reads every file. Z-order
+    # balances: BOTH dims bounded, so stats skip on either predicate.
+    assert lin_p > 0.9  # second dim unbounded under linear sort
+    assert z_p < 0.5 * lin_p, (z_p, lin_p)  # z bounds the second dim
+    assert z_o < 0.6  # first dim still bounded (not unclustered)
+    # and the data survives intact
+    assert spark.read.parquet(zdest).count() == li.count()

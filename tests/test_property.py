@@ -189,3 +189,90 @@ def test_ad_ratio_matches_model(spark, ad, alt):
         return
     expected = str(math.floor(ad[alt] / total * 1000) / 1000)
     assert got == expected, (ad_s, gt)
+
+
+# ------------------------------------------------------- mixing / packing
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"]),
+              st.integers(1, 500)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=docs_strategy, quota=st.integers(1, 6))
+def test_quota_sample_matches_model(spark, rows, quota):
+    """quota_sample == Python model: per group, sort by
+    ((id*506952114) % M31, id), take quota."""
+    from genpipe_spark.operators.mixing import quota_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_chars=n) for i, s, n in rows]
+    )
+    got = {r["doc_id"] for r in quota_sample(df, "source", quota).collect()}
+    expected = set()
+    for grp in {s for _, s, _ in rows}:
+        members = sorted(
+            (i for i, s, _ in rows if s == grp),
+            key=lambda i: ((i * 506952114) % 2147483647, i),
+        )
+        expected |= set(members[:quota])
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=docs_strategy, budget=st.integers(10, 800))
+def test_pack_streaming_matches_model(spark, rows, budget):
+    from genpipe_spark.operators.mixing import pack_streaming
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_chars=n) for i, s, n in rows]
+    )
+    got = {
+        (r["doc_id"], r["pack_id"], r["pack_offset"])
+        for r in pack_streaming(
+            df, "n_chars", budget, pack_group="source"
+        ).collect()
+    }
+    expected = set()
+    for grp in {s for _, s, _ in rows}:
+        run = 0
+        for i, s, n in sorted(rows):
+            if s != grp:
+                continue
+            expected.add((i, run // budget, run - (run // budget) * budget))
+            run += n
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1000),
+            st.lists(
+                st.floats(-100, 100, allow_nan=False, width=32),
+                min_size=1, max_size=8,
+            ),
+        ),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    )
+)
+def test_quantize_int8_matches_model(spark, vecs):
+    import math
+
+    from genpipe_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["scale"], list(r["q"])) for r in quantize_int8(df).collect()}
+    import struct as _s
+    for i, v in vecs:
+        v32 = [_s.unpack("f", _s.pack("f", x))[0] for x in v]  # float32 rounding
+        scale = max(abs(x) for x in v32) / 127.0
+        q = [0 if scale == 0 else int(math.floor(x / scale + 0.5)) for x in v32]
+        assert got[i][0] == scale
+        assert got[i][1] == q
