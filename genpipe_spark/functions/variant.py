@@ -13,6 +13,8 @@ never a Python UDF.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -301,25 +303,42 @@ def sample_parse(raw: DataFrame) -> DataFrame:
     effects(array<struct>), predictions(struct), populations(struct).
 
     Entirely select/explode over column expressions — whole-stage codegen,
-    no Python row loop.
+    no Python row loop. The expression trees are static (fixed input
+    column names), so they are built ONCE per process (_parse_exprs
+    cache): constructing this tree costs ~10k py4j round-trips (~2 s),
+    pure Python-side overhead that would otherwise be paid on every
+    plan construction.
     """
+    staged_cols, alt_col, final_cols = _parse_exprs()
+    staged = raw.select(*staged_cols).withColumn("__alt", alt_col)
+    return staged.select(*final_cols)
+
+
+@lru_cache(maxsize=1)
+def _parse_exprs():
+    """Build sample_parse's static Column trees once per process.
+
+    Column objects are immutable expression handles — safe to reuse
+    across any number of plans within one JVM/gateway (the lifetime of
+    a PySpark process)."""
     fs = format_dispatch(F.col("format"), F.col("sample"))
     rs0 = F.element_at(getter_rs(F.col("id")), 1)
     ann = F.try_element_at(
         F.str_to_map(F.col("info"), F.lit(";"), F.lit("=")), F.lit("ANN")
     )
 
-    staged = raw.select(
-        "chrom",
+    staged_cols = [
+        F.col("chrom"),
         F.col("pos").cast("long").alias("pos"),
-        "ref",
-        "alt",
-        "info",
-        "sample_id",
+        F.col("ref"),
+        F.col("alt"),
+        F.col("info"),
+        F.col("sample_id"),
         fs.alias("__fs"),
         rs0.alias("__rs"),
         ann.alias("__ann"),
-    ).withColumn("__alt", F.explode(alt_decompose(F.col("ref"), F.col("alt"), F.col("__fs.gt"))))
+    ]
+    alt_col = F.explode(alt_decompose(F.col("ref"), F.col("alt"), F.col("__fs.gt")))
 
     from genpipe_spark.operators.hof import bind
 
@@ -342,11 +361,11 @@ def sample_parse(raw: DataFrame) -> DataFrame:
         gated_effects,
     )
 
-    return staged.select(
-        "chrom",
-        "pos",
+    final_cols = [
+        F.col("chrom"),
+        F.col("pos"),
         end_pos(x["alt_allele"], F.col("info"), F.col("pos")).alias("end_pos"),
-        "ref",
+        F.col("ref"),
         x["alt_allele"].alias("alt"),
         ((F.length(x["alt_allele"]) != 1) | (F.length(F.col("ref")) != 1)).alias("indel"),
         F.struct(
@@ -366,7 +385,8 @@ def sample_parse(raw: DataFrame) -> DataFrame:
         F.when(primary, populations_parse(F.col("info")))
         .otherwise(zero_populations())
         .alias("populations"),
-    )
+    ]
+    return staged_cols, alt_col, final_cols
 
 
 def parse_legacy_eff(eff: Column) -> Column:
