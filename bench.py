@@ -44,6 +44,8 @@ HEADLINE = [
     "fn-parse-suite",
     "fn-alt-decompose",
     "pipeline-parse-bulk",
+    "mix-weighted-sources",
+    "quantize-embedding-int8",
 ]
 
 
