@@ -100,6 +100,38 @@ def stream_sessionize(spark, sf):
     return spark.read.parquet(f"{out_dir}/data")
 
 
+@query(
+    "stream-stream-interval-join",
+    """
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_a,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_stream_interval_join(spark, sf):
+    # batch twin of the watermarked stream-stream self-join
+    # (streaming/ingest.py:160): withWatermark is a no-op in batch, so
+    # the SAME operator runs here with identical join semantics and the
+    # oracle checks exact pair-level values. The streaming e2e path
+    # (state bounded by watermark + horizon) is pytest-covered.
+    from genpipe_spark.streaming.ingest import stream_interval_self_join
+
+    pairs = stream_interval_self_join(t(spark, sf, "events"), horizon="10 minutes")
+    return pairs.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        F.date_format("ts_a", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_a"),
+        F.date_format("ts_b", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_b"),
+    )
+
+
 @query("pipeline-parse-bulk")  # rows-only: genomics parse throughput probe
 def pipeline_parse_bulk(spark, sf):
     # the parser stage (scan → sample_parse → quality gate) over a
