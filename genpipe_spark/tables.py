@@ -32,14 +32,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert exactly (integer
-        # DIV — a double roundtrip would lose precision at 2^53).
+        # events.parquet has shipped with two on-disk ts encodings across
+        # driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read nanos as long, convert with
+        # integer DIV since a double roundtrip loses precision at 2^53)
+        # and plain TIMESTAMP (micros, isAdjustedToUTC=false → Spark
+        # TIMESTAMP_NTZ). Normalize both to session-TZ TimestampType
+        # (session TZ is pinned UTC, so NTZ→TZ keeps wall-clock values,
+        # matching the DuckDB oracle's naive timestamps).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
