@@ -1,0 +1,70 @@
+"""Exact grouped quantiles via nearest-rank selection.
+
+The reference's summary-statistics step computes per-cohort depth/quality
+percentiles on the driver after a collect; here the selection is fully
+distributed: one shuffle on the group key, a per-group sort (row_number)
+and a windowed count, then a rank-match filter. Nothing is collected and
+no group ever materializes as an in-memory array, so a skewed 100 TB
+group degrades to a big external sort — not an OOM.
+
+Determinism: nearest-rank picks an ACTUAL data value at integer rank
+ceil(pct*n/100), computed as (pct*n + 99) DIV 100 in pure integer
+arithmetic — no float interpolation, so a DuckDB oracle reproduces it
+bit-for-bit (unlike percentile_cont, whose (1-f)*a+f*b interpolation
+order is engine-internal).
+
+For the 100 TB *approximate* path Spark's built-in
+``percentile_approx`` (GK-sketch, single aggregation, mergeable) is the
+right tool; it is exposed here as ``approx=True`` and registers only as
+a rows-only check (sketch outputs are not oracle-reproducible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    pcts: Sequence[int] = (50, 90, 99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group percentiles of ``value_col``.
+
+    Output: one row per (group, pct): ``*by, pct, q`` where ``q`` is the
+    nearest-rank element (exact mode) or the GK-sketch estimate (approx).
+    Ties inside equal values are irrelevant — equal values at the picked
+    rank yield the same ``q`` whatever the sort put first.
+    """
+    if approx:
+        ps = [p / 100.0 for p in pcts]
+        agg = df.groupBy(*by).agg(
+            F.percentile_approx(value_col, ps, 10000).alias("qs")
+        )
+        pairs = F.arrays_zip(
+            F.array(*[F.lit(int(p)) for p in pcts]).alias("pct"),
+            F.col("qs").alias("q"),
+        )
+        ex = agg.select(*by, F.explode(pairs).alias("e"))
+        return ex.select(*by, F.col("e.pct").alias("pct"), F.col("e.q").alias("q"))
+
+    w_sort = Window.partitionBy(*by).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(*by)
+    ranked = df.select(
+        *by,
+        F.col(value_col).alias("q"),
+        F.row_number().over(w_sort).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    pct_arr = F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+    ex = ranked.select(
+        *by, "q", "__rn", "__n", F.explode(pct_arr).alias("pct")
+    )
+    # nearest-rank = ceil(pct*n/100) in integer math: (pct*n + 99) DIV 100
+    target = F.expr("(pct * __n + 99) DIV 100")
+    return ex.where(F.col("__rn") == target).select(*by, "pct", "q")
