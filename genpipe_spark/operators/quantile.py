@@ -41,18 +41,24 @@ def group_quantiles(
     Ties inside equal values are irrelevant — equal values at the picked
     rank yield the same ``q`` whatever the sort put first.
     """
+    bad = [p for p in pcts if not 1 <= int(p) <= 100]
+    if bad:
+        raise ValueError(f"pcts must be in [1, 100], got {bad}")
     if approx:
         ps = [p / 100.0 for p in pcts]
         agg = df.groupBy(*by).agg(
             F.percentile_approx(value_col, ps, 10000).alias("qs")
         )
         pairs = F.arrays_zip(
-            F.array(*[F.lit(int(p)) for p in pcts]).alias("pct"),
+            F.array(*[F.lit(int(p)).cast("long") for p in pcts]).alias("pct"),
             F.col("qs").alias("q"),
         )
         ex = agg.select(*by, F.explode(pairs).alias("e"))
         return ex.select(*by, F.col("e.pct").alias("pct"), F.col("e.q").alias("q"))
 
+    # NULL values are excluded so exact n matches percentile_approx and
+    # DuckDB quantile_disc, both of which ignore NULLs.
+    df = df.where(F.col(value_col).isNotNull())
     w_sort = Window.partitionBy(*by).orderBy(F.col(value_col))
     w_all = Window.partitionBy(*by)
     ranked = df.select(

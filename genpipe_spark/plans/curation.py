@@ -45,17 +45,20 @@ def build_curation_pipeline() -> Pipeline:
     def dedup_exact_stage(spark, ctx):
         gated = ctx.tables["quality_gated"]
         keep = exact_dedup(gated).select("keep_id")
-        return gated.join(
-            F.broadcast(keep), gated["doc_id"] == keep["keep_id"], "left_semi"
-        )
+        # keep is O(corpus) — one row per unique document — so it must
+        # shuffle, never broadcast; AQE still broadcasts when genuinely
+        # small at runtime.
+        return gated.join(keep, gated["doc_id"] == keep["keep_id"], "left_semi")
 
     @p.stage("dedup_near", output="near_unique", partition_by=("source",))
     def dedup_near_stage(spark, ctx):
         uniq = ctx.tables["exact_unique"]
         pairs = minhash_lsh_pairs(uniq, threshold=0.5)
         # survivor selection: drop the higher id of each near-dup pair
+        # losers can be a large fraction of the corpus (dedup exists
+        # because duplicates are plentiful) — shuffle anti-join, no hint.
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        return uniq.join(F.broadcast(losers), "doc_id", "left_anti")
+        return uniq.join(losers, "doc_id", "left_anti")
 
     @p.stage("featurize", output="curated", partition_by=("source",))
     def featurize(spark, ctx):

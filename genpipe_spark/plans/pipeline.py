@@ -204,8 +204,11 @@ def build_genomics_pipeline() -> Pipeline:
             "alt",
             F.col("umd").alias("u_umd"),
         )
+        # UMD is a bounded curated annotation DB in the genomics domain,
+        # but the generalized stage must not hard-force a broadcast —
+        # AQE broadcasts it when it is in fact small.
         joined = exploded.join(
-            F.broadcast(umd_side),
+            umd_side,
             (exploded["chrom"] == umd_side["u_chrom"])
             & (exploded["pos"] == umd_side["pos"])
             & (exploded["ref"] == umd_side["ref"])

@@ -7,10 +7,12 @@ Shape (mirrors GenomicsLoader stages parser→sampleGroup→variants):
     → left multi-key join onto the annotation side (orders ⋈ customer)
     → computed allele-frequency-shaped column.
 
-Exercises: scan-parquet, filter-quality, join-inner-equi (broadcast dim),
+Exercises: scan-parquet, filter-quality, join-inner-equi,
 agg-group-collect, join-left-multikey, and a higher-order computed column
 — one whole-stage-codegen plan with a single shuffle for the group-by and
-one for the (orderkey) join; the customer dim is broadcast.
+one for the (orderkey) join; the customer side is left to AQE, which
+broadcasts it when under threshold and shuffles it at scale (customer
+grows with SF, so a forced hint would OOM at 100 TB).
 """
 
 from __future__ import annotations
@@ -64,9 +66,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
-    annotated = orders.join(
-        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
-    )
+    # customer grows with scale factor (~15 M rows at sf100): no forced
+    # broadcast — AQE auto-broadcasts under its size threshold and falls
+    # back to shuffle join when the side is genuinely large.
+    annotated = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
     docs = annotated.join(
         samples, samples["l_orderkey"] == annotated["o_orderkey"], "left"
     )

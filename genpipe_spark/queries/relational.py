@@ -138,12 +138,12 @@ def project_select_rename(spark, sf):
     """,
 )
 def join_inner_equi(spark, sf):
-    # dimension side broadcast — the fact side never shuffles
+    # customer grows with SF — no forced broadcast hint; AQE broadcasts
+    # it at runtime whenever it is under the size threshold
     return R.join_inner(
         t(spark, sf, "orders"),
         t(spark, sf, "customer"),
         on=F.col("o_custkey") == F.col("c_custkey"),
-        broadcast_right=True,
     ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
 
 
@@ -492,12 +492,13 @@ def tpch_q1_rollup(spark, sf):
     """,
 )
 def tpch_q3(spark, sf):
-    # TPC-H Q3 shape: broadcast dim filter, fact join, agg, top-k
+    # TPC-H Q3 shape: dim filter, fact join, agg, top-k. customer grows
+    # with SF — no forced broadcast; AQE decides from runtime sizes.
     cust = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
     li = t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         (
@@ -518,3 +519,33 @@ def tpch_q3(spark, sf):
     )
 
 
+
+
+@query(
+    "quantile-group-exact",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity AS q,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    )
+    SELECT l_returnflag, p.pct, q
+    FROM ranked CROSS JOIN (VALUES (CAST(25 AS BIGINT)), (50), (75), (99)) AS p(pct)
+    WHERE rn = (p.pct * n + 99) // 100
+    """,
+)
+def quantile_group_exact(spark, sf):
+    """Exact grouped percentiles via distributed nearest-rank selection
+    (operators/quantile.py) — the fully-distributed re-expression of the
+    reference's driver-side summary statistics. Nearest-rank picks an
+    actual data value at integer rank ceil(pct*n/100), so the DuckDB
+    window-function oracle reproduces it bit-for-bit."""
+    from genpipe_spark.operators.quantile import group_quantiles
+
+    return group_quantiles(
+        t(spark, sf, "lineitem"),
+        value_col="l_quantity",
+        by=["l_returnflag"],
+        pcts=(25, 50, 75, 99),
+    )

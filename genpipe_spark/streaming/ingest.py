@@ -147,14 +147,20 @@ def stream_enrich_static(
     events_stream: DataFrame,
     dim: DataFrame,
     on: str = "user_id",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream–static enrichment join: each micro-batch joins against a
-    (small) dimension table, broadcast so the stream side never shuffles
-    — the standard lookup-enrichment shape. The dimension is re-read per
-    micro-batch by Structured Streaming, so slowly-changing dims pick up
-    updates without restarting the query. Works identically on a batch
-    frame for oracle checks."""
-    return events_stream.join(F.broadcast(dim), on, "left")
+    dimension table — the standard lookup-enrichment shape. The
+    dimension is re-read per micro-batch by Structured Streaming, so
+    slowly-changing dims pick up updates without restarting the query.
+    Works identically on a batch frame for oracle checks.
+
+    ``broadcast_dim`` (default True) forces the broadcast so the stream
+    side never shuffles — correct for bounded lookup dims. Pass False
+    for an SF-growing dim: the per-batch join then shuffles both sides
+    (or AQE broadcasts when the dim turns out small)."""
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
+    return events_stream.join(dim_side, on, "left")
 
 
 def stream_interval_self_join(

@@ -760,3 +760,44 @@ def test_zorder_layout_tightens_per_file_bounds(spark, tmp_path):
     assert z_o < 0.6  # first dim still bounded (not unclustered)
     # and the data survives intact
     assert spark.read.parquet(zdest).count() == li.count()
+
+
+# ------------------------------------------------------------ quantiles
+
+def test_group_quantiles_ignores_nulls_and_matches_approx_semantics(spark):
+    """ADVICE r3: NULLs must not count toward n (they shifted ranks and
+    could surface NULL at low percentiles); exact mode must agree with
+    percentile_approx / DuckDB quantile_disc NULL handling."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.quantile import group_quantiles
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 2, 3, 4, None, None]]
+    )
+    exact = {r["pct"]: r["q"] for r in group_quantiles(df, "v", ["g"], (50,)).collect()}
+    assert exact == {50: 2}  # ceil(0.5*4) = rank 2 of the 4 non-null values
+
+    approx = {
+        r["pct"]: r["q"]
+        for r in group_quantiles(df, "v", ["g"], (50,), approx=True).collect()
+    }
+    assert approx == {50: 2}
+
+
+def test_group_quantiles_schema_consistent_and_validates_pcts(spark):
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.quantile import group_quantiles
+
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(1, 11)])
+    exact = group_quantiles(df, "v", ["g"], (1, 100))
+    approx = group_quantiles(df, "v", ["g"], (1, 100), approx=True)
+    assert exact.schema["pct"].dataType == approx.schema["pct"].dataType
+    # pct=1 maps to rank ceil(n/100) >= 1 -> the min; pct=100 -> the max
+    got = {r["pct"]: r["q"] for r in exact.collect()}
+    assert got == {1: 1, 100: 10}
+
+    for bad in [(0,), (101,), (50, 0)]:
+        with pytest.raises(ValueError):
+            group_quantiles(df, "v", ["g"], bad)

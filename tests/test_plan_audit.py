@@ -49,6 +49,21 @@ SKIP = {"stream-sessionize", "stream-sessionize-batch", "pipeline-parse-bulk",
         "row-sample-parser", "stream-window-agg"}
 
 
+# query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
+# hint bypasses AQE's runtime size check, so it is only allowed when the
+# broadcast side is bounded by CONSTRUCTION (a constant, not a function
+# of the scale factor). Everything else must leave the decision to AQE.
+BOUNDED_BROADCAST_OK = {
+    "ann-cosine-topk": "broadcast side is the <=8-row query-vector set",
+    "ann-ivf-topk": "broadcast side is the <=16-row centroid table",
+    "ann-ivf-kmeans": "broadcast side is the <=16-row centroid table",
+    "sketch-kmv-distinct": "1-row sketch arrays crossJoined to attach scalars",
+    "join-interval-broadcast": "documented broadcast range-join variant; "
+    "scale form is join-interval's banded equi-join",
+    "dedup-embedding-cosine": "oracle-only brute-force baseline (documented)",
+}
+
+
 @pytest.mark.parametrize("name", [q for q in registry.QUERIES if q not in SKIP])
 def test_no_unbounded_nested_loop_or_row_python(spark, name):
     df = registry.QUERIES[name](spark, SF_SMALL)
@@ -58,3 +73,11 @@ def test_no_unbounded_nested_loop_or_row_python(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
     # row-at-a-time Python is never acceptable; Arrow batches are
     assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF"
+    # forced broadcast of an SF-growing side OOMs at 100 TB (VERDICT r3);
+    # the analyzed plan surfaces every user hint as ResolvedHint
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if name not in BOUNDED_BROADCAST_OK:
+        assert "ResolvedHint" not in analyzed, (
+            f"{name}: forced join hint on a side not whitelisted as "
+            f"bounded-by-construction — let AQE decide instead"
+        )
