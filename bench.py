@@ -63,15 +63,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so we measure steady-state
     materialize(registry.QUERIES["join-inner-equi"](spark, SF_DIR))
 
-    # min of two warm runs per query: robust against noisy-neighbor
-    # interference on shared hosts (observed up to 2x variance)
+    # min of three warm runs per query: this host shows up to 7x
+    # run-to-run variance on individual queries (r4 profiling: identical
+    # code timed text-metrics at 6.2 s and 0.86 s in back-to-back suite
+    # runs), and the first materialization of each distinct plan carries
+    # one-time codegen-compile + parquet-footer costs; min-of-3 converges
+    # to steady state where min-of-2 still caught those constants.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - start)

@@ -29,6 +29,26 @@ TABLE_NAMES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, memoized per (session, sf_dir, name).
+
+    ``spark.read.parquet`` does file listing + footer/schema reads on the
+    driver at plan time (~0.1-0.3 s per call here); queries that touch
+    three tables paid that threefold on every plan construction. The
+    testdata tables are immutable for a session's lifetime, and a cached
+    DataFrame is just a reusable logical plan, so memoizing is safe. The
+    cache hangs off the SparkSession object to die with the session."""
+    cache: dict[tuple[str, str], DataFrame] | None
+    cache = getattr(spark, "_genpipe_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._genpipe_table_cache = cache  # type: ignore[attr-defined]
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = _load(spark, sf_dir, name)
+    return cache[key]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
