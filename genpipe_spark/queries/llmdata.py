@@ -183,9 +183,7 @@ def dedup_embedding_cosine(spark, sf):
 
 # ------------------------------------------------------------ similarity
 
-@query(
-    "ann-cosine-topk",
-    f"""
+_ANN_BRUTE_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
     pairs AS (
@@ -197,16 +195,9 @@ def dedup_embedding_cosine(spark, sf):
                                    ORDER BY cos DESC, neighbor_id) AS rank
       FROM pairs)
     WHERE rank <= 5
-    """,
-)
-def ann_cosine_topk(spark, sf):
-    emb = t(spark, sf, "embeddings")
-    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    """
 
-
-@query(
-    "ann-ivf-topk",
-    f"""
+_ANN_IVF_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
     scored_all AS (
@@ -229,8 +220,16 @@ def ann_cosine_topk(spark, sf):
                                    ORDER BY cos DESC, neighbor_id) AS rank
       FROM pairs)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ann-cosine-topk", _ANN_BRUTE_SQL)
+def ann_cosine_topk(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@query("ann-ivf-topk", _ANN_IVF_SQL)
 def ann_ivf_topk(spark, sf):
     # IVF is approximate vs brute force but fully DETERMINISTIC (centroids
     # = first 8 by vec_id, nearest-centroid assignment, probe own cell) —
@@ -239,6 +238,28 @@ def ann_ivf_topk(spark, sf):
     # ranking reproducible. Recall vs brute force is separately pytest-ed.
     emb = t(spark, sf, "embeddings")
     return S.ivf_topk(emb, emb.where(F.col("vec_id") < 8), num_centroids=8, k=5)
+
+
+@query(
+    "ann-topk-suite",
+    f"""
+    SELECT 'brute' AS method, * FROM ({_ANN_BRUTE_SQL})
+    UNION ALL
+    SELECT 'ivf' AS method, * FROM ({_ANN_IVF_SQL})
+    """,
+)
+def ann_topk_suite(spark, sf):
+    """Tagged union of the two ANN forms (same trick as join-semi-anti)
+    so BOTH ride one driver-window slot: 'brute' = exact cosine top-k
+    (oracle baseline, broadcast <=8-row query side), 'ivf' = seeded
+    inverted-file probe (the scale path: centroid equi-join, corpus
+    never moves). The individual entries stay registered for pytest and
+    the bench."""
+    brute = ann_cosine_topk(spark, sf)
+    ivf = ann_ivf_topk(spark, sf)
+    return brute.select(F.lit("brute").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
 
 
 @query("ann-ivf-kmeans")  # rows-only: float-mean centroids are not
@@ -806,6 +827,34 @@ def pack_sequences(spark, sf):
     return pack_streaming(
         d, "n_chars", 4096, order_col="doc_id", pack_group="lang"
     ).select("doc_id", "lang", "pack_id", "pack_offset")
+
+
+@query(
+    "mix-suite",
+    f"""
+    SELECT 'quota' AS part, doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_MIX_HASH}, doc_id) AS rn
+      FROM documents) WHERE rn <= 30
+    UNION ALL
+    SELECT 'weighted' AS part, doc_id, source FROM documents
+    WHERE ({_MIX_HASH}) % 10000 <
+          CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+               ELSE 1.0 END * 10000 AS BIGINT)
+    """,
+)
+def mix_suite(spark, sf):
+    """Tagged union of the two same-schema mixing forms so both ride one
+    driver-window slot: 'quota' = per-source cap (window top-N by
+    deterministic hash), 'weighted' = per-source sampling rates
+    (shuffle-free filter). pack-sequences has its own entry (different
+    schema). The individual entries stay registered for pytest/bench."""
+    quota = mix_quota_source(spark, sf)
+    weighted = mix_weighted_sources(spark, sf)
+    return quota.select(F.lit("quota").alias("part"), "*").unionByName(
+        weighted.select(F.lit("weighted").alias("part"), "*")
+    )
 
 
 @query(

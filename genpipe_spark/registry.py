@@ -72,8 +72,7 @@ CURATED_ORDER: list[str] = [
     "sort-within-partitions",
     "topk",
     "window-rank-first-running-sum",
-    "tpch-q1-rollup",
-    "tpch-q3",
+    "stream-stream-interval-join",
     "agg-salted-group",
     "fn-parse-suite",
     "fn-alt-decompose",
@@ -92,9 +91,10 @@ CURATED_ORDER: list[str] = [
     "dedup-minhash-lsh",
     "dedup-simhash",
     "dedup-contamination",
-    "dedup-embedding-cosine",
-    "ann-cosine-topk",
-    "ann-ivf-topk",
+    "ann-topk-suite",
+    "mix-suite",
+    "pack-sequences",
+    "sketch-kmv-distinct",
     "similarity-lsh-pairs",
     "text-metrics",
     "text-chunk",

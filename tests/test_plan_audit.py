@@ -40,6 +40,8 @@ BOUNDED_NLJ_OK = {
     # explicitly the broadcast-range-join VARIANT (small interval side by
     # contract); the scale form is join-interval's banded equi-join
     "join-interval-broadcast": "documented broadcast range-join variant",
+    # tagged union of the two ANN forms above — same bounded sides
+    "ann-topk-suite": "union of ann-cosine-topk + ann-ivf-topk",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -61,6 +63,7 @@ BOUNDED_BROADCAST_OK = {
     "join-interval-broadcast": "documented broadcast range-join variant; "
     "scale form is join-interval's banded equi-join",
     "dedup-embedding-cosine": "oracle-only brute-force baseline (documented)",
+    "ann-topk-suite": "union of ann-cosine-topk + ann-ivf-topk",
 }
 
 
