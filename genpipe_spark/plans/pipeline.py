@@ -46,6 +46,11 @@ class Stage:
     fn: Callable[[SparkSession, PipelineContext], DataFrame | None]
     output: str | None = None  # stage table name; None = side-effect only
     partition_by: tuple[str, ...] = ()
+    # Z-order the output files on these columns instead of directory
+    # partitioning (operators/layout.write_zordered): multi-dimension
+    # row-group skipping for stage tables queried on two independent
+    # keys. Mutually exclusive with partition_by.
+    zorder_by: tuple[str, ...] = ()
 
 
 class Pipeline:
@@ -61,9 +66,16 @@ class Pipeline:
         name: str,
         output: str | None = None,
         partition_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
     ):
+        if partition_by and zorder_by:
+            raise ValueError(
+                f"stage {name!r}: partition_by and zorder_by are mutually "
+                "exclusive layouts"
+            )
+
         def deco(fn):
-            self._stages[name] = Stage(name, fn, output, partition_by)
+            self._stages[name] = Stage(name, fn, output, partition_by, zorder_by)
             self._order.append(name)
             return fn
 
@@ -92,6 +104,10 @@ class Pipeline:
                     write_parquet_partitioned(
                         out, ctx.path(st.output), st.partition_by
                     )
+                elif st.zorder_by:
+                    from genpipe_spark.operators.layout import write_zordered
+
+                    write_zordered(out, ctx.path(st.output), st.zorder_by)
                 else:
                     out.write.mode("overwrite").parquet(ctx.path(st.output))
                 # re-read so downstream stages see the materialized table

@@ -762,6 +762,70 @@ def test_zorder_layout_tightens_per_file_bounds(spark, tmp_path):
     assert spark.read.parquet(zdest).count() == li.count()
 
 
+def test_zorder_skips_row_groups_end_to_end(spark, tmp_path):
+    """The point of the layout, measured at the scan: under a predicate
+    on the SECOND z-dimension, the FileSourceScan over the z-ordered
+    table must output far fewer rows than the single-key-sorted layout
+    (parquet row-group min/max stats pruned on read — the reference's
+    band-pruning intent, steps/intersectSwap.scala:108, as file layout).
+    Probed at sf0.01: z scan 15.6k rows vs linear 60k (no skipping)."""
+    from genpipe_spark.operators.layout import write_zordered
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    total = li.count()
+    zdest, lindest = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(li, zdest, ["l_orderkey", "l_partkey"], num_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lindest)
+    )
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    width = max(1, (hi - lo) // 8)
+
+    def scan_output_rows(path):
+        q = spark.read.parquet(path).where(
+            (F.col("l_partkey") >= lo) & (F.col("l_partkey") < lo + width)
+        )
+        q.collect()
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        assert leaves.size() == 1
+        scan = leaves.apply(0)
+        assert "FileSourceScan" in scan.getClass().getSimpleName()
+        return scan.metrics().apply("numOutputRows").value()
+
+    z_rows, lin_rows = scan_output_rows(zdest), scan_output_rows(lindest)
+    # linear-by-orderkey files all span the full partkey range: nothing
+    # skips, the scan emits every row and the filter does all the work
+    assert lin_rows == total
+    # z-ordered files have tight partkey bounds: most row groups skip
+    assert z_rows <= 0.5 * lin_rows, (z_rows, lin_rows)
+
+
+def test_pipeline_stage_zorder_layout(spark, tmp_path):
+    """zorder_by on a pipeline stage routes the materialization through
+    write_zordered; partition_by and zorder_by are mutually exclusive."""
+    from genpipe_spark.plans.pipeline import Pipeline, PipelineContext
+
+    p = Pipeline()
+
+    @p.stage("cluster", output="clustered", zorder_by=("l_orderkey", "l_partkey"))
+    def cluster(spark_, ctx):
+        return spark_.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+
+    ctx = p.run(spark, PipelineContext(dest=str(tmp_path)))
+    out = ctx.tables["clustered"]
+    assert out.count() == spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        p2 = Pipeline()
+        p2.stage("bad", output="x", partition_by=("a",), zorder_by=("b",))
+
+
 # ------------------------------------------------------------ quantiles
 
 def test_group_quantiles_ignores_nulls_and_matches_approx_semantics(spark):
@@ -801,3 +865,92 @@ def test_group_quantiles_schema_consistent_and_validates_pcts(spark):
     for bad in [(0,), (101,), (50, 0)]:
         with pytest.raises(ValueError):
             group_quantiles(df, "v", ["g"], bad)
+
+
+# ------------------------------------------------- AQE skew-join (interval)
+
+def test_interval_join_aqe_splits_hot_bin(spark):
+    """Proof of the docstring claim (operators/interval.py): the banded
+    equi-join's pile-up bins are handled by AQE's skew-join split — the
+    capability the reference's fixed BinPartitioner lacked. A fixture
+    with one pathologically hot bin must (a) plan the final join as
+    SortMergeJoin(skew=true), (b) split the hot shuffle partition into
+    multiple PartialReducerPartitionSpec reads, (c) with within-2x size
+    balance across the splits, and (d) still produce exactly the rows
+    the broadcast range-join form produces."""
+    from genpipe_spark.operators.interval import interval_join
+
+    W = 10_000
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        # scale AQE's skew thresholds down to fixture size (defaults are
+        # 256MB-class); factor 2 = "hot if 2x median", same shape as prod
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # 200k points pile into bin 0; 2k spread over bins 1..100
+        pts = spark.range(200_000).select((F.col("id") % W).alias("p")).unionAll(
+            spark.range(2_000).select((W + (F.col("id") * 487) % (100 * W)).alias("p"))
+        )
+        ivs = spark.createDataFrame(
+            [(i * W // 8, (i + 1) * W // 8, f"iv{i}") for i in range(8)]
+            + [(W * 3, W * 50, "wide")],
+            "lo long, hi long, iv string",
+        )
+        out = interval_join(pts, ivs, "p", "lo", "hi", band_width=W)
+        n_rows = out.count()
+
+        got = interval_join(pts, ivs, "p", "lo", "hi", band_width=W)
+        got.collect()
+        plan = got._jdf.queryExecution().executedPlan()
+        s = plan.toString()
+        assert "isFinalPlan=true" in s
+        assert "SortMergeJoin(skew=true)" in s, s[:800]
+        assert "AQEShuffleRead coalesced and skewed" in s
+
+        # walk the final adaptive plan (QueryStageExec wraps its subtree
+        # in .plan(), not .children()) to the skewed shuffle read
+        def walk(node, acc):
+            acc.append(node)
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), acc)
+            if "QueryStageExec" in node.getClass().getSimpleName():
+                walk(node.plan(), acc)
+            return acc
+
+        split_sizes = []
+        for nd in walk(plan.executedPlan(), []):
+            if nd.getClass().getSimpleName() != "AQEShuffleReadExec":
+                continue
+            specs = nd.partitionSpecs()
+            for i in range(specs.size()):
+                sp = specs.apply(i)
+                if sp.getClass().getSimpleName() == "PartialReducerPartitionSpec":
+                    split_sizes.append(sp.dataSize())
+        assert len(split_sizes) >= 2, "hot bin was not split"
+        assert max(split_sizes) <= 2 * min(split_sizes), split_sizes
+
+        # semantics unchanged: same row count as the broadcast range-join
+        oracle_n = interval_join(
+            pts, ivs, "p", "lo", "hi", broadcast_intervals=True
+        ).count()
+        assert n_rows == oracle_n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
