@@ -79,6 +79,131 @@ def write_es_shaped(
     df.write.mode("overwrite").json(f"{dest}/{index}-{version}")
 
 
+def es_mapping_for(schema) -> dict:
+    """Derive the ES index mapping DDL from a DataFrame schema
+    (ddl-index-mapping): the generalized form of the reference's
+    hand-written nested mapping (Elastic/Data.scala:34-93) — structs
+    become object ``properties``, arrays of structs become ``nested``
+    (the reference's effects/samples shape), scalars map to
+    keyword/long/double/boolean/date."""
+    from pyspark.sql import types as T
+
+    def field_type(dt):
+        if isinstance(dt, T.StructType):
+            return {"properties": {f.name: field_type(f.dataType) for f in dt.fields}}
+        if isinstance(dt, T.ArrayType):
+            inner = field_type(dt.elementType)
+            if isinstance(dt.elementType, T.StructType):
+                return {"type": "nested", **inner}
+            return inner
+        if isinstance(dt, T.MapType):
+            return {"type": "object"}
+        if isinstance(dt, T.StringType):
+            return {"type": "keyword"}
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return {"type": "long"}
+        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return {"type": "double"}
+        if isinstance(dt, T.BooleanType):
+            return {"type": "boolean"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return {"type": "date"}
+        return {"type": "keyword"}
+
+    return {"properties": {f.name: field_type(f.dataType) for f in schema.fields}}
+
+
+def es_create_index(
+    nodes: str,
+    index: str,
+    mappings: dict | None = None,
+    settings: dict | None = None,
+    timeout_s: float = 10.0,
+) -> dict:
+    """Index DDL over HTTP (deleteIndex/createIndex pipeline steps,
+    GenomicsLoader.scala:204-207): PUT the settings + mapping. Driver-side
+    and O(1) — only the DDL travels, never data."""
+    import json
+    import urllib.request
+
+    body: dict = {
+        "settings": settings
+        or {k: v for k, v in ES_INDEX_SETTINGS.items() if not k.startswith("_")}
+    }
+    if mappings is not None:
+        body["mappings"] = mappings
+    req = urllib.request.Request(
+        f"http://{nodes}/{index}",
+        data=json.dumps(body).encode(),
+        method="PUT",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as r:
+        return json.loads(r.read() or b"{}")
+
+
+def es_delete_index(nodes: str, index: str, timeout_s: float = 10.0) -> None:
+    """DELETE the index, ignoring 404 (deleteIndex step semantics)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(f"http://{nodes}/{index}", method="DELETE")
+    try:
+        urllib.request.urlopen(req, timeout=timeout_s)
+    except urllib.error.HTTPError as e:
+        if e.code != 404:
+            raise
+
+
+def write_es_bulk_http(
+    df: DataFrame,
+    nodes: str,
+    index: str,
+    id_col: str | None = None,
+    batch_docs: int = 500,
+) -> None:
+    """Distributed ES bulk indexing over plain HTTP (sink-elasticsearch,
+    ``saveToEs`` at GenomicsLoader.scala:208-213) without the es-hadoop
+    jar: ``foreachPartition`` posts NDJSON ``_bulk`` batches from EACH
+    executor directly — the same shape es-hadoop uses, so there is no
+    driver bottleneck and memory is bounded by ``batch_docs`` per
+    in-flight batch. Bulk-item errors raise (fail the task → Spark
+    retries the partition), making delivery at-least-once; pass
+    ``id_col`` to make replays idempotent upserts by document id."""
+
+    def send_partition(rows) -> None:
+        import json
+        import urllib.request
+
+        buf: list[str] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            req = urllib.request.Request(
+                f"http://{nodes}/_bulk",
+                data="".join(buf).encode(),
+                headers={"Content-Type": "application/x-ndjson"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                resp = json.loads(r.read() or b"{}")
+            if resp.get("errors"):
+                raise RuntimeError(f"_bulk reported item errors: {resp}")
+            buf.clear()
+
+        for row in rows:
+            doc = row.asDict(recursive=True)
+            action: dict = {"index": {"_index": index}}
+            if id_col is not None:
+                action["index"]["_id"] = str(doc[id_col])
+            buf.append(json.dumps(action) + "\n" + json.dumps(doc, default=str) + "\n")
+            if len(buf) >= batch_docs:
+                flush()
+        flush()
+
+    df.foreachPartition(send_partition)
+
+
 def write_table(df: DataFrame, table: str, overwrite: bool = True) -> None:
     """Metastore table sink (sink-hive-table, steps/toElastic.scala:12):
     saveAsTable against the session catalog (Hive metastore in prod,

@@ -519,3 +519,113 @@ def test_stream_interval_self_join_subset_of_batch(spark, tmp_path):
     }
     assert got <= batch_pairs
     assert len(got) >= 0.9 * len(batch_pairs), (len(got), len(batch_pairs))
+
+
+def test_es_adapter_http_roundtrip(spark):
+    """The ES sink interface demonstrated against a live (mock) HTTP bulk
+    endpoint: index DDL (PUT settings + schema-derived nested mapping,
+    Elastic/Data.scala:34-93 intent) then distributed _bulk indexing from
+    executors (GenomicsLoader.scala:208-213). The stub records every
+    request; the docs must round-trip exactly and array-of-struct
+    columns must map as type=nested."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import (
+        es_create_index,
+        es_delete_index,
+        es_mapping_for,
+        write_es_bulk_http,
+    )
+
+    received = {"puts": [], "bulks": [], "deletes": []}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def _reply(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_PUT(self):
+            with lock:
+                received["puts"].append((self.path, json.loads(self._body())))
+            self._reply({"acknowledged": True})
+
+        def do_DELETE(self):
+            with lock:
+                received["deletes"].append(self.path)
+            self._reply({}, code=404)  # index didn't exist: must be tolerated
+
+        def do_POST(self):
+            body = self._body().decode()
+            with lock:
+                received["bulks"].append((self.path, body))
+            n_items = sum(1 for ln in body.splitlines() if '"index"' in ln)
+            self._reply({"errors": False, "items": [{} for _ in range(n_items)]})
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    nodes = f"127.0.0.1:{srv.server_address[1]}"
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(
+                    variant_id=i,
+                    chrom=f"chr{1 + i % 2}",
+                    effects=[
+                        Row(gene=f"g{i}", impact="HIGH"),
+                        Row(gene=f"g{i + 1}", impact="LOW"),
+                    ],
+                    freq=float(i) / 10,
+                )
+                for i in range(7)
+            ]
+        ).repartition(3)
+
+        es_delete_index(nodes, "variants")  # 404 must not raise
+        mapping = es_mapping_for(df.schema)
+        es_create_index(nodes, "variants", mappings=mapping)
+        write_es_bulk_http(df, nodes, "variants", id_col="variant_id", batch_docs=2)
+
+        assert received["deletes"] == ["/variants"]
+        (path, ddl), = received["puts"]
+        assert path == "/variants"
+        assert ddl["settings"]["number_of_shards"] == 8
+        assert ddl["mappings"]["properties"]["effects"]["type"] == "nested"
+        assert ddl["mappings"]["properties"]["effects"]["properties"]["gene"] == {
+            "type": "keyword"
+        }
+        assert ddl["mappings"]["properties"]["freq"] == {"type": "double"}
+
+        # parse back every bulk NDJSON action/doc pair
+        docs = {}
+        for path, body in received["bulks"]:
+            assert path == "/_bulk"
+            lines = body.splitlines()
+            for action_ln, doc_ln in zip(lines[0::2], lines[1::2]):
+                action = json.loads(action_ln)["index"]
+                assert action["_index"] == "variants"
+                docs[action["_id"]] = json.loads(doc_ln)
+        assert len(docs) == 7
+        # batch_docs=2 with 7 docs over 3 partitions -> multiple batches
+        assert len(received["bulks"]) >= 3
+        src = {str(r["variant_id"]): r.asDict(recursive=True) for r in df.collect()}
+        assert docs == src
+    finally:
+        srv.shutdown()
+        srv.server_close()
