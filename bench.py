@@ -46,6 +46,9 @@ HEADLINE = [
     "pipeline-parse-bulk",
     "mix-weighted-sources",
     "quantize-embedding-int8",
+    "quantile-group-exact",
+    "text-bm25",
+    "stream-stream-interval-join",
 ]
 
 

@@ -6,7 +6,7 @@ Python row loops, so they hold up on a 100 TB documents table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the heuristic language-ID
@@ -183,4 +183,76 @@ def bm25_scores(
     )
     return per_term.groupBy("doc_id").agg(
         (F.floor(F.sum("s") * 10000) / 10000.0).alias("score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-query BM25 retrieval: top-k documents per row of a query
+    TABLE — the search-engine shape of :func:`bm25_scores` (which takes
+    one fixed term list).
+
+    Shape at scale: corpus term frequencies are computed ONCE for the
+    union vocabulary of all queries (equi-join corpus tokens ⋈ distinct
+    query terms — AQE broadcasts the vocab when small, shuffles when the
+    query log is itself large), then fan out to (query, doc) pairs by a
+    term equi-join. No per-query corpus scans, no cross join with the
+    corpus; the only per-query work is proportional to matching
+    postings, exactly like an inverted index. Ties and floats follow the
+    engine determinism rules: scores floor-truncate at 4 decimals BEFORE
+    ranking and rank breaks ties by doc_id.
+    Output: query_id, doc_id, rank, score."""
+    qid = F.col(query_id_col)
+    qterms = queries.select(
+        qid.alias("query_id"),
+        F.explode(words(F.lower(F.col(query_text_col)))).alias("w"),
+    ).distinct()
+    vocab = qterms.select("w").distinct()
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+    tf = toks.join(vocab, "w").groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored_terms = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", term_score.alias("s"))
+    )
+    per_query_doc = (
+        scored_terms.join(qterms, "w")
+        .groupBy("query_id", "doc_id")
+        .agg((F.floor(F.sum("s") * 10000) / 10000.0).alias("score"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        per_query_doc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
     )

@@ -889,3 +889,107 @@ def quantize_embedding_int8(spark, sf):
     return out.select(
         "vec_id", "scale", F.concat_ws("|", "q").alias("q"), "err_max"
     )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    hits AS (SELECT doc_id, w FROM toks
+             WHERE w IN ({", ".join(repr(t) for t in _BM25_TERMS)})),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+    per_term AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+               AS s
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfreq ON tf.w = dfreq.w
+              CROSS JOIN stats
+    )
+    SELECT doc_id, floor(sum(s) * 10000) / 10000.0 AS score
+    FROM per_term GROUP BY doc_id
+    """
+
+
+@query("text-bm25", _BM25_SQL)
+def text_bm25(spark, sf):
+    """Okapi BM25 relevance scores (operators/text.bm25_scores) for a
+    fixed 3-term query over the documents corpus — the ranked-retrieval
+    primitive of the text tier. Scores floor-truncate at 4 decimals
+    before any ranking so both engines agree bit-for-bit."""
+    from genpipe_spark.operators.text import bm25_scores
+
+    return bm25_scores(t(spark, sf, "documents"), list(_BM25_TERMS))
+
+
+_BM25_QUERY_TABLE = (
+    (0, "spark merge window"),
+    (1, "customer filter"),
+    (2, "stream batch hash join"),
+)
+
+_BM25_TOPK_SQL = f"""
+    WITH q AS (SELECT * FROM (VALUES
+        {", ".join(f"({i}, {s!r})" for i, s in _BM25_QUERY_TABLE)})
+        AS q(query_id, qtext)),
+    qterms AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(string_split_regex(lower(qtext), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM q
+    ),
+    vocab AS (SELECT DISTINCT w FROM qterms),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    tf AS (SELECT doc_id, toks.w, count(*) AS tf FROM toks JOIN vocab ON toks.w = vocab.w
+           GROUP BY doc_id, toks.w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+               AS s
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfreq ON tf.w = dfreq.w
+              CROSS JOIN stats
+    ),
+    per_qd AS (
+      SELECT query_id, doc_id, floor(sum(s) * 10000) / 10000.0 AS score
+      FROM scored JOIN qterms ON scored.w = qterms.w
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM per_qd)
+    WHERE rank <= 10
+    """
+
+
+@query("text-bm25-topk", _BM25_TOPK_SQL)
+def text_bm25_topk(spark, sf):
+    """Multi-query BM25 retrieval (operators/text.bm25_topk): top-10
+    docs per row of a 3-row query table — corpus term stats computed
+    once for the union vocabulary, inverted-index join fan-out, no
+    per-query corpus scans."""
+    from genpipe_spark.operators.text import bm25_topk
+
+    queries = spark.createDataFrame(
+        list(_BM25_QUERY_TABLE), "query_id long, qtext string"
+    )
+    return bm25_topk(t(spark, sf, "documents"), queries, k=10)

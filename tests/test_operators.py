@@ -954,3 +954,43 @@ def test_interval_join_aqe_splits_hot_bin(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ------------------------------------------------------------ PII redact
+
+def test_pii_redact_patterns_and_counts(spark):
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import pii_redact
+
+    rows = [
+        Row(doc_id=0, text="contact bob.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+        Row(doc_id=1, text="server at 10.0.255.7 responded"),
+        Row(doc_id=2, text="no personal data here"),
+    ]
+    out = {r["doc_id"]: r for r in pii_redact(spark.createDataFrame(rows)).collect()}
+
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "<EMAIL>" in out[0]["redacted"] and "<PHONE>" in out[0]["redacted"]
+    assert "@" not in out[0]["redacted"]
+    assert out[1]["n_ipv4"] == 1 and "<IPV4>" in out[1]["redacted"]
+    assert out[2]["redacted"] == rows[2].text
+    assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ipv4"] == 0
+
+
+def test_bm25_topk_ranks_relevant_docs_first(spark):
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark spark engine"),
+            Row(doc_id=1, text="spark is one word here among many other words padding"),
+            Row(doc_id=2, text="entirely unrelated content"),
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, qtext="spark")])
+    got = bm25_topk(corpus, queries, k=2).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [0, 1]
+    assert all(r["query_id"] == 0 for r in got)

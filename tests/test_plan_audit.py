@@ -42,6 +42,9 @@ BOUNDED_NLJ_OK = {
     "join-interval-broadcast": "documented broadcast range-join variant",
     # tagged union of the two ANN forms above — same bounded sides
     "ann-topk-suite": "union of ann-cosine-topk + ann-ivf-topk",
+    # 1-row corpus-stats (N, avgdl) crossJoined to attach scalars
+    "text-bm25": "1-row corpus-stats scalar attach",
+    "text-bm25-topk": "1-row corpus-stats scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -64,6 +67,10 @@ BOUNDED_BROADCAST_OK = {
     "scale form is join-interval's banded equi-join",
     "dedup-embedding-cosine": "oracle-only brute-force baseline (documented)",
     "ann-topk-suite": "union of ann-cosine-topk + ann-ivf-topk",
+    # per-query-term doc frequencies (<= |query terms| rows) + 1-row
+    # corpus stats — bounded by the query, not the corpus
+    "text-bm25": "broadcast |query|-row dfreq + 1-row stats",
+    "text-bm25-topk": "broadcast 1-row stats",
 }
 
 
