@@ -98,6 +98,36 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_to_es(
+    parsed_stream: DataFrame,
+    nodes: str,
+    index: str,
+    checkpoint: str,
+    id_col: str | None = None,
+    batch_docs: int = 500,
+) -> StreamingQuery:
+    """Streaming Elasticsearch sink: foreachBatch over the SAME
+    distributed HTTP ``_bulk`` writer the batch path uses
+    (sources/sinks.write_es_bulk_http) — the reference's streaming
+    ``toElastic`` leg (StreamGenomicsLoader.scala:34-47 feeding
+    GenomicsLoader's saveToEs) with batch/stream sink code shared by
+    construction. Delivery is at-least-once across micro-batch replays;
+    pass ``id_col`` so replays are idempotent upserts."""
+    from genpipe_spark.sources.sinks import write_es_bulk_http
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_es_bulk_http(
+            batch_df, nodes, index, id_col=id_col, batch_docs=batch_docs
+        )
+
+    return (
+        parsed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_events(
     events_stream: DataFrame,
     key_cols: list[str] = ("event_id",),

@@ -521,25 +521,16 @@ def test_stream_interval_self_join_subset_of_batch(spark, tmp_path):
     assert len(got) >= 0.9 * len(batch_pairs), (len(got), len(batch_pairs))
 
 
-def test_es_adapter_http_roundtrip(spark):
-    """The ES sink interface demonstrated against a live (mock) HTTP bulk
-    endpoint: index DDL (PUT settings + schema-derived nested mapping,
-    Elastic/Data.scala:34-93 intent) then distributed _bulk indexing from
-    executors (GenomicsLoader.scala:208-213). The stub records every
-    request; the docs must round-trip exactly and array-of-struct
-    columns must map as type=nested."""
+import contextlib
+
+
+@contextlib.contextmanager
+def _mock_es_server():
+    """In-process ES stub recording PUT/DELETE/_bulk requests; yields
+    (nodes, received)."""
     import json
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    from pyspark.sql import Row
-
-    from genpipe_spark.sources.sinks import (
-        es_create_index,
-        es_delete_index,
-        es_mapping_for,
-        write_es_bulk_http,
-    )
 
     received = {"puts": [], "bulks": [], "deletes": []}
     lock = threading.Lock()
@@ -580,8 +571,32 @@ def test_es_adapter_http_roundtrip(spark):
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    nodes = f"127.0.0.1:{srv.server_address[1]}"
     try:
+        yield f"127.0.0.1:{srv.server_address[1]}", received
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_es_adapter_http_roundtrip(spark):
+    """The ES sink interface demonstrated against a live (mock) HTTP bulk
+    endpoint: index DDL (PUT settings + schema-derived nested mapping,
+    Elastic/Data.scala:34-93 intent) then distributed _bulk indexing from
+    executors (GenomicsLoader.scala:208-213). The stub records every
+    request; the docs must round-trip exactly and array-of-struct
+    columns must map as type=nested."""
+    import json
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import (
+        es_create_index,
+        es_delete_index,
+        es_mapping_for,
+        write_es_bulk_http,
+    )
+
+    with _mock_es_server() as (nodes, received):
         df = spark.createDataFrame(
             [
                 Row(
@@ -626,6 +641,45 @@ def test_es_adapter_http_roundtrip(spark):
         assert len(received["bulks"]) >= 3
         src = {str(r["variant_id"]): r.asDict(recursive=True) for r in df.collect()}
         assert docs == src
-    finally:
-        srv.shutdown()
-        srv.server_close()
+
+
+def test_stream_to_es_end_to_end(spark, tmp_path):
+    """The reference's streaming story composed end-to-end: text VCF
+    files arrive → streaming parse (stream_vcf_ingest expressions) →
+    foreachBatch → distributed HTTP _bulk to (mock) Elasticsearch —
+    StreamGenomicsLoader.scala:23-47 feeding saveToEs, on Structured
+    Streaming + the shared batch sink instead of foreachRDD."""
+    import json
+
+    from genpipe_spark.streaming.ingest import stream_to_es
+
+    with _mock_es_server() as (nodes, received):
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "s1.vcf").write_text(
+            "#CHROM\tPOS\n" + "".join(f"chr1\t{100 + i}\n" for i in range(5))
+        )
+        (src / "s2.vcf").write_text(
+            "#CHROM\tPOS\n" + "".join(f"chrX\t{200 + i}\n" for i in range(3))
+        )
+        lines = spark.readStream.text(str(src)).where(~F.col("value").startswith("#"))
+        cols = F.split(F.col("value"), "\t")
+        parsed = lines.select(
+            F.try_element_at(cols, F.lit(1)).alias("chrom"),
+            F.try_element_at(cols, F.lit(2)).cast("long").alias("pos"),
+        ).withColumn("site_id", F.concat_ws(":", "chrom", "pos"))
+        q = stream_to_es(
+            parsed, nodes, "variants", str(tmp_path / "ckpt"),
+            id_col="site_id", batch_docs=3,
+        )
+        q.awaitTermination(300)
+
+        docs = {}
+        for path, body in received["bulks"]:
+            assert path == "/_bulk"
+            lines_ = body.splitlines()
+            for action_ln, doc_ln in zip(lines_[0::2], lines_[1::2]):
+                docs[json.loads(action_ln)["index"]["_id"]] = json.loads(doc_ln)
+        assert len(docs) == 8
+        assert docs["chr1:100"] == {"chrom": "chr1", "pos": 100, "site_id": "chr1:100"}
+        assert docs["chrX:202"]["pos"] == 202
