@@ -122,6 +122,41 @@ PII_PATTERNS = {
 }
 
 
+def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: fraction of duplicate word trigrams,
+    ``1 - distinct_trigrams / total_trigrams`` — the standard curation
+    signal for boilerplate/looping text (high ratio = machine-repeated
+    content). Pure per-row HOF expressions, no shuffle; floor-truncated
+    at 4 decimals for cross-engine determinism.
+    Adds: n_trigrams, n_trigrams_distinct, rep_ratio."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + F.lit(1)),
+                F.element_at(ws, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tris)
+    n_dis = F.size(F.array_distinct(tris))
+    rep = F.when(
+        n_tri > 0, F.floor((1 - n_dis / n_tri) * 10000) / 10000.0
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_trigrams": n_tri,
+            "n_trigrams_distinct": n_dis,
+            "rep_ratio": rep,
+        }
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII from a text column: emails, phone-like digit runs, IPv4
     addresses → '<KIND>' placeholders, with per-kind match counts (taken

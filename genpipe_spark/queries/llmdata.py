@@ -993,3 +993,38 @@ def text_bm25_topk(spark, sf):
         list(_BM25_QUERY_TABLE), "query_id long, qtext string"
     )
     return bm25_topk(t(spark, sf, "documents"), queries, k=10)
+
+
+@query(
+    "text-repetition",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 1, 1)),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tris
+      FROM d
+    )
+    SELECT doc_id,
+           len(tris) AS n_trigrams,
+           len(list_distinct(tris)) AS n_trigrams_distinct,
+           CASE WHEN len(tris) > 0
+                THEN floor((1 - len(list_distinct(tris)) * 1.0 / len(tris)) * 10000)
+                     / 10000.0
+                ELSE 0.0 END AS rep_ratio
+    FROM tri
+    """,
+)
+def text_repetition(spark, sf):
+    """Within-document repetition ratio (operators/text.repetition_score)
+    — duplicate word-trigram fraction, the boilerplate/looping-text
+    curation gate. Pure per-row expressions, no shuffle."""
+    from genpipe_spark.operators.text import repetition_score
+
+    return repetition_score(widen(t(spark, sf, "documents"))).select(
+        "doc_id", "n_trigrams", "n_trigrams_distinct", "rep_ratio"
+    )

@@ -994,3 +994,20 @@ def test_bm25_topk_ranks_relevant_docs_first(spark):
     got = bm25_topk(corpus, queries, k=2).collect()
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [0, 1]
     assert all(r["query_id"] == 0 for r in got)
+
+
+def test_bm25_topk_consistent_with_fixed_term_scores(spark):
+    """bm25_topk with a single-query table must reproduce bm25_scores'
+    scores for the same terms (top-k truncation aside)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import bm25_scores, bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    terms = ["spark", "merge", "window"]
+    fixed = {
+        r["doc_id"]: r["score"] for r in bm25_scores(docs, terms).collect()
+    }
+    queries = spark.createDataFrame([Row(query_id=0, qtext=" ".join(terms))])
+    multi = bm25_topk(docs, queries, k=len(fixed) + 10).collect()
+    assert {r["doc_id"]: r["score"] for r in multi} == fixed
