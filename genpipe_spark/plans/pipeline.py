@@ -87,17 +87,31 @@ class Pipeline:
         ctx: PipelineContext,
         stages: list[str] | None = None,
         collect_metrics: bool = False,
+        resume: bool = False,
     ) -> PipelineContext:
         """Run the selected stages. ``collect_metrics=True`` records
         (stage, rows_out, seconds) per materialized stage into
         ``ctx.metrics`` — the rows-in/rows-out observability a long
-        curation/ETL run needs (one extra count per stage)."""
+        curation/ETL run needs (one extra count per stage).
+
+        ``resume=True`` skips any stage whose output table carries the
+        runner's commit marker (written through the Hadoop FileSystem
+        API after a successful materialization, so it works on any
+        storage — Spark's own ``_SUCCESS`` is absent under dynamic
+        partition overwrite) and re-reads it instead: a failed 100 TB
+        run restarts from the first incomplete stage rather than from
+        scratch. Partial writes without the marker re-run."""
         import time as _time
 
         selected = stages if stages is not None else list(self._order)
         for name in selected:
             t0 = _time.perf_counter()
             st = self._stages[name]
+            if resume and st.output and self._committed(spark, ctx.path(st.output)):
+                ctx.tables[st.output] = spark.read.parquet(ctx.path(st.output))
+                if collect_metrics:
+                    ctx.metrics.append((name, "resumed", 0.0))
+                continue
             out = st.fn(spark, ctx)
             if out is not None and st.output:
                 if st.partition_by:
@@ -110,6 +124,7 @@ class Pipeline:
                     write_zordered(out, ctx.path(st.output), st.zorder_by)
                 else:
                     out.write.mode("overwrite").parquet(ctx.path(st.output))
+                self._write_marker(spark, ctx.path(st.output))
                 # re-read so downstream stages see the materialized table
                 # (partition discovery recovers layout keys as columns)
                 ctx.tables[st.output] = spark.read.parquet(ctx.path(st.output))
@@ -126,6 +141,25 @@ class Pipeline:
             if collect_metrics and (out is None or not st.output):
                 ctx.metrics.append((name, None, round(_time.perf_counter() - t0, 3)))
         return ctx
+
+    _MARKER = "_GENPIPE_COMMITTED"
+
+    @classmethod
+    def _marker_path(cls, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{cls._MARKER}")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    @classmethod
+    def _committed(cls, spark: SparkSession, path: str) -> bool:
+        fs, hpath = cls._marker_path(spark, path)
+        return bool(fs.exists(hpath))
+
+    @classmethod
+    def _write_marker(cls, spark: SparkSession, path: str) -> None:
+        fs, hpath = cls._marker_path(spark, path)
+        fs.create(hpath, True).close()
 
 
 def build_genomics_pipeline() -> Pipeline:

@@ -683,3 +683,46 @@ def test_stream_to_es_end_to_end(spark, tmp_path):
         assert len(docs) == 8
         assert docs["chr1:100"] == {"chrom": "chr1", "pos": 100, "site_id": "chr1:100"}
         assert docs["chrX:202"]["pos"] == 202
+
+
+def test_pipeline_resume_skips_committed_stages(spark, tmp_path):
+    """resume=True restarts a staged run from the first incomplete
+    stage: committed outputs (_SUCCESS) are re-read, not recomputed;
+    removing the marker forces a re-run of that stage only."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.plans.pipeline import Pipeline, PipelineContext
+
+    calls = {"a": 0, "b": 0}
+    p = Pipeline()
+
+    @p.stage("a", output="ta", partition_by=("part",))
+    def stage_a(spark_, ctx):
+        calls["a"] += 1
+        return spark_.range(20).select(
+            "id", (F.col("id") % 2).cast("string").alias("part")
+        )
+
+    @p.stage("b", output="tb")
+    def stage_b(spark_, ctx):
+        calls["b"] += 1
+        return ctx.tables["ta"].groupBy("part").count()
+
+    ctx = PipelineContext(dest=str(tmp_path))
+    p.run(spark, ctx)
+    assert calls == {"a": 1, "b": 1}
+
+    # full resume: nothing recomputes, tables come back readable
+    ctx2 = PipelineContext(dest=str(tmp_path))
+    p.run(spark, ctx2, resume=True, collect_metrics=True)
+    assert calls == {"a": 1, "b": 1}
+    assert ctx2.tables["tb"].count() == 2
+    assert [(m[0], m[1]) for m in ctx2.metrics] == [("a", "resumed"), ("b", "resumed")]
+
+    # partial failure: b's commit marker gone -> only b re-runs
+    import os
+
+    os.remove(tmp_path / "v1" / "tb" / "_GENPIPE_COMMITTED")
+    ctx3 = PipelineContext(dest=str(tmp_path))
+    p.run(spark, ctx3, resume=True)
+    assert calls == {"a": 1, "b": 2}
