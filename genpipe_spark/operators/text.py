@@ -157,6 +157,53 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative fluency score: mean log10 unigram probability of a
+    document's words under the corpus's own unigram distribution — the
+    cheap stand-in for a KenLM-perplexity quality filter (documents full
+    of rare/garbage tokens score low, natural text scores high).
+
+    Shape at scale: one map-side-combinable word-count agg over the
+    corpus, an equi-join of doc words onto that frequency table (both
+    sides shuffle once on the word), and a per-doc agg — no broadcast
+    of the vocabulary (it grows with the corpus), no driver collection.
+
+    Cross-engine determinism: libm ``log10`` differs by 1 ulp between
+    engines, which flips floor() exactly when a word probability is a
+    power of ten (log10 lands ON the boundary — observed live). So the
+    per-word value is quantized to integer MICRO-units via a nano-unit
+    round (kills ulp noise; no rational log10 sits within 1e-6 of a
+    half-nano boundary except powers of ten, which round exactly), and
+    the per-doc mean is integer arithmetic on exact bigint sums —
+    order-independent, no float accumulation.
+    Output: id_col, n_words, mean_logprob (floor-truncated, 4 dp)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = freq.agg(F.sum("wc").alias("n_total"))
+    lp_micro = F.floor(
+        F.round(F.log10(F.col("wc") / F.col("n_total")) * 1e9) / 1000
+    ).cast("long")
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("__id", lp_micro.alias("lp_u"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("__id")
+        .agg(
+            n.alias("n_words"),
+            (F.floor(F.sum("lp_u") / (n * 100)) / 1e4).alias("mean_logprob"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII from a text column: emails, phone-like digit runs, IPv4
     addresses → '<KIND>' placeholders, with per-kind match counts (taken

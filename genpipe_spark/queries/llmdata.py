@@ -1028,3 +1028,35 @@ def text_repetition(spark, sf):
     return repetition_score(widen(t(spark, sf, "documents"))).select(
         "doc_id", "n_trigrams", "n_trigrams_distinct", "rep_ratio"
     )
+
+
+@query(
+    "text-unigram-logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    total AS (SELECT sum(wc) AS n_total FROM freq),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(round(log10(wc * 1.0 / n_total) * 1e9) / 1000) AS BIGINT)
+               AS lp_u
+      FROM toks JOIN freq USING (w) CROSS JOIN total
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           floor(sum(lp_u) / (count(*) * 100.0)) / 10000.0 AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf):
+    """Corpus-relative unigram fluency score
+    (operators/text.unigram_logprob_score) — the KenLM-style quality
+    gate: word-count agg + word equi-join + per-doc mean, vocabulary
+    never broadcast or collected."""
+    from genpipe_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(widen(t(spark, sf, "documents")))

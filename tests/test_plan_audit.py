@@ -45,6 +45,7 @@ BOUNDED_NLJ_OK = {
     # 1-row corpus-stats (N, avgdl) crossJoined to attach scalars
     "text-bm25": "1-row corpus-stats scalar attach",
     "text-bm25-topk": "1-row corpus-stats scalar attach",
+    "text-unigram-logprob": "1-row corpus-total scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -71,6 +72,7 @@ BOUNDED_BROADCAST_OK = {
     # corpus stats — bounded by the query, not the corpus
     "text-bm25": "broadcast |query|-row dfreq + 1-row stats",
     "text-bm25-topk": "broadcast 1-row stats",
+    "text-unigram-logprob": "broadcast 1-row corpus total",
 }
 
 

@@ -276,3 +276,33 @@ def test_quantize_int8_matches_model(spark, vecs):
         q = [0 if scale == 0 else int(math.floor(x / scale + 0.5)) for x in v32]
         assert got[i][0] == scale
         assert got[i][1] == q
+
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=0, max_size=12
+)
+
+
+@given(docs=st.lists(words_strategy, min_size=1, max_size=5))
+@settings(max_examples=20, deadline=None)
+def test_repetition_score_matches_model(spark, docs):
+    """repetition_score == a trivial pure-Python trigram model on
+    arbitrary small word lists (empty docs, <3 words, all-same words)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_trigrams_distinct"], r["rep_ratio"])
+        for r in repetition_score(df).collect()
+    }
+    for i, ws in enumerate(docs):
+        tris = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        n, d = len(tris), len(set(tris))
+        rep = math.floor((1 - d / n) * 10000) / 10000.0 if n else 0.0
+        assert got[i] == (n, d, rep), (i, ws)
