@@ -515,3 +515,132 @@ def contamination_check(
         .where((F.col("__rn") == 1) & (F.col("overlap_frac") >= threshold))
         .select("doc_id", F.col("bench_id").alias("worst_benchmark_id"), "overlap_frac")
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Persistable LSH index of a corpus snapshot: one (id, band, bucket)
+    row per document per band — the structure a production pipeline
+    writes as a stage table once per corpus version so each incoming
+    batch dedups against it WITHOUT touching corpus text again
+    (:func:`incremental_minhash_pairs`). Index size is bands x |corpus|
+    rows of three small columns, partitionable by bucket."""
+    rows_per_band = num_hashes // bands
+    sigd = minhash_signatures_arrow(df, text_col, id_col, num_hashes, k)
+
+    def band_structs(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                sig[bi * rows_per_band + j].cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+
+    return sigd.select(
+        "id", F.explode(bind(F.col("sig"), band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    corpus_index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of an incoming batch against an existing corpus
+    AND within the batch itself — the production incremental-ingest
+    shape: the corpus is never re-paired against itself (its internal
+    dups were resolved when it was built), so per-batch cost is
+    O(batch bands + collisions), not O(corpus²).
+
+    ``corpus_index`` is the persisted :func:`minhash_index` of the
+    corpus; pass None to build it on the fly (first run). Candidates
+    come from (band, bucket) equi-joins — new⋈index and new⋈new — then
+    the EXACT-Jaccard verify runs on candidate ids only, reading text
+    through semi-joins from whichever side owns each id.
+
+    Output: id_new (batch doc), id_match (corpus or earlier batch doc;
+    for intra-batch pairs the larger id is id_new), jaccard."""
+    if corpus_index is None:
+        corpus_index = minhash_index(corpus, text_col, id_col, num_hashes, bands, k)
+    new_index = minhash_index(new_docs, text_col, id_col, num_hashes, bands, k)
+    new_index = new_index.localCheckpoint(eager=False)
+
+    n = new_index.select(
+        F.col("id").alias("id_new"), "band", "bucket"
+    )
+    c = corpus_index.select(F.col("id").alias("id_match"), "band", "bucket")
+    cand_cross = n.join(c, ["band", "bucket"]).select("id_new", "id_match")
+    n2 = new_index.select(F.col("id").alias("id_match"), "band", "bucket")
+    cand_intra = (
+        n.join(n2, ["band", "bucket"])
+        .where(F.col("id_match") < F.col("id_new"))
+        .select("id_new", "id_match")
+    )
+    cand = cand_cross.unionByName(cand_intra).dropDuplicates(
+        ["id_new", "id_match"]
+    ).localCheckpoint(eager=False)
+
+    # exact verify: shingle sets only for candidate ids, from the side
+    # that owns them (semi-joins keep the scans candidate-bounded)
+    def side_shingles(src: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        return src.join(
+            ids, src[id_col] == ids["__cid"], "left_semi"
+        ).select(
+            F.col(id_col).alias(out_id),
+            shingle_hashes(F.col(text_col), k).alias(f"sh_{out_id}"),
+        )
+
+    new_ids = cand.select(F.col("id_new").alias("__cid")).distinct()
+    match_ids = cand.select(F.col("id_match").alias("__cid")).distinct()
+    sh_new = side_shingles(new_docs, new_ids, "id_new")
+    # an id_match can live in the corpus or in the batch (intra pairs)
+    sh_match = side_shingles(corpus, match_ids, "id_match").unionByName(
+        side_shingles(new_docs, match_ids, "id_match")
+    )
+    pairs = cand.join(sh_new, "id_new").join(sh_match, "id_match")
+    inter = F.size(F.array_intersect(F.col("sh_id_new"), F.col("sh_id_match")))
+    union = F.size(F.col("sh_id_new")) + F.size(F.col("sh_id_match")) - inter
+    jac = F.floor(inter / union * 10000) / 10000.0
+    return pairs.select(
+        "id_new", "id_match", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def incremental_dedup_keep(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    corpus_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Batch survivors: new docs with no near-dup in the corpus or in
+    earlier (smaller-id) batch docs — what actually gets appended to the
+    corpus (plus its index rows) after an incremental ingest."""
+    pairs = incremental_minhash_pairs(
+        new_docs, corpus, corpus_index, id_col=id_col, **kwargs
+    )
+    losers = pairs.select(F.col("id_new").alias(id_col)).distinct()
+    return new_docs.join(losers, id_col, "left_anti")

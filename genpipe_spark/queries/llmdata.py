@@ -1060,3 +1060,42 @@ def text_unigram_logprob(spark, sf):
     from genpipe_spark.operators.text import unigram_logprob_score
 
     return unigram_logprob_score(widen(t(spark, sf, "documents")))
+
+
+@query(
+    "dedup-incremental",
+    _SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 >= 0.5
+    )
+    SELECT CASE WHEN id_b % 10 = 0 THEN id_b ELSE id_a END AS id_new,
+           CASE WHEN id_b % 10 = 0 THEN id_a ELSE id_b END AS id_match,
+           jaccard
+    FROM jac WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def dedup_incremental(spark, sf):
+    """Incremental-ingest dedup (operators/dedup.incremental_minhash_pairs):
+    the doc_id%10==0 slice arrives as a new batch and is near-dup-matched
+    against the standing corpus (the other 90%) via its persisted LSH
+    index, plus within itself — the corpus never self-joins. Oracle is
+    the exact-Jaccard pair set restricted to pairs touching the batch
+    (recall-1 at these settings, same argument as dedup-minhash-lsh)."""
+    from genpipe_spark.operators.dedup import incremental_minhash_pairs
+
+    d = widen(t(spark, sf, "documents"))
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return incremental_minhash_pairs(new, corpus, threshold=0.5)

@@ -1011,3 +1011,53 @@ def test_bm25_topk_consistent_with_fixed_term_scores(spark):
     queries = spark.createDataFrame([Row(query_id=0, qtext=" ".join(terms))])
     multi = bm25_topk(docs, queries, k=len(fixed) + 10).collect()
     assert {r["doc_id"]: r["score"] for r in multi} == fixed
+
+
+# -------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_matches_exact_and_keeps_survivors(spark, docs):
+    """Pairs from the index-based incremental path == the exact-Jaccard
+    pair set restricted to pairs touching the batch; survivors are
+    exactly the batch docs with no such pair; a precomputed index gives
+    identical results to on-the-fly indexing."""
+    from genpipe_spark.operators.dedup import (
+        incremental_dedup_keep,
+        incremental_minhash_pairs,
+        minhash_index,
+        ngram_jaccard_pairs,
+    )
+
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    want = set()
+    for r in exact:
+        a, b = r["id_a"], r["id_b"]
+        if b % 10 == 0:
+            want.add((b, a))
+        elif a % 10 == 0:
+            want.add((a, b))
+
+    got_fly = {
+        (r["id_new"], r["id_match"])
+        for r in incremental_minhash_pairs(new, corpus, threshold=0.5).collect()
+    }
+    assert got_fly == want and want
+
+    idx = minhash_index(corpus)
+    got_idx = {
+        (r["id_new"], r["id_match"])
+        for r in incremental_minhash_pairs(
+            new, corpus, corpus_index=idx, threshold=0.5
+        ).collect()
+    }
+    assert got_idx == want
+
+    kept = {
+        r["doc_id"]
+        for r in incremental_dedup_keep(new, corpus, corpus_index=idx).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.collect()}
+    losers = {p[0] for p in want}
+    assert kept == new_ids - losers
