@@ -111,6 +111,28 @@ def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     return F.aggregate(hs, init, step)
 
 
+def _band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """(band, bucket-hash) structs for LSH banding: bucket = hash of the
+    band's signature slice, shared by the pairwise and index forms."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sig[bi * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -152,29 +174,14 @@ def minhash_lsh_pairs(
     # persist-the-sketch step a 100 TB pipeline does explicitly (swap
     # for checkpoint()/a stage table on a real cluster).
     sigd = sigd.localCheckpoint(eager=False)
-    def band_structs(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                sig[bi * rows_per_band + j].cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for bi in range(bands)
-            ]
-        )
-
     # bind sig: CollapseProject would otherwise inline the signature
     # computation into all bands x rows_per_band use sites
     banded = sigd.select(
-        "id", "sig", F.explode(bind(F.col("sig"), band_structs)).alias("bb")
+        "id",
+        "sig",
+        F.explode(
+            bind(F.col("sig"), lambda sig: _band_structs(sig, bands, rows_per_band))
+        ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if verify:
@@ -533,28 +540,11 @@ def minhash_index(
     rows of three small columns, partitionable by bucket."""
     rows_per_band = num_hashes // bands
     sigd = minhash_signatures_arrow(df, text_col, id_col, num_hashes, k)
-
-    def band_structs(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                sig[bi * rows_per_band + j].cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for bi in range(bands)
-            ]
-        )
-
     return sigd.select(
-        "id", F.explode(bind(F.col("sig"), band_structs)).alias("bb")
+        "id",
+        F.explode(
+            bind(F.col("sig"), lambda sig: _band_structs(sig, bands, rows_per_band))
+        ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
