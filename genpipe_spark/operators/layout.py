@@ -52,6 +52,47 @@ def scale_to_levels(col: Column, lo: float, hi: float, bits: int = 16) -> Column
     return F.floor(clamped * levels).cast("long")
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zcols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction — the standard lakehouse maintenance pass
+    (Delta/Iceberg ``OPTIMIZE``) for stage tables that accumulated many
+    tiny files from streaming micro-batches or over-parallel writes.
+
+    Sizes come from the filesystem listing (Hadoop FS API — works on any
+    storage, nothing is read), the target file count is
+    ``ceil(total_bytes / target_file_bytes)``, and the rewrite is one
+    repartition (or a Z-order layout when ``zcols`` is given, preserving
+    multi-dimension skipping through the compaction). Writing to a NEW
+    path keeps the operation atomic-by-rename for the caller — at 100 TB
+    the swap is a metastore/table-format pointer flip, never an
+    in-place overwrite readers could observe half-done.
+
+    Returns the number of files written."""
+    jvm = spark._jvm
+    hsrc = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hsrc, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+
+    df = spark.read.parquet(src)
+    if zcols:
+        write_zordered(df, dest, zcols, num_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return n_files
+
+
 def write_zordered(
     df: DataFrame,
     dest: str,

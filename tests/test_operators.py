@@ -1061,3 +1061,40 @@ def test_incremental_dedup_matches_exact_and_keeps_survivors(spark, docs):
     new_ids = {r["doc_id"] for r in new.collect()}
     losers = {p[0] for p in want}
     assert kept == new_ids - losers
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Many tiny files -> the size-targeted file count, same rows; the
+    z-order variant keeps second-dimension bounds tight through the
+    compaction."""
+    import glob
+
+    from genpipe_spark.operators.layout import compact_parquet
+
+    df = spark.range(50_000).select(
+        "id", (F.col("id") * 7919 % 1000).alias("x"), (F.col("id") % 997).alias("y")
+    )
+    src = str(tmp_path / "fragmented")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    total = sum(
+        len(open(f, "rb").read()) for f in glob.glob(f"{src}/part-*.parquet")
+    )
+    target = total // 4  # aim for ~4 files
+    dest = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dest, target_file_bytes=target)
+    files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(files) == n <= 6
+    assert spark.read.parquet(dest).count() == 50_000
+
+    zdest = str(tmp_path / "compact_z")
+    compact_parquet(spark, src, zdest, target_file_bytes=total // 8, zcols=["x", "y"])
+    back = spark.read.parquet(zdest)
+    assert back.count() == 50_000
+    # z-compacted files have bounded y-ranges (not the full 0..996 span)
+    spans = [
+        spark.read.parquet(f).agg(F.max("y") - F.min("y")).first()[0]
+        for f in glob.glob(f"{zdest}/part-*.parquet")
+    ]
+    assert sum(spans) / len(spans) < 900
