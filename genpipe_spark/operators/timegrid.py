@@ -1,0 +1,64 @@
+"""Dense time-bucket aggregation (gap-filling resample).
+
+A plain ``groupBy(window)`` emits rows only for buckets that contain
+events; dashboards, rate calculations and downstream ML features need
+the EMPTY buckets too (timescale's ``time_bucket_gapfill``). Spark-first
+shape, no driver collection:
+
+  1. one shuffle: aggregate events into integer bucket indexes
+     (``unix_micros DIV width`` — exact integer arithmetic, no float
+     bucketing drift);
+  2. per-group spine: each group's [min, max] bucket range expands with
+     ``sequence()`` + ``explode`` — expression-level, so a group's spine
+     length is bounded by its own time span, never the global one;
+  3. one left join on (group, bucket) + zero-fill.
+
+At 100 TB the spine explode adds rows proportional to group-span /
+bucket-width — the OUTPUT size of a dense resample — and both shuffles
+are standard keyed exchanges AQE manages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = ("user_id",),
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per-group dense bucket series: every bucket between each group's
+    first and last event, zero-filled where empty.
+
+    Output: ``*by, bucket_start_us (long), n_events, value_sum`` —
+    value_sum through integer cents (exact, order-independent)."""
+    width_us = bucket_s * 1_000_000
+    keys = list(by)
+    bidx = F.expr(f"unix_micros({ts_col}) DIV {width_us}")
+    agg = df.select(*keys, bidx.alias("__b"), F.col(value_col).alias("__v")).groupBy(
+        *keys, "__b"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("__v") * 100).cast("long")) / 100.0).alias("value_sum"),
+    )
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b"),
+        )
+    )
+    out = spine.join(agg, [*keys, "__b"], "left")
+    return out.select(
+        *keys,
+        (F.col("__b") * width_us).alias("bucket_start_us"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+    )

@@ -154,3 +154,38 @@ def rollup_time_hierarchy(spark, sf):
         "n_users",
         "value_cents",
     )
+
+
+@query(
+    "rollup-gapfill",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bidx,
+             count(*) AS n_events,
+             sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(range(lo, hi + 1)) AS bidx
+      FROM (SELECT user_id, min(bidx) AS lo, max(bidx) AS hi
+            FROM b GROUP BY user_id)
+    )
+    SELECT spine.user_id,
+           spine.bidx * 3600000000 AS bucket_start_us,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(value_sum, 0.0) AS value_sum
+    FROM spine LEFT JOIN b
+      ON spine.user_id = b.user_id AND spine.bidx = b.bidx
+    """,
+)
+def rollup_gapfill(spark, sf):
+    """Dense hourly per-user series with zero-filled empty buckets
+    (operators/timegrid.time_bucket_gapfill) — the timescale-style
+    gap-filling resample; integer bucket indexes and integer-cents sums
+    keep both engines bit-identical."""
+    from genpipe_spark.operators.timegrid import time_bucket_gapfill
+
+    return time_bucket_gapfill(
+        t(spark, sf, "events"), ts_col="ts", value_col="value",
+        by=("user_id",), bucket_s=3600,
+    )
