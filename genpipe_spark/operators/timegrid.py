@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,8 +36,12 @@ def time_bucket_gapfill(
     """Per-group dense bucket series: every bucket between each group's
     first and last event, zero-filled where empty.
 
-    Output: ``*by, bucket_start_us (long), n_events, value_sum`` —
-    value_sum through integer cents (exact, order-independent)."""
+    Output: ``*by, bucket_start_us (long), n_events, value_sum,
+    value_locf`` — value_sum through integer cents (exact,
+    order-independent), zero-filled; value_locf carries the last
+    non-empty bucket's sum forward (the other standard gapfill
+    interpolation) via one additional window over the already-dense
+    spine."""
     width_us = bucket_s * 1_000_000
     keys = list(by)
     bidx = F.expr(f"unix_micros({ts_col}) DIV {width_us}")
@@ -56,9 +60,15 @@ def time_bucket_gapfill(
         )
     )
     out = spine.join(agg, [*keys, "__b"], "left")
+    w_locf = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return out.select(
         *keys,
         (F.col("__b") * width_us).alias("bucket_start_us"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+        F.last("value_sum", ignorenulls=True).over(w_locf).alias("value_locf"),
     )

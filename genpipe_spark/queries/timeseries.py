@@ -170,12 +170,17 @@ def rollup_time_hierarchy(spark, sf):
       FROM (SELECT user_id, min(bidx) AS lo, max(bidx) AS hi
             FROM b GROUP BY user_id)
     )
-    SELECT spine.user_id,
-           spine.bidx * 3600000000 AS bucket_start_us,
+    SELECT user_id, bidx * 3600000000 AS bucket_start_us,
            COALESCE(n_events, 0) AS n_events,
-           COALESCE(value_sum, 0.0) AS value_sum
-    FROM spine LEFT JOIN b
-      ON spine.user_id = b.user_id AND spine.bidx = b.bidx
+           COALESCE(value_sum, 0.0) AS value_sum,
+           last_value(value_sum IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM (
+      SELECT spine.user_id, spine.bidx, n_events, value_sum
+      FROM spine LEFT JOIN b
+        ON spine.user_id = b.user_id AND spine.bidx = b.bidx
+    )
     """,
 )
 def rollup_gapfill(spark, sf):
