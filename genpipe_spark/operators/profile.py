@@ -1,0 +1,51 @@
+"""Table profiling — ANALYZE-style per-column statistics in ONE pass.
+
+A curation pipeline profiles every corpus snapshot (null rates, distinct
+counts, ranges) to catch schema/distribution drift before training jobs
+consume bad data. Spark-first shape: a single wide ``agg`` computes
+every column's stats in one scan; multiple ``count_distinct`` columns
+plan through Catalyst's Expand (one shuffle, expansion factor =
+#distinct columns — documented cost, still one pass over the data, no
+per-column scans and no driver loops). Output is long-format
+(one row per column) so downstream drift checks can join profiles of
+two snapshots on the column name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column stats: ``column, n_rows, n_nulls, n_distinct, min_str,
+    max_str`` — min/max cast to strings so one long-format schema covers
+    every column type (numeric comparisons should recast downstream)."""
+    cols = list(columns) if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

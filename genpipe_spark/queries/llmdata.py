@@ -1099,3 +1099,32 @@ def dedup_incremental(spark, sf):
     new = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
     return incremental_minhash_pairs(new, corpus, threshold=0.5)
+
+
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM lineitem
+    """
+
+
+@query(
+    "profile-table",
+    "\nUNION ALL\n".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def profile_table_query(spark, sf):
+    """ANALYZE-style snapshot profile (operators/profile.profile_table):
+    per-column null/distinct/range stats of lineitem in one scan — the
+    drift-detection primitive a curation pipeline runs per corpus
+    version. Timestamp min/max stringify identically in both engines
+    (session TZ pinned UTC; 'yyyy-MM-dd HH:mm:ss' both sides)."""
+    from genpipe_spark.operators.profile import profile_table
+
+    return profile_table(t(spark, sf, "lineitem"), _PROFILE_COLS)
