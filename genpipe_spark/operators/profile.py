@@ -19,17 +19,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
     """Per-column stats: ``column, n_rows, n_nulls, n_distinct, min_str,
     max_str`` — min/max cast to strings so one long-format schema covers
-    every column type (numeric comparisons should recast downstream)."""
+    every column type (numeric comparisons should recast downstream).
+
+    ``approx_distinct=True`` swaps exact ``count_distinct`` for HLL
+    ``approx_count_distinct`` — the 100 TB default: the whole profile
+    then collapses to one map-side-combinable agg with NO Expand and no
+    shuffle amplification (exact multi-distinct shuffles ~#columns x
+    the projected data). Exact mode stays the oracle-matched twin."""
     cols = list(columns) if columns is not None else df.columns
+    if approx_distinct:
+        def distinct(c):  # rsd 2%: tight enough for drift alerts
+            return F.approx_count_distinct(c, 0.02)
+    else:
+        distinct = F.count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.extend(
             [
                 F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
-                F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+                distinct(F.col(c)).alias(f"__dist_{c}"),
                 F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
                 F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
             ]

@@ -51,6 +51,8 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.optimizer.nestedSchemaPruning.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.filterPushdown", "true"),
     ]:
         try:
             spark.conf.set(k, v)

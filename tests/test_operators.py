@@ -1098,3 +1098,22 @@ def test_compact_parquet_small_files(spark, tmp_path):
         for f in glob.glob(f"{zdest}/part-*.parquet")
     ]
     assert sum(spans) / len(spans) < 900
+
+
+def test_profile_table_modes(spark):
+    from genpipe_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    cols = ("l_orderkey", "l_returnflag")
+    exact = {r["column"]: r for r in profile_table(li, cols).collect()}
+    approx = {r["column"]: r for r in profile_table(li, cols, approx_distinct=True).collect()}
+    assert exact["l_returnflag"]["n_distinct"] == 3
+    assert exact["l_returnflag"]["n_nulls"] == 0
+    # HLL estimate within 5% of exact for every profiled column
+    for c in cols:
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(1, 0.05 * e), (c, e, a)
+        assert approx[c]["min_str"] == exact[c]["min_str"]
+    # approx mode plans without Expand (single combinable agg)
+    plan = profile_table(li, cols, approx_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
