@@ -24,6 +24,12 @@ HEAVY = [
     "fn-parse-suite",
     "fn-alt-decompose",
     "sketch-kmv-distinct",
+    # round-4 additions — scale-validated the same way
+    "text-bm25",
+    "text-unigram-logprob",
+    "rollup-gapfill",
+    "dedup-incremental",
+    "profile-table",
 ]
 
 
