@@ -93,3 +93,64 @@ def test_no_unbounded_nested_loop_or_row_python(spark, name):
             f"{name}: forced join hint on a side not whitelisted as "
             f"bounded-by-construction — let AQE decide instead"
         )
+
+
+def test_dynamic_partition_pruning_on_stage_tables(spark, tmp_path):
+    """The engine's partitioned stage tables must benefit from Catalyst's
+    dynamic partition pruning: a selective dim filter on the partition
+    key injects a runtime pruning subquery into the fact scan — the
+    mechanism that replaces the reference's manual per-chrom path
+    arithmetic (GenomicsLoader.scala:120,126) at scale."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(50_000).select(
+        "id", (F.col("id") % 20).cast("string").alias("chrom"), (F.col("id") * 3).alias("pos")
+    )
+    dest = str(tmp_path / "fact")
+    fact.write.partitionBy("chrom").parquet(dest)
+    dim = spark.createDataFrame(
+        [("1", "keep"), ("2", "keep"), ("3", "drop")], "chrom string, tag string"
+    )
+    j = spark.read.parquet(dest).join(dim.where(F.col("tag") == "keep"), "chrom")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_runtime_bloom_filter_on_selective_join(spark, tmp_path):
+    """Catalyst's runtime bloom-filter injection prunes the big side of
+    a selective shuffle join before the shuffle — the 100 TB mechanism
+    that keeps fact⋈filtered-dim joins from shuffling dead rows.
+    Thresholds are production-scale (10 GB application side), so the
+    test scales them to fixture size, exactly like the skew-join test."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(500_000).select("id", (F.col("id") % 100_000).alias("k"))
+        small = spark.range(100).select(
+            (F.col("id") * 7).alias("k"), (F.col("id") % 2).alias("t")
+        )
+        bdest, sdest = str(tmp_path / "big"), str(tmp_path / "small")
+        big.write.parquet(bdest)
+        small.write.parquet(sdest)
+        b = spark.read.parquet(bdest)
+        s = spark.read.parquet(sdest).where(F.col("t") == 0)
+        plan = b.join(s, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
