@@ -49,6 +49,8 @@ HEADLINE = [
     "quantile-group-exact",
     "text-bm25",
     "stream-stream-interval-join",
+    "text-unigram-logprob",
+    "rollup-gapfill",
 ]
 
 
