@@ -1128,3 +1128,66 @@ def profile_table_query(spark, sf):
     from genpipe_spark.operators.profile import profile_table
 
     return profile_table(t(spark, sf, "lineitem"), _PROFILE_COLS)
+
+
+@query(
+    "text-quality-suite",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 1, 1)),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tris
+      FROM d
+    ),
+    rep AS (
+      SELECT doc_id,
+             len(tris) AS n_trigrams,
+             len(list_distinct(tris)) AS n_trigrams_distinct,
+             CASE WHEN len(tris) > 0
+                  THEN floor((1 - len(list_distinct(tris)) * 1.0 / len(tris))
+                             * 10000) / 10000.0
+                  ELSE 0.0 END AS rep_ratio
+      FROM tri
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    total AS (SELECT sum(wc) AS n_total FROM freq),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(round(log10(wc * 1.0 / n_total) * 1e9) / 1000) AS BIGINT)
+               AS lp_u
+      FROM toks JOIN freq USING (w) CROSS JOIN total
+    ),
+    lp AS (
+      SELECT doc_id, count(*) AS n_words,
+             floor(sum(lp_u) / (count(*) * 100.0)) / 10000.0 AS mean_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT rep.doc_id, n_trigrams, n_trigrams_distinct, rep_ratio,
+           COALESCE(n_words, 0) AS n_words,
+           COALESCE(mean_logprob, 0.0) AS mean_logprob
+    FROM rep LEFT JOIN lp ON rep.doc_id = lp.doc_id
+    """,
+)
+def text_quality_suite(spark, sf):
+    """Wide per-document text-quality entry merging the repetition and
+    unigram-fluency families into one driver-window-slot candidate (the
+    fn-parse-suite trick): one row per doc, one column set per family.
+    The individual entries stay registered for pytest and the bench."""
+    rep = text_repetition(spark, sf)
+    lp = text_unigram_logprob(spark, sf)
+    out = rep.join(lp, "doc_id", "left")
+    return out.select(
+        "doc_id", "n_trigrams", "n_trigrams_distinct", "rep_ratio",
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        F.coalesce(F.col("mean_logprob"), F.lit(0.0)).alias("mean_logprob"),
+    )

@@ -46,6 +46,7 @@ BOUNDED_NLJ_OK = {
     "text-bm25": "1-row corpus-stats scalar attach",
     "text-bm25-topk": "1-row corpus-stats scalar attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
+    "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -73,6 +74,7 @@ BOUNDED_BROADCAST_OK = {
     "text-bm25": "broadcast |query|-row dfreq + 1-row stats",
     "text-bm25-topk": "broadcast 1-row stats",
     "text-unigram-logprob": "broadcast 1-row corpus total",
+    "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
 }
 
 
