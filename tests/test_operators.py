@@ -1117,3 +1117,32 @@ def test_profile_table_modes(spark):
     # approx mode plans without Expand (single combinable agg)
     plan = profile_table(li, cols, approx_distinct=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_gapfill_spine_is_dense_and_matches_sparse_agg(spark):
+    """Every group's bucket series is contiguous from its first to last
+    event (rows == span), zero-filled buckets only where the sparse agg
+    has no row, and non-empty buckets carry the sparse agg's exact
+    values; value_locf is never null and equals value_sum on non-empty
+    buckets."""
+    from genpipe_spark.operators.timegrid import time_bucket_gapfill
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    from genpipe_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
+    out = time_bucket_gapfill(ev, by=("user_id",), bucket_s=3600).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    width = 3600 * 1_000_000
+    for user, rows in by_user.items():
+        starts = sorted(r["bucket_start_us"] for r in rows)
+        assert starts == list(range(starts[0], starts[-1] + width, width)), user
+        for r in rows:
+            assert r["value_locf"] is not None
+            if r["n_events"] > 0:
+                assert r["value_locf"] == r["value_sum"]
+            else:
+                assert r["value_sum"] == 0.0
