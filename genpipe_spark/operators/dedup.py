@@ -606,9 +606,13 @@ def incremental_minhash_pairs(
     new_ids = cand.select(F.col("id_new").alias("__cid")).distinct()
     match_ids = cand.select(F.col("id_match").alias("__cid")).distinct()
     sh_new = side_shingles(new_docs, new_ids, "id_new")
-    # an id_match can live in the corpus or in the batch (intra pairs)
-    sh_match = side_shingles(corpus, match_ids, "id_match").unionByName(
-        side_shingles(new_docs, match_ids, "id_match")
+    # an id_match can live in the corpus or in the batch (intra pairs);
+    # dedupe in case the same id exists in BOTH frames (a re-submitted
+    # doc) — two shingle rows would otherwise double every pair it's in
+    sh_match = (
+        side_shingles(corpus, match_ids, "id_match")
+        .unionByName(side_shingles(new_docs, match_ids, "id_match"))
+        .dropDuplicates(["id_match"])
     )
     pairs = cand.join(sh_new, "id_new").join(sh_match, "id_match")
     inter = F.size(F.array_intersect(F.col("sh_id_new"), F.col("sh_id_match")))

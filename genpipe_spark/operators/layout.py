@@ -73,6 +73,8 @@ def compact_parquet(
     in-place overwrite readers could observe half-done.
 
     Returns the number of files written."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
     jvm = spark._jvm
     hsrc = jvm.org.apache.hadoop.fs.Path(src)
     fs = hsrc.getFileSystem(spark._jsc.hadoopConfiguration())

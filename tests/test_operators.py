@@ -1146,3 +1146,23 @@ def test_gapfill_spine_is_dense_and_matches_sparse_agg(spark):
                 assert r["value_locf"] == r["value_sum"]
             else:
                 assert r["value_sum"] == 0.0
+
+
+def test_incremental_dedup_resubmitted_doc_no_double_pairs(spark):
+    """A doc id present in BOTH corpus and batch (re-submission) must
+    not double its pairs through the two-sided shingle lookup."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.dedup import incremental_minhash_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text="totally different words here")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=10, text=text)]
+    )
+    got = incremental_minhash_pairs(new, corpus, threshold=0.5).collect()
+    keys = [(r["id_new"], r["id_match"]) for r in got]
+    assert len(keys) == len(set(keys))  # no duplicated pair rows
+    assert set(keys) == {(1, 1), (10, 1)}  # self-resubmission + its dup
