@@ -32,6 +32,7 @@ def time_bucket_gapfill(
     value_col: str = "value",
     by: Sequence[str] = ("user_id",),
     bucket_s: int = 3600,
+    max_buckets_per_group: int = 10_000_000,
 ) -> DataFrame:
     """Per-group dense bucket series: every bucket between each group's
     first and last event, zero-filled where empty.
@@ -51,12 +52,25 @@ def time_bucket_gapfill(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(F.round(F.col("__v") * 100).cast("long")) / 100.0).alias("value_sum"),
     )
+    # a single corrupt timestamp (epoch 0 amid current data) would make
+    # one group's spine explode to billions of rows; fail loudly with
+    # the offending group instead of OOMing the job
+    span_ok = F.assert_true(
+        F.col("__hi") - F.col("__lo") < F.lit(max_buckets_per_group),
+        F.concat(
+            F.lit("gapfill spine exceeds max_buckets_per_group for group: "),
+            *[F.col(k).cast("string") for k in keys],
+        ),
+    )
+    # the assertion feeds the sequence's lower bound (null -> +0) so
+    # column pruning cannot eliminate it
+    guarded_lo = F.col("__lo") + F.coalesce(span_ok.cast("long"), F.lit(0))
     spine = (
         agg.groupBy(*keys)
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
         .select(
             *keys,
-            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b"),
+            F.explode(F.sequence(guarded_lo, F.col("__hi"))).alias("__b"),
         )
     )
     out = spine.join(agg, [*keys, "__b"], "left")

@@ -1166,3 +1166,21 @@ def test_incremental_dedup_resubmitted_doc_no_double_pairs(spark):
     keys = [(r["id_new"], r["id_match"]) for r in got]
     assert len(keys) == len(set(keys))  # no duplicated pair rows
     assert set(keys) == {(1, 1), (10, 1)}  # self-resubmission + its dup
+
+
+def test_gapfill_span_guard_trips_on_corrupt_timestamp(spark):
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.timegrid import time_bucket_gapfill
+
+    import datetime as dt
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 10), value=1.0),
+        Row(user_id=1, ts=dt.datetime(1970, 1, 1, 0), value=2.0),  # corrupt
+    ]
+    df = spark.createDataFrame(rows)
+    out = time_bucket_gapfill(df, by=("user_id",), bucket_s=3600,
+                              max_buckets_per_group=1000)
+    with pytest.raises(Exception, match="max_buckets_per_group"):
+        out.collect()
