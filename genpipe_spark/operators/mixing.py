@@ -113,3 +113,43 @@ def pack_streaming(
     return df.withColumn("pack_id", F.floor(start / F.lit(budget))).withColumn(
         "pack_offset", start - F.col("pack_id") * F.lit(budget)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``n`` rows (per ``by`` group, or globally) with the largest
+    Efraimidis–Spirakis keys ``u^(1/w)``, where ``u`` is the row's
+    portable hash mapped into (0, 1) — inclusion probability scales
+    with weight, yet reruns/retries/oracles agree exactly because
+    nothing draws ``rand()``.
+
+    Implemented on the log scale (``ln(u)/w`` — monotone transform, so
+    the top-n set is identical) and quantized to nano-units through a
+    round BEFORE ranking: libm ``ln`` differs across engines by 1 ulp
+    (~1e-15 absolute here) while sampling keys are spaced far wider, so
+    after the 1e-9 round both engines rank the SAME integers and ties
+    break by id (FIXTURES.md libm rule).
+
+    One window shuffle per group (or one global TakeOrdered when ``by``
+    is None at small n). Rows with non-positive weights never qualify.
+    Output: input columns + ``es_key_nano`` (the quantized key, exposed
+    so downstream audits can reproduce the selection)."""
+    u = (_id_hash(F.col(id_col)) + F.lit(1)).cast("double") / F.lit(float(M31 + 1))
+    w = F.col(weight_col).cast("double")
+    key_nano = F.round(F.log(u) / w * 1e9).cast("long")
+    scored = df.where(w > 0).withColumn("es_key_nano", key_nano)
+    order = [F.desc("es_key_nano"), F.col(id_col)]
+    if by is None:
+        return scored.orderBy(*order).limit(n)
+    win = Window.partitionBy(by).orderBy(*order)
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1191,3 +1191,31 @@ def text_quality_suite(spark, sf):
         F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
         F.coalesce(F.col("mean_logprob"), F.lit(0.0)).alias("mean_logprob"),
     )
+
+
+@query(
+    "mix-weighted-sample",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(ln((({_MIX_HASH}) + 1) * 1.0 / 2147483648)
+                        / n_chars * 1e9) AS BIGINT) AS es_key_nano
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, es_key_nano FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key_nano DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+)
+def mix_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/mixing.weighted_sample, Efraimidis–Spirakis keys on the
+    portable id hash): 20 docs per source with inclusion probability
+    proportional to n_chars — longer docs favored, reruns exact."""
+    from genpipe_spark.operators.mixing import weighted_sample
+
+    d = t(spark, sf, "documents")
+    return weighted_sample(d, "n_chars", 20, by="source").select(
+        "doc_id", "source", "n_chars", "es_key_nano"
+    )

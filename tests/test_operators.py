@@ -1184,3 +1184,21 @@ def test_gapfill_span_guard_trips_on_corrupt_timestamp(spark):
                               max_buckets_per_group=1000)
     with pytest.raises(Exception, match="max_buckets_per_group"):
         out.collect()
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from genpipe_spark.operators.mixing import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    s1 = weighted_sample(docs, "n_chars", 50).collect()
+    s2 = weighted_sample(docs, "n_chars", 50).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    samp_mean = sum(r["n_chars"] for r in s1) / len(s1)
+    assert samp_mean > pop_mean  # weight-proportional inclusion
+
+    zero_w = weighted_sample(
+        docs.withColumn("w0", F.lit(0)), "w0", 10
+    ).collect()
+    assert zero_w == []  # non-positive weights never qualify
