@@ -56,7 +56,24 @@ def interval_join(
     side into a range-predicate nested-loop join — the right physical plan
     when intervals fit in memory (the reference considered exactly this via
     ADAM's BroadcastRegionJoin, steps/toRange.scala:4-10).
+
+    ``how`` may be ``'inner'`` or ``'left'`` (left-outer on the point
+    side: unmatched points survive with NULL interval columns). The range
+    predicate lives in the join *condition*, not a post-join filter — a
+    ``.where(residual)`` would evaluate NULL on unmatched left rows and
+    silently degrade the outer join to inner. A point maps to exactly one
+    band, so each (point, interval) pair meets the equi+residual condition
+    at most once and condition-side residual is equivalent to the
+    post-filter for inner. Right/full outer are rejected: the banded form
+    replicates each interval across its bands, so an unmatched interval
+    would surface once per band replica.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"interval_join supports how='inner' or 'left', got {how!r}; "
+            "banding replicates intervals, so right/full outer would "
+            "duplicate unmatched interval rows"
+        )
     p, lo, hi = F.col(point_col), F.col(lo_col), F.col(hi_col)
     residual = (p >= lo) & (p <= hi)
     keys_eq = [points[k] == intervals[k] for k in extra_keys]
@@ -72,10 +89,11 @@ def interval_join(
     ivs = intervals.withColumn(
         "__bin", F.explode(F.sequence(F.floor(lo / w), F.floor(hi / w)))
     )
-    cond = pts["__bin"] == ivs["__bin"]
+    banded_residual = (pts[point_col] >= ivs[lo_col]) & (pts[point_col] <= ivs[hi_col])
+    cond = (pts["__bin"] == ivs["__bin"]) & banded_residual
     for k in extra_keys:
         cond = cond & (pts[k] == ivs[k])
-    joined = pts.join(ivs, cond, how).where(residual)
+    joined = pts.join(ivs, cond, how)
     return joined.drop(pts["__bin"]).drop(ivs["__bin"])
 
 

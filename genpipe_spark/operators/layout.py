@@ -78,12 +78,18 @@ def compact_parquet(
     jvm = spark._jvm
     hsrc = jvm.org.apache.hadoop.fs.Path(src)
     fs = hsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    qsrc = fs.makeQualified(hsrc).toString().rstrip("/")
     it = fs.listFiles(hsrc, True)
     total = 0
     while it.hasNext():
         f = it.next()
-        name = f.getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
+        fpath = f.getPath().toString()
+        # skip hidden FILES and files under hidden DIRECTORIES
+        # (_temporary/.../part-*.parquet from a crashed write would
+        # otherwise inflate the byte total): test every path component
+        # below src, not just the basename
+        rel = fpath[len(qsrc) :].lstrip("/") if fpath.startswith(qsrc) else fpath
+        if not any(part.startswith(("_", ".")) for part in rel.split("/")):
             total += f.getLen()
     n_files = max(1, -(-total // target_file_bytes))
 

@@ -45,7 +45,12 @@ def time_bucket_gapfill(
     spine."""
     width_us = bucket_s * 1_000_000
     keys = list(by)
-    bidx = F.expr(f"unix_micros({ts_col}) DIV {width_us}")
+    # floor division, not DIV: Spark's DIV truncates toward zero while
+    # the DuckDB oracle's // floors, so pre-1970 timestamps (negative
+    # unix_micros) would land in different buckets per engine. Subtract
+    # pmod first — the difference is exactly divisible, so DIV == floor.
+    us = f"unix_micros({ts_col})"
+    bidx = F.expr(f"({us} - pmod({us}, {width_us})) DIV {width_us}")
     agg = df.select(*keys, bidx.alias("__b"), F.col(value_col).alias("__v")).groupBy(
         *keys, "__b"
     ).agg(

@@ -112,6 +112,13 @@ class Pipeline:
                 if collect_metrics:
                     ctx.metrics.append((name, "resumed", 0.0))
                 continue
+            # drop any stale commit marker BEFORE running the stage:
+            # partition_by stages write via dynamic partition overwrite,
+            # which never clears the destination dir — a crash mid-write
+            # would otherwise leave the old marker pointing at a
+            # half-overwritten table that a later resume=True trusts
+            if st.output:
+                self._delete_marker(spark, ctx.path(st.output))
             out = st.fn(spark, ctx)
             if out is not None and st.output:
                 if st.partition_by:
@@ -160,6 +167,12 @@ class Pipeline:
     def _write_marker(cls, spark: SparkSession, path: str) -> None:
         fs, hpath = cls._marker_path(spark, path)
         fs.create(hpath, True).close()
+
+    @classmethod
+    def _delete_marker(cls, spark: SparkSession, path: str) -> None:
+        fs, hpath = cls._marker_path(spark, path)
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
 
 
 def build_genomics_pipeline() -> Pipeline:

@@ -1124,10 +1124,12 @@ def profile_table_query(spark, sf):
     per-column null/distinct/range stats of lineitem in one scan — the
     drift-detection primitive a curation pipeline runs per corpus
     version. Timestamp min/max stringify identically in both engines
-    (session TZ pinned UTC; 'yyyy-MM-dd HH:mm:ss' both sides)."""
+    (session TZ pinned UTC; 'yyyy-MM-dd HH:mm:ss' both sides).
+    Exact-distinct mode opted into here because DuckDB's COUNT(DISTINCT)
+    is exact — the operator's DEFAULT is the HLL/no-Expand scale path."""
     from genpipe_spark.operators.profile import profile_table
 
-    return profile_table(t(spark, sf, "lineitem"), _PROFILE_COLS)
+    return profile_table(t(spark, sf, "lineitem"), _PROFILE_COLS, approx_distinct=False)
 
 
 @query(

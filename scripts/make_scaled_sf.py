@@ -36,13 +36,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+# column -> logical key; the offset unit for a logical key comes from
+# its OWNING table's span (custkey from customer, orderkey from orders),
+# and every referencing column reuses that same unit. Using each table's
+# own column span instead (the first version) broke FK alignment
+# whenever max(fk) != max(pk) — e.g. customers without orders — so
+# replicas i>=1 joined to wrong/missing dimension rows.
 OFFSET_COLS = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+# logical key -> (owning table, primary-key column)
+KEY_OWNERS = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
 }
 COPY_TABLES = ["region", "nation", "part", "supplier"]
 
@@ -65,18 +80,20 @@ def main() -> None:
         load(spark, src, name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"copied {name}")
 
+    # one offset unit per LOGICAL key = the owning table's span, so
+    # replicas never collide and FK->PK alignment is preserved:
+    # key' = key + i * (max_over_owner + 1)
+    key_spans = {
+        lk: load(spark, src, tbl).agg((F.max(col) + 1).alias("s")).collect()[0]["s"]
+        for lk, (tbl, col) in KEY_OWNERS.items()
+    }
     for name, keys in OFFSET_COLS.items():
         base = load(spark, src, name)
-        # one offset unit per key column = its span, so replicas never
-        # collide: key' = key + i * (max+1)
-        spans = base.agg(
-            *[(F.max(k) + 1).alias(k) for k in keys]
-        ).collect()[0].asDict()
         reps = []
         for i in range(n):
             r = base
-            for k in keys:
-                r = r.withColumn(k, (F.col(k) + F.lit(i * spans[k])).cast(base.schema[k].dataType))
+            for k, lk in keys.items():
+                r = r.withColumn(k, (F.col(k) + F.lit(i * key_spans[lk])).cast(base.schema[k].dataType))
             if name == "documents":
                 r = r.withColumn(
                     "text",

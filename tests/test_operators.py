@@ -51,6 +51,37 @@ def test_interval_join_edge_semantics(spark):
         assert got == expected, form
 
 
+def test_interval_join_left_outer_keeps_unmatched_points(spark):
+    """how='left' must keep points outside every interval (NULL interval
+    columns) — the residual lives in the join CONDITION; a post-join
+    .where would evaluate NULL on unmatched rows and silently degrade
+    the outer join to inner (VERDICT r4 item 2). Matched pairs must be
+    exactly the inner/explode-oracle set."""
+    from genpipe_spark.operators.interval import interval_join, interval_join_explode
+
+    points, intervals = _fixture_points_intervals(spark)
+    inner_pairs = {
+        (r["p"], r["iv"])
+        for r in interval_join_explode(points, intervals, "p", "lo", "hi").collect()
+    }
+    for broadcast in (False, True):
+        out = interval_join(
+            points, intervals, "p", "lo", "hi",
+            band_width=1000, how="left", broadcast_intervals=broadcast,
+        ).collect()
+        got_matched = {(r["p"], r["iv"]) for r in out if r["iv"] is not None}
+        got_unmatched = {r["p"] for r in out if r["iv"] is not None} ^ {
+            r["p"] for r in out
+        }
+        assert got_matched == inner_pairs, broadcast
+        assert got_unmatched == {1}, broadcast  # p=1 survives with NULLs
+        # and exactly once — banding must not duplicate the NULL row
+        assert sum(1 for r in out if r["p"] == 1) == 1, broadcast
+
+    with pytest.raises(ValueError, match="right/full"):
+        interval_join(points, intervals, "p", "lo", "hi", how="full")
+
+
 def test_interval_join_banded_is_equijoin(spark):
     """The banded form must plan as a hash/sort-merge equi-join, never a
     BroadcastNestedLoopJoin — the whole point of banding (SURVEY.md §7.4)."""
@@ -1081,6 +1112,17 @@ def test_compact_parquet_small_files(spark, tmp_path):
     total = sum(
         len(open(f, "rb").read()) for f in glob.glob(f"{src}/part-*.parquet")
     )
+    # leftovers from a crashed write inside a HIDDEN directory must not
+    # count toward the byte total (ADVICE r4: skip by path component,
+    # not basename) — plant one as large as the real data
+    import os
+    import shutil
+
+    os.makedirs(f"{src}/_temporary/0/task_1", exist_ok=True)
+    real = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(real, f"{src}/_temporary/0/task_1/part-crashed.parquet")
+    with open(f"{src}/_temporary/0/task_1/junk.bin", "wb") as fh:
+        fh.write(b"\0" * total)
     target = total // 4  # aim for ~4 files
     dest = str(tmp_path / "compact")
     n = compact_parquet(spark, src, dest, target_file_bytes=target)
@@ -1105,8 +1147,8 @@ def test_profile_table_modes(spark):
 
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
     cols = ("l_orderkey", "l_returnflag")
-    exact = {r["column"]: r for r in profile_table(li, cols).collect()}
-    approx = {r["column"]: r for r in profile_table(li, cols, approx_distinct=True).collect()}
+    exact = {r["column"]: r for r in profile_table(li, cols, approx_distinct=False).collect()}
+    approx = {r["column"]: r for r in profile_table(li, cols).collect()}
     assert exact["l_returnflag"]["n_distinct"] == 3
     assert exact["l_returnflag"]["n_nulls"] == 0
     # HLL estimate within 5% of exact for every profiled column
@@ -1114,8 +1156,8 @@ def test_profile_table_modes(spark):
         e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
         assert abs(a - e) <= max(1, 0.05 * e), (c, e, a)
         assert approx[c]["min_str"] == exact[c]["min_str"]
-    # approx mode plans without Expand (single combinable agg)
-    plan = profile_table(li, cols, approx_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    # the DEFAULT mode plans without Expand (single combinable agg)
+    plan = profile_table(li, cols)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
 
 
@@ -1184,6 +1226,46 @@ def test_gapfill_span_guard_trips_on_corrupt_timestamp(spark):
                               max_buckets_per_group=1000)
     with pytest.raises(Exception, match="max_buckets_per_group"):
         out.collect()
+
+
+def test_gapfill_floor_divides_pre_epoch_timestamps(spark):
+    """Negative unix_micros must floor into the earlier bucket, matching
+    DuckDB's // semantics — Spark's bare DIV truncates toward zero and
+    would put 23:30 on 1969-12-31 into bucket 0 instead of -1
+    (ADVICE r4)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.timegrid import time_bucket_gapfill
+
+    import datetime as dt
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(1969, 12, 31, 23, 30), value=1.0),
+        Row(user_id=1, ts=dt.datetime(1970, 1, 1, 0, 30), value=2.0),
+    ]
+    out = time_bucket_gapfill(
+        spark.createDataFrame(rows), by=("user_id",), bucket_s=3600
+    ).collect()
+    got = {r["bucket_start_us"]: r["n_events"] for r in out}
+    assert got == {-3_600_000_000: 1, 0: 1}
+
+
+def test_parse_byte_string_suffixes():
+    """widen() must accept every human-readable maxPartitionBytes form a
+    session/spark-defaults may carry (ADVICE r4) and never raise at plan
+    time."""
+    from genpipe_spark.queries.common import parse_byte_string
+
+    assert parse_byte_string("134217728b") == 134217728
+    assert parse_byte_string("134217728") == 134217728
+    assert parse_byte_string("128m") == 128 * 1024 * 1024
+    assert parse_byte_string("64MB") == 64 * 1024 * 1024
+    assert parse_byte_string("1g") == 1 << 30
+    assert parse_byte_string(" 512k ") == 512 * 1024
+    assert parse_byte_string("1t") == 1 << 40
+    # unrecognizable input falls back instead of failing the query
+    assert parse_byte_string("garbage") == 134217728
+    assert parse_byte_string("") == 134217728
 
 
 def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):

@@ -726,3 +726,41 @@ def test_pipeline_resume_skips_committed_stages(spark, tmp_path):
     ctx3 = PipelineContext(dest=str(tmp_path))
     p.run(spark, ctx3, resume=True)
     assert calls == {"a": 1, "b": 2}
+
+
+def test_pipeline_rerun_clears_stale_commit_marker(spark, tmp_path):
+    """A re-run that crashes mid-stage must not leave last run's commit
+    marker behind: partition_by stages write via dynamic partition
+    overwrite (dest dir never cleared), so a surviving stale marker
+    would make a later resume=True trust a half-overwritten table
+    (ADVICE r4). The runner deletes the marker BEFORE stage execution."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.plans.pipeline import Pipeline, PipelineContext
+
+    boom = {"armed": False}
+    calls = {"a": 0}
+    p = Pipeline()
+
+    @p.stage("a", output="ta", partition_by=("part",))
+    def stage_a(spark_, ctx):
+        calls["a"] += 1
+        if boom["armed"]:
+            raise RuntimeError("simulated mid-stage crash")
+        return spark_.range(10).select(
+            "id", (F.col("id") % 2).cast("string").alias("part")
+        )
+
+    ctx = PipelineContext(dest=str(tmp_path))
+    p.run(spark, ctx)  # committed: marker present
+    assert (tmp_path / "v1" / "ta" / "_GENPIPE_COMMITTED").exists()
+
+    boom["armed"] = True
+    with pytest.raises(RuntimeError, match="simulated"):
+        p.run(spark, PipelineContext(dest=str(tmp_path)))
+    # the stale marker is gone, so resume does NOT trust the dir ...
+    assert not (tmp_path / "v1" / "ta" / "_GENPIPE_COMMITTED").exists()
+    boom["armed"] = False
+    p.run(spark, PipelineContext(dest=str(tmp_path)), resume=True)
+    # ... and the stage actually re-ran (1 initial + 1 crash + 1 resume)
+    assert calls["a"] == 3
