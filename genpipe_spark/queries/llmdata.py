@@ -1221,3 +1221,95 @@ def mix_weighted_sample(spark, sf):
     return weighted_sample(d, "n_chars", 20, by="source").select(
         "doc_id", "source", "n_chars", "es_key_nano"
     )
+
+
+# ------------------------------------------------------------- curation
+
+# h31 word hash + 3-shingle combine, identical to _SHINGLES_CTE but over
+# an arbitrary words-array column (the curation stages run on NORMALIZED
+# text, not raw documents.text)
+_H31 = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_apply(list_filter(string_split(w, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)"
+)
+
+_CURATION_ORACLE = rf"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS text
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM norm
+      WHERE len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) >= 10
+        AND floor(list_reduce(list_prepend(0,
+              list_apply(list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+                         w -> length(w))), (a, b) -> a + b)
+            / len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+            * 10000)/10000.0 >= 2
+    ), exact_keep AS (
+      SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)
+    ), uniq AS (
+      SELECT g.* FROM gated g JOIN exact_keep e ON g.doc_id = e.keep_id
+    ), wh AS (
+      SELECT doc_id, list_apply(ws, w -> {_H31}) AS wh FROM uniq
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(wh) - 1, 1)),
+               i -> ((wh[i] * 1000003) % 2147483647
+                     + (wh[i+1] * 9176) % 2147483647
+                     + wh[i+2]) % 2147483647))) AS sh
+      FROM wh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), losers AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING floor(count(*) / (sa.n + sb.n - count(*)) * 10000)/10000.0 >= 0.5
+    )
+    SELECT u.doc_id, u.source, len(u.ws) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_apply(u.ws, w -> {_H31})),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+    FROM uniq u
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = u.doc_id)
+"""
+
+
+@query("pipeline-curation", _CURATION_ORACLE)
+def pipeline_curation(spark, sf):
+    """End-to-end curation pipeline as ONE oracle-checkable declarative
+    plan (VERDICT r4 item 5): the exact stage transforms of
+    plans/curation.py — normalize → quality-gate → exact-dedup →
+    near-dedup survivor selection → tokenize+fingerprint — composed
+    without the inter-stage materialization (which only exists for
+    restartability; the dataflow is identical, so this IS the pipeline's
+    semantics under the oracle). The DuckDB twin recomputes every stage,
+    with the near-dedup leg as exact shingle-Jaccard >= 0.5 — equal to
+    the LSH+verify output whenever LSH recall is 1 (the documented,
+    pytest-checked contract of dedup-minhash-lsh)."""
+    d = widen(t(spark, sf, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    d = d.withColumn("text", norm)
+    gated = T.quality_score(d).where(
+        (F.col("n_tokens") >= 10) & (F.col("mean_token_len") >= 2)
+    )
+    keep = D.exact_dedup(gated).select("keep_id")
+    uniq = gated.join(keep, gated["doc_id"] == keep["keep_id"], "left_semi")
+    pairs = D.minhash_lsh_pairs(uniq, threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(losers, "doc_id", "left_anti")
+    out = T.fingerprint(T.token_count(survivors))
+    return out.select("doc_id", "source", "n_tokens", "fp")

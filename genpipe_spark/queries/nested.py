@@ -71,6 +71,60 @@ def agg_collect_scalar(spark, sf):
 
 
 @query(
+    "agg-collect-suite",
+    """
+    SELECT 'collect' AS part, CAST(l_orderkey AS BIGINT) AS key,
+           array_to_string(
+             list_sort(list(concat('ln=', l_linenumber, ';pk=', l_partkey,
+                                   ';qty=', CAST(l_quantity AS INT)))), '|') AS s1,
+           '' AS s2, count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+    UNION ALL
+    SELECT 'scalar', CAST(o_custkey AS BIGINT),
+           (list_sort(list(DISTINCT o_orderpriority)))[1], '',
+           CAST(-1 AS BIGINT)
+    FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT 'first', CAST(l_orderkey AS BIGINT), min(o_orderpriority),
+           min(strftime(o_orderdate, '%Y-%m-%d')), CAST(-1 AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_suite(spark, sf):
+    """Tagged union of the three §2.4 document-building aggregations
+    (agg-group-collect ∪ agg-collect-scalar ∪ agg-group-first) into ONE
+    driver-window slot (VERDICT r4 item 1 — the join-semi-anti trick).
+    The individual entries stay registered (>50) for pytest parity;
+    branches reshape into (part, key, s1, s2, n) with ''/-1 filler."""
+    from genpipe_spark.queries.relational import agg_group_first
+
+    neg1 = F.lit(-1).cast("long")
+    collect = agg_group_collect(spark, sf).select(
+        F.lit("collect").alias("part"),
+        F.col("l_orderkey").cast("long").alias("key"),
+        F.col("samples").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("n_samples").alias("n"),
+    )
+    scalar = agg_collect_scalar(spark, sf).select(
+        F.lit("scalar").alias("part"),
+        F.col("o_custkey").cast("long").alias("key"),
+        F.col("rep").alias("s1"),
+        F.lit("").alias("s2"),
+        neg1.alias("n"),
+    )
+    first = agg_group_first(spark, sf).select(
+        F.lit("first").alias("part"),
+        F.col("l_orderkey").cast("long").alias("key"),
+        F.col("o_orderpriority").alias("s1"),
+        F.col("order_day").alias("s2"),
+        neg1.alias("n"),
+    )
+    return collect.unionByName(scalar).unionByName(first)
+
+
+@query(
     "udtf-explode",
     """
     SELECT doc_id, unnest(string_split(text, ' ')) AS word

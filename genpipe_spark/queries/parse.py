@@ -377,17 +377,17 @@ def fn_annotation_parse(spark, sf):
     )
 
 
-@query(
-    "fn-snpeff-eff-parse",
-    """
+_EFF_ORACLE = """
     WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, {m} AS m FROM lineitem)
     SELECT l_orderkey, l_linenumber,
            CASE m WHEN 0 THEN 'STOP_GAINED' ELSE 'NON_SYNONYMOUS_CODING' END AS effect,
            CASE m WHEN 0 THEN 'HIGH' ELSE 'MODERATE' END AS effect_impact,
            concat('TX', l_partkey % 100) AS transcript_id
     FROM src
-    """.format(m="(l_orderkey * 7 + l_linenumber) % 2"),
-)
+""".format(m="(l_orderkey * 7 + l_linenumber) % 2")
+
+
+@query("fn-snpeff-eff-parse", _EFF_ORACLE)
 def fn_snpeff_eff_parse(spark, sf):
     # legacy EFF= format (steps/toEffects.scala:95-115) through the real
     # parser, exploded; oracle encodes the expected plucks
@@ -412,3 +412,21 @@ def fn_snpeff_eff_parse(spark, sf):
         F.col("e.effect_impact").alias("effect_impact"),
         F.col("e.transcript_id").alias("transcript_id"),
     )
+
+
+_SNPEFF_SUITE_ORACLE = f"""
+    SELECT 'ann' AS part, * FROM ({_ANN_ORACLE})
+    UNION ALL
+    SELECT 'eff' AS part, * FROM ({_EFF_ORACLE})
+"""
+
+
+@query("fn-snpeff-suite", _SNPEFF_SUITE_ORACLE)
+def fn_snpeff_suite(spark, sf):
+    """Tagged union of the two snpEff parser entries (fn-snpeff-ann-parse
+    ∪ fn-snpeff-eff-parse — identical output schemas) into ONE
+    driver-window slot (VERDICT r4 item 1). The individual entries stay
+    registered (>50) for pytest parity and the bench."""
+    ann = fn_snpeff_ann_parse(spark, sf).select(F.lit("ann").alias("part"), "*")
+    eff = fn_snpeff_eff_parse(spark, sf).select(F.lit("eff").alias("part"), "*")
+    return ann.unionByName(eff)

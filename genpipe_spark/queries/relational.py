@@ -131,6 +131,72 @@ def project_select_rename(spark, sf):
 
 
 @query(
+    "filter-project-suite",
+    """
+    SELECT 'header' AS part, CAST(doc_id AS BIGINT) AS id1,
+           CAST(n_chars AS BIGINT) AS id2, source AS k1, '' AS k2
+    FROM documents WHERE text NOT LIKE 'the %'
+    UNION ALL
+    SELECT 'band', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           CAST(l_partkey AS VARCHAR), ''
+    FROM lineitem WHERE l_partkey >= 500 AND l_partkey < 900
+    UNION ALL
+    SELECT 'eq', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           l_returnflag, l_linestatus
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
+    UNION ALL
+    SELECT 'quality', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           CAST(CAST(round(l_quantity*100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR)
+    FROM lineitem WHERE l_quantity > 7 AND l_extendedprice > 19000
+    UNION ALL
+    SELECT 'project', CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+           o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def filter_project_suite(spark, sf):
+    """Tagged union of the four §2.2 projection/filter entries
+    (filter-header ∪ filter-band-equality ∪ filter-quality ∪
+    project-select-rename) into ONE driver-window slot — the
+    join-semi-anti suite trick, applied to free window positions for the
+    round-4 operators (VERDICT r4 item 1). The individual entries stay
+    registered (>50) for pytest parity and the bench; each branch
+    reshapes its entry's exact output into (part, id1, id2, k1, k2),
+    floats via integer cents so the hash is engine-independent."""
+    cents_str = lambda c: F.round(F.col(c) * 100).cast("long").cast("string")  # noqa: E731
+    hdr = filter_header(spark, sf).select(
+        F.lit("header").alias("part"),
+        F.col("doc_id").cast("long").alias("id1"),
+        F.col("n_chars").cast("long").alias("id2"),
+        F.col("source").alias("k1"),
+        F.lit("").alias("k2"),
+    )
+    be = filter_band_equality(spark, sf).select(
+        "part",
+        F.col("l_orderkey").cast("long").alias("id1"),
+        F.col("l_linenumber").cast("long").alias("id2"),
+        "k1",
+        "k2",
+    )
+    qual = filter_quality(spark, sf).select(
+        F.lit("quality").alias("part"),
+        F.col("l_orderkey").cast("long").alias("id1"),
+        F.col("l_linenumber").cast("long").alias("id2"),
+        cents_str("dp").alias("k1"),
+        cents_str("gq").alias("k2"),
+    )
+    proj = project_select_rename(spark, sf).select(
+        F.lit("project").alias("part"),
+        F.col("orderkey").cast("long").alias("id1"),
+        F.col("custkey").cast("long").alias("id2"),
+        F.col("status").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+    )
+    return hdr.unionByName(be).unionByName(qual).unionByName(proj)
+
+
+@query(
     "join-inner-equi",
     """
     SELECT o_orderkey, o_totalprice, c_name, c_mktsegment

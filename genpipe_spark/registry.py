@@ -50,24 +50,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # they are extra forms (interval-join variants, streaming rows-only
 # probes) that get checked only if the driver's window ever widens.
 CURATED_ORDER: list[str] = [
+    # r5 rotation (VERDICT r4 item 1): filter-header/filter-band-equality/
+    # filter-quality/project-select-rename merged into filter-project-suite,
+    # agg-group-collect/agg-collect-scalar/agg-group-first into
+    # agg-collect-suite, fn-snpeff-{ann,eff}-parse into fn-snpeff-suite —
+    # freeing 6 slots for the round-4 operators (quantile-group-exact,
+    # dedup-incremental, text-bm25-topk, text-quality-suite,
+    # rollup-gapfill, profile-table). The merged-away entries stay
+    # registered (>50) for pytest parity; no §2 family left the window.
     "flagship-variant-doc",
     "scan-parquet-partitioned",
     "scan-text-vcf",
     "source-filestream",
     "sink-parquet-partitioned",
-    "filter-header",
-    "filter-band-equality",
-    "filter-quality",
-    "project-select-rename",
+    "filter-project-suite",
     "join-inner-equi",
     "join-left-multikey",
     "join-semi-anti",
     "join-interval",
     "join-asof",
-    "agg-group-collect",
-    "agg-collect-scalar",
-    "agg-group-first",
+    "agg-collect-suite",
     "agg-count-distinct-reduce",
+    "quantile-group-exact",
     "set-union",
     "sort-within-partitions",
     "topk",
@@ -77,8 +81,7 @@ CURATED_ORDER: list[str] = [
     "fn-parse-suite",
     "fn-alt-decompose",
     "fn-annotation-parse",
-    "fn-snpeff-ann-parse",
-    "fn-snpeff-eff-parse",
+    "fn-snpeff-suite",
     "row-sample-parser",
     "udf-allele-freq",
     "udf-pop-merge",
@@ -91,6 +94,7 @@ CURATED_ORDER: list[str] = [
     "dedup-minhash-lsh",
     "dedup-simhash",
     "dedup-contamination",
+    "dedup-incremental",
     "ann-topk-suite",
     "mix-suite",
     "pack-sequences",
@@ -98,6 +102,10 @@ CURATED_ORDER: list[str] = [
     "similarity-lsh-pairs",
     "text-metrics",
     "text-chunk",
+    "text-bm25-topk",
+    "text-quality-suite",
+    "rollup-gapfill",
+    "profile-table",
     "multimodal-suite",
     "sample-split-deterministic",
 ]
