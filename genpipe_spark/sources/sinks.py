@@ -161,45 +161,112 @@ def write_es_bulk_http(
     index: str,
     id_col: str | None = None,
     batch_docs: int = 500,
+    batch_bytes: int = 5 * 1024 * 1024,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
 ) -> None:
     """Distributed ES bulk indexing over plain HTTP (sink-elasticsearch,
     ``saveToEs`` at GenomicsLoader.scala:208-213) without the es-hadoop
     jar: ``foreachPartition`` posts NDJSON ``_bulk`` batches from EACH
     executor directly — the same shape es-hadoop uses, so there is no
-    driver bottleneck and memory is bounded by ``batch_docs`` per
-    in-flight batch. Bulk-item errors raise (fail the task → Spark
-    retries the partition), making delivery at-least-once; pass
-    ``id_col`` to make replays idempotent upserts by document id."""
+    driver bottleneck and memory is bounded per in-flight batch by BOTH
+    ``batch_docs`` and ``batch_bytes`` (es-hadoop's own dual cap — one
+    giant document can't blow the request size).
+
+    Failure handling (at-least-once; ``id_col`` makes replays idempotent
+    upserts):
+      - connection errors / HTTP 5xx / 429 on the whole request: bounded
+        exponential-backoff retry, then raise (fail the task → Spark
+        retries the partition);
+      - per-ITEM rejections in a 200 response: only the rejected docs are
+        re-sent (successes are never replayed within the task), with the
+        same bounded backoff for retryable statuses (429/5xx);
+      - permanently rejected docs (4xx item status, e.g. a mapping
+        conflict) raise immediately with the first error — a poison doc
+        would fail every blind replay forever, so surface it instead of
+        burning the retry budget."""
 
     def send_partition(rows) -> None:
         import json
+        import time
+        import urllib.error
         import urllib.request
 
-        buf: list[str] = []
+        def post(payload: bytes) -> dict:
+            last: Exception | None = None
+            for attempt in range(max_retries + 1):
+                try:
+                    req = urllib.request.Request(
+                        f"http://{nodes}/_bulk",
+                        data=payload,
+                        headers={"Content-Type": "application/x-ndjson"},
+                    )
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        return json.loads(r.read() or b"{}")
+                except urllib.error.HTTPError as e:
+                    if e.code < 500 and e.code != 429:
+                        raise  # permanent request-level error
+                    last = e
+                except (urllib.error.URLError, TimeoutError, OSError) as e:
+                    last = e
+                if attempt < max_retries:
+                    time.sleep(backoff_s * (2**attempt))
+            raise RuntimeError(
+                f"_bulk to {nodes} failed after {max_retries + 1} attempts"
+            ) from last
 
-        def flush() -> None:
+        def flush(buf: list[str]) -> None:
             if not buf:
                 return
-            req = urllib.request.Request(
-                f"http://{nodes}/_bulk",
-                data="".join(buf).encode(),
-                headers={"Content-Type": "application/x-ndjson"},
-            )
-            with urllib.request.urlopen(req, timeout=30) as r:
-                resp = json.loads(r.read() or b"{}")
-            if resp.get("errors"):
-                raise RuntimeError(f"_bulk reported item errors: {resp}")
+            pending = buf[:]
             buf.clear()
+            for attempt in range(max_retries + 1):
+                resp = post("".join(pending).encode())
+                if not resp.get("errors"):
+                    return
+                items = resp.get("items", [])
+                if len(items) != len(pending):
+                    raise RuntimeError(
+                        f"_bulk item count mismatch: sent {len(pending)}, "
+                        f"got {len(items)}"
+                    )
+                retryable: list[str] = []
+                for entry, item in zip(pending, items):
+                    st = next(iter(item.values()), {})
+                    status = st.get("status", 200) if isinstance(st, dict) else 200
+                    if 200 <= status < 300:
+                        continue
+                    if status == 429 or status >= 500:
+                        retryable.append(entry)
+                    else:
+                        raise RuntimeError(
+                            f"_bulk permanently rejected a doc "
+                            f"(status {status}): {st.get('error')}"
+                        )
+                if not retryable:
+                    return
+                pending = retryable
+                if attempt < max_retries:
+                    time.sleep(backoff_s * (2**attempt))
+            raise RuntimeError(
+                f"_bulk still rejecting {len(pending)} docs after "
+                f"{max_retries + 1} attempts"
+            )
 
+        buf: list[str] = []
+        buf_bytes = 0
         for row in rows:
             doc = row.asDict(recursive=True)
             action: dict = {"index": {"_index": index}}
             if id_col is not None:
                 action["index"]["_id"] = str(doc[id_col])
-            buf.append(json.dumps(action) + "\n" + json.dumps(doc, default=str) + "\n")
-            if len(buf) >= batch_docs:
-                flush()
-        flush()
+            entry = json.dumps(action) + "\n" + json.dumps(doc, default=str) + "\n"
+            buf.append(entry)
+            buf_bytes += len(entry)
+            if len(buf) >= batch_docs or buf_bytes >= batch_bytes:
+                flush(buf)
+                buf_bytes = 0
+        flush(buf)
 
     df.foreachPartition(send_partition)
 

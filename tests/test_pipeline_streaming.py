@@ -643,6 +643,161 @@ def test_es_adapter_http_roundtrip(spark):
         assert docs == src
 
 
+@contextlib.contextmanager
+def _flaky_es_server(script):
+    """Mock _bulk endpoint driven by a per-request ``script`` list:
+    each element handles one incoming bulk request —
+      'ok'            index every item (status 201)
+      'http500'       whole-request HTTP 500
+      'reject:<ids>'  200 response, but items whose _id is in the
+                      comma-separated list get status 429, rest 201
+      'poison:<ids>'  like reject but status 400 (permanent)
+    Extra requests past the script's end are 'ok'. Yields
+    (nodes, received) where received['bulks'] holds parsed
+    [(id, doc), ...] per request."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = {"bulks": []}
+    lock = threading.Lock()
+    step = {"i": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            lines = body.splitlines()
+            pairs = [
+                (json.loads(a)["index"].get("_id"), json.loads(d))
+                for a, d in zip(lines[0::2], lines[1::2])
+            ]
+            with lock:
+                received["bulks"].append(pairs)
+                mode = script[step["i"]] if step["i"] < len(script) else "ok"
+                step["i"] += 1
+            if mode == "http500":
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            bad_status, bad_ids = 0, set()
+            if mode.startswith("reject:"):
+                bad_status, bad_ids = 429, set(mode[7:].split(","))
+            elif mode.startswith("poison:"):
+                bad_status, bad_ids = 400, set(mode[7:].split(","))
+            items = [
+                {
+                    "index": {
+                        "status": bad_status if pid in bad_ids else 201,
+                        **({"error": {"type": "mock"}} if pid in bad_ids else {}),
+                    }
+                }
+                for pid, _ in pairs
+            ]
+            data = json.dumps(
+                {"errors": any(pid in bad_ids for pid, _ in pairs), "items": items}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"127.0.0.1:{srv.server_address[1]}", received
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_es_adapter_item_rejection_retries_only_rejected(spark):
+    """A 200 _bulk response with per-item 429s must re-send ONLY the
+    rejected docs (successes are not replayed within the task) and
+    succeed once the endpoint accepts them (VERDICT r4 item 6)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import write_es_bulk_http
+
+    with _flaky_es_server(["reject:2,4", "ok"]) as (nodes, received):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=f"v{i}") for i in range(6)]
+        ).coalesce(1)
+        write_es_bulk_http(
+            df, nodes, "idx", id_col="doc_id", batch_docs=100, backoff_s=0.01
+        )
+    assert len(received["bulks"]) == 2
+    assert len(received["bulks"][0]) == 6
+    # the retry carried exactly the two rejected ids, nothing else
+    assert sorted(pid for pid, _ in received["bulks"][1]) == ["2", "4"]
+
+
+def test_es_adapter_recovers_from_transient_500(spark):
+    """A whole-request HTTP 500 must be retried with backoff and succeed
+    when the endpoint recovers — without dropping or duplicating docs."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import write_es_bulk_http
+
+    with _flaky_es_server(["http500", "http500", "ok"]) as (nodes, received):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=f"v{i}") for i in range(4)]
+        ).coalesce(1)
+        write_es_bulk_http(
+            df, nodes, "idx", id_col="doc_id", batch_docs=100, backoff_s=0.01
+        )
+    assert len(received["bulks"]) == 3
+    assert all(len(b) == 4 for b in received["bulks"])
+
+
+def test_es_adapter_poison_doc_fails_loudly(spark):
+    """A permanent 400 item rejection must raise immediately (surfacing
+    the poison doc) instead of burning the retry budget."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import write_es_bulk_http
+
+    with _flaky_es_server(["poison:1", "poison:1", "poison:1", "poison:1"]) as (
+        nodes,
+        received,
+    ):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=f"v{i}") for i in range(3)]
+        ).coalesce(1)
+        with pytest.raises(Exception, match="permanently rejected"):
+            write_es_bulk_http(
+                df, nodes, "idx", id_col="doc_id", batch_docs=100, backoff_s=0.01
+            )
+    assert len(received["bulks"]) == 1  # no blind replay of the poison batch
+
+
+def test_es_adapter_batch_bytes_cap(spark):
+    """batch_bytes must flush before batch_docs when documents are large,
+    bounding request size."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.sources.sinks import write_es_bulk_http
+
+    with _flaky_es_server([]) as (nodes, received):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val="x" * 2000) for i in range(10)]
+        ).coalesce(1)
+        write_es_bulk_http(
+            df, nodes, "idx", id_col="doc_id",
+            batch_docs=1000, batch_bytes=5000, backoff_s=0.01,
+        )
+    # ~2KB docs with a 5KB cap -> batches of 2-3 docs, never all 10
+    assert len(received["bulks"]) >= 4
+    assert all(len(b) <= 3 for b in received["bulks"])
+    assert sum(len(b) for b in received["bulks"]) == 10
+
+
 def test_stream_to_es_end_to_end(spark, tmp_path):
     """The reference's streaming story composed end-to-end: text VCF
     files arrive → streaming parse (stream_vcf_ingest expressions) →
