@@ -51,6 +51,8 @@ HEADLINE = [
     "stream-stream-interval-join",
     "text-unigram-logprob",
     "rollup-gapfill",
+    # r5: end-to-end curation plan (normalize→quality→dedup×2→fingerprint)
+    "pipeline-curation",
 ]
 
 

@@ -1308,6 +1308,11 @@ def pipeline_curation(spark, sf):
     )
     keep = D.exact_dedup(gated).select("keep_id")
     uniq = gated.join(keep, gated["doc_id"] == keep["keep_id"], "left_semi")
+    # uniq feeds BOTH the LSH pair generation and the survivor anti-join;
+    # localCheckpoint computes the normalize→gate→exact-dedup prefix once
+    # (the staged runner gets the same effect from its materialized
+    # inter-stage tables)
+    uniq = uniq.localCheckpoint(eager=False)
     pairs = D.minhash_lsh_pairs(uniq, threshold=0.5)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = uniq.join(losers, "doc_id", "left_anti")

@@ -221,3 +221,71 @@ def stream_interval_self_join(
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {horizon}")),
     ).select(a["user_id"], "event_a", "event_b", "ts_a", "ts_b")
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    dest: str,
+    index_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> StreamingQuery:
+    """Streaming incremental near-dedup — the production ingest shape:
+    each micro-batch of incoming documents dedups against the persisted
+    corpus LSH index (and within itself) through the SAME
+    ``incremental_dedup_keep`` operator the batch path uses, then
+    survivors AND their index rows append to the corpus state, so a
+    near-dup arriving two micro-batches after its original is still
+    caught. Per-batch cost stays O(batch bands + collisions) — the
+    accumulated corpus is never re-paired against itself.
+
+    State layout (both plain parquet, partitionable at scale):
+      - ``dest``: accepted documents (id, text) appended per batch;
+      - ``index_dir``: (id, band, bucket) LSH rows — bootstrap-written
+        from ``corpus`` here, then appended per batch.
+
+    Delivery is at-least-once across micro-batch replays; a replayed
+    batch is harmless for ACCEPTANCE because a doc whose id is already
+    in the index pairs with itself at jaccard 1 and is dropped
+    (the re-submitted-id hardening in incremental_minhash_pairs),
+    though its dest append may duplicate rows — readers of ``dest``
+    should dedupe by id, or compact with exact_dedup."""
+    from genpipe_spark.operators.dedup import incremental_dedup_keep, minhash_index
+
+    minhash_index(corpus, text_col, id_col, num_hashes, bands, k).write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    corpus.select(id_col, text_col).limit(0).write.mode("overwrite").parquet(dest)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        idx = s.read.parquet(index_dir)
+        known = corpus.select(id_col, text_col).unionByName(s.read.parquet(dest))
+        keep = incremental_dedup_keep(
+            batch_df.select(id_col, text_col),
+            known,
+            idx,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+        ).localCheckpoint()  # eager: both writes below see one snapshot
+        keep.write.mode("append").parquet(dest)
+        minhash_index(keep, text_col, id_col, num_hashes, bands, k).write.mode(
+            "append"
+        ).parquet(index_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

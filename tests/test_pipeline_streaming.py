@@ -919,3 +919,64 @@ def test_pipeline_rerun_clears_stale_commit_marker(spark, tmp_path):
     p.run(spark, PipelineContext(dest=str(tmp_path)), resume=True)
     # ... and the stage actually re-ran (1 initial + 1 crash + 1 resume)
     assert calls["a"] == 3
+
+
+def test_stream_incremental_dedup_updates_index_across_batches(spark, tmp_path):
+    """Streaming incremental near-dedup: micro-batch 1's survivors must
+    join the persisted LSH index so that micro-batch 2's near-dup of a
+    batch-1 doc is rejected — the property that distinguishes real
+    incremental ingest from per-batch-only dedup. Also: a near-dup of
+    the ORIGINAL corpus is rejected in any batch, and unique docs pass."""
+    import json
+
+    from genpipe_spark.streaming.ingest import stream_incremental_dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corpus_text = "the quick brown fox jumps over the lazy dog " + base
+    doc_c = "spark shuffles partitions across executors while caching " + base
+    rows = {
+        # batch 1: near-dup of corpus doc 1 (one word appended) + unique C
+        "b1": [
+            {"doc_id": 10, "text": corpus_text + " extra"},
+            {"doc_id": 11, "text": doc_c},
+        ],
+        # batch 2: near-dup of batch-1 survivor C + a unique doc
+        "b2": [
+            {"doc_id": 20, "text": doc_c + " tail"},
+            {"doc_id": 21, "text": "completely different words entirely " + base.upper()},
+        ],
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    import time as _t
+
+    for i, name in enumerate(["b1", "b2"]):
+        p = src / f"{name}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows[name]))
+        os.utime(p, (_t.time() + i, _t.time() + i))  # stable batch order
+
+    corpus = spark.createDataFrame(
+        [(1, corpus_text), (2, "unrelated corpus document " + base[::-1])],
+        "doc_id long, text string",
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_incremental_dedup(
+        stream, corpus, str(tmp_path / "dest"), str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dest")).collect()}
+    assert kept == {11, 21}, kept  # 10 ~ corpus, 20 ~ batch-1 survivor 11
+    # the index grew by exactly the survivors' band rows (8 bands each)
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.where(F.col("id").isin(11, 21)).count() == 16
+    assert idx.where(F.col("id").isin(10, 20)).count() == 0
