@@ -121,6 +121,7 @@ def load_all_query_modules() -> None:
         llmdata,
         nested,
         parse,
+        quality,
         relational,
         sources,
         streaming,
