@@ -55,3 +55,139 @@ def kmv_estimate(mins: Column, k: int) -> Column:
     return F.when(n < k, n.cast("long")).otherwise(
         F.floor(F.lit(float(k - 1)) * F.lit(float(M31)) / h_k).cast("long")
     )
+
+
+# --------------------------------------------------------------- Count-Min
+#
+# Frequency sketching (Cormode-Muthukrishnan CM sketch): d independent
+# hash rows of w counters; est(key) = min_i counter[i][h_i(key)] — an
+# overestimate by at most eps*N with prob 1-delta (w = e/eps, d =
+# ln(1/delta)). The at-scale use is hot-key / heavy-hitter detection
+# (feeds the salting decision in operators/skew.py) without a
+# per-distinct-key groupBy state: the aggregation state is d*w counters
+# REGARDLESS of key cardinality.
+#
+# Same portability rule as KMV: pairwise hashes are (h31(key)*A_i + B_i)
+# mod M31 mod w over the repo's polynomial char fold — every product
+# < 2^62, so an ANSI-SQL oracle replays the sketch bit-identically.
+#
+# Scale shape: the build is explode(xd) -> groupBy(depth, bucket), and
+# Spark's partial hash aggregation collapses each task's output to at
+# most d*w rows before the shuffle — the map-side combine IS the
+# classic per-node CM sketch, and the one reducer-side merge is the
+# sketch's cell-wise sum. Sketches are MERGEABLE by construction:
+# union two sketch tables and sum counts by (depth, bucket).
+
+# depth-indexed pairwise-hash coefficients (arbitrary primes < 2^31)
+CMS_A = (1_000_003, 1_000_033, 1_000_037, 1_000_039, 1_000_081, 1_000_099)
+CMS_B = (12_289, 24_593, 49_157, 98_317, 196_613, 393_241)
+
+
+def _cms_bucket(h: Column, depth: int, width: int) -> Column:
+    return ((h * F.lit(CMS_A[depth]) + F.lit(CMS_B[depth])) % F.lit(M31)) % F.lit(
+        width
+    )
+
+
+def cms_sketch(
+    df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a CM sketch of ``col``: rows ``depth, bucket, c`` (at most
+    d*w of them; absent cells are implicit zeros). NULL keys are skipped
+    (they are a completeness problem — operators/validate.not_null —
+    not a frequency one)."""
+    if depth > len(CMS_A):
+        raise ValueError(f"depth > {len(CMS_A)} not supported")
+    c = F.col(col) if isinstance(col, str) else col
+    h = _word_hash(c)
+    cells = df.where(c.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_bucket(h, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return cells.select("e.*").groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the same (depth, width) —
+    associative/commutative, so per-partition / per-day sketches roll up
+    without rescanning."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    alias: str = "est",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: appends ``alias``
+    = min over depths of the matching counter (0 when a key hashes only
+    to empty cells). The join is (depth, bucket) equi-join against a
+    frame bounded by d*w rows — AQE broadcasts it on its own, no forced
+    hint needed."""
+    h = _word_hash(F.col(key_col))
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_bucket(h, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.*")
+    joined = probes.join(sketch, ["depth", "bucket"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    return joined.groupBy(key_col).agg(F.min("c").cast("long").alias(alias))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str | Column,
+    threshold_bp: int = 100,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Keys whose CM-estimated frequency is ≥ threshold_bp/10000 of the
+    total row count (default 1%): ``key, est, n_total``. Candidate keys
+    are the column's distinct values — appropriate when the key domain
+    is bounded (event types, languages, sources); for unbounded domains
+    feed an explicit candidate frame to cms_estimate instead. The
+    threshold compares in integer basis points (est*10000 >= bp*n) —
+    no float wobble, oracle-replayable."""
+    name = col if isinstance(col, str) else "key"
+    c = F.col(col) if isinstance(col, str) else col.alias(name)
+    sketch = cms_sketch(df, col, depth, width)
+    keyed = df.select(c).where(F.col(name).isNotNull())
+    candidates = keyed.distinct()
+    est = cms_estimate(candidates, name, sketch, depth, width)
+    # 1-row total attached lazily (crossJoin of a broadcast single-row agg
+    # — the repo's standard scalar-attach shape, see text.bm25_score)
+    totals = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .where(F.col("est") * 10_000 >= F.lit(threshold_bp) * F.col("n_total"))
+        .select(F.col(name).alias("key"), "est", F.col("n_total").cast("long").alias("n_total"))
+    )

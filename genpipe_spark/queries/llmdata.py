@@ -640,6 +640,109 @@ def sketch_kmv_distinct(spark, sf):
     return finish(glob, "global").unionByName(finish(merged, "merged"))
 
 
+# DuckDB replay of the CM sketch (operators/sketch.py CMS constants:
+# depth 4, width 1024, pairwise hash (h31(w)*A_d + B_d) mod M31 mod w)
+_CMS_HASH = """((h * ([1000003,1000033,1000037,1000039])[d.depth+1]
+             + ([12289,24593,49157,98317])[d.depth+1]) % 2147483647) % 1024"""
+
+_CMS_SQL = rf"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT w,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+           list_apply(list_filter(string_split(w, ''), c -> c <> ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 2147483647) AS h
+  FROM words
+),
+cells AS (
+  SELECT d.depth, {_CMS_HASH} AS bucket, count(*) AS c
+  FROM hashed, unnest([0,1,2,3]) d(depth)
+  GROUP BY 1, 2
+),
+exact AS (SELECT w, min(h) AS h, count(*) AS n_exact FROM hashed GROUP BY w),
+total AS (SELECT count(*) AS n_total FROM words),
+probes AS (
+  SELECT w, n_exact, d.depth, {_CMS_HASH} AS bucket
+  FROM exact, unnest([0,1,2,3]) d(depth)
+),
+est AS (
+  SELECT w AS key, any_value(n_exact) AS n_exact, min(coalesce(c, 0)) AS est
+  FROM probes LEFT JOIN cells USING (depth, bucket)
+  GROUP BY w
+)
+SELECT key, est::BIGINT AS est, n_exact::BIGINT AS n_exact,
+       (SELECT n_total FROM total)::BIGINT AS n_total
+FROM est
+WHERE est * 10000 >= 100 * (SELECT n_total FROM total)
+"""
+
+
+@query("sketch-cms-heavy", _CMS_SQL)
+def sketch_cms_heavy(spark, sf):
+    """Count-Min heavy hitters over the corpus word stream
+    (operators/sketch.py cms_*): hot-key detection with d*w counters of
+    state regardless of key cardinality — the sketch that feeds the
+    salting decision (operators/skew.py) at 100 TB. Built as TWO
+    half-corpus sketches merged cell-wise (cms_merge is an exact
+    cell-wise sum), while the DuckDB oracle builds ONE full-corpus
+    sketch — equality of every estimate IS the mergeability proof,
+    checked by the driver. ``n_exact`` rides along so the CMS
+    overestimate bound is visible in the output; the 1%-of-total filter
+    compares in integer basis points on the ESTIMATE (both engines
+    replay identical collision arithmetic, so the kept set matches)."""
+    from genpipe_spark.operators.sketch import cms_estimate, cms_merge, cms_sketch
+
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    halves = [cms_sketch(words.where(F.col("doc_id") % 2 == i), "w") for i in (0, 1)]
+    sk = cms_merge(*halves)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(exact.select("w"), "w", sk)
+    totals = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.join(exact, "w")
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("est") * 10_000 >= F.lit(100) * F.col("n_total"))
+        .select(
+            F.col("w").alias("key"),
+            "est",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+
+
+@query(
+    "text-vocab-topk",
+    """
+    SELECT w, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          FROM documents)
+    GROUP BY w
+    ORDER BY cnt DESC, w
+    LIMIT 20
+    """,
+)
+def text_vocab_topk(spark, sf):
+    """Tokenizer-vocab induction step: corpus word frequencies, top-k by
+    count (ties broken by word — fully deterministic). Plan shape:
+    explode → partial-agg groupBy (map-side combine collapses each task
+    to its distinct words) → TakeOrderedAndProject (per-partition top-k
+    heaps, k rows to one reducer) — no global sort at any scale."""
+    docs = t(spark, sf, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(20)
+
+
 # portable deterministic row hash for sampling/splitting: engine-agnostic
 # arithmetic on the id (NOT xxhash/murmur)
 _SPLIT_HASH = "(doc_id * 2654435761) % 2147483647"

@@ -47,6 +47,8 @@ BOUNDED_NLJ_OK = {
     "text-bm25-topk": "1-row corpus-stats scalar attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
+    # two 1-row half-sketch frames crossJoined for the merge + 1-row total
+    "sketch-cms-heavy": "1-row corpus-total scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -75,6 +77,7 @@ BOUNDED_BROADCAST_OK = {
     "text-bm25-topk": "broadcast 1-row stats",
     "text-unigram-logprob": "broadcast 1-row corpus total",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
+    "sketch-cms-heavy": "broadcast 1-row corpus total",
 }
 
 
