@@ -129,6 +129,8 @@ def _fixture_parsed_rows() -> list[tuple]:
 
 
 def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
@@ -287,4 +289,81 @@ def sink_parquet_partitioned(spark, sf):
     back = spark.read.parquet(dest)
     return back.select(
         "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    )
+
+
+# ------------------------------------------------- JSONL corpus source
+
+# two files (one plain, one gzip) so the scan proves multi-file +
+# compressed-codec reading; the last two lines of the .gz exercise the
+# PERMISSIVE corrupt-record contract (whole-line garbage vs a
+# type-mismatched field that keeps its parseable siblings)
+_JSONL_PLAIN = [
+    '{"doc_id": 1, "text": "alpha beta", "lang": "en", "meta": {"source": "web", "score": 0.5}}',
+    '{"doc_id": 2, "text": "gamma", "lang": "fr", "meta": {"source": "book", "score": 1.5}}',
+    '{"doc_id": 3, "text": "delta epsilon zeta", "lang": "en", "meta": {"source": "web", "score": 0.25}}',
+    '{"doc_id": 4, "text": "eta", "lang": "de"}',
+]
+_JSONL_GZ = [
+    '{"doc_id": 5, "text": null, "lang": "en", "meta": {"source": "wiki", "score": 2.0}}',
+    "this is not json at all",
+    '{"doc_id": "seven", "text": "kappa", "lang": "en", "meta": {"source": "web", "score": 1.0}}',
+    '{"doc_id": 6, "text": "theta iota", "lang": "es", "meta": {"source": "web", "score": 0.75}}',
+]
+
+_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, meta struct<source: string, score: double>"
+)
+
+# expected rows, re-derived BY HAND from Spark's documented PERMISSIVE
+# contract (not by running the implementation): malformed line → all
+# data fields NULL + raw line in the marker; type-mismatched field →
+# that field NULL, parseable siblings kept, marker set
+_JSONL_ROWS = [
+    (1, "alpha beta", "en", "web", 0.5, False),
+    (2, "gamma", "fr", "book", 1.5, False),
+    (3, "delta epsilon zeta", "en", "web", 0.25, False),
+    (4, "eta", "de", None, None, False),
+    (5, None, "en", "wiki", 2.0, False),
+    (None, None, None, None, None, True),
+    (None, "kappa", "en", "web", 1.0, True),
+    (6, "theta iota", "es", "web", 0.75, False),
+]
+_JSONL_COLS = ["doc_id", "text", "lang", "source", "score", "corrupt"]
+_JSONL_CASTS = {"doc_id": "BIGINT", "score": "DOUBLE", "corrupt": "BOOLEAN"}
+
+
+def jsonl_fixture_dir() -> str:
+    """Deterministic JSONL fixture (constants above; atomic publish like
+    vcf_fixture_dir)."""
+    d = os.path.join(tempfile.gettempdir(), "genpipe_jsonl_fixture_v1")
+    if not os.path.isdir(d):
+        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
+        with open(os.path.join(tmp, "part-0.jsonl"), "w") as fh:
+            fh.write("\n".join(_JSONL_PLAIN) + "\n")
+        with gzip.open(os.path.join(tmp, "part-1.jsonl.gz"), "wt") as fh:
+            fh.write("\n".join(_JSONL_GZ) + "\n")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            pass  # lost the publish race: another worker renamed first
+    return d
+
+
+@query("scan-jsonl", _values_sql(_JSONL_ROWS, _JSONL_COLS, _JSONL_CASTS))
+def scan_jsonl_docs(spark, sf):
+    """JSONL corpus scan (sources/jsonl.scan_jsonl): explicit schema (no
+    inference pass), PERMISSIVE corrupt-line quarantine, nested-field
+    projection, multi-file + gzip codec — the LLM-corpus sibling of
+    scan-text-vcf. The oracle is the hand-derived VALUES table above."""
+    from genpipe_spark.sources.jsonl import scan_jsonl
+
+    df = scan_jsonl(spark, jsonl_fixture_dir(), _JSONL_SCHEMA)
+    return df.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.col("meta.source").alias("source"),
+        F.col("meta.score").alias("score"),
+        F.col("_corrupt_record").isNotNull().alias("corrupt"),
     )
