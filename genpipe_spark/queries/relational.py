@@ -615,3 +615,62 @@ def quantile_group_exact(spark, sf):
         by=["l_returnflag"],
         pcts=(25, 50, 75, 99),
     )
+
+
+_MERGE_CHANGES_SQL = """
+  SELECT o_custkey % 200
+           + CASE WHEN o_orderkey % 11 = 0 THEN 1000000 ELSE 0 END AS c_custkey,
+         'cdc-' || o_orderkey AS c_name,
+         CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+         o_totalprice AS c_acctbal,
+         o_orderpriority AS c_mktsegment,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+"""
+
+
+@query(
+    "merge-upsert",
+    f"""
+    WITH ch AS ({_MERGE_CHANGES_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number()
+          OVER (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+        FROM ch) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def merge_upsert(spark, sf):
+    """CDC apply / MERGE INTO semantics (operators/cdc.merge_apply): a
+    changeset derived deterministically from orders (upserts, deletes,
+    out-of-order duplicates per key, brand-new keys) reconciled into the
+    customer snapshot — latest-sequence-wins, deletes drop the key,
+    inserts add it. One window + one anti-join, both hash-partitioned on
+    the merge key; the DuckDB twin replays the same latest-per-key
+    collapse and survivor union."""
+    from genpipe_spark.operators.cdc import merge_apply
+
+    o = t(spark, sf, "orders")
+    changes = o.select(
+        (
+            F.col("o_custkey") % 200
+            + F.when(F.col("o_orderkey") % 11 == 0, 1_000_000).otherwise(0)
+        ).alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    return merge_apply(
+        t(spark, sf, "customer"), changes, ["c_custkey"], "seq"
+    )

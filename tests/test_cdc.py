@@ -1,0 +1,61 @@
+"""merge_apply (operators/cdc.py) semantics on hand-built changesets —
+the fixture-scale value check is the oracle-parity query merge-upsert."""
+
+from __future__ import annotations
+
+import pytest
+
+from genpipe_spark.operators.cdc import merge_apply
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id bigint, v string, x bigint"
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string, x bigint, seq bigint, op string")
+
+
+def _apply(spark, rows, **kw):
+    out = merge_apply(_snap(spark), _changes(spark, rows), ["id"], "seq", **kw)
+    return {(r["id"], r["v"], r["x"]) for r in out.collect()}
+
+
+def test_latest_sequence_wins_out_of_order(spark):
+    got = _apply(
+        spark,
+        [
+            (2, "b2", 21, 5, "U"),
+            (2, "b3", 22, 9, "U"),  # later seq arrives "first" in the file
+            (2, "b1", 20, 1, "U"),
+        ],
+    )
+    assert got == {(1, "a", 10), (2, "b3", 22), (3, "c", 30)}
+
+
+def test_delete_then_reinsert_ordering(spark):
+    # delete at seq 5, re-insert at seq 8: the key survives with the new
+    # payload; the reverse ordering (insert then delete) removes it
+    alive = _apply(spark, [(3, "gone", 0, 5, "D"), (3, "back", 99, 8, "U")])
+    dead = _apply(spark, [(3, "back", 99, 5, "U"), (3, "gone", 0, 8, "D")])
+    assert (3, "back", 99) in alive
+    assert not any(k == 3 for k, _, _ in dead)
+
+
+def test_insert_new_key_and_untouched_rows(spark):
+    got = _apply(spark, [(7, "new", 70, 1, "U")])
+    assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30), (7, "new", 70)}
+
+
+def test_validate_rejects_ambiguous_duplicates(spark):
+    with pytest.raises(ValueError, match="duplicate"):
+        _apply(
+            spark,
+            [(1, "x", 0, 5, "U"), (1, "y", 1, 5, "U")],
+            validate=True,
+        )
+    # without validate, the documented tie-break (op desc) is applied
+    got = _apply(spark, [(1, "x", 0, 5, "U"), (1, "y", 1, 5, "D")])
+    assert (1, "x", 0) in got
