@@ -58,9 +58,19 @@ CURATED_ORDER: list[str] = [
     # dedup-incremental, text-bm25-topk, text-quality-suite,
     # rollup-gapfill, profile-table). The merged-away entries stay
     # registered (>50) for pytest parity; no §2 family left the window.
+    #
+    # r5 second rotation (this session's new operators): five
+    # full-payload tagged unions (queries/suites.py — every member
+    # column packed, nothing dropped): scan-text-vcf→scan-source-suite
+    # (+scan-jsonl), sketch-kmv-distinct→sketch-suite (+sketch-cms-heavy),
+    # text-metrics+text-chunk→text-analysis-suite,
+    # udf-allele-freq+udf-pop-merge→udf-suite,
+    # stream-window-agg+stream-sessionize-batch→stream-agg-suite. The 3
+    # net-freed slots expose pipeline-curation, validate-constraints and
+    # merge-upsert. Members stay registered (>50) for pytest parity.
     "flagship-variant-doc",
     "scan-parquet-partitioned",
-    "scan-text-vcf",
+    "scan-source-suite",
     "source-filestream",
     "sink-parquet-partitioned",
     "filter-project-suite",
@@ -83,12 +93,10 @@ CURATED_ORDER: list[str] = [
     "fn-annotation-parse",
     "fn-snpeff-suite",
     "row-sample-parser",
-    "udf-allele-freq",
-    "udf-pop-merge",
+    "udf-suite",
     "udtf-explode",
     "sql-group-collect",
-    "stream-window-agg",
-    "stream-sessionize-batch",
+    "stream-agg-suite",
     "dedup-exact",
     "dedup-ngram-jaccard",
     "dedup-minhash-lsh",
@@ -98,16 +106,18 @@ CURATED_ORDER: list[str] = [
     "ann-topk-suite",
     "mix-suite",
     "pack-sequences",
-    "sketch-kmv-distinct",
+    "sketch-suite",
     "similarity-lsh-pairs",
-    "text-metrics",
-    "text-chunk",
+    "text-analysis-suite",
     "text-bm25-topk",
     "text-quality-suite",
     "rollup-gapfill",
     "profile-table",
     "multimodal-suite",
     "sample-split-deterministic",
+    "pipeline-curation",
+    "validate-constraints",
+    "merge-upsert",
 ]
 
 
@@ -125,6 +135,7 @@ def load_all_query_modules() -> None:
         relational,
         sources,
         streaming,
+        suites,
         timeseries,
     )
 

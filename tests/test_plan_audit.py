@@ -49,13 +49,17 @@ BOUNDED_NLJ_OK = {
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
     # two 1-row half-sketch frames crossJoined for the merge + 1-row total
     "sketch-cms-heavy": "1-row corpus-total scalar attach",
+    "sketch-suite": "inherits sketch-kmv-distinct + sketch-cms-heavy's "
+    "1-row sketch/total crossJoins",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
 # fixtures) — their plans are audited by their own dedicated tests
 SKIP = {"stream-sessionize", "stream-sessionize-batch", "pipeline-parse-bulk",
         "source-filestream", "sink-parquet-partitioned", "scan-text-vcf",
-        "row-sample-parser", "stream-window-agg"}
+        "row-sample-parser", "stream-window-agg",
+        # suites whose members are SKIP fixture/stream queries
+        "scan-source-suite", "stream-agg-suite", "scan-jsonl"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
@@ -78,6 +82,7 @@ BOUNDED_BROADCAST_OK = {
     "text-unigram-logprob": "broadcast 1-row corpus total",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
     "sketch-cms-heavy": "broadcast 1-row corpus total",
+    "sketch-suite": "inherits sketch-cms-heavy's 1-row broadcast",
 }
 
 
