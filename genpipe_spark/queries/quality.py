@@ -84,3 +84,51 @@ def validate_constraints(spark, sf):
     )
     fk = V.referential(orders, "o_custkey", customer, "c_custkey")
     return single.unionAll(fk)
+
+
+_PSI_HIST = """
+  SELECT least(19, greatest(0, CAST(floor((o_totalprice - 0.0) / 30000.0) AS INTEGER))) AS bin,
+         count(*) AS {n}
+  FROM orders WHERE o_orderstatus = '{status}' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+"""
+
+_DRIFT_ORACLE = f"""
+WITH bins AS (SELECT CAST(unnest(range(0, 20)) AS INTEGER) AS bin),
+h_ref AS ({_PSI_HIST.format(n="n_ref", status="F")}),
+h_cur AS ({_PSI_HIST.format(n="n_cur", status="O")}),
+j AS (
+  SELECT b.bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM bins b LEFT JOIN h_ref USING (bin) LEFT JOIN h_cur USING (bin)
+),
+p AS (
+  SELECT bin, n_ref, n_cur,
+         greatest(n_ref * 1.0 / sum(n_ref) OVER (), 1e-6) AS pr,
+         greatest(n_cur * 1.0 / sum(n_cur) OVER (), 1e-6) AS pc
+  FROM j
+),
+t AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(floor(round((pc - pr) * ln(pc / pr) * 1e9) / 1000) AS BIGINT) AS term_micro
+  FROM p
+)
+SELECT bin, n_ref, n_cur, term_micro,
+       CAST(sum(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM t
+"""
+
+
+@query("profile-drift", _DRIFT_ORACLE)
+def profile_drift(spark, sf):
+    """Distribution drift between two snapshots (operators/drift.py
+    psi_drift): the o_totalprice distribution of finished vs open
+    orders, 20 fixed bins over [0, 600000) — per-bin PSI contributions
+    in integer micro-units plus the repeated total. Each snapshot
+    collapses map-side to ≤ 20 rows; the DuckDB twin replays the same
+    binning, eps smoothing and nano→micro ln quantization."""
+    from genpipe_spark.operators.drift import psi_drift
+
+    orders = t(spark, sf, "orders")
+    ref = orders.where(F.col("o_orderstatus") == "F")
+    cur = orders.where(F.col("o_orderstatus") == "O")
+    return psi_drift(ref, cur, "o_totalprice", 0.0, 600_000.0, nbins=20)
