@@ -674,3 +674,35 @@ def merge_upsert(spark, sf):
     return merge_apply(
         t(spark, sf, "customer"), changes, ["c_custkey"], "seq"
     )
+
+
+@query(
+    "pivot-unpivot",
+    """
+    SELECT o_orderpriority, o_orderstatus AS status,
+           sum(cast(round(o_totalprice*100) as bigint))/100.0 AS total
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def pivot_unpivot(spark, sf):
+    """Round-trip reshape (operators/reshape.py): pivot orders wide
+    (one money-cents sum column per EXPLICIT status category — no
+    hidden distinct-collect pass), then unpivot back to long and drop
+    the NULL cells of absent combinations. The oracle is the plain
+    GROUP BY the round trip must algebraically equal — pivot∘unpivot
+    ≡ groupBy is the checked identity."""
+    from genpipe_spark.operators.reshape import pivot_explicit, unpivot
+
+    o = t(spark, sf, "orders")
+    wide = pivot_explicit(
+        o.withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("long")),
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        F.sum("cents"),
+    )
+    long = unpivot(wide, ["o_orderpriority"], ["O", "F", "P"], "status", "cents")
+    return long.where(F.col("cents").isNotNull()).select(
+        "o_orderpriority", "status", (F.col("cents") / 100.0).alias("total")
+    )

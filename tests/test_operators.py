@@ -1284,3 +1284,29 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
         docs.withColumn("w0", F.lit(0)), "w0", 10
     ).collect()
     assert zero_w == []  # non-positive weights never qualify
+
+
+# ---------------------------------------------------------- reshape
+
+def test_pivot_explicit_and_unpivot(spark):
+    from genpipe_spark.operators.reshape import pivot_explicit, unpivot
+    from pyspark.sql import functions as F
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("a", "x", 4)],
+        "g string, k string, v bigint",
+    )
+    wide = pivot_explicit(df, ["g"], "k", ["x", "y", "z"], F.sum("v"))
+    rows = {r["g"]: (r["x"], r["y"], r["z"]) for r in wide.collect()}
+    # absent combination (b,y) and absent category z come back NULL, and
+    # a typo'd category is an all-NULL column, not a schema surprise
+    assert rows == {"a": (5, 2, None), "b": (3, None, None)}
+    long = unpivot(wide, ["g"], ["x", "y", "z"], "k", "v")
+    back = {(r["g"], r["k"]): r["v"] for r in long.collect() if r["v"] is not None}
+    assert back == {("a", "x"): 5, ("a", "y"): 2, ("b", "x"): 3}
+    # unpivot is a pure projection: no shuffle in the plan
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("HashAggregate")[0]
+    with pytest.raises(ValueError):
+        pivot_explicit(df, ["g"], "k", [], F.sum("v"))
