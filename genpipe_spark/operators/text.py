@@ -338,3 +338,31 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic
+    one BPE merge iteration maximizes (tokenizer induction's inner
+    loop). Output: ``pair, freq``.
+
+    Shape at scale (and the reason BPE trainers work off a word-freq
+    dict, reproduced here): the corpus first collapses to DISTINCT
+    words with counts (map-side-combinable agg; vocab ≪ corpus), then
+    pairs explode over the VOCAB only, each weighted by its word's
+    corpus frequency — so the expensive per-character explode runs on
+    thousands of rows, not billions. Pure HOF expressions, two keyed
+    aggs, no driver state."""
+    toks = df.select(F.explode(words(F.col(text_col))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    pairs = F.when(
+        F.size(chars) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(chars) - 1),
+            lambda i: F.concat(
+                F.element_at(chars, i), F.element_at(chars, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pair_rows = vocab.select("wc", F.explode(pairs).alias("pair"))
+    return pair_rows.groupBy("pair").agg(F.sum("wc").alias("freq"))

@@ -1421,3 +1421,33 @@ def pipeline_curation(spark, sf):
     survivors = uniq.join(losers, "doc_id", "left_anti")
     out = T.fingerprint(T.token_count(survivors))
     return out.select("doc_id", "source", "n_tokens", "fp")
+
+
+@query(
+    "text-bpe-pairs",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    pairs AS (
+      SELECT wc, unnest(list_transform(
+               range(1, greatest(len(cs), 1)),
+               i -> cs[i] || cs[i+1])) AS pair
+      FROM (SELECT wc, list_filter(string_split(w, ''), c -> c <> '') AS cs
+            FROM vocab)
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 25
+    """,
+)
+def text_bpe_pairs(spark, sf):
+    """First BPE merge-step statistic (operators/text.bpe_pair_counts):
+    top adjacent char pairs over the corpus, counted off the collapsed
+    word-frequency dict (vocab-sized explode, not corpus-sized) — ties
+    broken by pair for determinism."""
+    pairs = T.bpe_pair_counts(t(spark, sf, "documents"))
+    return pairs.orderBy(F.desc("freq"), "pair").limit(25)

@@ -1310,3 +1310,17 @@ def test_pivot_explicit_and_unpivot(spark):
     assert "Exchange" not in plan.split("HashAggregate")[0]
     with pytest.raises(ValueError):
         pivot_explicit(df, ["g"], "k", [], F.sum("v"))
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from genpipe_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("newest newest",)], "text string"
+    )
+    got = {r["pair"]: r["freq"] for r in bpe_pair_counts(df).collect()}
+    # 'lo'/'ow' appear in low (x3) and lower (x1) -> 4; 'we' in lower(1)
+    # + newest(2) -> 3; single-char words contribute nothing
+    assert got["lo"] == 4 and got["ow"] == 4
+    assert got["we"] == 3
+    assert got["es"] == 2 and got["st"] == 2
