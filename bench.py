@@ -53,6 +53,13 @@ HEADLINE = [
     "rollup-gapfill",
     # r5: end-to-end curation plan (normalize→quality→dedup×2→fingerprint)
     "pipeline-curation",
+    # r5 session 2: validation gate, CM-sketch heavy hitters, CDC merge,
+    # PSI drift, BPE pair stats
+    "validate-constraints",
+    "sketch-cms-heavy",
+    "merge-upsert",
+    "profile-drift",
+    "text-bpe-pairs",
 ]
 
 

@@ -706,3 +706,37 @@ def pivot_unpivot(spark, sf):
     return long.where(F.col("cents").isNotNull()).select(
         "o_orderpriority", "status", (F.col("cents") / 100.0).alias("total")
     )
+
+
+@query(
+    "agg-cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)::BIGINT AS n,
+           sum(cast(round(o_totalprice*100) as bigint))/100.0 AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf):
+    """CUBE grouping-sets rollup: all 2^2 grouping combinations in ONE
+    pass (Catalyst Expand ×4 feeding a single partial-agged shuffle —
+    the multi-level-report shape; contrast rollup-time-hierarchy's
+    hierarchical ROLLUP). Subtotal levels surface as 'ALL' (both
+    grouping columns are non-null in the fixture, so coalesce is
+    unambiguous); money via integer cents."""
+    o = t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )

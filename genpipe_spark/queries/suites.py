@@ -22,7 +22,7 @@ SQL as a subquery and applies the identical packing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from genpipe_spark.registry import ORACLES, QUERIES, query
