@@ -740,3 +740,40 @@ def agg_cube(spark, sf):
             "total",
         )
     )
+
+
+@query(
+    "window-lag-lead-ntile",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_ntile(spark, sf):
+    """Per-customer order-history navigation: lag/lead/ntile plus
+    inter-order gap days over one (custkey, orderdate, orderkey) window
+    — ONE shuffle serves all four functions (same partitioning+ordering
+    → one Window physical node; orderkey tie-break keeps every offset
+    function deterministic). Complements window-rank-first-running-sum's
+    rank/first/sum coverage."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
