@@ -172,3 +172,29 @@ def pipeline_parse_bulk(spark, sf):
         F.col("predictions.CADD_phred").alias("cadd"),
         F.col("populations.gp1_af").alias("gp1_af"),
     )
+
+
+@query(
+    "stream-sliding-window-agg",
+    """
+    WITH expanded AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300 - k.k*300) AS ws,
+             event_type, value
+      FROM events, unnest(range(0, 2)) k(k)
+      WHERE ts IS NOT NULL
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           count(*)::BIGINT AS n_events,
+           sum(cast(round(value*100) AS BIGINT))/100.0 AS value_sum
+    FROM expanded GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_window_agg(spark, sf):
+    """Sliding windows (width 10 min, slide 5 min): every event lands in
+    exactly width/slide = 2 overlapping epoch-aligned windows. The
+    DuckDB twin replicates each event across its k window offsets
+    explicitly — the same expansion Spark's window() Expand performs —
+    then aggregates identically (money-cents sums)."""
+    from genpipe_spark.streaming.ingest import stream_sliding_event_counts
+
+    return stream_sliding_event_counts(t(spark, sf, "events"))

@@ -289,3 +289,32 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sliding_event_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts per event type: each event contributes to
+    width/slide overlapping windows (``F.window`` with a slide —
+    Spark's Expand replicates rows BEFORE the partial agg, so state per
+    task stays bounded by live windows × groups, not by events).
+    Works identically on a batch frame for the oracle check."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

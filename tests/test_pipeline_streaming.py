@@ -980,3 +980,52 @@ def test_stream_incremental_dedup_updates_index_across_batches(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.where(F.col("id").isin(11, 21)).count() == 16
     assert idx.where(F.col("id").isin(10, 20)).count() == 0
+
+
+def test_sliding_window_counts_real_stream(spark, tmp_path):
+    """stream_sliding_event_counts on an ACTUAL bounded stream (file
+    source, availableNow, append after watermark close) must produce a
+    subset of the batch run on the same rows, and every event must fall
+    into exactly width/slide = 2 windows."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.streaming.ingest import stream_sliding_event_counts
+
+    rows = [
+        (i, f"2024-01-01 10:{m:02d}:00", "click", 1.0)
+        for i, m in enumerate([1, 4, 7, 12, 19, 31])
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    # every event appears in exactly 2 sliding windows in batch mode
+    expanded = stream_sliding_event_counts(batch)
+    assert expanded.agg(F.sum("n_events")).collect()[0][0] == 2 * len(rows)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        stream_sliding_event_counts(stream, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = {
+        (r["win_start"], r["event_type"], r["n_events"])
+        for r in expanded.collect()
+    }
+    # append mode only emits watermark-closed windows -> subset; the
+    # single availableNow drain closes everything before the final event
+    assert got <= batch_rows
+    assert got  # at least the early windows must have closed
