@@ -74,3 +74,69 @@ def group_quantiles(
     # nearest-rank = ceil(pct*n/100) in integer math: (pct*n + 99) DIV 100
     target = F.expr("(pct * __n + 99) DIV 100")
     return ex.where(F.col("__rn") == target).select(*by, "pct", "q")
+
+
+def histogram_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    pcts: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Histogram-estimated per-group percentiles — the 100 TB quantile
+    path that is BOTH mergeable and oracle-replayable.
+
+    Exact mode above needs a per-group sort; ``percentile_approx``'s GK
+    sketch avoids that but its internals aren't engine-reproducible
+    (rows-only check). This operator squares the triangle: state is
+    ≤ nbins counters per group (one map-side-combinable agg — same
+    shape as drift.histogram_fixed), estimates interpolate linearly
+    inside the containing bin (PromQL histogram_quantile semantics),
+    error is bounded by the bin width, and every arithmetic step is
+    plain IEEE ops an ANSI-SQL twin replays bit-for-bit.
+
+    Caller fixes [lo, hi) like drift.histogram_fixed (edge-clamping
+    included, same rationale); values outside contribute to edge bins,
+    so their mass is counted even though their magnitude saturates.
+    Output: ``*by, pct, q_est`` (floor-truncated to 4 dp)."""
+    bad = [p for p in pcts if not 1 <= int(p) <= 100]
+    if bad:
+        raise ValueError(f"pcts must be in [1, 100], got {bad}")
+    if not (hi > lo and nbins >= 2):
+        raise ValueError("histogram_group_quantiles: need hi > lo and nbins >= 2")
+    width = (hi - lo) / nbins
+    c = F.col(value_col)
+    b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b))
+    hist = (
+        df.where(c.isNotNull())
+        .select(*by, b.alias("bin"))
+        .groupBy(*by, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    cum = hist.select(
+        *by,
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    pct_arr = F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+    ex = cum.select(*by, "bin", "n", "cum", "total", F.explode(pct_arr).alias("pct"))
+    # continuous target rank r = pct/100 * total; the containing bin is
+    # the FIRST with cum >= r — i.e. cum >= r AND cum - n < r
+    r = F.col("pct") * F.col("total") / 100.0
+    containing = ex.where((F.col("cum") >= r) & ((F.col("cum") - F.col("n")) < r))
+    frac = (r - (F.col("cum") - F.col("n"))) / F.col("n")
+    q = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    return containing.select(
+        *by, "pct", (F.floor(q * 10000) / 10000.0).alias("q_est")
+    )

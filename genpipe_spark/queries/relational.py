@@ -777,3 +777,51 @@ def window_lag_lead_ntile(spark, sf):
         .cast("long")
         .alias("days_since_prev"),
     )
+
+
+@query(
+    "quantile-group-histogram",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             least(24, greatest(0, CAST(floor((l_quantity - 0.0) / 2.0) AS INTEGER))) AS bin,
+             count(*) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cumt AS (
+      SELECT l_returnflag, bin, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM h
+    ),
+    ex AS (
+      SELECT l_returnflag, bin, n, cum, total, p.pct
+      FROM cumt, unnest([25, 50, 75, 99]) p(pct)
+    )
+    SELECT l_returnflag, CAST(pct AS BIGINT) AS pct,
+           floor((0.0 + (bin + ((pct * total / 100.0) - (cum - n)) / n) * 2.0)
+                 * 10000) / 10000.0 AS q_est
+    FROM ex
+    WHERE cum >= pct * total / 100.0 AND (cum - n) < pct * total / 100.0
+    """,
+)
+def quantile_group_histogram(spark, sf):
+    """Histogram-estimated grouped quantiles (operators/quantile.py
+    histogram_group_quantiles): the mergeable, ≤nbins-state-per-group,
+    oracle-REPLAYABLE approximate path (contrast quantile-group-exact's
+    per-group sort and percentile_approx's engine-opaque GK sketch).
+    25 bins of width 2 over l_quantity's [0, 50) domain — estimation
+    error ≤ bin width, checked against exact in pytest."""
+    from genpipe_spark.operators.quantile import histogram_group_quantiles
+
+    return histogram_group_quantiles(
+        t(spark, sf, "lineitem"),
+        "l_quantity",
+        ["l_returnflag"],
+        lo=0.0,
+        hi=50.0,
+        nbins=25,
+        pcts=(25, 50, 75, 99),
+    )

@@ -1324,3 +1324,43 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert got["lo"] == 4 and got["ow"] == 4
     assert got["we"] == 3
     assert got["es"] == 2 and got["st"] == 2
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    from genpipe_spark.operators.quantile import (
+        group_quantiles,
+        histogram_group_quantiles,
+    )
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    li = load(spark, SF_SMALL, "lineitem")
+    exact = {
+        (r["l_returnflag"], r["pct"]): float(r["q"])
+        for r in group_quantiles(
+            li, "l_quantity", ["l_returnflag"], pcts=(25, 50, 75, 99)
+        ).collect()
+    }
+    est = {
+        (r["l_returnflag"], r["pct"]): r["q_est"]
+        for r in histogram_group_quantiles(
+            li, "l_quantity", ["l_returnflag"], 0.0, 50.0, nbins=25,
+            pcts=(25, 50, 75, 99),
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    width = 50.0 / 25
+    for k, q in est.items():
+        assert abs(q - exact[k]) <= width + 1e-9, (k, q, exact[k])
+
+
+def test_histogram_quantiles_validation(spark):
+    import pytest
+
+    from genpipe_spark.operators.quantile import histogram_group_quantiles
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, g string")
+    with pytest.raises(ValueError):
+        histogram_group_quantiles(df, "x", ["g"], 1.0, 0.0, 4)
+    with pytest.raises(ValueError):
+        histogram_group_quantiles(df, "x", ["g"], 0.0, 1.0, 4, pcts=(0,))
