@@ -67,3 +67,30 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Distributed CSV/TSV scan with the same contract as scan_jsonl:
+    explicit schema only (no inference pass), PERMISSIVE mode with
+    malformed rows quarantined into ``corrupt_col`` (wrong column
+    count / uncastable field → data fields NULL where unparseable, raw
+    line kept). Same corrupt-column-only query caveat as JSON."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )

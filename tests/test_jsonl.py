@@ -53,3 +53,30 @@ def test_partitioned_compressed_write(spark, tmp_path):
         (2, "fr"),
         (3, "en"),
     }
+
+
+def test_csv_scan_with_quarantine(spark, tmp_path):
+    from genpipe_spark.sources.jsonl import scan_csv
+
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "doc_id,lang,score\n"
+        "1,en,0.5\n"
+        "2,fr,not_a_number\n"   # uncastable field -> quarantined
+        "3,de,1.25\n"
+    )
+    df = scan_csv(spark, str(p), "doc_id long, lang string, score double")
+    rows = df.collect()
+    good = {(r["doc_id"], r["lang"], r["score"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {(1, "en", 0.5), (3, "de", 1.25)}
+    assert len(bad) == 1 and bad[0]["doc_id"] == 2 and bad[0]["score"] is None
+
+
+def test_csv_tsv_separator(spark, tmp_path):
+    from genpipe_spark.sources.jsonl import scan_csv
+
+    p = tmp_path / "data.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    df = scan_csv(spark, str(p), "a long, b string", sep="\t")
+    assert {(r["a"], r["b"]) for r in df.collect()} == {(1, "x"), (2, "y")}
