@@ -318,3 +318,57 @@ def stream_sliding_event_counts(
             "value_sum",
         )
     )
+
+
+def stream_cms_merge(
+    keys_stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> StreamingQuery:
+    """Streaming Count-Min maintenance: each micro-batch's sketch is
+    cell-wise merged (operators/sketch.cms_merge — exact) into a
+    persisted sketch table, so hot-key estimates over the full history
+    cost d·w rows of state however long the stream runs.
+
+    State layout: versioned parquet dirs ``state_dir/v{batch_id}`` plus
+    a CURRENT pointer file (atomic rename; on an object store this
+    would be a manifest commit). EXACTLY-ONCE per batch: the pointer
+    records the last merged batch id, and a replayed batch whose id is
+    ≤ CURRENT's is skipped — so a crash between pointer swap and
+    checkpoint commit cannot double-count, and a crash before the swap
+    just rebuilds the same version dir idempotently."""
+    import os
+
+    from genpipe_spark.operators.sketch import cms_merge, cms_sketch
+
+    os.makedirs(state_dir, exist_ok=True)
+    ptr = os.path.join(state_dir, "CURRENT")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_id = -1
+        if os.path.exists(ptr):
+            cur_id = int(open(ptr).read().strip().lstrip("v"))
+        if cur_id >= batch_id:
+            return  # replay of an already-merged batch
+        batch_sk = cms_sketch(batch_df, key_col, depth, width)
+        if cur_id >= 0:
+            existing = spark.read.parquet(os.path.join(state_dir, f"v{cur_id}"))
+            batch_sk = cms_merge(existing, batch_sk)
+        batch_sk.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"v{batch_id}")
+        os.replace(tmp, ptr)  # atomic publish
+
+    return (
+        keys_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

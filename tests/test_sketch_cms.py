@@ -67,3 +67,39 @@ def test_nulls_are_skipped(spark):
     sk = cms_sketch(df, "k", depth=2, width=16)
     total = sk.where(F.col("depth") == 0).agg(F.sum("c")).collect()[0][0]
     assert total == 2  # the NULL row contributes to no cell
+
+
+def test_stream_cms_merge_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches merged through the streaming leg must equal
+    the one-shot batch sketch of all rows, and a replayed batch id must
+    be skipped (exactly-once state)."""
+    import os
+
+    from genpipe_spark.streaming.ingest import stream_cms_merge
+
+    rows = [(f"k{i % 9}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    src = str(tmp_path / "src")
+    # two files -> with maxFilesPerTrigger=1, two micro-batches
+    df.where(F.monotonically_increasing_id() % 2 == 0).write.parquet(src + "/a.parquet")
+    df.where(F.monotonically_increasing_id() % 2 == 1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    state = str(tmp_path / "state")
+    q = stream_cms_merge(
+        stream, "k", state, str(tmp_path / "ckpt"), depth=2, width=16
+    )
+    q.awaitTermination(120)
+    cur = open(os.path.join(state, "CURRENT")).read().strip()
+    streamed = {
+        (r["depth"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(os.path.join(state, cur)).collect()
+    }
+    whole = {
+        (r["depth"], r["bucket"]): r["c"]
+        for r in cms_sketch(df, "k", depth=2, width=16).collect()
+    }
+    assert streamed == whole
