@@ -71,5 +71,11 @@ def merge_apply(
         .drop("__rn")
     )
     unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
-    upserts = latest.where(F.col(op_col) != delete_op).select(*data_cols)
+    # NULL-safe: only an EXPLICIT delete_op removes the key — a NULL op
+    # (malformed feed) upserts rather than silently vanishing, because
+    # `op != 'D'` alone is NULL-valued for NULL ops and would drop the
+    # row from upserts while the anti-join still removed its snapshot row
+    upserts = latest.where(
+        F.coalesce(F.col(op_col) != delete_op, F.lit(True))
+    ).select(*data_cols)
     return unchanged.unionByName(upserts)

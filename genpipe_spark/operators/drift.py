@@ -30,18 +30,20 @@ def histogram_fixed(
     df: DataFrame, col: str, lo: float, hi: float, nbins: int
 ) -> DataFrame:
     """Fixed-range histogram: rows ``bin, n`` (empty bins absent — the
-    consumer zero-fills, see psi_drift). NULLs are dropped; values
-    outside [lo, hi) clamp into the edge bins, so the histogram is a
-    total function of the non-null data (out-of-range mass is visible
-    in bins 0 / nbins-1 instead of silently vanishing)."""
+    consumer zero-fills, see psi_drift). NULLs and NaNs are dropped
+    (floor(NaN) would otherwise clamp-count NaN mass into bin 0 AND
+    break the DuckDB replay); values outside [lo, hi) clamp into the
+    edge bins, so the histogram is a total function of the remaining
+    data (out-of-range mass is visible in bins 0 / nbins-1 instead of
+    silently vanishing)."""
     if not (hi > lo and nbins >= 2):
         raise ValueError("histogram_fixed: need hi > lo and nbins >= 2")
     width = (hi - lo) / nbins
-    c = F.col(col)
+    c = F.col(col).cast("double")
     b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
     b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b))
     return (
-        df.where(c.isNotNull())
+        df.where(c.isNotNull() & ~F.isnan(c))
         .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -107,11 +107,12 @@ def histogram_group_quantiles(
     if not (hi > lo and nbins >= 2):
         raise ValueError("histogram_group_quantiles: need hi > lo and nbins >= 2")
     width = (hi - lo) / nbins
-    c = F.col(value_col)
+    c = F.col(value_col).cast("double")
     b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
     b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b))
+    # NaNs dropped with NULLs — floor(NaN) would clamp-count them in bin 0
     hist = (
-        df.where(c.isNotNull())
+        df.where(c.isNotNull() & ~F.isnan(c))
         .select(*by, b.alias("bin"))
         .groupBy(*by, "bin")
         .agg(F.count(F.lit(1)).alias("n"))

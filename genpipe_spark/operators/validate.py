@@ -57,11 +57,15 @@ def matches(col: str, pattern: str, min_ratio_bp: int = 10_000) -> dict:
     when matching rows ≥ min_ratio_bp/10000 of non-null rows (compared in
     integer basis points — no float threshold). Keep ``pattern`` to
     syntax shared by Java regex and RE2 (see text.PII_PATTERNS note)."""
+    if not 0 < int(min_ratio_bp) <= 10_000:
+        # a typo'd 95000-for-95% threshold would otherwise silently fall
+        # through _passed's exact branch and never fire
+        raise ValueError(f"matches: min_ratio_bp must be in (0, 10000], got {min_ratio_bp}")
     return {
         "kind": "matches",
         "column": col,
         "pattern": pattern,
-        "min_ratio_bp": min_ratio_bp,
+        "min_ratio_bp": int(min_ratio_bp),
     }
 
 
@@ -82,10 +86,13 @@ def _violations(check: dict, approx_unique: bool) -> Column:
     if kind == "not_null":
         return F.count(F.when(c.isNull(), 1))
     if kind == "unique":
-        distinct = (
-            F.approx_count_distinct(c, 0.02) if approx_unique else F.count_distinct(c)
-        )
-        return F.count(F.lit(1)) - distinct
+        if approx_unique:
+            # HLL under/over-shoots by ~rsd even on clean data: clamp the
+            # negative case; the pass criterion gets matching slack below
+            return F.greatest(
+                F.count(F.lit(1)) - F.approx_count_distinct(c, 0.02), F.lit(0)
+            )
+        return F.count(F.lit(1)) - F.count_distinct(c)
     if kind == "in_range":
         return F.count(
             F.when(c.isNotNull() & ((c < check["lo"]) | (c > check["hi"])), 1)
@@ -101,11 +108,22 @@ def _violations(check: dict, approx_unique: bool) -> Column:
     raise ValueError(f"unknown constraint kind: {kind}")
 
 
-def _passed(check: dict, viol: Column, n_nonnull: Column | None) -> Column:
+def _passed(
+    check: dict,
+    viol: Column,
+    n_nonnull: Column | None,
+    approx_unique: bool = False,
+    n_rows: Column | None = None,
+) -> Column:
     if check["kind"] == "matches" and check["min_ratio_bp"] < 10_000:
         # matched * 10000 >= bp * n_nonnull, all in exact bigint arithmetic
         matched = n_nonnull - viol
         return matched * 10_000 >= F.lit(check["min_ratio_bp"]) * n_nonnull
+    if check["kind"] == "unique" and approx_unique:
+        # HLL rsd is 2%: a perfectly-unique column can show an apparent
+        # dup count of ~rsd*n, so "roughly unique" passes within 2*rsd
+        # (400 bp) — exact mode keeps the strict viol == 0 criterion
+        return viol * 10_000 <= 400 * n_rows
     return viol == 0
 
 
@@ -117,7 +135,7 @@ def validate_table(
     the caller's check order — deterministic output)."""
     if not checks:
         raise ValueError("validate_table: no checks given")
-    aggs, nonnull_cols = [], {}
+    aggs, nonnull_cols = [F.count(F.lit(1)).alias("__nrows")], {}
     for i, check in enumerate(checks):
         aggs.append(_violations(check, approx_unique).alias(f"__v{i}"))
         if check["kind"] == "matches":
@@ -137,6 +155,8 @@ def validate_table(
                     F.col(f"__nn_{check['column']}")
                     if check["kind"] == "matches"
                     else None,
+                    approx_unique=approx_unique,
+                    n_rows=F.col("__nrows"),
                 ).alias("passed"),
             )
             for i, check in enumerate(checks)

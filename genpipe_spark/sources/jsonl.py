@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _with_corrupt_col(schema: T.StructType | str, corrupt_col: str) -> T.StructType:
+    """Copy-extend the schema with the quarantine column — a fresh
+    StructType, never ``schema.add`` (which MUTATES the caller's object
+    in place and would leak a phantom column into any reuse of it)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if corrupt_col in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+
+
 def scan_jsonl(
     spark: SparkSession,
     path: str,
@@ -38,10 +51,7 @@ def scan_jsonl(
     (a field that fails its declared type marks the whole line corrupt
     while parseable sibling fields are kept — Spark's PERMISSIVE
     contract)."""
-    if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, T.StringType())
+    schema = _with_corrupt_col(schema, corrupt_col)
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -82,10 +92,7 @@ def scan_csv(
     malformed rows quarantined into ``corrupt_col`` (wrong column
     count / uncastable field → data fields NULL where unparseable, raw
     line kept). Same corrupt-column-only query caveat as JSON."""
-    if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, T.StringType())
+    schema = _with_corrupt_col(schema, corrupt_col)
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

@@ -365,6 +365,18 @@ def stream_cms_merge(
         with open(tmp, "w") as fh:
             fh.write(f"v{batch_id}")
         os.replace(tmp, ptr)  # atomic publish
+        # prune superseded versions (ALL of them, not just the direct
+        # predecessor, so a crash between swap and prune can't leak dirs
+        # forever) — state stays O(d*w), not O(#batches)
+        import shutil
+
+        for entry in os.listdir(state_dir):
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and int(entry[1:]) < batch_id
+            ):
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
     return (
         keys_stream.writeStream.foreachBatch(merge_batch)

@@ -59,3 +59,10 @@ def test_validate_rejects_ambiguous_duplicates(spark):
     # without validate, the documented tie-break (op desc) is applied
     got = _apply(spark, [(1, "x", 0, 5, "U"), (1, "y", 1, 5, "D")])
     assert (1, "x", 0) in got
+
+
+def test_null_op_upserts_instead_of_vanishing(spark):
+    # a malformed feed with a NULL op must not silently delete the key:
+    # `op != 'D'` alone is NULL-valued there (code-review regression)
+    got = _apply(spark, [(1, "fixed", 99, 5, None)])
+    assert (1, "fixed", 99) in got

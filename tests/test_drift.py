@@ -55,3 +55,11 @@ def test_histogram_state_is_bounded(spark):
     # most nbins cells per task (bin id is a pure projection)
     df = spark.range(100_000).select((F.col("id") % 1000).cast("double").alias("x"))
     assert histogram_fixed(df, "x", 0.0, 1000.0, 16).count() == 16
+
+
+def test_nan_values_are_excluded(spark):
+    df = spark.createDataFrame(
+        [(float("nan"),), (5.0,), (None,)], "x double"
+    )
+    h = {r["bin"]: r["n"] for r in histogram_fixed(df, "x", 0.0, 10.0, 5).collect()}
+    assert h == {2: 1}  # NaN must not clamp-count into bin 0

@@ -80,3 +80,16 @@ def test_csv_tsv_separator(spark, tmp_path):
     p.write_text("a\tb\n1\tx\n2\ty\n")
     df = scan_csv(spark, str(p), "a long, b string", sep="\t")
     assert {(r["a"], r["b"]) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_scan_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from genpipe_spark.sources.jsonl import scan_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"id": 1}\n')
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    n_before = len(schema.fields)
+    scan_jsonl(spark, str(p), schema)
+    assert len(schema.fields) == n_before  # no phantom _corrupt_record

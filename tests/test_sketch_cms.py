@@ -103,3 +103,16 @@ def test_stream_cms_merge_equals_batch_sketch(spark, tmp_path):
         for r in cms_sketch(df, "k", depth=2, width=16).collect()
     }
     assert streamed == whole
+
+
+def test_heavy_hitters_threshold_and_totals(spark):
+    from genpipe_spark.operators.sketch import cms_heavy_hitters
+
+    # 'hot' is 50% of the stream, everything else <= 5%
+    rows = ["hot"] * 100 + [f"cold{i}" for i in range(100)]
+    df = _freqs(spark, rows)
+    got = {r["key"]: (r["est"], r["n_total"]) for r in
+           cms_heavy_hitters(df, "k", threshold_bp=2000).collect()}
+    assert set(got) == {"hot"}
+    est, n = got["hot"]
+    assert n == 200 and est >= 100  # CMS never underestimates

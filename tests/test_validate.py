@@ -103,3 +103,27 @@ def test_validation_is_one_scan(spark):
     # one aggregate over one source: no Join/Union/CartesianProduct
     for bad in ("Join", "Union", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_approx_unique_tolerates_hll_error(spark):
+    # HLL rsd 2% shows phantom "duplicates" on perfectly-unique data;
+    # approx mode must clamp negatives and pass within 2*rsd slack
+    df = spark.range(2_000_000).toDF("id")
+    got = _rows(V.validate_table(df, [V.unique("id")], approx_unique=True))
+    viol, passed = got[("unique", "id")]
+    assert viol >= 0 and passed
+    # genuinely non-unique data still fails in approx mode
+    from pyspark.sql import functions as F
+
+    dup = spark.range(100_000).select((F.col("id") % 1000).alias("id"))
+    got2 = _rows(V.validate_table(dup, [V.unique("id")], approx_unique=True))
+    assert got2[("unique", "id")][1] is False
+
+
+def test_matches_rejects_out_of_range_bp():
+    import pytest
+
+    with pytest.raises(ValueError, match="min_ratio_bp"):
+        V.matches("c", "x", min_ratio_bp=95_000)
+    with pytest.raises(ValueError, match="min_ratio_bp"):
+        V.matches("c", "x", min_ratio_bp=0)
