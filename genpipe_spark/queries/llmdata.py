@@ -1451,3 +1451,27 @@ def text_bpe_pairs(spark, sf):
     broken by pair for determinism."""
     pairs = T.bpe_pair_counts(t(spark, sf, "documents"))
     return pairs.orderBy(F.desc("freq"), "pair").limit(25)
+
+
+@query(
+    "fuzzy-edit-join",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_edit_join(spark, sf):
+    """Edit-distance self-join on part names (operators/fuzzy.py): the
+    length-banded formulation is EXACT (see module proof), so the
+    DuckDB oracle is the straight all-pairs Levenshtein join — equality
+    of the two result sets IS the no-missed-pairs proof, driver-checked.
+    The Spark plan stays an equi-join on the band (plan-audited: no
+    cartesian/BNLJ)."""
+    from genpipe_spark.operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(
+        t(spark, sf, "part"), "p_partkey", "p_name", max_dist=3
+    )

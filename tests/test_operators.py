@@ -1364,3 +1364,31 @@ def test_histogram_quantiles_validation(spark):
         histogram_group_quantiles(df, "x", ["g"], 1.0, 0.0, 4)
     with pytest.raises(ValueError):
         histogram_group_quantiles(df, "x", ["g"], 0.0, 1.0, 4, pcts=(0,))
+
+
+def test_edit_distance_pairs_exact_recall_across_bands(spark):
+    from genpipe_spark.operators.fuzzy import edit_distance_pairs
+    import pytest
+
+    # lengths straddle a band boundary (w=3: len 5 -> band 1, len 6+ -> band 2)
+    rows = [(1, "abcde"), (2, "abcdef"), (3, "abcdxx"), (4, "zzzzzzzzzz"), (5, None)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(df, "id", "name", max_dist=2).collect()}
+    # (1,2): one insertion across the band boundary; (2,3): two
+    # substitutions; (1,3): sub+insert = 2; NULL name excluded
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
+    plan = edit_distance_pairs(df, "id", "name", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "name", 0)
+
+
+def test_edit_distance_blocking_col_narrows(spark):
+    from genpipe_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [(1, "abc", "x"), (2, "abd", "x"), (3, "abe", "y")]
+    df = spark.createDataFrame(rows, "id bigint, name string, cat string")
+    got = {(r["id_a"], r["id_b"])
+           for r in edit_distance_pairs(df, "id", "name", 2, blocking_col="cat").collect()}
+    assert got == {(1, 2)}  # cross-category pair (1,3)/(2,3) blocked by design
