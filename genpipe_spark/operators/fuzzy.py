@@ -17,6 +17,12 @@ string has the same length (fixed-format keys like 'Supplier#0000001'
 (e.g. a prefix or category) to add an exact equi-key to the bucket;
 that trades recall for boundedness exactly like LSH banding and is the
 caller's explicit, visible choice.
+
+Output-bound caveat: on domains drawn from a small vocabulary (the
+part-name fixture combines a fixed color list) the TRUE pair count
+grows near-quadratically with data size — that is a property of the
+exact answer, not of this plan; the knobs above (tighter max_dist,
+blocking_col) bound the answer itself when the domain clusters.
 """
 
 from __future__ import annotations
