@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,48 @@ def topk(df: DataFrame, k: int, *order_cols: Column | str) -> DataFrame:
     """Global top-k. Spark plans orderBy().limit() as TakeOrderedAndProject —
     per-partition heaps + single small merge, no full sort/shuffle."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def global_row_number(
+    df: DataFrame, order_cols: Sequence[str], alias: str = "row_num"
+) -> DataFrame:
+    """Dense 1-based GLOBAL numbering by ``order_cols`` without the
+    single-reducer trap: a plain ``row_number() OVER (ORDER BY …)``
+    plans an empty-frame Window — every row through ONE partition, the
+    classic 100 TB deadend (and the reason the reference reaches for
+    RDD zipWithIndex, toSample.scala-era style). Here:
+
+      1. range-repartition + sort within partitions on the keys
+         (one shuffle — partitions are globally ordered AND disjoint);
+      2. count rows per partition (an agg over #partitions groups) and
+         cumsum the offsets DRIVER-side — #partitions values, not rows;
+      3. number within each partition and add its offset via a
+         broadcast-joined offset table.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker):
+    equal keys land in one partition under range partitioning, but the
+    within-partition order between duplicates would be tie-ambiguous.
+    Two jobs by construction (the count pass) — the standard price of
+    distributed global numbering."""
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part = part.localCheckpoint(eager=False)  # both passes share the shuffle
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn(alias, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -825,3 +825,23 @@ def quantile_group_histogram(spark, sf):
         nbins=25,
         pcts=(25, 50, 75, 99),
     )
+
+
+@query(
+    "global-row-number",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS row_num
+    FROM orders
+    """,
+)
+def global_row_number_query(spark, sf):
+    """Dense global numbering of orders by (date, key) — the
+    zipWithIndex-shaped operation done Spark-first
+    (operators/relational.global_row_number): range shuffle +
+    per-partition numbering + driver-side offset cumsum over
+    #partitions values; NO single-reducer Window. The oracle is the
+    naive single-ORDER-BY row_number the operator must equal."""
+    return R.global_row_number(
+        t(spark, sf, "orders"), ["o_orderdate", "o_orderkey"]
+    ).select("o_orderkey", "row_num")

@@ -1392,3 +1392,21 @@ def test_edit_distance_blocking_col_narrows(spark):
     got = {(r["id_a"], r["id_b"])
            for r in edit_distance_pairs(df, "id", "name", 2, blocking_col="cat").collect()}
     assert got == {(1, 2)}  # cross-category pair (1,3)/(2,3) blocked by design
+
+
+def test_global_row_number_no_single_partition_window(spark):
+    from genpipe_spark.operators.relational import global_row_number
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("payload")
+    ).repartition(8)
+    out = global_row_number(df, ["k"], alias="rn")
+    rows = sorted((r["k"], r["rn"]) for r in out.collect())
+    # dense 1..n in key order
+    assert [rn for _, rn in rows] == list(range(1, 10_001))
+    # the plan must NOT contain an empty-frame global Window (the
+    # single-reducer shape); partition-local windows keyed by __pid are
+    # the whole point
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan

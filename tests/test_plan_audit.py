@@ -83,6 +83,8 @@ BOUNDED_BROADCAST_OK = {
     "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
     "sketch-cms-heavy": "broadcast 1-row corpus total",
     "sketch-suite": "inherits sketch-cms-heavy's 1-row broadcast",
+    # offset table is #partitions rows (thousands at 100 TB, not data-sized)
+    "global-row-number": "broadcast per-partition offset table",
 }
 
 
