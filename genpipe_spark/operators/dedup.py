@@ -638,3 +638,91 @@ def incremental_dedup_keep(
     )
     losers = pairs.select(F.col("id_new").alias(id_col)).distinct()
     return new_docs.join(losers, id_col, "left_anti")
+
+
+def explode_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """One row per line of each document: (id, line_no, line).
+
+    ``posexplode`` keeps the 0-based position so the document can be
+    reassembled in original order after line-level filtering."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    mode: str = "drop_common",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4/Dolma cleanup step:
+    kill boilerplate navigation/footer lines that repeat across pages,
+    or keep exactly one occurrence of every duplicated line).
+
+    Input is the (id, line_no, line) frame from :func:`explode_lines`.
+    Output: (id, text, n_lines, n_kept) with ``text`` reassembled from
+    the surviving lines in original order (docs whose every line was
+    dropped survive with ``text = ''``).
+
+    Modes:
+      - ``drop_common``: drop EVERY occurrence of any line appearing in
+        >= ``min_docs`` distinct documents (boilerplate removal).
+      - ``keep_first``: for each duplicated line keep only the globally
+        first occurrence — min (id, line_no) — and drop the rest
+        (C4-style exact line dedup).
+
+    Scale shape: one groupBy(line) aggregation (map-side partial — the
+    min-struct winner is computed as an aggregate, NOT a window, so a
+    mega-hot boilerplate line never funnels all its occurrences through
+    one task), then one shuffle join of lines against per-line stats,
+    then one groupBy(id) reassembly. Three key-shuffles total, nothing
+    broadcast, nothing collected. At 100 TB, group on
+    (xxhash64(line), length(line)) first to cut shuffle bytes and join
+    the residual line equality only on the hot subset.
+    """
+    if mode not in ("drop_common", "keep_first"):
+        raise ValueError(f"unknown line_dedup mode: {mode!r}")
+    lines = lines.select(F.col(id_col).alias("__id"), "line_no", "line")
+    if mode == "drop_common":
+        stats = (
+            lines.groupBy("line")
+            .agg(F.count_distinct("__id").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("line")
+        )
+        survivors = lines.join(stats, "line", "left_anti")
+    else:
+        winners = lines.groupBy("line").agg(
+            F.min(F.struct("__id", "line_no")).alias("w")
+        )
+        survivors = lines.join(winners, "line").where(
+            (F.col("__id") == F.col("w.__id")) & (F.col("line_no") == F.col("w.line_no"))
+        ).drop("w")
+    kept = survivors.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

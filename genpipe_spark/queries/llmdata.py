@@ -1475,3 +1475,94 @@ def fuzzy_edit_join(spark, sf):
     return edit_distance_pairs(
         t(spark, sf, "part"), "p_partkey", "p_name", max_dist=3
     )
+
+
+_LINE_DEDUP_LINES_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i AS INT) AS line_no,
+             array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS line
+      FROM d, unnest(range(0, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)
+    )
+"""
+
+_LINE_DEDUP_SQL = (
+    _LINE_DEDUP_LINES_SQL
+    + r"""
+    , boiler AS (
+      SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 4
+    ),
+    surv_b AS (SELECT * FROM lines ANTI JOIN boiler USING (line)),
+    surv_f AS (
+      SELECT doc_id, line_no, line FROM (
+        SELECT *, row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, line_no) AS rn
+        FROM lines) WHERE rn = 1
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    kept_b AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM surv_b GROUP BY doc_id
+    ),
+    kept_f AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM surv_f GROUP BY doc_id
+    )
+    SELECT 'boiler' AS part, t.doc_id, coalesce(k.text, '') AS text,
+           t.n_lines, coalesce(k.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN kept_b k USING (doc_id)
+    UNION ALL
+    SELECT 'first', t.doc_id, coalesce(k.text, ''),
+           t.n_lines, coalesce(k.n_kept, 0)
+    FROM totals t LEFT JOIN kept_f k USING (doc_id)
+    """
+)
+
+
+def _doc_lines(spark, sf, width=3):
+    """(doc_id, line_no, line): the fixture corpus has no newlines, so
+    'lines' are fixed 3-token windows (the text-chunk machinery at
+    width 3) — same shapes a newline split would produce on real data."""
+    from genpipe_spark.operators.hof import bind
+
+    d = widen(t(spark, sf, "documents"))
+    ws_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+
+    def chunks(ws):
+        n = F.size(ws)
+        idx = F.sequence(F.lit(0), F.ceil(n / float(width)).cast("long") - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("line_no"),
+                F.concat_ws(" ", F.slice(ws, i * width + 1, width)).alias("line"),
+            ),
+        )
+
+    ex = d.select("doc_id", F.explode(bind(ws_expr, chunks)).alias("c"))
+    return ex.select("doc_id", F.col("c.line_no").alias("line_no"), F.col("c.line").alias("line"))
+
+
+@query("text-line-dedup", _LINE_DEDUP_SQL)
+def text_line_dedup(spark, sf):
+    """C4/Dolma-style corpus-wide line-level dedup
+    (operators/dedup.line_dedup), both modes tagged into one entry:
+    'boiler' drops every occurrence of lines present in >=4 distinct
+    docs (boilerplate removal), 'first' keeps only the globally-first
+    occurrence of each duplicated line (C4 exact line dedup). Documents
+    are reassembled in original line order; fully-dropped docs survive
+    with empty text. Three key-shuffles per mode, nothing broadcast."""
+    from genpipe_spark.operators.dedup import line_dedup
+
+    lines = _doc_lines(spark, sf)
+    boiler = line_dedup(lines, mode="drop_common", min_docs=4)
+    first = line_dedup(lines, mode="keep_first")
+    return boiler.select(F.lit("boiler").alias("part"), "*").unionByName(
+        first.select(F.lit("first").alias("part"), "*")
+    )
