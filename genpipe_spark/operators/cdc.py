@@ -79,3 +79,70 @@ def merge_apply(
         F.coalesce(F.col(op_col) != delete_op, F.lit(True))
     ).select(*data_cols)
     return unchanged.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    attr_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from a change stream.
+
+    Input: every change event for a dimension (key_cols + attr_cols +
+    ``seq_col`` + optional ``op_col``). Output: one row per VERSION per
+    key with its validity interval in sequence space:
+
+      key_cols..., attr_cols..., valid_from (= its seq),
+      valid_to (seq of the next change, NULL while open),
+      version (1-based per key over kept versions),
+      is_current (open interval and not closed by a delete).
+
+    Semantics:
+      - ``collapse_unchanged=True`` drops an event whose attribute tuple
+        equals the key's previous event (no-op update → no new version);
+      - a ``delete_op`` event closes the current version (it becomes its
+        ``valid_to``) and emits no row of its own; a later upsert
+        re-opens the key with a fresh version.
+
+    Scale shape: everything is window functions over ONE
+    partitionBy(key) ordering — a single hash shuffle on the dimension
+    key, shared by the lag (collapse), lead (valid_to) and row_number
+    (version) since they use the same window spec. No joins, nothing
+    broadcast. Ties on ``seq_col`` within a key are the caller's bug
+    (CDC sources provide unique LSN/offset), as in :func:`merge_apply`.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    is_del = (
+        F.col(op_col).eqNullSafe(delete_op) if op_col is not None else F.lit(False)
+    )
+    ev = changes.withColumn("__del", is_del)
+    if collapse_unchanged:
+        # a delete never collapses (state transition), and the first
+        # event after a delete never collapses (re-insert), even when
+        # its attrs match the pre-delete version
+        same = F.struct(*attrs).eqNullSafe(
+            F.lag(F.struct(*attrs)).over(w)
+        ) & ~F.col("__del") & ~F.lag("__del").over(w)
+        ev = ev.withColumn("__same", F.coalesce(same, F.lit(False))).where(
+            ~F.col("__same")
+        ).drop("__same")
+    ev = ev.withColumn("__valid_to", F.lead(seq_col).over(w)).withColumn(
+        "__version",
+        F.sum(F.when(F.col("__del"), 0).otherwise(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ev.where(~F.col("__del")).select(
+        *keys,
+        *attrs,
+        F.col(seq_col).alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+        F.col("__version").cast("int").alias("version"),
+        F.col("__valid_to").isNull().alias("is_current"),
+    )

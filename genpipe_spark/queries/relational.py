@@ -845,3 +845,59 @@ def global_row_number_query(spark, sf):
     return R.global_row_number(
         t(spark, sf, "orders"), ["o_orderdate", "o_orderkey"]
     ).select("o_orderkey", "row_num")
+
+
+@query(
+    "scd2-history",
+    """
+    WITH ch AS (
+      SELECT o_custkey % 100 AS custkey, o_orderkey AS seq,
+             o_orderpriority AS seg, o_orderstatus AS st,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ),
+    ev AS (
+      SELECT *, (op = 'D') AS del,
+             lag(seg) OVER w AS pseg, lag(st) OVER w AS pst,
+             lag(op = 'D') OVER w AS pdel
+      FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY seq)
+    ),
+    kept AS (
+      SELECT * FROM ev
+      WHERE NOT coalesce(seg IS NOT DISTINCT FROM pseg
+                         AND st IS NOT DISTINCT FROM pst
+                         AND NOT del AND NOT pdel, FALSE)
+    ),
+    v AS (
+      SELECT *, lead(seq) OVER w2 AS valid_to,
+             sum(CASE WHEN del THEN 0 ELSE 1 END)
+               OVER (PARTITION BY custkey ORDER BY seq
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM kept WINDOW w2 AS (PARTITION BY custkey ORDER BY seq)
+    )
+    SELECT custkey, seg, st, seq AS valid_from, valid_to,
+           CAST(version AS INT) AS version, valid_to IS NULL AS is_current
+    FROM v WHERE NOT del
+    """,
+)
+def scd2_history_query(spark, sf):
+    """SCD Type-2 dimension history (operators/cdc.scd2_history) built
+    from a changeset derived from orders: per-key versions with
+    [valid_from, valid_to) sequence intervals, no-op updates collapsed,
+    deletes closing the open version, re-inserts re-opening with a
+    fresh version. One hash shuffle on the dimension key (all window
+    functions share the spec); the DuckDB twin replays the identical
+    lag-collapse + lead-interval construction."""
+    from genpipe_spark.operators.cdc import scd2_history
+
+    o = t(spark, sf, "orders")
+    changes = o.select(
+        (F.col("o_custkey") % 100).alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+    )
+    return scd2_history(
+        changes, ["custkey"], "seq", ["seg", "st"], op_col="op"
+    )
