@@ -194,3 +194,69 @@ def rollup_gapfill(spark, sf):
         t(spark, sf, "events"), ts_col="ts", value_col="value",
         by=("user_id",), bucket_s=3600,
     )
+
+
+@query(
+    "timeseries-anomaly",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, event_id, xc,
+             count(xc) OVER wprev AS n_win,
+             CAST(coalesce(sum(xc) OVER wprev, 0) AS BIGINT) AS s_cents,
+             CAST(coalesce(sum(xc * xc) OVER wprev, 0) AS BIGINT) AS q_cents2,
+             list(xc) OVER wcur AS arr
+      FROM e
+      WINDOW
+        wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING),
+        wcur AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 16 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n_win, s_cents, q_cents2,
+           CASE WHEN n_win < 5 THEN 'warmup'
+                WHEN (n_win*xc - s_cents) * (n_win*xc - s_cents) * (n_win - 1)
+                     > 9 * n_win * (n_win*q_cents2 - s_cents*s_cents)
+                THEN 'anomaly' ELSE 'normal'
+           END AS verdict,
+           CAST(1000000 * list_sum(list_transform(
+                  arr, (x, i) -> x * (1::BIGINT << (16 - (len(arr) - i)))))
+                AS BIGINT)
+             // ((1::BIGINT << 17) - (1::BIGINT << (17 - len(arr))))
+             AS ewma_micro_cents
+    FROM z
+    """,
+)
+def timeseries_anomaly(spark, sf):
+    """Per-entity streaming analytics pair (operators/anomaly.py): a
+    trailing-50-row z-score outlier flag (baseline excludes the point
+    under test; exact int64 inequality, no libm) and an alpha=1/2
+    EWMA smoother (power-of-two kernel, int64 `div`). Both measures
+    share the same partitionBy(user_id) ordering, so the whole query is
+    ONE hash shuffle feeding two Window nodes."""
+    from genpipe_spark.operators.anomaly import ewma_micro_cents, rolling_zscore_flags
+
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    flagged = rolling_zscore_flags(
+        e, ["user_id"], ["ts", "event_id"], F.col("xc"), window_rows=50,
+        threshold=3, min_obs=5,
+    )
+    smoothed = ewma_micro_cents(
+        flagged, ["user_id"], ["ts", "event_id"], F.col("xc")
+    )
+    verdict = (
+        F.when(F.col("is_anomaly").isNull(), "warmup")
+        .when(F.col("is_anomaly"), "anomaly")
+        .otherwise("normal")
+    )
+    return smoothed.select(
+        "user_id", "event_id", "n_win", "s_cents", "q_cents2",
+        verdict.alias("verdict"), "ewma_micro_cents",
+    )

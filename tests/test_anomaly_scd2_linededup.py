@@ -1,0 +1,127 @@
+"""Edge-case behavior of the round-5 session-3 operators: line_dedup
+(both modes), scd2_history (delete/reopen/collapse), and the anomaly
+pair (warmup NULLs, zero-variance windows, EWMA exactness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genpipe_spark.operators.anomaly import ewma_micro_cents, rolling_zscore_flags
+from genpipe_spark.operators.cdc import scd2_history
+from genpipe_spark.operators.dedup import explode_lines, line_dedup
+
+
+def _lines(spark, docs):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return explode_lines(df, "doc_id", "text", delim="\n")
+
+
+def test_line_dedup_drop_common_drops_every_occurrence(spark):
+    lines = _lines(
+        spark,
+        [
+            (1, "boiler\nunique-a"),
+            (2, "boiler\nunique-b"),
+            (3, "boiler\nunique-c"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(lines, mode="drop_common", min_docs=3).collect()
+    }
+    assert out[1]["text"] == "unique-a" and out[1]["n_kept"] == 1
+    assert out[2]["n_lines"] == 2
+    # below the min_docs bar nothing is dropped
+    kept_all = line_dedup(lines, mode="drop_common", min_docs=4).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in kept_all)
+
+
+def test_line_dedup_fully_dropped_doc_survives_empty(spark):
+    lines = _lines(spark, [(1, "x"), (2, "x"), (3, "x\ny")])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(lines, mode="drop_common", min_docs=2).collect()
+    }
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0 and out[1]["n_lines"] == 1
+    assert out[3]["text"] == "y"
+
+
+def test_line_dedup_keep_first_keeps_global_min_occurrence(spark):
+    lines = _lines(spark, [(2, "dup\nsolo2"), (1, "solo1\ndup"), (3, "dup")])
+    out = {r["doc_id"]: r for r in line_dedup(lines, mode="keep_first").collect()}
+    # global first occurrence of "dup" is (doc 1, line 1) — docs 2, 3 lose it
+    assert out[1]["text"] == "solo1\ndup"
+    assert out[2]["text"] == "solo2"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_line_dedup_rejects_unknown_mode(spark):
+    import pytest
+
+    lines = _lines(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        line_dedup(lines, mode="nope")
+
+
+def test_scd2_collapse_delete_reopen(spark):
+    # key 1: v=A, A (collapse), B, DELETE, A (reopen — must NOT collapse
+    # with the pre-delete A), key 2: single open version
+    rows = [
+        (1, 10, "A", "U"),
+        (1, 20, "A", "U"),
+        (1, 30, "B", "U"),
+        (1, 40, "-", "D"),
+        (1, 50, "B", "U"),
+        (2, 15, "Z", "U"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "attr", "op"])
+    hist = {
+        (r["k"], r["version"]): r
+        for r in scd2_history(df, ["k"], "seq", ["attr"], op_col="op").collect()
+    }
+    assert len(hist) == 4
+    v1 = hist[(1, 1)]
+    assert (v1["attr"], v1["valid_from"], v1["valid_to"], v1["is_current"]) == (
+        "A", 10, 30, False,
+    )  # the seq-20 no-op collapsed into it
+    v2 = hist[(1, 2)]
+    assert (v2["valid_from"], v2["valid_to"], v2["is_current"]) == (30, 40, False)
+    v3 = hist[(1, 3)]  # reopened AFTER the delete, same attrs as v2
+    assert (v3["attr"], v3["valid_from"], v3["valid_to"], v3["is_current"]) == (
+        "B", 50, None, True,
+    )
+    assert hist[(2, 1)]["is_current"] is True
+
+
+def test_scd2_no_op_col_means_pure_versioning(spark):
+    df = spark.createDataFrame([(1, 1, "A"), (1, 2, "B")], ["k", "seq", "attr"])
+    out = scd2_history(df, ["k"], "seq", ["attr"]).collect()
+    assert [r["version"] for r in sorted(out, key=lambda r: r["valid_from"])] == [1, 2]
+
+
+def test_zscore_warmup_and_zero_variance(spark):
+    # constant series then one deviation: windows below min_obs are NULL,
+    # the deviating point against a zero-variance baseline flags
+    rows = [(1, i, 100) for i in range(1, 8)] + [(1, 8, 101)]
+    df = spark.createDataFrame(rows, ["k", "seq", "xc"])
+    out = {
+        r["seq"]: r
+        for r in rolling_zscore_flags(
+            df, ["k"], ["seq"], F.col("xc"), window_rows=50, min_obs=5
+        ).collect()
+    }
+    assert out[1]["is_anomaly"] is None and out[5]["is_anomaly"] is None
+    assert out[6]["is_anomaly"] is False  # enough obs, no deviation
+    assert out[8]["is_anomaly"] is True  # +1 cent vs zero-variance baseline
+
+
+def test_ewma_exact_values(spark):
+    # two points: e_1 = x_1; e_2 = (2^16*x_2 + 2^15*x_1) / (2^17 - 2^15)
+    df = spark.createDataFrame([(1, 1, 100), (1, 2, 200)], ["k", "seq", "xc"])
+    out = {
+        r["seq"]: r["ewma_micro_cents"]
+        for r in ewma_micro_cents(df, ["k"], ["seq"], F.col("xc")).collect()
+    }
+    assert out[1] == 100_000_000  # exactly x_1 in micro-cents
+    num = (200 * (1 << 16) + 100 * (1 << 15)) * 1_000_000
+    assert out[2] == num // ((1 << 17) - (1 << 15))
