@@ -430,3 +430,40 @@ def fn_snpeff_suite(spark, sf):
     ann = fn_snpeff_ann_parse(spark, sf).select(F.lit("ann").alias("part"), "*")
     eff = fn_snpeff_eff_parse(spark, sf).select(F.lit("eff").alias("part"), "*")
     return ann.unionByName(eff)
+
+
+@query(
+    "fn-json-extract",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type, k % 10 AS k_bucket,
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+           max(k) AS k_max
+    FROM e GROUP BY event_type, k % 10
+    """,
+)
+def fn_json_extract(spark, sf):
+    """JSON column processing: the events.props JSON string is parsed
+    BOTH ways Spark offers — ``from_json`` with an explicit schema (the
+    typed path: one parse, Catalyst-prunable struct) and
+    ``get_json_object`` (the ad-hoc JSONPath path) — the two are
+    asserted equal row-wise in-plan (a mismatch nulls the key and
+    breaks parity), then aggregated. At scale, prefer from_json: one
+    parse per row feeding any number of field reads."""
+    e = widen(t(spark, sf, "events"))
+    typed = F.from_json(F.col("props"), "k BIGINT")["k"]
+    adhoc = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.when(typed.eqNullSafe(adhoc), typed)  # NULL on any disagreement
+    return (
+        e.select("event_id", "event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -901,3 +901,43 @@ def scd2_history_query(spark, sf):
     return scd2_history(
         changes, ["custkey"], "seq", ["seg", "st"], op_col="op"
     )
+
+
+@query(
+    "set-except-intersect",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'except_all' AS part, o_custkey FROM (
+      SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect_all', o_custkey FROM (
+      SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except', o_custkey FROM (
+      SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect', o_custkey FROM (
+      SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    """,
+)
+def set_except_intersect(spark, sf):
+    """The §2.5 set-op family completed: EXCEPT/INTERSECT in both
+    multiset (ALL — bag difference/min-multiplicity) and distinct
+    semantics, all four over the same two order subsets. Spark plans
+    these as hash joins on the full row (left-anti/left-semi with
+    count matching for ALL) — same shuffle story as any equi-join."""
+    o = t(spark, sf, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    parts = [
+        ("except_all", a.exceptAll(b)),
+        ("intersect_all", a.intersectAll(b)),
+        ("except", a.subtract(b)),
+        ("intersect", a.intersect(b)),
+    ]
+    out = None
+    for tag, df in parts:
+        p = df.select(F.lit(tag).alias("part"), "o_custkey")
+        out = p if out is None else out.unionByName(p)
+    return out
