@@ -367,3 +367,37 @@ def scan_jsonl_docs(spark, sf):
         F.col("meta.score").alias("score"),
         F.col("_corrupt_record").isNotNull().alias("corrupt"),
     )
+
+
+@query(
+    "sink-orc-roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_orc_roundtrip(spark, sf):
+    """ORC source/sink: the filtered lineitem subset round-trips through
+    Spark's built-in columnar ORC writer/reader (snappy, vectorized
+    scan) and is aggregated FROM THE ORC COPY — equality with the
+    parquet-side oracle proves the format round-trip is lossless
+    (types, decimals, nulls). ORC predicate pushdown/column pruning
+    work like parquet's; the oracle reads the original parquet."""
+    from genpipe_spark.queries.common import t
+
+    df = (
+        t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+    )
+    dest = tempfile.mkdtemp(prefix="genpipe_sink_orc_")
+    df.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+    )
