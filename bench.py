@@ -60,6 +60,11 @@ HEADLINE = [
     "merge-upsert",
     "profile-drift",
     "text-bpe-pairs",
+    # r5 session 3: C4-style line dedup, SCD2 history, rolling
+    # z-score/EWMA analytics
+    "text-line-dedup",
+    "scd2-history",
+    "timeseries-anomaly",
 ]
 
 

@@ -29,10 +29,14 @@ from genpipe_spark.registry import ORACLES, QUERIES, query
 
 # self-registration side effects: member modules must be loaded before
 # this module reads their ORACLES entries
-import genpipe_spark.queries.llmdata  # noqa: F401  (text-*, sketch-*)
+import genpipe_spark.queries.llmdata  # noqa: F401  (text-*, sketch-*, ann-*)
 import genpipe_spark.queries.nested  # noqa: F401  (udf-*)
-import genpipe_spark.queries.sources  # noqa: F401  (scan-*)
+import genpipe_spark.queries.parse  # noqa: F401  (fn-*)
+import genpipe_spark.queries.quality  # noqa: F401  (profile-*, validate-*)
+import genpipe_spark.queries.relational  # noqa: F401  (sort/set/window/olap/cdc)
+import genpipe_spark.queries.sources  # noqa: F401  (scan-*, sink-*)
 import genpipe_spark.queries.streaming  # noqa: F401  (stream-*)
+import genpipe_spark.queries.timeseries  # noqa: F401  (rollup-*, timeseries-*)
 
 _NULL = "∅"  # sentinel for NULL fields (never appears in fixture data)
 
@@ -103,6 +107,10 @@ _STREAM_MEMBERS = {
             ("n_events", "s"), ("value_sum", "f"),
         ],
     ),
+    "sliding": (
+        "stream-sliding-window-agg",
+        [("win_start", "s"), ("event_type", "s"), ("n_events", "s"), ("value_sum", "f")],
+    ),
 }
 
 _SCAN_MEMBERS = {
@@ -119,6 +127,17 @@ _SCAN_MEMBERS = {
         [
             ("doc_id", "s"), ("text", "s"), ("lang", "s"), ("source", "s"),
             ("score", "f"), ("corrupt", "s"),
+        ],
+    ),
+    "annotation": (
+        "scan-text-annotation",
+        [("chrom", "s"), ("pos", "s"), ("ref", "s"), ("alt", "s"), ("umd", "s")],
+    ),
+    "orc": (
+        "sink-orc-roundtrip",
+        [
+            ("l_returnflag", "s"), ("l_linestatus", "s"), ("n", "s"),
+            ("price_cents", "s"),
         ],
     ),
 }
@@ -175,4 +194,253 @@ sketch_suite = _register(
     _SKETCH_MEMBERS,
     "sketch-kmv-distinct ∪ sketch-cms-heavy — both engine-replayable sketch "
     "families in one slot (r5 window rotation).",
+)
+
+
+# -------------------- r5 third rotation (session 3): cover EVERY
+# oracle-backed capability with a driver row. Same full-payload
+# tagged-union contract as above — every member column packed.
+
+_QUANTILE_MEMBERS = {
+    "exact": ("quantile-group-exact", [("l_returnflag", "s"), ("pct", "s"), ("q", "f")]),
+    "histogram": (
+        "quantile-group-histogram",
+        [("l_returnflag", "s"), ("pct", "s"), ("q_est", "f")],
+    ),
+}
+
+_WINDOW_MEMBERS = {
+    "rfs": (
+        "window-rank-first-running-sum",
+        [("part", "s"), ("o_custkey", "s"), ("o_orderkey", "s"), ("v1", "s"), ("v2", "s")],
+    ),
+    "nav": (
+        "window-lag-lead-ntile",
+        [
+            ("o_custkey", "s"), ("o_orderkey", "s"), ("prev_order", "s"),
+            ("next_order", "s"), ("quartile", "s"), ("days_since_prev", "s"),
+        ],
+    ),
+    "rownum": ("global-row-number", [("o_orderkey", "s"), ("row_num", "s")]),
+}
+
+_SORT_SET_MEMBERS = {
+    "union": ("set-union", [("o_orderkey", "s"), ("o_totalprice", "f"), ("src", "s")]),
+    "sortpart": (
+        "sort-within-partitions",
+        [("l_orderkey", "s"), ("l_linenumber", "s"), ("l_partkey", "s")],
+    ),
+    "topk": ("topk", [("o_orderkey", "s"), ("o_totalprice", "f")]),
+    "sortglobal": ("sort-global", [("o_orderkey", "s"), ("o_totalprice", "f")]),
+    "exint": ("set-except-intersect", [("part", "s"), ("o_custkey", "s")]),
+}
+
+_DEDUP_MISC_MEMBERS = {
+    "simhash": ("dedup-simhash", [("id_a", "s"), ("id_b", "s"), ("hamming", "s")]),
+    "contamination": (
+        "dedup-contamination",
+        [("doc_id", "s"), ("worst_benchmark_id", "s"), ("overlap_frac", "f")],
+    ),
+    "components": (
+        "dedup-components",
+        [("component", "s"), ("n_members", "s"), ("member_ids", "s")],
+    ),
+    "linededup": (
+        "text-line-dedup",
+        [("part", "s"), ("doc_id", "s"), ("text", "s"), ("n_lines", "s"), ("n_kept", "s")],
+    ),
+}
+
+_EMBEDDING_MEMBERS = {
+    "brute": (
+        "ann-cosine-topk",
+        [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("cos", "f")],
+    ),
+    "ivf": (
+        "ann-ivf-topk",
+        [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("cos", "f")],
+    ),
+    "int8": (
+        "quantize-embedding-int8",
+        [("vec_id", "s"), ("scale", "f"), ("q", "s"), ("err_max", "f")],
+    ),
+    "cosdup": (
+        "dedup-embedding-cosine",
+        [("id_a", "s"), ("id_b", "s"), ("cos", "f")],
+    ),
+}
+
+_BM25_MEMBERS = {
+    "score": ("text-bm25", [("doc_id", "s"), ("score", "f")]),
+    "topk": (
+        "text-bm25-topk",
+        [("query_id", "s"), ("doc_id", "s"), ("rank", "s"), ("score", "f")],
+    ),
+}
+
+_TIMEGRID_MEMBERS = {
+    "gapfill": (
+        "rollup-gapfill",
+        [
+            ("user_id", "s"), ("bucket_start_us", "s"), ("n_events", "s"),
+            ("value_sum", "f"), ("value_locf", "f"),
+        ],
+    ),
+    "hierarchy": (
+        "rollup-time-hierarchy",
+        [("d", "s"), ("h", "s"), ("m", "s"), ("n_events", "s"), ("n_users", "s"), ("value_cents", "s")],
+    ),
+    "anomaly": (
+        "timeseries-anomaly",
+        [
+            ("user_id", "s"), ("event_id", "s"), ("n_win", "s"), ("s_cents", "s"),
+            ("q_cents2", "s"), ("verdict", "s"), ("ewma_micro_cents", "s"),
+        ],
+    ),
+}
+
+_PROFILE_MEMBERS = {
+    "table": (
+        "profile-table",
+        [
+            ("column", "s"), ("n_rows", "s"), ("n_nulls", "s"), ("n_distinct", "s"),
+            ("min_str", "s"), ("max_str", "s"),
+        ],
+    ),
+    "drift": (
+        "profile-drift",
+        [("bin", "s"), ("n_ref", "s"), ("n_cur", "s"), ("term_micro", "s"), ("psi_micro", "s")],
+    ),
+}
+
+_CDC_MEMBERS = {
+    "merge": (
+        "merge-upsert",
+        [
+            ("c_custkey", "s"), ("c_name", "s"), ("c_nationkey", "s"),
+            ("c_acctbal", "f"), ("c_mktsegment", "s"),
+        ],
+    ),
+    "scd2": (
+        "scd2-history",
+        [
+            ("custkey", "s"), ("seg", "s"), ("st", "s"), ("valid_from", "s"),
+            ("valid_to", "s"), ("version", "s"), ("is_current", "s"),
+        ],
+    ),
+}
+
+_FN_STRUCT_MEMBERS = {
+    "annotation": (
+        "fn-annotation-parse",
+        [
+            ("l_orderkey", "s"), ("l_linenumber", "s"), ("sift_pred", "s"),
+            ("sift_score", "f"), ("pp_score", "f"), ("mt", "s"), ("cadd", "f"),
+            ("clinvar_f", "s"), ("gp1_af", "f"), ("exac", "f"),
+        ],
+    ),
+    "json": (
+        "fn-json-extract",
+        [("event_type", "s"), ("k_bucket", "s"), ("n", "s"), ("k_sum", "s"), ("k_max", "s")],
+    ),
+}
+
+_TEXT_TOKEN_MEMBERS = {
+    "vocab": ("text-vocab-topk", [("w", "s"), ("cnt", "s")]),
+    "bpe": ("text-bpe-pairs", [("pair", "s"), ("freq", "s")]),
+}
+
+_RESHAPE_OLAP_MEMBERS = {
+    "pivot": ("pivot-unpivot", [("o_orderpriority", "s"), ("status", "s"), ("total", "f")]),
+    "cube": ("agg-cube", [("status", "s"), ("priority", "s"), ("n", "s"), ("total", "f")]),
+    "q1": (
+        "tpch-q1-rollup",
+        [
+            ("rf", "s"), ("ls", "s"), ("sum_qty", "s"), ("sum_base_price", "f"),
+            ("sum_disc_price", "f"), ("count_order", "s"),
+        ],
+    ),
+    "q3": ("tpch-q3", [("l_orderkey", "s"), ("revenue", "f"), ("orderdate", "s")]),
+}
+
+quantile_suite = _register(
+    "quantile-suite", _QUANTILE_MEMBERS,
+    "quantile-group-exact ∪ quantile-group-histogram — exact grouped "
+    "percentiles and the mergeable histogram estimator in one slot "
+    "(r5 third rotation).",
+)
+window_suite = _register(
+    "window-suite", _WINDOW_MEMBERS,
+    "window-rank-first-running-sum ∪ window-lag-lead-ntile ∪ "
+    "global-row-number — the full window-function family "
+    "(r5 third rotation).",
+)
+sort_set_suite = _register(
+    "sort-set-suite", _SORT_SET_MEMBERS,
+    "set-union ∪ sort-within-partitions ∪ topk ∪ sort-global ∪ "
+    "set-except-intersect — the §2.5 sort/limit/set-op family packed "
+    "into one slot (r5 third rotation).",
+)
+dedup_misc_suite = _register(
+    "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
+    "dedup-simhash ∪ dedup-contamination ∪ dedup-components ∪ "
+    "text-line-dedup (r5 third rotation).",
+)
+embedding_suite = _register(
+    "embedding-suite", _EMBEDDING_MEMBERS,
+    "ann-cosine-topk ∪ ann-ivf-topk ∪ quantize-embedding-int8 ∪ "
+    "dedup-embedding-cosine — the embedding-column family "
+    "(r5 third rotation; supersedes ann-topk-suite's slot).",
+)
+text_bm25_suite = _register(
+    "text-bm25-suite", _BM25_MEMBERS,
+    "text-bm25 ∪ text-bm25-topk (r5 third rotation).",
+)
+timegrid_suite = _register(
+    "timegrid-suite", _TIMEGRID_MEMBERS,
+    "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly — the "
+    "time-series family: gap-filled buckets, calendar rollup, rolling "
+    "z-score/EWMA analytics (r5 third rotation).",
+)
+profile_suite = _register(
+    "profile-suite", _PROFILE_MEMBERS,
+    "profile-table ∪ profile-drift (PSI) — data-quality profiling "
+    "(r5 third rotation).",
+)
+cdc_suite = _register(
+    "cdc-suite", _CDC_MEMBERS,
+    "merge-upsert ∪ scd2-history — the CDC family: MERGE INTO apply "
+    "and SCD Type-2 dimension history (r5 third rotation).",
+)
+fn_struct_parse_suite = _register(
+    "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
+    "fn-annotation-parse ∪ fn-json-extract — structured-string parsing "
+    "(dbNSFP annotation maps, JSON props) (r5 third rotation).",
+)
+text_token_suite = _register(
+    "text-token-suite", _TEXT_TOKEN_MEMBERS,
+    "text-vocab-topk ∪ text-bpe-pairs — tokenizer-induction statistics "
+    "(r5 third rotation).",
+)
+reshape_olap_suite = _register(
+    "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
+    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 — reshape + "
+    "grouping-sets + the TPC-H showcases (r5 third rotation).",
+)
+
+
+_MIX_FULL_MEMBERS = {
+    "quota": ("mix-quota-source", [("doc_id", "s"), ("source", "s")]),
+    "weighted": ("mix-weighted-sources", [("doc_id", "s"), ("source", "s")]),
+    "sample": (
+        "mix-weighted-sample",
+        [("doc_id", "s"), ("source", "s"), ("n_chars", "s"), ("es_key_nano", "s")],
+    ),
+}
+
+mix_full_suite = _register(
+    "mix-full-suite", _MIX_FULL_MEMBERS,
+    "mix-quota-source ∪ mix-weighted-sources ∪ mix-weighted-sample "
+    "(Efraimidis-Spirakis) — the full source-mixing family "
+    "(r5 third rotation; supersedes mix-suite's slot).",
 )

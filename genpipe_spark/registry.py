@@ -59,7 +59,15 @@ CURATED_ORDER: list[str] = [
     # rollup-gapfill, profile-table). The merged-away entries stay
     # registered (>50) for pytest parity; no §2 family left the window.
     #
-    # r5 second rotation (this session's new operators): five
+    # r5 THIRD rotation (session 3): every remaining oracle-backed
+    # capability pulled in-window via eleven more full-payload suites
+    # (quantile/window/sort-set/dedup-misc/embedding/bm25/timegrid/
+    # profile/cdc/fn-struct-parse + the new text-token and reshape-olap
+    # entries) and one direct entry (fuzzy-edit-join). Merged-away
+    # members stay registered (>50) for pytest parity; only rows-only
+    # probes and variant forms remain un-windowed.
+    #
+    # r5 second rotation (earlier session's new operators): five
     # full-payload tagged unions (queries/suites.py — every member
     # column packed, nothing dropped): scan-text-vcf→scan-source-suite
     # (+scan-jsonl), sketch-kmv-distinct→sketch-suite (+sketch-cms-heavy),
@@ -81,16 +89,14 @@ CURATED_ORDER: list[str] = [
     "join-asof",
     "agg-collect-suite",
     "agg-count-distinct-reduce",
-    "quantile-group-exact",
-    "set-union",
-    "sort-within-partitions",
-    "topk",
-    "window-rank-first-running-sum",
+    "quantile-suite",
+    "sort-set-suite",
+    "window-suite",
     "stream-stream-interval-join",
     "agg-salted-group",
     "fn-parse-suite",
     "fn-alt-decompose",
-    "fn-annotation-parse",
+    "fn-struct-parse-suite",
     "fn-snpeff-suite",
     "row-sample-parser",
     "udf-suite",
@@ -100,24 +106,26 @@ CURATED_ORDER: list[str] = [
     "dedup-exact",
     "dedup-ngram-jaccard",
     "dedup-minhash-lsh",
-    "dedup-simhash",
-    "dedup-contamination",
+    "dedup-misc-suite",
     "dedup-incremental",
-    "ann-topk-suite",
-    "mix-suite",
+    "embedding-suite",
+    "mix-full-suite",
     "pack-sequences",
     "sketch-suite",
     "similarity-lsh-pairs",
     "text-analysis-suite",
-    "text-bm25-topk",
+    "text-bm25-suite",
     "text-quality-suite",
-    "rollup-gapfill",
-    "profile-table",
+    "timegrid-suite",
+    "profile-suite",
     "multimodal-suite",
     "sample-split-deterministic",
     "pipeline-curation",
     "validate-constraints",
-    "merge-upsert",
+    "cdc-suite",
+    "text-token-suite",
+    "fuzzy-edit-join",
+    "reshape-olap-suite",
 ]
 
 

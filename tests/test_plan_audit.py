@@ -51,6 +51,9 @@ BOUNDED_NLJ_OK = {
     "sketch-cms-heavy": "1-row corpus-total scalar attach",
     "sketch-suite": "inherits sketch-kmv-distinct + sketch-cms-heavy's "
     "1-row sketch/total crossJoins",
+    "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
+    "dedup-embedding-cosine (all documented bounded/baseline forms)",
+    "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -59,7 +62,9 @@ SKIP = {"stream-sessionize", "stream-sessionize-batch", "pipeline-parse-bulk",
         "source-filestream", "sink-parquet-partitioned", "scan-text-vcf",
         "row-sample-parser", "stream-window-agg",
         # suites whose members are SKIP fixture/stream queries
-        "scan-source-suite", "stream-agg-suite", "scan-jsonl"}
+        "scan-source-suite", "stream-agg-suite", "scan-jsonl",
+        # temp-dir write side-effect at construction (like sink-parquet)
+        "sink-orc-roundtrip"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
@@ -85,6 +90,9 @@ BOUNDED_BROADCAST_OK = {
     "sketch-suite": "inherits sketch-cms-heavy's 1-row broadcast",
     # offset table is #partitions rows (thousands at 100 TB, not data-sized)
     "global-row-number": "broadcast per-partition offset table",
+    "window-suite": "inherits global-row-number's offset-table broadcast",
+    "embedding-suite": "inherits the ann/brute members' bounded broadcasts",
+    "text-bm25-suite": "inherits text-bm25's |query|-row dfreq broadcast",
 }
 
 
