@@ -682,47 +682,54 @@ def line_dedup(
     Scale shape: one groupBy(line) aggregation (map-side partial — the
     min-struct winner is computed as an aggregate, NOT a window, so a
     mega-hot boilerplate line never funnels all its occurrences through
-    one task), then one shuffle join of lines against per-line stats,
-    then one groupBy(id) reassembly. Three key-shuffles total, nothing
-    broadcast, nothing collected. At 100 TB, group on
-    (xxhash64(line), length(line)) first to cut shuffle bytes and join
-    the residual line equality only on the hot subset.
+    one task), one shuffle join marking each occurrence with a keep
+    flag, then ONE groupBy(id) reassembly emitting n_lines/n_kept/text
+    together (no totals-vs-kept re-join). Nothing broadcast, nothing
+    collected. At 100 TB, group on (xxhash64(line), length(line)) first
+    to cut shuffle bytes and join the residual line equality only on
+    the hot subset.
     """
     if mode not in ("drop_common", "keep_first"):
         raise ValueError(f"unknown line_dedup mode: {mode!r}")
     lines = lines.select(F.col(id_col).alias("__id"), "line_no", "line")
+    # mark each occurrence with a keep flag instead of filtering, so ONE
+    # reassembly groupBy produces n_lines, n_kept and the surviving text
+    # together (no totals/kept join, no second id-shuffle)
     if mode == "drop_common":
-        stats = (
+        boiler = (
             lines.groupBy("line")
             .agg(F.count_distinct("__id").alias("nd"))
             .where(F.col("nd") >= min_docs)
-            .select("line")
+            .select("line", F.lit(True).alias("__hot"))
         )
-        survivors = lines.join(stats, "line", "left_anti")
+        marked = lines.join(boiler, "line", "left").withColumn(
+            "keep", F.col("__hot").isNull()
+        )
     else:
         winners = lines.groupBy("line").agg(
             F.min(F.struct("__id", "line_no")).alias("w")
         )
-        survivors = lines.join(winners, "line").where(
-            (F.col("__id") == F.col("w.__id")) & (F.col("line_no") == F.col("w.line_no"))
-        ).drop("w")
-    kept = survivors.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+        marked = lines.join(winners, "line").withColumn(
+            "keep",
+            (F.col("__id") == F.col("w.__id"))
+            & (F.col("line_no") == F.col("w.line_no")),
+        )
+    return marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_lines"),
+        F.count(F.when(F.col("keep"), 1)).alias("__n_kept"),
         F.concat_ws(
             delim,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line", "keep"))),
+                    lambda s: s["keep"],
+                ),
                 lambda s: s["line"],
             ),
-        ).alias("text"),
-    )
-    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(kept, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
+        ).alias("__text"),
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("__text").alias("text"),
+        F.col("__n_lines").alias("n_lines"),
+        F.col("__n_kept").alias("n_kept"),
     )
