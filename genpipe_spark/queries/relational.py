@@ -941,3 +941,87 @@ def set_except_intersect(spark, sf):
         p = df.select(F.lit(tag).alias("part"), "o_custkey")
         out = p if out is None else out.unionByName(p)
     return out
+
+
+@query(
+    "scd2-point-in-time",
+    """
+    WITH ch AS (
+      SELECT o_custkey % 100 AS custkey, o_orderkey AS seq,
+             o_orderpriority AS seg, o_orderstatus AS st,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ),
+    ev AS (
+      SELECT *, (op = 'D') AS del,
+             lag(seg) OVER w AS pseg, lag(st) OVER w AS pst,
+             lag(op = 'D') OVER w AS pdel
+      FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY seq)
+    ),
+    kept AS (
+      SELECT * FROM ev
+      WHERE NOT coalesce(seg IS NOT DISTINCT FROM pseg
+                         AND st IS NOT DISTINCT FROM pst
+                         AND NOT del AND NOT pdel, FALSE)
+    ),
+    hist AS (
+      SELECT custkey, seg, st, seq AS valid_from,
+             lead(seq) OVER w2 AS valid_to,
+             CAST(sum(CASE WHEN del THEN 0 ELSE 1 END)
+               OVER (PARTITION BY custkey ORDER BY seq
+                     ROWS UNBOUNDED PRECEDING) AS INT) AS version,
+             del
+      FROM kept WINDOW w2 AS (PARTITION BY custkey ORDER BY seq)
+    ),
+    facts AS (
+      SELECT (o_custkey + 7) % 100 AS custkey, o_orderkey + 3 AS fact_seq
+      FROM orders
+    ),
+    m AS (
+      SELECT f.custkey, f.fact_seq, h.seg, h.st, h.version, h.valid_to,
+             row_number() OVER (PARTITION BY f.custkey, f.fact_seq
+                                ORDER BY h.valid_from DESC, h.version DESC) AS rn
+      FROM facts f JOIN (SELECT * FROM hist WHERE NOT del) h
+        ON h.custkey = f.custkey AND h.valid_from <= f.fact_seq
+    )
+    SELECT custkey, fact_seq, seg, st, version
+    FROM m WHERE rn = 1 AND (valid_to IS NULL OR fact_seq < valid_to)
+    """,
+)
+def scd2_point_in_time(spark, sf):
+    """Point-in-time (temporal) join: facts against the SCD2 dimension
+    AS OF each fact's sequence — the warehouse pattern for reproducible
+    training snapshots. Composes operators/cdc.scd2_history with
+    operators/asof.asof_join (latest valid_from <= fact_seq per key),
+    then keeps only facts inside a LIVE validity interval (facts in a
+    deleted gap drop). Both stages are key-shuffles; no broadcast of
+    the SF-growing dimension."""
+    from genpipe_spark.operators.asof import asof_join
+    from genpipe_spark.operators.cdc import scd2_history
+
+    o = t(spark, sf, "orders")
+    changes = o.select(
+        (F.col("o_custkey") % 100).alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+    )
+    hist = scd2_history(changes, ["custkey"], "seq", ["seg", "st"], op_col="op")
+    facts = o.select(
+        ((F.col("o_custkey") + 7) % 100).alias("custkey"),
+        (F.col("o_orderkey") + 3).alias("fact_seq"),
+    )
+    joined = asof_join(
+        facts,
+        hist,
+        on="custkey",
+        left_ts="fact_seq",
+        right_ts="valid_from",
+        right_cols=["seg", "st", "version", "valid_to"],
+        tiebreak="version",
+    )
+    return joined.where(
+        F.col("seg").isNotNull()
+        & (F.col("valid_to").isNull() | (F.col("fact_seq") < F.col("valid_to")))
+    ).select("custkey", "fact_seq", "seg", "st", "version")

@@ -328,6 +328,10 @@ _CDC_MEMBERS = {
             ("valid_to", "s"), ("version", "s"), ("is_current", "s"),
         ],
     ),
+    "pit": (
+        "scd2-point-in-time",
+        [("custkey", "s"), ("fact_seq", "s"), ("seg", "s"), ("st", "s"), ("version", "s")],
+    ),
 }
 
 _FN_STRUCT_MEMBERS = {
@@ -409,8 +413,9 @@ profile_suite = _register(
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
-    "merge-upsert ∪ scd2-history — the CDC family: MERGE INTO apply "
-    "and SCD Type-2 dimension history (r5 third rotation).",
+    "merge-upsert ∪ scd2-history ∪ scd2-point-in-time — the CDC family: "
+    "MERGE INTO apply, SCD Type-2 history, and the temporal "
+    "point-in-time fact join (r5 third rotation).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
