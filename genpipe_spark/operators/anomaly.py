@@ -25,6 +25,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _reject_collisions(df: DataFrame, cols: set[str], op: str) -> None:
+    clash = cols & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op}: input columns collide with appended/internal names: "
+            f"{sorted(clash)}"
+        )
+
+
 def rolling_zscore_flags(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -48,6 +57,10 @@ def rolling_zscore_flags(
     (|x| <= ~10^6 cents, n <= ~10^3). A zero-variance window flags any
     deviation (the mathematical limit of z -> inf).
     """
+    _reject_collisions(
+        df, {"n_win", "s_cents", "q_cents2", "is_anomaly", "__xc"},
+        "rolling_zscore_flags",
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order_cols)
@@ -96,6 +109,9 @@ def ewma_micro_cents(
     weighted fold is a higher-order aggregate over that bounded array
     (size <= 17) and the final scaling is int64 `div` — no doubles
     anywhere, so the emitted value is engine-portable."""
+    _reject_collisions(
+        df, {out_col, "__arr", "__num", "__den"}, "ewma_micro_cents"
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order_cols)

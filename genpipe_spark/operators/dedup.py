@@ -649,10 +649,18 @@ def explode_lines(
     """One row per line of each document: (id, line_no, line).
 
     ``posexplode`` keeps the 0-based position so the document can be
-    reassembled in original order after line-level filtering."""
+    reassembled in original order after line-level filtering. ``delim``
+    is treated as a LITERAL string (quoted before hitting Spark's
+    regex-based split), matching the literal concat_ws reassembly in
+    :func:`line_dedup` — a '.' or '|' delimiter splits on that
+    character, not on the regex."""
+    if "\\E" in delim:
+        raise ValueError("delim must not contain the \\E quote terminator")
     return docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("line_no", "line"),
     )
 
 

@@ -518,6 +518,30 @@ def multimodal_suite(spark, sf):
     return features.unionByName(frames).unionByName(real)
 
 
+
+
+def _token_chunk_structs(ws, width):
+    """array<struct<chunk_id,chunk_text,n_tokens>> of fixed
+    ``width``-token windows over the word array ``ws``. Empty-safe: a
+    doc with zero tokens yields an EMPTY array — F.sequence(0, -1)
+    would otherwise produce a descending [0, -1] phantom pair (Spark
+    sequence walks downward when end < start), which the DuckDB twins'
+    range(0, 0) never emits."""
+    n = F.size(ws)
+    n_chunks = F.ceil(n / float(width)).cast("long")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(ws, i * width + 1, width)).alias("chunk_text"),
+            F.least(F.lit(width).cast("long"), n - i * width).alias("n_tokens"),
+        ),
+    )
+
+
 @query(
     "text-chunk",
     r"""
@@ -539,20 +563,10 @@ def text_chunk(spark, sf):
 
     d = widen(t(spark, sf, "documents"))
     ws_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-
-    def chunks(ws):
-        n = F.size(ws)
-        idx = F.sequence(F.lit(0), F.ceil(n / 64.0).cast("long") - 1)
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                i.cast("int").alias("chunk_id"),
-                F.concat_ws(" ", F.slice(ws, i * 64 + 1, 64)).alias("chunk_text"),
-                F.least(F.lit(64), n - i * 64).alias("n_tokens"),
-            ),
-        )
-
-    ex = d.select("doc_id", F.explode(bind(ws_expr, chunks)).alias("c"))
+    ex = d.select(
+        "doc_id",
+        F.explode(bind(ws_expr, lambda ws: _token_chunk_structs(ws, 64))).alias("c"),
+    )
     return ex.select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
@@ -1533,20 +1547,15 @@ def _doc_lines(spark, sf, width=3):
 
     d = widen(t(spark, sf, "documents"))
     ws_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-
-    def chunks(ws):
-        n = F.size(ws)
-        idx = F.sequence(F.lit(0), F.ceil(n / float(width)).cast("long") - 1)
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                i.cast("int").alias("line_no"),
-                F.concat_ws(" ", F.slice(ws, i * width + 1, width)).alias("line"),
-            ),
-        )
-
-    ex = d.select("doc_id", F.explode(bind(ws_expr, chunks)).alias("c"))
-    return ex.select("doc_id", F.col("c.line_no").alias("line_no"), F.col("c.line").alias("line"))
+    ex = d.select(
+        "doc_id",
+        F.explode(bind(ws_expr, lambda ws: _token_chunk_structs(ws, width))).alias("c"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("line_no"),
+        F.col("c.chunk_text").alias("line"),
+    )
 
 
 @query("text-line-dedup", _LINE_DEDUP_SQL)

@@ -60,10 +60,11 @@ CURATED_ORDER: list[str] = [
     # registered (>50) for pytest parity; no §2 family left the window.
     #
     # r5 THIRD rotation (session 3): every remaining oracle-backed
-    # capability pulled in-window via eleven more full-payload suites
-    # (quantile/window/sort-set/dedup-misc/embedding/bm25/timegrid/
-    # profile/cdc/fn-struct-parse + the new text-token and reshape-olap
-    # entries) and one direct entry (fuzzy-edit-join). Merged-away
+    # capability pulled in-window via THIRTEEN more full-payload suites
+    # (quantile / window / sort-set / dedup-misc / embedding / bm25 /
+    # timegrid / profile / cdc / fn-struct-parse / text-token /
+    # reshape-olap / mix-full — the last supersedes mix-suite's slot)
+    # and one direct entry (fuzzy-edit-join). Merged-away
     # members stay registered (>50) for pytest parity; only rows-only
     # probes and variant forms remain un-windowed.
     #

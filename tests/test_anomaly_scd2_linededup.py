@@ -125,3 +125,40 @@ def test_ewma_exact_values(spark):
     assert out[1] == 100_000_000  # exactly x_1 in micro-cents
     num = (200 * (1 << 16) + 100 * (1 << 15)) * 1_000_000
     assert out[2] == num // ((1 << 17) - (1 << 15))
+
+
+def test_explode_lines_literal_delimiter(spark):
+    # regex metacharacters in delim must be treated literally
+    df = spark.createDataFrame([(1, "a|b|c")], ["doc_id", "text"])
+    out = explode_lines(df, delim="|").collect()
+    assert [r["line"] for r in sorted(out, key=lambda r: r["line_no"])] == ["a", "b", "c"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        explode_lines(df, delim="x\\Ey")
+
+
+def test_token_chunks_empty_doc_yields_no_rows(spark):
+    # F.sequence(0, -1) walks DOWNWARD — a zero-token doc must produce
+    # an empty chunk array, not phantom [0, -1] rows (DuckDB range(0,0)
+    # is empty; parity would break)
+    from genpipe_spark.queries.llmdata import _token_chunk_structs
+
+    df = spark.createDataFrame([(1, "   "), (2, "a b c d")], ["doc_id", "text"])
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    out = df.select(
+        "doc_id", F.size(_token_chunk_structs(ws, 3)).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got == {1: 0, 2: 2}
+
+
+def test_anomaly_rejects_column_collisions(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 5, 9)], ["k", "seq", "xc", "n_win"])
+    with pytest.raises(ValueError, match="collide"):
+        rolling_zscore_flags(df, ["k"], ["seq"], F.col("xc"))
+    df2 = spark.createDataFrame([(1, 1, 5)], ["k", "seq", "ewma_micro_cents"])
+    with pytest.raises(ValueError, match="collide"):
+        ewma_micro_cents(df2, ["k"], ["seq"], F.col("ewma_micro_cents"))
