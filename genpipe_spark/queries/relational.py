@@ -1025,3 +1025,105 @@ def scd2_point_in_time(spark, sf):
         F.col("seg").isNotNull()
         & (F.col("valid_to").isNull() | (F.col("fact_seq") < F.col("valid_to")))
     ).select("custkey", "fact_seq", "seg", "st", "version")
+
+
+@query(
+    "window-dist-functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_dist_functions(spark, sf):
+    """Distribution window functions: percent_rank ((rank-1)/(n-1) —
+    a small-integer ratio, bit-identical across engines), cume_dist,
+    and nth_value over an explicit full-partition frame (the default
+    running frame would make it order-dependent). One shared window
+    shuffle on the key."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+@query(
+    "agg-mode-argmax",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS c
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    mode_pick AS (
+      SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY c DESC, o_orderstatus DESC) AS rn
+        FROM counts) WHERE rn = 1
+    ),
+    extrema AS (
+      SELECT o_orderpriority,
+             max(o_orderkey) FILTER (WHERE rn_max = 1) AS argmax_order,
+             max(o_orderkey) FILTER (WHERE rn_min = 1) AS argmin_order
+      FROM (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+                                           o_orderkey) AS rn_max,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice*100) AS BIGINT) ASC,
+                                           o_orderkey) AS rn_min
+        FROM orders)
+      GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.mode_status, e.argmax_order, e.argmin_order
+    FROM mode_pick m JOIN extrema e USING (o_orderpriority)
+    """,
+)
+def agg_mode_argmax(spark, sf):
+    """Mode / argmax / argmin with DETERMINISTIC tie-breaks — the
+    struct-ordering trick: max(struct(count, -key)) instead of
+    max_by/mode built-ins (whose ties are engine- and order-dependent).
+    Mode is a two-level aggregate (map-side combinable both levels);
+    argmax/argmin ride one aggregate over struct(price_cents, -key).
+    No windows over the fact table, so a hot group never funnels
+    through one task."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # mode: count per (group, value), then struct-max picks the highest
+    # count with the lexicographically SMALLEST value on ties
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # struct-max compares count first, then the value binary-wise —
+    # ties resolve to the LARGEST value on both engines (DuckDB twin
+    # orders c DESC, value DESC), with no window over the fact table
+    mode_pick = counts.groupBy("o_orderpriority").agg(
+        F.max(F.struct(F.col("c"), F.col("o_orderstatus")))["o_orderstatus"]
+        .alias("mode_status")
+    )
+    extrema = o.groupBy("o_orderpriority").agg(
+        F.max(F.struct(cents.alias("p"), (-F.col("o_orderkey")).alias("nk")))["nk"]
+        .alias("neg_argmax"),
+        F.min(F.struct(cents.alias("p"), F.col("o_orderkey").alias("k")))["k"]
+        .alias("argmin_order"),
+    ).select(
+        "o_orderpriority",
+        (-F.col("neg_argmax")).alias("argmax_order"),
+        "argmin_order",
+    )
+    return mode_pick.join(extrema, "o_orderpriority").select(
+        "o_orderpriority", "mode_status", "argmax_order", "argmin_order"
+    )

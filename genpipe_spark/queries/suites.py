@@ -222,6 +222,13 @@ _WINDOW_MEMBERS = {
         ],
     ),
     "rownum": ("global-row-number", [("o_orderkey", "s"), ("row_num", "s")]),
+    "dist": (
+        "window-dist-functions",
+        [
+            ("o_custkey", "s"), ("o_orderkey", "s"), ("pr", "f"), ("cd", "f"),
+            ("second_order", "s"),
+        ],
+    ),
 }
 
 _SORT_SET_MEMBERS = {
@@ -376,8 +383,8 @@ quantile_suite = _register(
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
     "window-rank-first-running-sum ∪ window-lag-lead-ntile ∪ "
-    "global-row-number — the full window-function family "
-    "(r5 third rotation).",
+    "global-row-number ∪ window-dist-functions — the full "
+    "window-function family (r5 third rotation).",
 )
 sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
@@ -448,4 +455,25 @@ mix_full_suite = _register(
     "mix-quota-source ∪ mix-weighted-sources ∪ mix-weighted-sample "
     "(Efraimidis-Spirakis) — the full source-mixing family "
     "(r5 third rotation; supersedes mix-suite's slot).",
+)
+
+_AGG_DISTINCT_EXTREMA_MEMBERS = {
+    "distinct": (
+        "agg-count-distinct-reduce",
+        [("part", "s"), ("k1", "s"), ("k2", "s"), ("n1", "s"), ("n2", "s")],
+    ),
+    "modeargmax": (
+        "agg-mode-argmax",
+        [
+            ("o_orderpriority", "s"), ("mode_status", "s"),
+            ("argmax_order", "s"), ("argmin_order", "s"),
+        ],
+    ),
+}
+
+agg_distinct_extrema_suite = _register(
+    "agg-distinct-extrema-suite", _AGG_DISTINCT_EXTREMA_MEMBERS,
+    "agg-count-distinct-reduce ∪ agg-mode-argmax — distinct-count "
+    "reductions plus deterministic mode/argmax/argmin via the "
+    "struct-ordering trick (r5 third rotation).",
 )

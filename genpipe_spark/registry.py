@@ -89,7 +89,7 @@ CURATED_ORDER: list[str] = [
     "join-interval",
     "join-asof",
     "agg-collect-suite",
-    "agg-count-distinct-reduce",
+    "agg-distinct-extrema-suite",
     "quantile-suite",
     "sort-set-suite",
     "window-suite",
