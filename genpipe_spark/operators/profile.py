@@ -66,3 +66,35 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    equivalence classes (distinct quasi-identifier tuples) fall below
+    the anonymity threshold ``k``, and how many ROWS sit in them — the
+    privacy gate a training-data release runs before shipping a corpus
+    containing user attributes.
+
+    Output (one row): k, n_groups, n_violating_groups, rows_at_risk,
+    min_group_size. One hash-groupBy on the quasi columns + a
+    single-row reduction — map-side combinable, nothing collected,
+    scales like any keyed count at 100 TB. NULL quasi-values form their
+    own class (groupBy semantics), matching the conservative reading
+    that missingness is itself identifying.
+    """
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n") < k, 1)).alias("n_violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("n").alias("min_group_size"),
+    )

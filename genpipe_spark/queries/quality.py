@@ -132,3 +132,29 @@ def profile_drift(spark, sf):
     ref = orders.where(F.col("o_orderstatus") == "F")
     cur = orders.where(F.col("o_orderstatus") == "O")
     return psi_drift(ref, cur, "o_totalprice", 0.0, 600_000.0, nbins=20)
+
+
+@query(
+    "profile-kanonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT 5 AS k, count(*) AS n_groups,
+           count(*) FILTER (WHERE n < 5) AS n_violating_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_at_risk,
+           min(n) AS min_group_size
+    FROM g
+    """,
+)
+def profile_kanonymity(spark, sf):
+    """k-anonymity audit (operators/profile.k_anonymity_profile) over
+    the (nationkey, mktsegment) quasi-identifier pair at k=5: counts
+    equivalence classes below the threshold and the rows exposed in
+    them. One keyed count + a single-row reduction."""
+    from genpipe_spark.operators.profile import k_anonymity_profile
+
+    return k_anonymity_profile(
+        t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )

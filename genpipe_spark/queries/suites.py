@@ -318,6 +318,13 @@ _PROFILE_MEMBERS = {
         "profile-drift",
         [("bin", "s"), ("n_ref", "s"), ("n_cur", "s"), ("term_micro", "s"), ("psi_micro", "s")],
     ),
+    "kanon": (
+        "profile-kanonymity",
+        [
+            ("k", "s"), ("n_groups", "s"), ("n_violating_groups", "s"),
+            ("rows_at_risk", "s"), ("min_group_size", "s"),
+        ],
+    ),
 }
 
 _CDC_MEMBERS = {
@@ -415,8 +422,8 @@ timegrid_suite = _register(
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
-    "profile-table ∪ profile-drift (PSI) — data-quality profiling "
-    "(r5 third rotation).",
+    "profile-table ∪ profile-drift (PSI) ∪ profile-kanonymity — "
+    "data-quality + privacy profiling (r5 third rotation).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
