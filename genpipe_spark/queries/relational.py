@@ -1127,3 +1127,68 @@ def agg_mode_argmax(spark, sf):
     return mode_pick.join(extrema, "o_orderpriority").select(
         "o_orderpriority", "mode_status", "argmax_order", "argmin_order"
     )
+
+
+_BLOOM_M = 1 << 16
+_BLOOM_POS = """
+      SELECT k, unnest([
+        ((k * 1103515245 + 12345) % 2147483647) % {m},
+        ((k * 69069 + 362437) % 2147483647) % {m},
+        ((k * 1664525 + 1013904223) % 2147483647) % {m}
+      ]) AS h
+""".format(m=_BLOOM_M)
+
+
+@query(
+    "join-bloom-prefilter",
+    f"""
+    WITH build_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ),
+    build_pos AS ({_BLOOM_POS.replace('SELECT k,', 'SELECT k,')} FROM build_keys),
+    bloom AS (
+      SELECT h // 32 AS word_idx, CAST(bit_or(1::BIGINT << CAST(h % 32 AS INT)) AS BIGINT) AS word
+      FROM build_pos GROUP BY h // 32
+    ),
+    probe_pos AS ({_BLOOM_POS} FROM (SELECT c_custkey AS k FROM customer)),
+    verdicts AS (
+      SELECT p.k,
+             min(CASE WHEN b.word IS NOT NULL
+                       AND (b.word & (1::BIGINT << CAST(p.h % 32 AS INT)))
+                           = (1::BIGINT << CAST(p.h % 32 AS INT))
+                 THEN 1 ELSE 0 END) AS all_hit
+      FROM probe_pos p LEFT JOIN bloom b ON b.word_idx = p.h // 32
+      GROUP BY p.k
+    )
+    SELECT c.c_custkey,
+           CAST(EXISTS (SELECT 1 FROM build_keys bk WHERE bk.k = c.c_custkey)
+                AS VARCHAR) AS actually_present
+    FROM customer c JOIN verdicts v ON v.k = c.c_custkey AND v.all_hit = 1
+    """,
+)
+def join_bloom_prefilter(spark, sf):
+    """Explicit Bloom-filter semi-join pruning (operators/bloom.py):
+    build a FIXED-size filter (2^16 bits / 2048 long words — constant
+    regardless of build-side size) over the 'F'-status order custkeys,
+    broadcast it (bounded by construction), and prefilter customers.
+    The oracle replays the identical M31-affine bit arithmetic, so the
+    surviving set — true members AND the deterministic false positives
+    — matches bit-for-bit; `actually_present` tags which survivors the
+    real join would keep."""
+    from genpipe_spark.operators.bloom import bloom_build, bloom_probe
+
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    build = o.where(F.col("o_orderstatus") == "F")
+    bloom = bloom_build(build, "o_custkey", m_bits=_BLOOM_M, k_hashes=3)
+    survivors = bloom_probe(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", bloom,
+        m_bits=_BLOOM_M, k_hashes=3,
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    truth = build.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return survivors.join(
+        truth.withColumn("__present", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("__present"), F.lit(False)).cast("string").alias("actually_present"),
+    )

@@ -484,3 +484,21 @@ agg_distinct_extrema_suite = _register(
     "reductions plus deterministic mode/argmax/argmin via the "
     "struct-ordering trick (r5 third rotation).",
 )
+
+_JOIN_FILTER_MEMBERS = {
+    "semianti": (
+        "join-semi-anti",
+        [("part", "s"), ("c_custkey", "s"), ("c_name", "s")],
+    ),
+    "bloom": (
+        "join-bloom-prefilter",
+        [("c_custkey", "s"), ("actually_present", "s")],
+    ),
+}
+
+join_filter_suite = _register(
+    "join-filter-suite", _JOIN_FILTER_MEMBERS,
+    "join-semi-anti ∪ join-bloom-prefilter — existence-filtering joins: "
+    "semi/anti plus the fixed-size Bloom prefilter with its bit "
+    "arithmetic replayed by the oracle (r5 third rotation).",
+)

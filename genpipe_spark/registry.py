@@ -85,7 +85,7 @@ CURATED_ORDER: list[str] = [
     "filter-project-suite",
     "join-inner-equi",
     "join-left-multikey",
-    "join-semi-anti",
+    "join-filter-suite",
     "join-interval",
     "join-asof",
     "agg-collect-suite",

@@ -91,6 +91,9 @@ BOUNDED_BROADCAST_OK = {
     # offset table is #partitions rows (thousands at 100 TB, not data-sized)
     "global-row-number": "broadcast per-partition offset table",
     "window-suite": "inherits global-row-number's offset-table broadcast",
+    # the bloom filter is <= m_bits/32 rows — a CONSTANT chosen at build
+    "join-bloom-prefilter": "broadcast fixed-size bloom word table",
+    "join-filter-suite": "inherits join-bloom-prefilter's fixed-size bloom",
     "embedding-suite": "inherits the ann/brute members' bounded broadcasts",
     "text-bm25-suite": "inherits text-bm25's |query|-row dfreq broadcast",
 }
