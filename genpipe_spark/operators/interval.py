@@ -116,3 +116,46 @@ def interval_join_explode(
     for k in extra_keys:
         cond = cond & (points[k] == exploded[k])
     return points.join(exploded, cond, "inner").drop("__p")
+
+
+def interval_overlap_stats(
+    df,
+    key_cols,
+    start_col: str,
+    end_col: str,
+):
+    """Max concurrent overlap per key over half-open [start, end)
+    intervals — the sweep-line counting pattern (room occupancy,
+    concurrent sessions, peak load), exact and sort-based: no pairwise
+    interval comparison anywhere.
+
+    Each interval contributes a +1 event at start and a -1 at end; a
+    running sum ordered by (time, delta) — ends BEFORE starts at the
+    same instant, so back-to-back intervals never count as overlapping
+    — traces concurrency, whose max per key is emitted alongside the
+    interval count. Both the window and the final groupBy shuffle on
+    the same key (one exchange under AQE reuse). Ties inside an equal
+    (time, delta) group cannot perturb the max (prefix sums within an
+    all-(+1) or all-(-1) run are monotone), so the output is
+    deterministic without a further tiebreak.
+
+    Output: key_cols..., n_intervals, max_concurrent.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    starts = df.select(
+        *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    )
+    ends = df.select(*keys, F.col(end_col).alias("__t"), F.lit(-1).alias("__d"))
+    ev = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ev.withColumn("__c", F.sum("__d").over(w))
+    return run.groupBy(*keys).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("__c").alias("max_concurrent"),
+    )

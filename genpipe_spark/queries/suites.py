@@ -502,3 +502,24 @@ join_filter_suite = _register(
     "semi/anti plus the fixed-size Bloom prefilter with its bit "
     "arithmetic replayed by the oracle (r5 third rotation).",
 )
+
+_INTERVAL_MEMBERS = {
+    "join": (
+        "join-interval",
+        [
+            ("l_orderkey", "s"), ("l_linenumber", "s"), ("p", "s"),
+            ("s_suppkey", "s"), ("lo", "s"), ("hi", "s"),
+        ],
+    ),
+    "overlap": (
+        "interval-overlap-count",
+        [("user_id", "s"), ("n_intervals", "s"), ("max_concurrent", "s")],
+    ),
+}
+
+interval_suite = _register(
+    "interval-suite", _INTERVAL_MEMBERS,
+    "join-interval ∪ interval-overlap-count — the interval family: "
+    "banded range join plus exact sweep-line peak-concurrency "
+    "(r5 third rotation).",
+)

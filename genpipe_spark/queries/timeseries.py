@@ -260,3 +260,46 @@ def timeseries_anomaly(spark, sf):
         "user_id", "event_id", "n_win", "s_cents", "q_cents2",
         verdict.alias("verdict"), "ewma_micro_cents",
     )
+
+
+@query(
+    "interval-overlap-count",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e
+      FROM events
+    ),
+    ev AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e, -1 FROM iv
+    ),
+    run AS (
+      SELECT user_id,
+             CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM ev
+    )
+    SELECT user_id,
+           (SELECT count(*) FROM iv i WHERE i.user_id = run.user_id) AS n_intervals,
+           max(c) AS max_concurrent
+    FROM run GROUP BY user_id
+    """,
+)
+def interval_overlap_count(spark, sf):
+    """Peak concurrent sessions per user
+    (operators/interval.interval_overlap_stats): synthetic [ts, ts+1..7
+    min) intervals from events, swept exactly — no pairwise interval
+    join. Integer microsecond arithmetic keeps both engines identical."""
+    from genpipe_spark.operators.interval import interval_overlap_stats
+
+    e = t(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + ((F.col("event_id") % 7) + 1) * 60_000_000)
+        .alias("e"),
+    )
+    return interval_overlap_stats(iv, ["user_id"], "s", "e")

@@ -86,7 +86,7 @@ CURATED_ORDER: list[str] = [
     "join-inner-equi",
     "join-left-multikey",
     "join-filter-suite",
-    "join-interval",
+    "interval-suite",
     "join-asof",
     "agg-collect-suite",
     "agg-distinct-extrema-suite",
