@@ -118,3 +118,67 @@ def dedup_groups(
         F.count(F.lit(1)).alias("n_members"),
         F.concat_ws("|", F.sort_array(F.collect_list("node"))).alias("member_ids"),
     )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping_micro: int = 850_000,
+) -> DataFrame:
+    """PageRank in EXACT integer micro-units — the iterative-algorithm
+    pattern with a cross-engine-replayable result.
+
+    Ranks live in millionths (node starts at 1_000_000); one iteration:
+
+      r'(v) = (1e6 - damping) + damping * (sum over in-edges of
+              r(u) div outdeg(u)) div 1e6
+
+    with every division an int64 `div` (truncating), so a fixed
+    iteration count yields bit-identical ranks on any engine — no
+    float accumulation order, no libm. Two deliberate, documented
+    simplifications of textbook PageRank: dangling-node mass is NOT
+    redistributed (it simply decays), and the div truncation leaks
+    <1 micro-unit per edge per round — both deterministic, both
+    replayed by the oracle.
+
+    Scale shape: per iteration ONE join (ranks onto edge sources,
+    keyed on node) + ONE groupBy(dst) — the same two-shuffle round as
+    connected_components, with ``localCheckpoint`` per round to cut
+    lineage (swap for checkpoint() on a real cluster). Out-degrees are
+    computed once and ride the edge table."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    e = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).join(outdeg, "node")
+    base = F.lit(1_000_000 - damping_micro).cast("long")
+    ranks = nodes.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, "node")
+            .withColumn("__share", F.expr("rank_micro div outdeg"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"(CAST({damping_micro} AS BIGINT) * coalesce(__in, 0)) div 1000000"
+                    )
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

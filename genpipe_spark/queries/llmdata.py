@@ -1575,3 +1575,52 @@ def text_line_dedup(spark, sf):
     return boiler.select(F.lit("boiler").alias("part"), "*").unionByName(
         first.select(F.lit("first").alias("part"), "*")
     )
+
+
+def _pagerank_sql(iters=5, d=850_000):
+    base = 1_000_000 - d
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 100 AS node, o_orderkey % 100 AS dst
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    nodes AS (
+      SELECT node FROM edges UNION SELECT dst FROM edges
+    ),
+    outdeg AS (SELECT node, count(*) AS odeg FROM edges GROUP BY node),
+    e AS (SELECT edges.node, dst, odeg FROM edges JOIN outdeg USING (node)),
+    r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, sum(r // odeg) AS m
+      FROM e JOIN {prev} USING (node) GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({d}::BIGINT * coalesce(m, 0)) // 1000000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} USING (node)
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, r AS rank_micro FROM {prev}
+    """
+    return sql
+
+
+@query("graph-pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf):
+    """Five exact-integer PageRank rounds (operators/graph.pagerank_micro)
+    over a 100-node digraph derived from orders — the DuckDB twin
+    unrolls the same five iterations, so the ranks (micro-units, int64
+    `div` throughout) match bit-for-bit. Demonstrates the iterative
+    join+agg pattern with per-round lineage cuts."""
+    from genpipe_spark.operators.graph import pagerank_micro
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    return pagerank_micro(edges, "src", "dst", iters=5)

@@ -275,6 +275,10 @@ _EMBEDDING_MEMBERS = {
         "dedup-embedding-cosine",
         [("id_a", "s"), ("id_b", "s"), ("cos", "f")],
     ),
+    "lshpairs": (
+        "similarity-lsh-pairs",
+        [("id_a", "s"), ("id_b", "s"), ("cos", "f")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -407,8 +411,10 @@ dedup_misc_suite = _register(
 embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,
     "ann-cosine-topk ∪ ann-ivf-topk ∪ quantize-embedding-int8 ∪ "
-    "dedup-embedding-cosine — the embedding-column family "
-    "(r5 third rotation; supersedes ann-topk-suite's slot).",
+    "dedup-embedding-cosine ∪ similarity-lsh-pairs — the "
+    "embedding-column family (r5 third rotation; supersedes "
+    "ann-topk-suite's slot; the hyperplane-LSH scale path rides here "
+    "so its old slot could go to graph-pagerank).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
