@@ -1,0 +1,107 @@
+"""Product-analytics event-flow operators: ordered funnels and cohort
+retention over keyed event streams.
+
+Both are pure keyed aggregations/joins — no windows over the raw event
+table, no state, nothing broadcast — so they scale like any grouped
+count at 100 TB. Timestamps are bucketed with integer arithmetic
+(epoch-microsecond div) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel completion: for each user, the number of funnel
+    ``steps`` completed IN ORDER (step i+1 counts only when it happens
+    strictly after the user's earliest qualifying step i).
+
+    Output: (user, steps_completed, t_1..t_k microsecond timestamps of
+    the qualifying events, NULL once the funnel broke).
+
+    Shape: one filtered min-aggregate per step (k is a small constant),
+    each keyed on the user — k map-side-combinable groupBys + (k-1)
+    user-keyed joins, no event-table window, no per-user event
+    collection, so a bot user with millions of events costs its event
+    count, not a sort."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    us = F.col(user_col).alias("__u")
+    ts_us = F.unix_micros(F.col(ts_col))
+    out = None
+    prev_t = None
+    for i, step in enumerate(steps, 1):
+        ev = events.where(F.col(step_col) == step).select(
+            us, ts_us.alias("__t")
+        )
+        if out is None:
+            cur = ev.groupBy("__u").agg(F.min("__t").alias(f"t_{i}"))
+            out = cur
+        else:
+            # earliest occurrence of this step strictly after prev step
+            cur = (
+                ev.join(out.select("__u", F.col(prev_t).alias("__prev")), "__u")
+                .where(F.col("__t") > F.col("__prev"))
+                .groupBy("__u")
+                .agg(F.min("__t").alias(f"t_{i}"))
+            )
+            out = out.join(cur, "__u", "left")
+        prev_t = f"t_{i}"
+    completed = None
+    for i in range(1, len(steps) + 1):
+        c = F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+        completed = c if completed is None else completed + c
+    return out.select(
+        F.col("__u").alias(user_col),
+        completed.alias("steps_completed"),
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_s: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by their FIRST-active
+    period, counted in every later period they return.
+
+    Output: (cohort_bucket, bucket_offset, n_users) with buckets =
+    floor(epoch_us / bucket_s*1e6) — integer weeks by default.
+
+    Shape: min-aggregate for the cohort (user-keyed), distinct
+    (user, bucket) activity pairs (user+bucket-keyed), one join back on
+    the user, and the final grouped count — four keyed exchanges, all
+    AQE-managed, nothing proportional to any single user's history
+    beyond its distinct active buckets."""
+    width = bucket_s * 1_000_000
+    # subtract the modulus first so the double division is exact (an
+    # almost-integer quotient could otherwise round UP across the
+    # bucket boundary while an integer `//` oracle floors)
+    us = F.unix_micros(F.col(ts_col))
+    bucket = ((us - us % width) / width).cast("long")
+    u = F.col(user_col).alias("__u")
+    first = events.select(u, bucket.alias("__b")).groupBy("__u").agg(
+        F.min("__b").alias("cohort_bucket")
+    )
+    active = events.select(u, bucket.alias("__b")).distinct()
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("__b") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )

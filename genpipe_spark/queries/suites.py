@@ -308,6 +308,17 @@ _TIMEGRID_MEMBERS = {
             ("q_cents2", "s"), ("verdict", "s"), ("ewma_micro_cents", "s"),
         ],
     ),
+    "funnel": (
+        "funnel-steps",
+        [
+            ("user_id", "s"), ("steps_completed", "s"), ("t_1", "s"),
+            ("t_2", "s"), ("t_3", "s"),
+        ],
+    ),
+    "cohort": (
+        "cohort-retention",
+        [("cohort_bucket", "s"), ("bucket_offset", "s"), ("n_users", "s")],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -422,9 +433,10 @@ text_bm25_suite = _register(
 )
 timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
-    "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly — the "
-    "time-series family: gap-filled buckets, calendar rollup, rolling "
-    "z-score/EWMA analytics (r5 third rotation).",
+    "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
+    "funnel-steps ∪ cohort-retention — the time-series/event-analytics "
+    "family: gap-filled buckets, calendar rollup, rolling z-score/EWMA, "
+    "ordered funnels, cohort retention (r5 third rotation).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

@@ -303,3 +303,66 @@ def interval_overlap_count(spark, sf):
         .alias("e"),
     )
     return interval_overlap_stats(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "funnel-steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t_1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t_2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+             AS steps_completed,
+           t_1, t_2, t_3
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_steps_query(spark, sf):
+    """Ordered signup→click→purchase funnel
+    (operators/eventflow.funnel_steps): per-user completion depth with
+    each stage's qualifying timestamp; stage i+1 counts only strictly
+    after stage i's earliest occurrence. k filtered min-aggregates +
+    k-1 user-keyed joins — no event-table window, no per-user sort."""
+    from genpipe_spark.operators.eventflow import funnel_steps
+
+    return funnel_steps(
+        t(spark, sf, "events"), "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+    )
+
+
+@query(
+    "cohort-retention",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+    ),
+    f AS (SELECT user_id, min(b) AS cohort_bucket FROM a GROUP BY user_id)
+    SELECT cohort_bucket, b - cohort_bucket AS bucket_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_bucket, b - cohort_bucket
+    """,
+)
+def cohort_retention_query(spark, sf):
+    """Weekly cohort-retention triangle
+    (operators/eventflow.cohort_retention): users bucketed by first
+    active week, counted in each later week they return. Integer
+    epoch-microsecond week buckets keep both engines identical."""
+    from genpipe_spark.operators.eventflow import cohort_retention
+
+    return cohort_retention(t(spark, sf, "events"), "user_id", "ts")
