@@ -65,6 +65,10 @@ HEADLINE = [
     "text-line-dedup",
     "scd2-history",
     "timeseries-anomaly",
+    "graph-pagerank",
+    "join-bloom-prefilter",
+    "interval-overlap-count",
+    "funnel-steps",
 ]
 
 

@@ -105,3 +105,42 @@ def cohort_retention(
         )
         .agg(F.count_distinct("__u").alias("n_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states of each user's ordered event stream.
+
+    Output: (state_from, state_to, n, p_micro) where p_micro is the
+    row-normalized probability in exact millionths
+    (n * 1e6 div total_from — int64, engine-portable).
+
+    Shape: one lag window per user (the only event-table shuffle), a
+    grouped count on (from, to), and a from-keyed sum joined back —
+    the matrix is |states|^2 rows, tiny by construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        events.withColumn("__next", F.lead(state_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .select(
+            F.col(state_col).alias("state_from"),
+            F.col("__next").alias("state_to"),
+        )
+    )
+    counts = pairs.groupBy("state_from", "state_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("state_from").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(totals, "state_from")
+        .withColumn("__n6", F.col("n") * F.lit(1_000_000))
+        .withColumn("p_micro", F.expr("__n6 div __tot"))
+        .select("state_from", "state_to", "n", "p_micro")
+    )

@@ -319,6 +319,10 @@ _TIMEGRID_MEMBERS = {
         "cohort-retention",
         [("cohort_bucket", "s"), ("bucket_offset", "s"), ("n_users", "s")],
     ),
+    "markov": (
+        "event-transition-matrix",
+        [("state_from", "s"), ("state_to", "s"), ("n", "s"), ("p_micro", "s")],
+    ),
 }
 
 _PROFILE_MEMBERS = {

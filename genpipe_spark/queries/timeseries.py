@@ -366,3 +366,36 @@ def cohort_retention_query(spark, sf):
     from genpipe_spark.operators.eventflow import cohort_retention
 
     return cohort_retention(t(spark, sf, "events"), "user_id", "ts")
+
+
+@query(
+    "event-transition-matrix",
+    """
+    WITH pairs AS (
+      SELECT event_type AS state_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS state_to
+      FROM events
+    ),
+    counts AS (
+      SELECT state_from, state_to, count(*) AS n
+      FROM pairs WHERE state_to IS NOT NULL
+      GROUP BY state_from, state_to
+    ),
+    totals AS (SELECT state_from, sum(n) AS tot FROM counts GROUP BY state_from)
+    SELECT c.state_from, c.state_to, c.n,
+           CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_micro
+    FROM counts c JOIN totals t USING (state_from)
+    """,
+)
+def event_transition_matrix(spark, sf):
+    """First-order Markov transition matrix between event types per
+    user stream (operators/eventflow.transition_matrix): exact counts
+    + row-normalized probabilities in integer millionths. One lag
+    window is the only event-table shuffle; the matrix itself is
+    |states|^2 rows."""
+    from genpipe_spark.operators.eventflow import transition_matrix
+
+    return transition_matrix(
+        t(spark, sf, "events"), "user_id", ["ts", "event_id"], "event_type"
+    )
