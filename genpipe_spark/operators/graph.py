@@ -182,3 +182,43 @@ def pagerank_micro(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed node, bounded
+    at ``max_depth`` — the recursive-CTE workload (org charts,
+    dependency closures, contamination spread) expressed as Spark's
+    iterative equivalent, with a deterministic integer result.
+
+    Output: (node, level) for every node reachable within max_depth
+    (seeds at level 0). Per round: ONE frontier-to-edges join (keyed on
+    the node) + a min-aggregate against the visited set, with
+    ``localCheckpoint`` cutting lineage exactly like
+    connected_components; the frontier only carries NEWLY-discovered
+    nodes, so total work is O(edges within the horizon), not O(paths)
+    — the path-enumeration blowup a naive recursive expansion hits on
+    cyclic graphs."""
+    visited = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "level", F.lit(0)
+    )
+    frontier = visited
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("__dst"))
+    for depth in range(1, max_depth + 1):
+        reached = (
+            frontier.join(e, "node")
+            .select(F.col("__dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited.select("node"), "node", "left_anti").withColumn(
+            "level", F.lit(depth)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return visited

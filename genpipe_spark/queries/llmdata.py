@@ -1624,3 +1624,37 @@ def graph_pagerank(spark, sf):
         (F.col("o_orderkey") % 100).alias("dst"),
     ).where(F.col("src") != F.col("dst")).distinct()
     return pagerank_micro(edges, "src", "dst", iters=5)
+
+
+@query(
+    "graph-bfs-levels",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    walk(node, level) AS (
+      SELECT DISTINCT src AS node, 0 AS level FROM edges WHERE src < 3
+      UNION
+      SELECT e.dst, w.level + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.level < 6
+    )
+    SELECT node, min(level) AS level FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark, sf):
+    """Bounded multi-source BFS (operators/graph.bfs_levels) from seed
+    nodes {0,1,2} over the orders-derived digraph — minimum hop counts
+    to depth 6. The DuckDB twin is a genuine WITH RECURSIVE walk whose
+    min-level collapse must equal the iterative frontier expansion:
+    recursive-CTE parity for an engine without recursive SQL."""
+    from genpipe_spark.operators.graph import bfs_levels
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    seeds = edges.where(F.col("src") < 3).select(F.col("src").alias("node"))
+    return bfs_levels(edges, seeds, max_depth=6)

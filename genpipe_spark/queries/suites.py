@@ -545,3 +545,16 @@ interval_suite = _register(
     "banded range join plus exact sweep-line peak-concurrency "
     "(r5 third rotation).",
 )
+
+_GRAPH_MEMBERS = {
+    "pagerank": ("graph-pagerank", [("node", "s"), ("rank_micro", "s")]),
+    "bfs": ("graph-bfs-levels", [("node", "s"), ("level", "s")]),
+}
+
+graph_suite = _register(
+    "graph-suite", _GRAPH_MEMBERS,
+    "graph-pagerank ∪ graph-bfs-levels — iterative graph algorithms: "
+    "exact-integer PageRank and bounded multi-source BFS matched "
+    "against a genuine WITH RECURSIVE oracle (r5 third rotation; "
+    "dedup-components rides dedup-misc-suite).",
+)

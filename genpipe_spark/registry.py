@@ -113,7 +113,7 @@ CURATED_ORDER: list[str] = [
     "mix-full-suite",
     "pack-sequences",
     "sketch-suite",
-    "graph-pagerank",
+    "graph-suite",
     "text-analysis-suite",
     "text-bm25-suite",
     "text-quality-suite",
