@@ -306,3 +306,136 @@ def test_repetition_score_matches_model(spark, docs):
         n, d = len(tris), len(set(tris))
         rep = math.floor((1 - d / n) * 10000) / 10000.0 if n else 0.0
         assert got[i] == (n, d, rep), (i, ws)
+
+
+# -------------------------------------------- r5 session-3: line dedup
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy, min_docs=st.sampled_from([2, 3]))
+def test_line_dedup_drop_common_matches_model(spark, docs, min_docs):
+    from genpipe_spark.operators.dedup import explode_lines, line_dedup
+
+    rows = [Row(doc_id=i, text="\n".join(lines)) for i, lines in enumerate(docs)]
+    lines_df = explode_lines(spark.createDataFrame(rows))
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(lines_df, mode="drop_common", min_docs=min_docs).collect()
+    }
+    # model: a doc with empty text still splits into one '' line (split
+    # semantics), matching explode_lines
+    split_docs = {i: ("\n".join(ls)).split("\n") for i, ls in enumerate(docs)}
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, ls in split_docs.items():
+        for line in ls:
+            docs_per_line[line].add(i)
+    hot = {l for l, ds in docs_per_line.items() if len(ds) >= min_docs}
+    for i, ls in split_docs.items():
+        kept = [l for l in ls if l not in hot]
+        assert got[i] == ("\n".join(kept), len(ls), len(kept)), (i, ls)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy)
+def test_line_dedup_keep_first_matches_model(spark, docs):
+    from genpipe_spark.operators.dedup import explode_lines, line_dedup
+
+    rows = [Row(doc_id=i, text="\n".join(lines)) for i, lines in enumerate(docs)]
+    lines_df = explode_lines(spark.createDataFrame(rows))
+    got = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(lines_df, mode="keep_first").collect()
+    }
+    split_docs = {i: ("\n".join(ls)).split("\n") for i, ls in enumerate(docs)}
+    seen = {}
+    for i in sorted(split_docs):
+        for pos, line in enumerate(split_docs[i]):
+            seen.setdefault(line, (i, pos))
+    for i, ls in split_docs.items():
+        kept = [l for pos, l in enumerate(ls) if seen[l] == (i, pos)]
+        assert got[i] == "\n".join(kept), (i, ls)
+
+
+# ------------------------------------------ r5 session-3: funnel model
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user
+        st.integers(0, 50),         # ts
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=events_strategy)
+def test_funnel_matches_model(spark, events):
+    from genpipe_spark.operators.eventflow import funnel_steps
+
+    rows = [
+        Row(u=u, ts=__import__("datetime").datetime(2024, 1, 1, 0, 0, t), s=s)
+        for u, t, s in events
+    ]
+    got = {
+        r["u"]: r["steps_completed"]
+        for r in funnel_steps(
+            spark.createDataFrame(rows), "u", "ts", "s", ["a", "b", "c"]
+        ).collect()
+    }
+    # model: sequential earliest-qualifying scan
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, s in events:
+        by_user[u].append((t, s))
+    for u, evs in by_user.items():
+        evs = sorted(evs)
+        prev, done = None, 0
+        for step in ["a", "b", "c"]:
+            cand = [
+                t for t, s in evs
+                if s == step and (prev is None or t > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            done += 1
+        if done == 0:
+            assert u not in got, (u, evs)
+        else:
+            assert got[u] == done, (u, evs, got.get(u))
+
+
+# -------------------------------- r5 session-3: transition-matrix sums
+
+@settings(max_examples=8, deadline=None)
+@given(events=events_strategy)
+def test_transition_matrix_rows_normalize(spark, events):
+    from genpipe_spark.operators.eventflow import transition_matrix
+
+    rows = [Row(u=u, o=i, s=s) for i, (u, t, s) in enumerate(events)]
+    out = transition_matrix(
+        spark.createDataFrame(rows), "u", ["o"], "s"
+    ).collect()
+    from collections import defaultdict
+
+    per_from = defaultdict(list)
+    for r in out:
+        per_from[r["state_from"]].append(r)
+    for state, rs in per_from.items():
+        tot = sum(r["n"] for r in rs)
+        # exact integer probabilities: floor leaves < len(rs) micro dust
+        psum = sum(r["p_micro"] for r in rs)
+        assert 1_000_000 - len(rs) < psum <= 1_000_000, (state, rs)
+        for r in rs:
+            assert r["p_micro"] == r["n"] * 1_000_000 // tot
