@@ -36,9 +36,13 @@ def _pow2_32() -> Column:
 def _positions(key: Column, m_bits: int, k_hashes: int) -> Column:
     """array<struct<word_idx,mask>> of the k bit positions for a key."""
     pow2 = _pow2_32()
+    # reduce the key into [0, M31) FIRST (repo convention, dedup.py):
+    # a raw bigint surrogate key would overflow int64 on the multiply,
+    # and a negative key would emit negative bit positions
+    k_red = F.pmod(key.cast("long"), F.lit(M31))
     entries = []
     for i in range(k_hashes):
-        h = (key.cast("long") * _A[i % len(_A)] + _B[i % len(_B)]) % F.lit(M31) % F.lit(
+        h = (k_red * _A[i % len(_A)] + _B[i % len(_B)]) % F.lit(M31) % F.lit(
             m_bits
         )
         entries.append(

@@ -87,16 +87,23 @@ def cohort_retention(
     AQE-managed, nothing proportional to any single user's history
     beyond its distinct active buckets."""
     width = bucket_s * 1_000_000
-    # subtract the modulus first so the double division is exact (an
-    # almost-integer quotient could otherwise round UP across the
-    # bucket boundary while an integer `//` oracle floors)
-    us = F.unix_micros(F.col(ts_col))
-    bucket = ((us - us % width) / width).cast("long")
     u = F.col(user_col).alias("__u")
-    first = events.select(u, bucket.alias("__b")).groupBy("__u").agg(
-        F.min("__b").alias("cohort_bucket")
+    first = (
+        events.select(u, F.unix_micros(F.col(ts_col)).alias("__us"))
+        # pure-int64 floor division: pmod keeps pre-epoch timestamps
+        # flooring (ADVICE r4 timegrid lesson) and `div` never routes
+        # through a double (whose rounding can cross a bucket boundary
+        # for small widths / large timestamps)
+        .withColumn("__b", F.expr(f"(__us - pmod(__us, {width})) div {width}"))
+        .groupBy("__u")
+        .agg(F.min("__b").alias("cohort_bucket"))
     )
-    active = events.select(u, bucket.alias("__b")).distinct()
+    active = (
+        events.select(u, F.unix_micros(F.col(ts_col)).alias("__us"))
+        .withColumn("__b", F.expr(f"(__us - pmod(__us, {width})) div {width}"))
+        .select("__u", "__b")
+        .distinct()
+    )
     return (
         active.join(first, "__u")
         .groupBy(

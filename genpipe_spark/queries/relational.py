@@ -1096,14 +1096,14 @@ def agg_mode_argmax(spark, sf):
     """Mode / argmax / argmin with DETERMINISTIC tie-breaks — the
     struct-ordering trick: max(struct(count, -key)) instead of
     max_by/mode built-ins (whose ties are engine- and order-dependent).
-    Mode is a two-level aggregate (map-side combinable both levels);
-    argmax/argmin ride one aggregate over struct(price_cents, -key).
+    Mode is a two-level aggregate (map-side combinable both levels;
+    ties resolve to the LARGEST value, mirrored by the oracle's DESC
+    tie-break); argmax/argmin ride one aggregate over
+    struct(price_cents, -key).
     No windows over the fact table, so a hot group never funnels
     through one task."""
     o = t(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # mode: count per (group, value), then struct-max picks the highest
-    # count with the lexicographically SMALLEST value on ties
     counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1132,9 +1132,9 @@ def agg_mode_argmax(spark, sf):
 _BLOOM_M = 1 << 16
 _BLOOM_POS = """
       SELECT k, unnest([
-        ((k * 1103515245 + 12345) % 2147483647) % {m},
-        ((k * 69069 + 362437) % 2147483647) % {m},
-        ((k * 1664525 + 1013904223) % 2147483647) % {m}
+        (((k % 2147483647 + 2147483647) % 2147483647) * 1103515245 + 12345) % 2147483647 % {m},
+        (((k % 2147483647 + 2147483647) % 2147483647) * 69069 + 362437) % 2147483647 % {m},
+        (((k % 2147483647 + 2147483647) % 2147483647) * 1664525 + 1013904223) % 2147483647 % {m}
       ]) AS h
 """.format(m=_BLOOM_M)
 
@@ -1145,7 +1145,7 @@ _BLOOM_POS = """
     WITH build_keys AS (
       SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
     ),
-    build_pos AS ({_BLOOM_POS.replace('SELECT k,', 'SELECT k,')} FROM build_keys),
+    build_pos AS ({_BLOOM_POS} FROM build_keys),
     bloom AS (
       SELECT h // 32 AS word_idx, CAST(bit_or(1::BIGINT << CAST(h % 32 AS INT)) AS BIGINT) AS word
       FROM build_pos GROUP BY h // 32

@@ -438,7 +438,8 @@ text_bm25_suite = _register(
 timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
-    "funnel-steps ∪ cohort-retention — the time-series/event-analytics "
+    "funnel-steps ∪ cohort-retention ∪ event-transition-matrix — the "
+    "time-series/event-analytics "
     "family: gap-filled buckets, calendar rollup, rolling z-score/EWMA, "
     "ordered funnels, cohort retention (r5 third rotation).",
 )

@@ -42,3 +42,14 @@ def test_bloom_rejects_oversized_hash_family(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         bloom_build(df, "k", k_hashes=9)
+
+
+def test_bloom_handles_huge_and_negative_keys(spark):
+    # regression: raw bigint surrogate keys overflowed the affine
+    # multiply, and negative keys produced negative bit positions —
+    # keys are now reduced mod M31 first
+    keys = [(9_000_000_000,), (-5,), (-9_000_000_000,), (7,)]
+    df = spark.createDataFrame(keys, ["k"])
+    bloom = bloom_build(df, "k")
+    passed = {r["k"] for r in bloom_probe(df, "k", bloom).collect()}
+    assert passed == {k for (k,) in keys}
