@@ -273,3 +273,74 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
     ).alias("frame_ts_ms")
     return media.where(F.col("kind") == "video").select("media_id", "codec", ts, "payload")
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("w", LongType()),
+        StructField("h", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprints for PPM image
+    payloads — the image-dedup primitive: near-identical images map to
+    identical (or small-Hamming) 64-bit hashes, so corpus-scale image
+    dedup is a groupBy on the hash (exact) or a SimHash-style bit-block
+    LSH join (near), never pairwise pixel comparison.
+
+    All-integer spec so the fingerprint is engine-reproducible:
+      g3[y,x]      = sum of the 3 channels (3x the gray value)
+      block(y,x)   = (y*8 div h, x*8 div w)       — 8x8 grid, gaps when
+                                                    the image is < 8 px
+      bm[b]        = sum(g3 in b) * 1e6 div count(b)
+      om           = sum over blocks of bm div n_blocks
+      bit(by,bx)   = bm > om, packed at index by*8+bx into
+                     (ahash_hi, ahash_lo) 32 bits each — no sign-bit
+                     edge in either engine.
+
+    Decode runs on the REAL payload bytes (functions/codecs.decode_ppm)
+    inside Arrow batches; the oracle re-derives the same pixels from
+    the synth closed form and replays the integer arithmetic."""
+    from genpipe_spark.functions import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = codecs.decode_ppm(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                g3 = px.sum(axis=2)  # 3x gray, exact ints
+                ys, xs = np.indices((h, w))
+                by = ys * 8 // h
+                bx = xs * 8 // w
+                idx = by * 8 + bx
+                bsum = np.zeros(64, dtype=np.int64)
+                bcnt = np.zeros(64, dtype=np.int64)
+                np.add.at(bsum, idx.ravel(), g3.ravel())
+                np.add.at(bcnt, idx.ravel(), 1)
+                present = bcnt > 0
+                bm = np.zeros(64, dtype=np.int64)
+                bm[present] = bsum[present] * 1_000_000 // bcnt[present]
+                om = int(bm[present].sum()) // int(present.sum())
+                bits = present & (bm > om)
+                lo = hi = 0
+                for i in range(32):
+                    if bits[i]:
+                        lo |= 1 << i
+                    if bits[32 + i]:
+                        hi |= 1 << i
+                rows.append((int(mid), w, h, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.where(F.col("codec") == "image/ppm").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )

@@ -1658,3 +1658,56 @@ def graph_bfs_levels(spark, sf):
     ).where(F.col("src") != F.col("dst")).distinct()
     seeds = edges.where(F.col("src") < 3).select(F.col("src").alias("node"))
     return bfs_levels(edges, seeds, max_depth=6)
+
+
+@query(
+    "multimodal-image-ahash",
+    """
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
+    dims AS (SELECT id, id % 13 + 4 AS w, id % 11 + 4 AS h FROM ids),
+    px AS (
+      SELECT id, w, h, y, x, c, (id*7 + 3*c + x + y) % 256 AS v
+      FROM dims,
+           unnest(range(0, h)) AS ty(y),
+           unnest(range(0, w)) AS tx(x),
+           unnest(range(0, 3)) AS tc(c)
+    ),
+    gray AS (
+      SELECT id, w, h, y, x, CAST(sum(v) AS BIGINT) AS g3
+      FROM px GROUP BY id, w, h, y, x
+    ),
+    blocks AS (
+      SELECT id, w, h, (y*8)//h*8 + (x*8)//w AS idx,
+             CAST(sum(g3) AS BIGINT) AS bsum, count(*) AS bcnt
+      FROM gray GROUP BY id, w, h, (y*8)//h*8 + (x*8)//w
+    ),
+    bm AS (
+      SELECT id, w, h, idx, CAST(bsum * 1000000 // bcnt AS BIGINT) AS bmq
+      FROM blocks
+    ),
+    om AS (
+      SELECT id, CAST(sum(bmq) // count(*) AS BIGINT) AS omq
+      FROM bm GROUP BY id
+    )
+    SELECT bm.id AS media_id, bm.w, bm.h,
+           CAST(coalesce(sum(CASE WHEN idx >= 32 AND bmq > omq
+                 THEN (1::BIGINT << CAST(idx - 32 AS INT)) END), 0) AS BIGINT)
+             AS ahash_hi,
+           CAST(coalesce(sum(CASE WHEN idx < 32 AND bmq > omq
+                 THEN (1::BIGINT << CAST(idx AS INT)) END), 0) AS BIGINT)
+             AS ahash_lo
+    FROM bm JOIN om ON om.id = bm.id
+    GROUP BY bm.id, bm.w, bm.h
+    """,
+)
+def multimodal_image_ahash(spark, sf):
+    """Image perceptual fingerprints (operators/multimodal.image_ahash):
+    REAL PPM decode in Arrow batches → all-integer 8x8 average-hash —
+    the image-dedup primitive (dedup = groupBy(hash) or bit-block LSH,
+    never pixel pairs). The DuckDB twin re-derives the same pixels from
+    the synth closed form and replays the block/threshold arithmetic,
+    so the 64-bit fingerprints match exactly."""
+    from genpipe_spark.operators.multimodal import image_ahash, synth_media_real
+
+    d = widen(t(spark, sf, "documents"))
+    return image_ahash(synth_media_real(d))

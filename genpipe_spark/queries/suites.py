@@ -559,3 +559,21 @@ graph_suite = _register(
     "against a genuine WITH RECURSIVE oracle (r5 third rotation; "
     "dedup-components rides dedup-misc-suite).",
 )
+
+_MM_FULL_MEMBERS = {
+    "core": (
+        "multimodal-suite",
+        [("part", "s"), ("media_id", "s"), ("kind", "s"), ("n1", "s"), ("v1", "s")],
+    ),
+    "ahash": (
+        "multimodal-image-ahash",
+        [("media_id", "s"), ("w", "s"), ("h", "s"), ("ahash_hi", "s"), ("ahash_lo", "s")],
+    ),
+}
+
+multimodal_full_suite = _register(
+    "multimodal-full-suite", _MM_FULL_MEMBERS,
+    "multimodal-suite (codec round-trips, features, frame sampling) ∪ "
+    "multimodal-image-ahash (real-decode perceptual fingerprints) — "
+    "the full multimodal family (r5 third rotation).",
+)

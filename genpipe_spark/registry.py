@@ -119,7 +119,7 @@ CURATED_ORDER: list[str] = [
     "text-quality-suite",
     "timegrid-suite",
     "profile-suite",
-    "multimodal-suite",
+    "multimodal-full-suite",
     "sample-split-deterministic",
     "pipeline-curation",
     "validate-constraints",
