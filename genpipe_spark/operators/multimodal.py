@@ -344,3 +344,51 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.where(F.col("codec") == "image/ppm").mapInPandas(
         batches, schema=AHASH_SCHEMA
     )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Energy-band audio fingerprint for WAV payloads — the audio-dedup
+    primitive mirroring :func:`image_ahash`: 32 time frames, bit f set
+    when the frame's mean |sample| exceeds the track mean, all in int64
+    (frame mean = sum|s|*1e6 div count, track mean = sum of frame means
+    div n_frames). Real decode (functions/codecs.decode_wav) in Arrow
+    batches; the oracle re-derives samples from the synth closed form."""
+    from genpipe_spark.functions import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, s = codecs.decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                n = len(a)
+                idx = np.arange(n) * 32 // n
+                esum = np.zeros(32, dtype=np.int64)
+                ecnt = np.zeros(32, dtype=np.int64)
+                np.add.at(esum, idx, a)
+                np.add.at(ecnt, idx, 1)
+                present = ecnt > 0
+                fm = np.zeros(32, dtype=np.int64)
+                fm[present] = esum[present] * 1_000_000 // ecnt[present]
+                om = int(fm[present].sum()) // int(present.sum())
+                afp = 0
+                for f in range(32):
+                    if present[f] and fm[f] > om:
+                        afp |= 1 << f
+                rows.append((int(mid), n, afp))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return media.where(F.col("codec") == "audio/wav").mapInPandas(
+        batches, schema=AUDIO_FP_SCHEMA
+    )

@@ -1711,3 +1711,38 @@ def multimodal_image_ahash(spark, sf):
 
     d = widen(t(spark, sf, "documents"))
     return image_ahash(synth_media_real(d))
+
+
+@query(
+    "multimodal-audio-fingerprint",
+    """
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+    dims AS (SELECT id, id % 512 + 64 AS n FROM ids),
+    samples AS (
+      SELECT id, n, i, abs((id*31 + 17*i) % 16384 - 8192) AS a
+      FROM dims, unnest(range(0, n)) AS ti(i)
+    ),
+    frames AS (
+      SELECT id, n, (i*32)//n AS f, CAST(sum(a) AS BIGINT) AS esum,
+             count(*) AS ecnt
+      FROM samples GROUP BY id, n, (i*32)//n
+    ),
+    fm AS (SELECT id, n, f, CAST(esum * 1000000 // ecnt AS BIGINT) AS fmq FROM frames),
+    om AS (SELECT id, CAST(sum(fmq) // count(*) AS BIGINT) AS omq FROM fm GROUP BY id)
+    SELECT fm.id AS media_id, fm.n AS n_samples,
+           CAST(coalesce(sum(CASE WHEN fmq > omq
+                 THEN (1::BIGINT << CAST(f AS INT)) END), 0) AS BIGINT) AS afp
+    FROM fm JOIN om ON om.id = fm.id
+    GROUP BY fm.id, fm.n
+    """,
+)
+def multimodal_audio_fingerprint(spark, sf):
+    """Audio energy-band fingerprints
+    (operators/multimodal.audio_fingerprint): real WAV decode in Arrow
+    batches → 32-frame int64 energy hash; the DuckDB twin re-derives
+    the PCM samples from the synth closed form and replays the
+    arithmetic — exact fingerprint parity."""
+    from genpipe_spark.operators.multimodal import audio_fingerprint, synth_media_real
+
+    d = widen(t(spark, sf, "documents"))
+    return audio_fingerprint(synth_media_real(d))

@@ -569,11 +569,16 @@ _MM_FULL_MEMBERS = {
         "multimodal-image-ahash",
         [("media_id", "s"), ("w", "s"), ("h", "s"), ("ahash_hi", "s"), ("ahash_lo", "s")],
     ),
+    "afp": (
+        "multimodal-audio-fingerprint",
+        [("media_id", "s"), ("n_samples", "s"), ("afp", "s")],
+    ),
 }
 
 multimodal_full_suite = _register(
     "multimodal-full-suite", _MM_FULL_MEMBERS,
     "multimodal-suite (codec round-trips, features, frame sampling) ∪ "
-    "multimodal-image-ahash (real-decode perceptual fingerprints) — "
-    "the full multimodal family (r5 third rotation).",
+    "multimodal-image-ahash ∪ multimodal-audio-fingerprint "
+    "(real-decode perceptual fingerprints, image + audio) — the full "
+    "multimodal family (r5 third rotation).",
 )
