@@ -153,3 +153,68 @@ def weighted_sample(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    sampling scheme): keep group g with rate (n_min/n_g)^(1-alpha), so
+    effective sizes follow n^alpha — alpha=1 keeps everything, alpha=0
+    equalizes to the smallest group. alpha=0.5 (the common setting) is
+    computed as floor(1e6 * sqrt(n_min) / sqrt(n_g)) — sqrt and divide
+    are IEEE-correctly-rounded, so the micro-rate (and therefore the
+    kept set, via the portable id-hash) is engine-identical.
+
+    Shape: one tiny per-group count, a 1-row min attach (bounded
+    crossJoin, same pattern as the corpus-stats attach in text-bm25),
+    an equi-join of the rate onto rows by group, and a per-row filter.
+    Only alpha=0.5 is wired — other alphas need pow(), whose cross-
+    engine determinism is not guaranteed."""
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "temperature_sample is wired for alpha=0.5 (sqrt is IEEE-"
+            "correctly-rounded; general pow() is not engine-portable)"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = counts.crossJoin(nmin).select(
+        group_col,
+        F.floor(
+            F.lit(1_000_000) * F.sqrt(F.col("__nmin")) / F.sqrt(F.col("__n"))
+        ).alias("__rate_micro"),
+    )
+    bucket = _id_hash(F.col(id_col)) % F.lit(1_000_000)
+    return (
+        df.join(rates, group_col)
+        .where(bucket < F.col("__rate_micro"))
+        .drop("__rate_micro")
+    )
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact class balancing: downsample every class to the SMALLEST
+    class's size, picking each class's deterministic-hash-first rows
+    (stable across runs and engines). The quota is discovered from the
+    data — a 1-row min attach — then applied as a per-class window
+    rank; same skew caveat as quota_sample (a giant class sorts its
+    rows in one task's window — acceptable for class-cardinality-bound
+    inputs; salt the rank for pathological cases)."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    w = Window.partitionBy(class_col).orderBy(
+        _id_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(nmin)
+        .where(F.col("__rn") <= F.col("__nmin"))
+        .drop("__rn", "__nmin")
+    )

@@ -1746,3 +1746,46 @@ def multimodal_audio_fingerprint(spark, sf):
 
     d = widen(t(spark, sf, "documents"))
     return audio_fingerprint(synth_media_real(d))
+
+
+@query(
+    "mix-balance-temperature",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    nmin AS (SELECT min(n) AS nmin FROM counts),
+    temp AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN counts USING (source), nmin
+      WHERE ({_MIX_HASH}) % 1000000
+            < floor(1000000 * sqrt(nmin::DOUBLE) / sqrt(n::DOUBLE))
+    ),
+    bal AS (
+      SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ({_MIX_HASH}), doc_id) AS rn
+        FROM documents d), nmin
+      WHERE rn <= nmin
+    )
+    SELECT 'temp' AS part, doc_id, source FROM temp
+    UNION ALL
+    SELECT 'balance', doc_id, source FROM bal
+    """,
+)
+def mix_balance_temperature(spark, sf):
+    """Corpus rebalancing pair (operators/mixing.py): 'temp' =
+    temperature sampling at alpha=0.5 (rate = sqrt(n_min/n_g), IEEE-
+    exact micro-rates), 'balance' = exact downsampling of every source
+    to the smallest source's size by deterministic-hash-first pick.
+    Both discover their targets FROM the data via a 1-row min attach
+    (bounded crossJoin, whitelisted like the bm25 stats attach)."""
+    from genpipe_spark.operators.mixing import balance_classes, temperature_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    temp = temperature_sample(d, "source").select(
+        F.lit("temp").alias("part"), "doc_id", "source"
+    )
+    bal = balance_classes(d, "source").select(
+        F.lit("balance").alias("part"), "doc_id", "source"
+    )
+    return temp.unionByName(bal)

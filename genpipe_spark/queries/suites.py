@@ -478,13 +478,18 @@ _MIX_FULL_MEMBERS = {
         "mix-weighted-sample",
         [("doc_id", "s"), ("source", "s"), ("n_chars", "s"), ("es_key_nano", "s")],
     ),
+    "baltemp": (
+        "mix-balance-temperature",
+        [("part", "s"), ("doc_id", "s"), ("source", "s")],
+    ),
 }
 
 mix_full_suite = _register(
     "mix-full-suite", _MIX_FULL_MEMBERS,
     "mix-quota-source ∪ mix-weighted-sources ∪ mix-weighted-sample "
-    "(Efraimidis-Spirakis) — the full source-mixing family "
-    "(r5 third rotation; supersedes mix-suite's slot).",
+    "(Efraimidis-Spirakis) ∪ mix-balance-temperature (alpha=0.5 "
+    "temperature rates + exact class balancing) — the full "
+    "source-mixing family (r5 third rotation; supersedes mix-suite).",
 )
 
 _AGG_DISTINCT_EXTREMA_MEMBERS = {

@@ -49,6 +49,9 @@ BOUNDED_NLJ_OK = {
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
     # two 1-row half-sketch frames crossJoined for the merge + 1-row total
     "sketch-cms-heavy": "1-row corpus-total scalar attach",
+    # 1-row min-count attach discovering the sampling targets
+    "mix-balance-temperature": "1-row min-count scalar attach",
+    "mix-full-suite": "inherits mix-balance-temperature's 1-row attach",
     "sketch-suite": "inherits sketch-kmv-distinct + sketch-cms-heavy's "
     "1-row sketch/total crossJoins",
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
@@ -87,6 +90,8 @@ BOUNDED_BROADCAST_OK = {
     "text-unigram-logprob": "broadcast 1-row corpus total",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
     "sketch-cms-heavy": "broadcast 1-row corpus total",
+    "mix-balance-temperature": "1-row min-count attach (AQE-planned)",
+    "mix-full-suite": "inherits mix-balance-temperature",
     "sketch-suite": "inherits sketch-cms-heavy's 1-row broadcast",
     # offset table is #partitions rows (thousands at 100 TB, not data-sized)
     "global-row-number": "broadcast per-partition offset table",
