@@ -741,3 +741,97 @@ def line_dedup(
         F.col("__n_lines").alias("n_lines"),
         F.col("__n_kept").alias("n_kept"),
     )
+
+
+def shingle_hash_positions(text: Column, k: int = 3) -> Column:
+    """array<struct<pos,h>> of POSITIONAL k-word shingle hashes (1-based
+    pos, NO distinct) — the index for span-level duplicate detection,
+    same portable word-fold + combine as :func:`shingle_hashes`."""
+    if k != 3:
+        raise ValueError("shingle_hash_positions is specialized for k=3")
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    wh_expr = F.transform(ws, _word_hash)
+
+    def combine(wh: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0)))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                (
+                    (
+                        (F.try_element_at(wh, i) * _P1) % F.lit(M31)
+                        + (F.try_element_at(wh, i + 1) * _P2) % F.lit(M31)
+                        + F.try_element_at(wh, i + 2)
+                    )
+                    % F.lit(M31)
+                ).alias("h"),
+            ),
+        )
+
+    return bind(wh_expr, combine)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span_tokens: int = 6,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token SPANS between document pairs — the
+    substring-level exact-dedup primitive (the signal behind
+    suffix-array corpus dedup): a run of r consecutive matching
+    k-shingles is a shared span of r + k - 1 tokens.
+
+    Pipeline: positional shingle-hash index → equi-self-join on the
+    hash (inverted index, never doc pairs) → gaps-and-islands over
+    each pair's match DIAGONAL (pos_a - pos_b constant within a shared
+    span; island id = pos_a - row_number, the classic trick) → count
+    per island = run length. Output per pair: n_spans,
+    max_span_tokens, dup_tokens (sum over spans), span starts of the
+    longest span.
+
+    Scale: candidate volume is bounded by shared-shingle matches (like
+    ngram_jaccard_pairs), not doc pairs; ``max_doc_freq`` drops
+    stopword-like shingles appearing in more than that many docs (the
+    inverted-index hot-key cap). The islands window partitions by
+    (pair, diagonal) — millions of small groups, no hot task.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hash_positions(F.col(text_col), k)).alias("s"),
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count_distinct("id").alias("nd"))
+            .where(F.col("nd") > max_doc_freq)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
+    m = a.join(b, "h").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max(
+            F.struct("span_tokens", F.col("start_a"), F.col("start_b"))
+        )["start_a"].alias("longest_start_a"),
+    )

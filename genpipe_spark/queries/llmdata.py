@@ -1789,3 +1789,73 @@ def mix_balance_temperature(spark, sf):
         F.lit("balance").alias("part"), "doc_id", "source"
     )
     return temp.unionByName(bal)
+
+
+_SPAN_POS_CTE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_apply(
+               list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+               w -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_apply(list_filter(string_split(w, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483647)) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             ((wh[i] * 1000003) % 2147483647
+              + (wh[i+1] * 9176) % 2147483647
+              + wh[i+2]) % 2147483647 AS h
+      FROM d, unnest(range(1, greatest(len(wh) - 1, 1))) AS t(i)
+    )
+"""
+
+
+@query(
+    "dedup-duplicated-spans",
+    _SPAN_POS_CTE
+    + """
+    , m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, count(*) + 2 AS span_tokens,
+             min(pa) AS start_a, min(pb) AS start_b
+      FROM (
+        SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                          ORDER BY pa) AS grp
+        FROM m)
+      GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) + 2 >= 6
+    ),
+    best AS (
+      SELECT id_a, id_b, start_a AS longest_start_a,
+             row_number() OVER (PARTITION BY id_a, id_b
+                                ORDER BY span_tokens DESC, start_a DESC,
+                                         start_b DESC) AS rn
+      FROM runs
+    )
+    SELECT r.id_a, r.id_b, count(*) AS n_spans,
+           max(span_tokens) AS max_span_tokens,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           min(b.longest_start_a) AS longest_start_a
+    FROM runs r JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.id_a = r.id_a AND b.id_b = r.id_b
+    GROUP BY r.id_a, r.id_b
+    """,
+)
+def dedup_duplicated_spans(spark, sf):
+    """Span-level exact duplicate detection
+    (operators/dedup.duplicated_spans): maximal runs of consecutive
+    matching 3-shingles between doc pairs — shared spans >= 6 tokens
+    with counts, the longest span's size and start. Inverted positional
+    index + gaps-and-islands on the match diagonal; candidate volume is
+    shared-shingle-bounded, never all-pairs (plan-audited)."""
+    from genpipe_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        widen(t(spark, sf, "documents")), min_span_tokens=6
+    )

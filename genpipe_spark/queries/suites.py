@@ -256,6 +256,13 @@ _DEDUP_MISC_MEMBERS = {
         "text-line-dedup",
         [("part", "s"), ("doc_id", "s"), ("text", "s"), ("n_lines", "s"), ("n_kept", "s")],
     ),
+    "spans": (
+        "dedup-duplicated-spans",
+        [
+            ("id_a", "s"), ("id_b", "s"), ("n_spans", "s"),
+            ("max_span_tokens", "s"), ("dup_tokens", "s"), ("longest_start_a", "s"),
+        ],
+    ),
 }
 
 _EMBEDDING_MEMBERS = {
@@ -421,7 +428,7 @@ sort_set_suite = _register(
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
     "dedup-simhash ∪ dedup-contamination ∪ dedup-components ∪ "
-    "text-line-dedup (r5 third rotation).",
+    "text-line-dedup ∪ dedup-duplicated-spans (r5 third rotation).",
 )
 embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,

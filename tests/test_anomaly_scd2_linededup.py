@@ -162,3 +162,33 @@ def test_anomaly_rejects_column_collisions(spark):
     df2 = spark.createDataFrame([(1, 1, 5)], ["k", "seq", "ewma_micro_cents"])
     with pytest.raises(ValueError, match="collide"):
         ewma_micro_cents(df2, ["k"], ["seq"], F.col("ewma_micro_cents"))
+
+
+def test_duplicated_spans_finds_known_span(spark):
+    from genpipe_spark.operators.dedup import duplicated_spans
+
+    # docs 1 & 2 share the 7-token run "q w e r t y u"; doc 3 is disjoint
+    docs = [
+        (1, "a b q w e r t y u c d"),
+        (2, "x q w e r t y u z z z"),
+        (3, "m n o p m n o p m n o"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = duplicated_spans(df, min_span_tokens=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["max_span_tokens"]) == (1, 2, 7)
+    assert r["n_spans"] == 1 and r["dup_tokens"] == 7
+    # longest span starts at shingle position 3 in doc 1 ("q" is token 3)
+    assert r["longest_start_a"] == 3
+
+
+def test_duplicated_spans_hot_shingle_cap(spark):
+    from genpipe_spark.operators.dedup import duplicated_spans
+
+    # the same 6-token phrase in every doc: with max_doc_freq=2 all its
+    # shingles are dropped as boilerplate-hot, so no pair survives
+    docs = [(i, "s1 s2 s3 s4 s5 s6") for i in range(1, 5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert duplicated_spans(df, min_span_tokens=6).count() == 6  # all pairs
+    assert duplicated_spans(df, min_span_tokens=6, max_doc_freq=2).count() == 0
