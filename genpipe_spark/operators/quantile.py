@@ -141,3 +141,29 @@ def histogram_group_quantiles(
     return containing.select(
         *by, "pct", (F.floor(q * 10000) / 10000.0).alias("q_est")
     )
+
+
+def group_mad(
+    df: DataFrame,
+    value_cents_col: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic (outlier-insensitive, unlike stddev): MAD = median of
+    |x - median(x)|, both medians exact nearest-rank over integer
+    cents so the result is an actual data(-derived) value and
+    engine-exact. Two :func:`group_quantiles` passes + one group-keyed
+    join; same no-collect distribution story.
+
+    Output: *by, med_cents, mad_cents."""
+    med = group_quantiles(df, value_cents_col, by, pcts=(50,)).select(
+        *by, F.col("q").alias("med_cents")
+    )
+    dev = df.join(med, list(by)).select(
+        *by,
+        F.abs(F.col(value_cents_col) - F.col("med_cents")).alias("__dev"),
+    )
+    mad = group_quantiles(dev, "__dev", by, pcts=(50,)).select(
+        *by, F.col("q").alias("mad_cents")
+    )
+    return med.join(mad, list(by))

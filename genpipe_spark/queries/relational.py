@@ -1192,3 +1192,43 @@ def join_bloom_prefilter(spark, sf):
         "c_custkey",
         F.coalesce(F.col("__present"), F.lit(False)).cast("string").alias("actually_present"),
     )
+
+
+@query(
+    "quantile-mad",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS xc
+      FROM lineitem
+    ),
+    med AS (
+      SELECT g, xc AS med_cents FROM (
+        SELECT g, xc, row_number() OVER (PARTITION BY g ORDER BY xc) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM v)
+      WHERE rn = (50*n + 99) // 100
+    ),
+    dev AS (SELECT v.g, abs(xc - med_cents) AS d FROM v JOIN med USING (g)),
+    mad AS (
+      SELECT g, d AS mad_cents FROM (
+        SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM dev)
+      WHERE rn = (50*n + 99) // 100
+    )
+    SELECT med.g AS l_returnflag, med_cents, mad_cents
+    FROM med JOIN mad USING (g)
+    """,
+)
+def quantile_mad(spark, sf):
+    """Robust dispersion (operators/quantile.group_mad): exact
+    nearest-rank median + MAD of price cents per return flag — the
+    outlier-insensitive spread statistic, bit-exact across engines."""
+    from genpipe_spark.operators.quantile import group_mad
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+    )
+    return group_mad(li, "xc", ["l_returnflag"])

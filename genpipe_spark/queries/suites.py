@@ -207,6 +207,10 @@ _QUANTILE_MEMBERS = {
         "quantile-group-histogram",
         [("l_returnflag", "s"), ("pct", "s"), ("q_est", "f")],
     ),
+    "mad": (
+        "quantile-mad",
+        [("l_returnflag", "s"), ("med_cents", "s"), ("mad_cents", "s")],
+    ),
 }
 
 _WINDOW_MEMBERS = {
@@ -409,9 +413,9 @@ _RESHAPE_OLAP_MEMBERS = {
 
 quantile_suite = _register(
     "quantile-suite", _QUANTILE_MEMBERS,
-    "quantile-group-exact ∪ quantile-group-histogram — exact grouped "
-    "percentiles and the mergeable histogram estimator in one slot "
-    "(r5 third rotation).",
+    "quantile-group-exact ∪ quantile-group-histogram ∪ quantile-mad — "
+    "exact grouped percentiles, the mergeable histogram estimator, and "
+    "robust median/MAD dispersion in one slot (r5 third rotation).",
 )
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
