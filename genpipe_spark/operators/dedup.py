@@ -35,9 +35,8 @@ def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays of words joined by single spaces)."""
     ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+        F.transform(_seq1(n - (k - 1)), lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
     )
 
 
@@ -57,6 +56,27 @@ def _word_hash(w: Column) -> Column:
 _P1, _P2 = 1_000_003, 9176
 
 
+def _seq1(n):
+    """sequence(1, n) that is EMPTY when n < 1 — Spark's sequence walks
+    DOWNWARD when end < start (sequence(1, 0) == [1, 0]), which turns a
+    too-short document into phantom indexes (and try_element_at(_, 0)
+    is a hard INVALID_INDEX_OF_ZERO error, not a NULL)."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _shingle_combine(wh: Column, i: Column) -> Column:
+    """The ONE k=3 shingle combine: (wh[i]*P1 + wh[i+1]*P2 + wh[i+2])
+    mod M31 — shared by the distinct-set and positional index forms so
+    the hash spec (and its SQL twins) cannot diverge."""
+    return (
+        (F.try_element_at(wh, i) * _P1) % F.lit(M31)
+        + (F.try_element_at(wh, i + 1) * _P2) % F.lit(M31)
+        + F.try_element_at(wh, i + 2)
+    ) % F.lit(M31)
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingle *hashes*: chars are folded once per word,
     then each shingle combines k consecutive word hashes arithmetically —
@@ -69,16 +89,9 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     wh_expr = F.transform(ws, _word_hash)
 
     def combine(wh: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0)))
         return F.array_distinct(
             F.transform(
-                idx,
-                lambda i: (
-                    (F.try_element_at(wh, i) * _P1) % F.lit(M31)
-                    + (F.try_element_at(wh, i + 1) * _P2) % F.lit(M31)
-                    + F.try_element_at(wh, i + 2)
-                )
-                % F.lit(M31),
+                _seq1(F.size(wh) - 2), lambda i: _shingle_combine(wh, i)
             )
         )
 
@@ -753,19 +766,10 @@ def shingle_hash_positions(text: Column, k: int = 3) -> Column:
     wh_expr = F.transform(ws, _word_hash)
 
     def combine(wh: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0)))
         return F.transform(
-            idx,
+            _seq1(F.size(wh) - 2),
             lambda i: F.struct(
-                i.alias("pos"),
-                (
-                    (
-                        (F.try_element_at(wh, i) * _P1) % F.lit(M31)
-                        + (F.try_element_at(wh, i + 1) * _P2) % F.lit(M31)
-                        + F.try_element_at(wh, i + 2)
-                    )
-                    % F.lit(M31)
-                ).alias("h"),
+                i.alias("pos"), _shingle_combine(wh, i).alias("h")
             ),
         )
 
@@ -779,6 +783,7 @@ def duplicated_spans(
     min_span_tokens: int = 6,
     k: int = 3,
     max_doc_freq: int | None = None,
+    max_pos_freq: int | None = 32,
 ) -> DataFrame:
     """Maximal duplicated token SPANS between document pairs — the
     substring-level exact-dedup primitive (the signal behind
@@ -793,11 +798,21 @@ def duplicated_spans(
     max_span_tokens, dup_tokens (sum over spans), span starts of the
     longest span.
 
+    ``dup_tokens_a`` is the UNION length of span intervals projected
+    onto the lower-id doc (overlapping spans on different diagonals —
+    periodic text — are merged, so the value never exceeds the doc's
+    token count and is safe as a fraction-duplicated numerator);
+    ``n_spans``/``max_span_tokens`` count the raw diagonal runs.
+
     Scale: candidate volume is bounded by shared-shingle matches (like
-    ngram_jaccard_pairs), not doc pairs; ``max_doc_freq`` drops
-    stopword-like shingles appearing in more than that many docs (the
-    inverted-index hot-key cap). The islands window partitions by
-    (pair, diagonal) — millions of small groups, no hot task.
+    ngram_jaccard_pairs), not doc pairs. TWO hot-key caps:
+    ``max_doc_freq`` drops shingles present in more than that many
+    DOCS (stopword boilerplate), and ``max_pos_freq`` (default 32)
+    drops a doc's shingle when it repeats more than that many times
+    WITHIN the doc — the m*n per-pair match blowup on internally
+    periodic text that a doc-frequency cap cannot see. The islands
+    window partitions by (pair, diagonal) — many small groups, no hot
+    task.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -811,6 +826,14 @@ def duplicated_spans(
             .select("h")
         )
         sh = sh.join(hot, "h", "left_anti")
+    if max_pos_freq is not None:
+        hot_pos = (
+            sh.groupBy("id", "h")
+            .agg(F.count(F.lit(1)).alias("np"))
+            .where(F.col("np") > max_pos_freq)
+            .select("id", "h")
+        )
+        sh = sh.join(hot_pos, ["id", "h"], "left_anti")
     a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
     b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
     m = a.join(b, "h").where(F.col("id_a") < F.col("id_b")).select(
@@ -827,11 +850,40 @@ def duplicated_spans(
         )
         .where(F.col("span_tokens") >= min_span_tokens)
     )
-    return runs.groupBy("id_a", "id_b").agg(
+    # union length on doc A: merge overlapping [start_a, start_a+span)
+    # intervals (periodic text puts overlapping spans on many diagonals)
+    wa = Window.partitionBy("id_a", "id_b").orderBy("start_a", "span_tokens")
+    islands = runs.withColumn(
+        "prev_max_end",
+        F.max(F.col("start_a") + F.col("span_tokens")).over(
+            wa.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("start_a") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(wa.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("id_a", "id_b", "island").agg(
+        (
+            F.max(F.col("start_a") + F.col("span_tokens")) - F.min("start_a")
+        ).alias("union_len"),
+    )
+    union_a = merged.groupBy("id_a", "id_b").agg(
+        F.sum("union_len").alias("dup_tokens_a")
+    )
+    stats = runs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.max("span_tokens").alias("max_span_tokens"),
-        F.sum("span_tokens").alias("dup_tokens"),
         F.max(
             F.struct("span_tokens", F.col("start_a"), F.col("start_b"))
         )["start_a"].alias("longest_start_a"),
+    )
+    return stats.join(union_a, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_spans", "max_span_tokens", "dup_tokens_a",
+        "longest_start_a",
     )

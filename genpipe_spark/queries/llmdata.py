@@ -42,9 +42,9 @@ def dedup_exact(spark, sf):
     return D.exact_dedup(t(spark, sf, "documents"))
 
 
-# hashed 3-word shingles, mirroring operators/dedup.py shingle_hashes:
-# per-word 31-bit polynomial char fold, then (wh[i]*P1 + wh[i+1]*P2 + wh[i+2]) % M
-_SHINGLES_CTE = r"""
+# per-word 31-bit polynomial char fold (operators/dedup._word_hash) —
+# the ONE copy both shingle CTEs build on
+_WORD_FOLD_D = r"""
     WITH d AS (
       SELECT doc_id,
              list_apply(
@@ -55,7 +55,13 @@ _SHINGLES_CTE = r"""
                                    c -> CAST(ascii(c) AS BIGINT))),
                       (a, c) -> (a * 31 + c) % 2147483647)) AS wh
       FROM documents
-    ), sh AS (
+    )
+"""
+
+# hashed 3-word shingles, mirroring operators/dedup.py shingle_hashes:
+# per-word 31-bit polynomial char fold, then (wh[i]*P1 + wh[i+1]*P2 + wh[i+2]) % M
+_SHINGLES_CTE = _WORD_FOLD_D + r"""
+, sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(wh) - 1, 1)),
                i -> ((wh[i] * 1000003) % 2147483647
@@ -1791,18 +1797,7 @@ def mix_balance_temperature(spark, sf):
     return temp.unionByName(bal)
 
 
-_SPAN_POS_CTE = r"""
-    WITH d AS (
-      SELECT doc_id,
-             list_apply(
-               list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
-               w -> list_reduce(
-                      list_prepend(CAST(7 AS BIGINT),
-                        list_apply(list_filter(string_split(w, ''), c -> c <> ''),
-                                   c -> CAST(ascii(c) AS BIGINT))),
-                      (a, c) -> (a * 31 + c) % 2147483647)) AS wh
-      FROM documents
-    ), sh AS (
+_SPAN_POS_CTE = _WORD_FOLD_D + r""", sh AS (
       SELECT doc_id, i AS pos,
              ((wh[i] * 1000003) % 2147483647
               + (wh[i+1] * 9176) % 2147483647
@@ -1816,10 +1811,16 @@ _SPAN_POS_CTE = r"""
     "dedup-duplicated-spans",
     _SPAN_POS_CTE
     + """
-    , m AS (
+    , shc AS (
+      SELECT sh.doc_id, sh.pos, sh.h
+      FROM sh ANTI JOIN (
+        SELECT doc_id, h FROM sh GROUP BY doc_id, h HAVING count(*) > 32
+      ) hot USING (doc_id, h)
+    ),
+    m AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
              a.pos - b.pos AS diag
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
     ),
     runs AS (
       SELECT id_a, id_b, count(*) + 2 AS span_tokens,
@@ -1837,13 +1838,40 @@ _SPAN_POS_CTE = r"""
                                 ORDER BY span_tokens DESC, start_a DESC,
                                          start_b DESC) AS rn
       FROM runs
+    ),
+    isl AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR start_a > prev_max_end
+                     THEN 1 ELSE 0 END AS new_island
+      FROM (
+        SELECT *, max(start_a + span_tokens)
+                    OVER (PARTITION BY id_a, id_b
+                          ORDER BY start_a, span_tokens
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_end
+        FROM runs)
+    ),
+    isl2 AS (
+      SELECT *, sum(new_island) OVER (PARTITION BY id_a, id_b
+                                      ORDER BY start_a, span_tokens
+                                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    union_a AS (
+      SELECT id_a, id_b, CAST(sum(union_len) AS BIGINT) AS dup_tokens_a
+      FROM (
+        SELECT id_a, id_b, island,
+               max(start_a + span_tokens) - min(start_a) AS union_len
+        FROM isl2 GROUP BY id_a, id_b, island)
+      GROUP BY id_a, id_b
     )
     SELECT r.id_a, r.id_b, count(*) AS n_spans,
            max(span_tokens) AS max_span_tokens,
-           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           min(u.dup_tokens_a) AS dup_tokens_a,
            min(b.longest_start_a) AS longest_start_a
-    FROM runs r JOIN (SELECT * FROM best WHERE rn = 1) b
+    FROM runs r
+    JOIN (SELECT * FROM best WHERE rn = 1) b
       ON b.id_a = r.id_a AND b.id_b = r.id_b
+    JOIN union_a u ON u.id_a = r.id_a AND u.id_b = r.id_b
     GROUP BY r.id_a, r.id_b
     """,
 )

@@ -264,7 +264,7 @@ _DEDUP_MISC_MEMBERS = {
         "dedup-duplicated-spans",
         [
             ("id_a", "s"), ("id_b", "s"), ("n_spans", "s"),
-            ("max_span_tokens", "s"), ("dup_tokens", "s"), ("longest_start_a", "s"),
+            ("max_span_tokens", "s"), ("dup_tokens_a", "s"), ("longest_start_a", "s"),
         ],
     ),
 }

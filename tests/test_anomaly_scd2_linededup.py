@@ -178,7 +178,7 @@ def test_duplicated_spans_finds_known_span(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["id_a"], r["id_b"], r["max_span_tokens"]) == (1, 2, 7)
-    assert r["n_spans"] == 1 and r["dup_tokens"] == 7
+    assert r["n_spans"] == 1 and r["dup_tokens_a"] == 7
     # longest span starts at shingle position 3 in doc 1 ("q" is token 3)
     assert r["longest_start_a"] == 3
 
@@ -192,3 +192,34 @@ def test_duplicated_spans_hot_shingle_cap(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     assert duplicated_spans(df, min_span_tokens=6).count() == 6  # all pairs
     assert duplicated_spans(df, min_span_tokens=6, max_doc_freq=2).count() == 0
+
+
+def test_duplicated_spans_short_and_empty_docs(spark):
+    # regression: sequence(1, 0) walks DOWNWARD — docs with < 3 words
+    # must yield zero shingles, not an INVALID_INDEX_OF_ZERO crash
+    from genpipe_spark.operators.dedup import duplicated_spans
+
+    docs = [(1, "hi there"), (2, ""), (3, "a b c d e f g"), (4, "a b c d e f g")]
+    out = duplicated_spans(
+        spark.createDataFrame(docs, ["doc_id", "text"]), min_span_tokens=6
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["max_span_tokens"]) for r in out] == [(3, 4, 7)]
+
+
+def test_duplicated_spans_union_bounded_on_periodic_text(spark):
+    # overlapping spans on many diagonals must merge: dup_tokens_a can
+    # never exceed the doc's token count
+    from genpipe_spark.operators.dedup import duplicated_spans
+
+    rep = [(1, " ".join(["w"] * 12)), (2, " ".join(["w"] * 12))]
+    r = duplicated_spans(
+        spark.createDataFrame(rep, ["doc_id", "text"]),
+        min_span_tokens=6, max_pos_freq=None,
+    ).collect()[0]
+    assert r["dup_tokens_a"] == 12  # the whole doc, once — not 114
+    # and the default within-doc repetition cap drops the degenerate
+    # shingle entirely
+    assert duplicated_spans(
+        spark.createDataFrame(rep, ["doc_id", "text"]),
+        min_span_tokens=6, max_pos_freq=5,
+    ).count() == 0
