@@ -69,6 +69,9 @@ HEADLINE = [
     "join-bloom-prefilter",
     "interval-overlap-count",
     "funnel-steps",
+    "dedup-duplicated-spans",
+    "multimodal-image-ahash",
+    "quantile-mad",
 ]
 
 
