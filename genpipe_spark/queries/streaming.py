@@ -198,3 +198,31 @@ def stream_sliding_window_agg(spark, sf):
     from genpipe_spark.streaming.ingest import stream_sliding_event_counts
 
     return stream_sliding_event_counts(t(spark, sf, "events"))
+
+
+@query("stream-zscore")  # real stateful streaming op → rows-only check;
+# the exact batch-equality proof is test_stream_zscore_matches_batch and
+# the batch twin (timeseries-anomaly) is the oracle-checked form
+def stream_zscore_query(spark, sf):
+    from genpipe_spark.streaming.stateful import stream_zscore
+    from genpipe_spark.tables import load
+
+    events = load(spark, sf, "events").select(
+        "ts", "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    src = tempfile.mkdtemp(prefix="genpipe_zs_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="genpipe_zs_out_")
+    q = (
+        stream_zscore(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data")

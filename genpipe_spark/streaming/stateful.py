@@ -168,3 +168,83 @@ def sessionize_batch_oracle(events: DataFrame, gap: str = "30 minutes") -> DataF
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("value_sum"),
     )
+
+
+# ---------------- streaming rolling z-score / EWMA (anomaly leg) ------
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("n_win", LongType()),
+        StructField("s_cents", LongType()),
+        StructField("q_cents2", LongType()),
+        StructField("verdict", StringType()),
+        StructField("ewma_micro_cents", LongType()),
+    ]
+)
+
+from pyspark.sql.types import ArrayType  # noqa: E402  (module tail-add)
+
+ZSCORE_STATE_SCHEMA = StructType(
+    [StructField("tail", ArrayType(LongType()))]
+)
+
+_ZW, _ZT, _ZMIN = 50, 3, 5  # window rows, threshold, min obs
+_ELAGS, _ESHIFT = 16, 16
+
+
+def _zscore_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental twin of operators/anomaly.rolling_zscore_flags +
+    ewma_micro_cents: the state is ONLY the trailing <=50 cents values
+    per user; each event's stats come from that tail (current excluded
+    for the z baseline, included for the EWMA), in pure ints — the
+    stream over ordered files equals the batch windows exactly
+    (test_stream_zscore_matches_batch). Events are sorted per batch;
+    ACROSS batches ordered arrival is the ingest contract (as for CDC
+    sequences)."""
+    (user_id,) = key
+    tail = list(state.get[0]) if state.exists else []
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, xc in zip(pdf["event_id"], pdf["xc"]):
+            xc = int(xc)
+            win = tail[-_ZW:]
+            n, s = len(win), sum(win)
+            q = sum(v * v for v in win)
+            if n < _ZMIN:
+                verdict = "warmup"
+            elif (n * xc - s) ** 2 * (n - 1) > _ZT * _ZT * n * (n * q - s * s):
+                verdict = "anomaly"
+            else:
+                verdict = "normal"
+            etail = (tail + [xc])[-(_ELAGS + 1):]
+            en = len(etail)
+            num = sum(
+                v * (1 << (_ESHIFT - (en - i))) for i, v in enumerate(etail, 1)
+            )
+            den = (1 << (_ESHIFT + 1)) - (1 << (_ESHIFT + 1 - en))
+            rows.append(
+                (user_id, int(eid), n, s, q, verdict, (num * 1_000_000) // den)
+            )
+            tail = (tail + [xc])[-_ZW:]
+    state.update((tail,))
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in ZSCORE_OUT_SCHEMA.fields])
+
+
+def stream_zscore(events: DataFrame) -> DataFrame:
+    """Streaming anomaly analytics over an event stream (columns: ts,
+    user_id, event_id, xc cents): per-user rolling z-score verdicts +
+    alpha=1/2 EWMA, keyed state bounded at 50 longs per user (no
+    timeout needed — state size is constant by construction)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _zscore_fn,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1029,3 +1029,83 @@ def test_sliding_window_counts_real_stream(spark, tmp_path):
     # single availableNow drain closes everything before the final event
     assert got <= batch_rows
     assert got  # at least the early windows must have closed
+
+
+def test_stream_zscore_matches_batch(spark, tmp_path):
+    """Incremental streaming z-score/EWMA (applyInPandasWithState, state
+    = trailing 50 cents per user) over THREE time-ordered file batches
+    (maxFilesPerTrigger=1 forces real cross-batch state handoff) must
+    equal the batch window operators exactly, row for row."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.anomaly import (
+        ewma_micro_cents,
+        rolling_zscore_flags,
+    )
+    from genpipe_spark.streaming.stateful import stream_zscore
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    events = load(spark, SF_SMALL, "events").select(
+        "ts", "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    # three strictly time-ordered slices -> three stream micro-batches
+    lo, hi = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), array(0.33, 0.66), 1000)")
+    ).first()[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, cond in enumerate(
+        [
+            F.unix_micros("ts") <= lo,
+            (F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi),
+            F.unix_micros("ts") > hi,
+        ]
+    ):
+        events.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    dest = str(tmp_path / "flags")
+    q = (
+        stream_zscore(stream)
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["n_win"], r["s_cents"], r["q_cents2"], r["verdict"],
+            r["ewma_micro_cents"],
+        )
+        for r in spark.read.parquet(dest).collect()
+    }
+    flagged = rolling_zscore_flags(
+        events, ["user_id"], ["ts", "event_id"], F.col("xc")
+    )
+    smoothed = ewma_micro_cents(flagged, ["user_id"], ["ts", "event_id"], F.col("xc"))
+    verdict = (
+        F.when(F.col("is_anomaly").isNull(), "warmup")
+        .when(F.col("is_anomaly"), "anomaly")
+        .otherwise("normal")
+    )
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["n_win"], r["s_cents"], r["q_cents2"], r["verdict"],
+            r["ewma_micro_cents"],
+        )
+        for r in smoothed.select(
+            "user_id", "event_id", "n_win", "s_cents", "q_cents2",
+            verdict.alias("verdict"), "ewma_micro_cents",
+        ).collect()
+    }
+    assert len(got) == len(want) and got == want
