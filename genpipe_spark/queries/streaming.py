@@ -226,3 +226,27 @@ def stream_zscore_query(spark, sf):
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{out_dir}/data")
+
+
+@query("stream-group-sample")  # real stateful streaming op → rows-only;
+# batch-equality proof: test_stream_group_sample_matches_batch_quota
+def stream_group_sample_query(spark, sf):
+    from genpipe_spark.streaming.stateful import stream_group_sample
+    from genpipe_spark.tables import load
+
+    docs = load(spark, sf, "documents").select("source", "doc_id")
+    src = tempfile.mkdtemp(prefix="genpipe_gs_src_")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="genpipe_gs_out_")
+    q = (
+        stream_group_sample(stream, "source", quota=10)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data")

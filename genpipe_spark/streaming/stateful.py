@@ -248,3 +248,79 @@ def stream_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------- streaming per-group sample maintenance --------------
+
+SAMPLE_OUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+SAMPLE_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_SAMPLE_M31 = 2147483647
+_SAMPLE_A = 2654435761 % _SAMPLE_M31
+
+
+def _sample_fn(quota: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming twin of operators/mixing.quota_sample: per group
+        keep the ``quota`` ids with the SMALLEST portable id-hash seen
+        so far — a deterministic bottom-k 'reservoir' whose membership
+        after ANY prefix of the stream equals the batch quota_sample of
+        that prefix (the KMV argument: the global bottom-k is a
+        function of the set, not the arrival order). State is exactly
+        the k (hash, id) pairs + a seen-counter; each batch emits the
+        CURRENT sample tagged with n_seen, so the latest emission per
+        group is the up-to-date sample."""
+        (group,) = key
+        if state.exists:
+            hashes, ids, n_seen = state.get
+            pairs = list(zip(hashes, ids))
+        else:
+            pairs, n_seen = [], 0
+        for pdf in pdfs:
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_seen += 1
+                pairs.append(((did * _SAMPLE_A) % _SAMPLE_M31, did))
+            pairs = sorted(set(pairs))[:quota]
+        state.update(([h for h, _ in pairs], [i for _, i in pairs], n_seen))
+        yield pd.DataFrame(
+            {
+                "group_key": [str(group)] * len(pairs),
+                "doc_id": [i for _, i in pairs],
+                "n_seen": [n_seen] * len(pairs),
+            }
+        )
+
+    return fn
+
+
+def stream_group_sample(docs: DataFrame, group_col: str, quota: int) -> DataFrame:
+    """Maintain a deterministic ``quota``-row sample per group over a
+    stream (columns: ``group_col``, doc_id): bottom-k by the portable
+    id-hash, so the sample after the final batch EQUALS the batch
+    quota_sample over everything seen (tested). State per group is
+    constant (k pairs + a counter); per-batch snapshot rows are
+    APPENDED (tagged with n_seen — take each group's max-n_seen rows
+    for the current sample; file sinks reject update mode)."""
+    return docs.groupBy(group_col).applyInPandasWithState(
+        _sample_fn(quota),
+        outputStructType=SAMPLE_OUT_SCHEMA,
+        stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

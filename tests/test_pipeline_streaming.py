@@ -1109,3 +1109,52 @@ def test_stream_zscore_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert len(got) == len(want) and got == want
+
+
+def test_stream_group_sample_matches_batch_quota(spark, tmp_path):
+    """Streaming bottom-k sample maintenance across three micro-batches:
+    the LATEST emission per group must equal batch quota_sample over the
+    whole corpus (order-independence of bottom-k membership)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.mixing import quota_sample
+    from genpipe_spark.streaming.stateful import stream_group_sample
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select("source", "doc_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):  # arbitrary thirds — arrival order must not matter
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    dest = str(tmp_path / "sample")
+    q = (
+        stream_group_sample(stream, "source", quota=10)
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.read.parquet(dest)
+    latest_n = emitted.groupBy("group_key").agg(F.max("n_seen").alias("n_seen"))
+    got = {
+        (r["group_key"], r["doc_id"])
+        for r in emitted.join(latest_n, ["group_key"]).where(
+            emitted["n_seen"] == latest_n["n_seen"]
+        ).collect()
+    }
+    want = {
+        (r["source"], r["doc_id"])
+        for r in quota_sample(docs, "source", 10).collect()
+    }
+    assert got == want and len(want) > 0

@@ -61,7 +61,7 @@ BOUNDED_NLJ_OK = {
 
 # queries whose construction runs real side-effects (stream drains, temp
 # fixtures) — their plans are audited by their own dedicated tests
-SKIP = {"stream-sessionize", "stream-zscore", "stream-sessionize-batch", "pipeline-parse-bulk",
+SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-sessionize-batch", "pipeline-parse-bulk",
         "source-filestream", "sink-parquet-partitioned", "scan-text-vcf",
         "row-sample-parser", "stream-window-agg",
         # suites whose members are SKIP fixture/stream queries
