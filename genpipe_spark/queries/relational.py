@@ -1232,3 +1232,59 @@ def quantile_mad(spark, sf):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
     )
     return group_mad(li, "xc", ["l_returnflag"])
+
+
+@query(
+    "agg-grouped-corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(l_quantity) AS BIGINT) AS sx,
+             CAST(sum(l_linenumber) AS BIGINT) AS sy,
+             CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_linenumber AS BIGINT) * l_linenumber) AS BIGINT) AS syy,
+             CAST(sum(l_quantity * l_linenumber) AS BIGINT) AS sxy
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity,
+                   l_linenumber FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxy,
+           CAST(floor(1000000.0 * (n*sxy - sx*sy)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT)
+             AS corr_micro
+    FROM s
+    """,
+)
+def agg_grouped_corr(spark, sf):
+    """Grouped Pearson correlation with an engine-exact construction:
+    the five moment sums are EXACT int64 (small-int columns — the
+    int64 headroom is documented in SCALE.md; cents-scale values need
+    a 128-bit formulation), and only the final fold touches doubles —
+    int64→double conversion, multiply, sqrt and divide are all
+    IEEE-correctly-rounded, identical in any engine given identical
+    integer inputs. One map-side-combinable aggregate, no window."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.col("l_linenumber").cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxy",
+        F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("corr_micro"),
+    )

@@ -515,13 +515,20 @@ _AGG_DISTINCT_EXTREMA_MEMBERS = {
             ("argmax_order", "s"), ("argmin_order", "s"),
         ],
     ),
+    "corr": (
+        "agg-grouped-corr",
+        [
+            ("l_returnflag", "s"), ("n", "s"), ("sx", "s"), ("sy", "s"),
+            ("sxy", "s"), ("corr_micro", "s"),
+        ],
+    ),
 }
 
 agg_distinct_extrema_suite = _register(
     "agg-distinct-extrema-suite", _AGG_DISTINCT_EXTREMA_MEMBERS,
-    "agg-count-distinct-reduce ∪ agg-mode-argmax — distinct-count "
-    "reductions plus deterministic mode/argmax/argmin via the "
-    "struct-ordering trick (r5 third rotation).",
+    "agg-count-distinct-reduce ∪ agg-mode-argmax ∪ agg-grouped-corr — "
+    "distinct-count reductions, deterministic mode/argmax/argmin, and "
+    "Pearson correlation from exact int64 moments (r5 third rotation).",
 )
 
 _JOIN_FILTER_MEMBERS = {
