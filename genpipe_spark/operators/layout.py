@@ -130,3 +130,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(dest)
     )
+
+
+def hilbert_index_pandas(df: DataFrame, x_col: str, y_col: str, bits: int = 10) -> DataFrame:
+    """Append ``hilbert_d`` — the 2-D Hilbert-curve index of the two
+    (already-quantized, [0, 2^bits)) cell coordinates — the locality
+    layout that beats Z-order on range queries (no Z-jump seams: every
+    curve step moves one cell). The classic xy2d bit loop runs
+    vectorized over Arrow batches (numpy int64, ``bits`` iterations of
+    masked rotation) — the layout is computed once per write, so the
+    Python-side batch cost sits on the already-I/O-bound write path,
+    exactly like the PPM/WAV codec operators. Pair with
+    ``repartitionByRange('hilbert_d') + sortWithinPartitions`` for the
+    clustered write (same recipe as write_zordered).
+
+    The arithmetic is pure int64 with power-of-two masks, so a SQL twin
+    replays it exactly (layout-hilbert-index query)."""
+    import pandas as pd
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            x = pdf[x_col].to_numpy(dtype=np.int64).copy()
+            y = pdf[y_col].to_numpy(dtype=np.int64).copy()
+            d = np.zeros(len(x), dtype=np.int64)
+            s = 1 << (bits - 1)
+            while s > 0:
+                rx = ((x & s) > 0).astype(np.int64)
+                ry = ((y & s) > 0).astype(np.int64)
+                d += s * s * ((3 * rx) ^ ry)
+                # rotate the quadrant: only where ry == 0
+                flip = (ry == 0) & (rx == 1)
+                x2 = np.where(flip, s - 1 - x, x)
+                y2 = np.where(flip, s - 1 - y, y)
+                swap = ry == 0
+                x, y = (
+                    np.where(swap, y2, x2),
+                    np.where(swap, x2, y2),
+                )
+                s >>= 1
+            out = pdf.copy()
+            out["hilbert_d"] = d
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField("hilbert_d", LongType())])
+    return df.mapInPandas(batches, schema=schema)

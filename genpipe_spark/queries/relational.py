@@ -1288,3 +1288,152 @@ def agg_grouped_corr(spark, sf):
         "l_returnflag", "n", "sx", "sy", "sxy",
         F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("corr_micro"),
     )
+
+
+_HILBERT_ORACLE = """
+    WITH r0 AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS hx0, o_orderkey % 1024 AS hy0,
+             o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM orders
+    ),
+    r1 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 512) = 0
+                  THEN (CASE WHEN (x & 512) > 0 THEN 512 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 512) = 0
+                  THEN (CASE WHEN (x & 512) > 0 THEN 512 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 262144 * xor(3 * (CASE WHEN (x & 512) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 512) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r0
+    ),
+    r2 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 256) = 0
+                  THEN (CASE WHEN (x & 256) > 0 THEN 256 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 256) = 0
+                  THEN (CASE WHEN (x & 256) > 0 THEN 256 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 65536 * xor(3 * (CASE WHEN (x & 256) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 256) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r1
+    ),
+    r3 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 128) = 0
+                  THEN (CASE WHEN (x & 128) > 0 THEN 128 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 128) = 0
+                  THEN (CASE WHEN (x & 128) > 0 THEN 128 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 16384 * xor(3 * (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r2
+    ),
+    r4 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 64) = 0
+                  THEN (CASE WHEN (x & 64) > 0 THEN 64 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 64) = 0
+                  THEN (CASE WHEN (x & 64) > 0 THEN 64 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 4096 * xor(3 * (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r3
+    ),
+    r5 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 32) = 0
+                  THEN (CASE WHEN (x & 32) > 0 THEN 32 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 32) = 0
+                  THEN (CASE WHEN (x & 32) > 0 THEN 32 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 1024 * xor(3 * (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r4
+    ),
+    r6 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 16) = 0
+                  THEN (CASE WHEN (x & 16) > 0 THEN 16 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 16) = 0
+                  THEN (CASE WHEN (x & 16) > 0 THEN 16 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 256 * xor(3 * (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r5
+    ),
+    r7 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 8) = 0
+                  THEN (CASE WHEN (x & 8) > 0 THEN 8 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 8) = 0
+                  THEN (CASE WHEN (x & 8) > 0 THEN 8 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 64 * xor(3 * (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r6
+    ),
+    r8 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 4) = 0
+                  THEN (CASE WHEN (x & 4) > 0 THEN 4 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 4) = 0
+                  THEN (CASE WHEN (x & 4) > 0 THEN 4 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 16 * xor(3 * (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r7
+    ),
+    r9 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 2) = 0
+                  THEN (CASE WHEN (x & 2) > 0 THEN 2 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 2) = 0
+                  THEN (CASE WHEN (x & 2) > 0 THEN 2 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 4 * xor(3 * (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r8
+    ),
+    r10 AS (
+      SELECT o_orderkey, hx0, hy0,
+             CASE WHEN (y & 1) = 0
+                  THEN (CASE WHEN (x & 1) > 0 THEN 1 - 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 1) = 0
+                  THEN (CASE WHEN (x & 1) > 0 THEN 1 - 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 1 * xor(3 * (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END),
+                                       (CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM r9
+    )
+    SELECT o_orderkey, hx0 AS hx, hy0 AS hy, d AS hilbert_d FROM r10
+    """
+
+
+@query("layout-hilbert-index", _HILBERT_ORACLE)
+def layout_hilbert_index(spark, sf):
+    """Hilbert-curve cell index (operators/layout.hilbert_index_pandas,
+    bits=10) for orders quantized onto a 1024x1024 grid — the
+    locality-layout sibling of z-order. The DuckDB twin unrolls the
+    same 10 masked-rotation rounds in pure int64, so the curve
+    positions match exactly."""
+    from genpipe_spark.operators.layout import hilbert_index_pandas
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("hx"),
+        (F.col("o_orderkey") % 1024).alias("hy"),
+    )
+    return hilbert_index_pandas(o, "hx", "hy", bits=10)

@@ -244,6 +244,10 @@ _SORT_SET_MEMBERS = {
     "topk": ("topk", [("o_orderkey", "s"), ("o_totalprice", "f")]),
     "sortglobal": ("sort-global", [("o_orderkey", "s"), ("o_totalprice", "f")]),
     "exint": ("set-except-intersect", [("part", "s"), ("o_custkey", "s")]),
+    "hilbert": (
+        "layout-hilbert-index",
+        [("o_orderkey", "s"), ("hx", "s"), ("hy", "s"), ("hilbert_d", "s")],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -426,8 +430,9 @@ window_suite = _register(
 sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
     "set-union ∪ sort-within-partitions ∪ topk ∪ sort-global ∪ "
-    "set-except-intersect — the §2.5 sort/limit/set-op family packed "
-    "into one slot (r5 third rotation).",
+    "set-except-intersect ∪ layout-hilbert-index — the §2.5 "
+    "sort/limit/set-op family plus the Hilbert clustering key "
+    "(r5 third rotation).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,

@@ -223,3 +223,21 @@ def test_duplicated_spans_union_bounded_on_periodic_text(spark):
         spark.createDataFrame(rep, ["doc_id", "text"]),
         min_span_tokens=6, max_pos_freq=5,
     ).count() == 0
+
+
+def test_hilbert_curve_properties(spark):
+    """bits=3 full 8x8 grid: the Hilbert index is a bijection onto
+    [0, 64) and CONSECUTIVE indexes are always 1-cell neighbors — the
+    locality property that distinguishes it from z-order (whose seams
+    jump across the space)."""
+    from genpipe_spark.operators.layout import hilbert_index_pandas
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["hx", "hy"]
+    )
+    rows = hilbert_index_pandas(grid, "hx", "hy", bits=3).collect()
+    by_d = {r["hilbert_d"]: (r["hx"], r["hy"]) for r in rows}
+    assert sorted(by_d) == list(range(64))  # bijection
+    for d in range(63):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
