@@ -72,6 +72,13 @@ HEADLINE = [
     "dedup-duplicated-spans",
     "multimodal-image-ahash",
     "quantile-mad",
+    # r6: conversion-window funnel, with-replacement sampling,
+    # 128-bit-safe grouped correlation, bucketed-layout write+join
+    # (the last measures the bucketed WRITE too — it is a sink op)
+    "funnel-steps-windowed",
+    "mix-reservoir-replacement",
+    "agg-grouped-corr",
+    "layout-bucketed-join",
 ]
 
 
@@ -96,16 +103,23 @@ def main() -> None:
     # one-time codegen-compile + parquet-footer costs; min-of-3 converges
     # to steady state where min-of-2 still caught those constants.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        best = float("inf")
+        runs = []
         for _ in range(3):
             start = time.perf_counter()
             materialize(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        # median exposes run-to-run spread next to the min: a query
+        # whose median >> min is host-noise-dominated, so cross-round
+        # comparisons should read the min (VERDICT r5 item 2 — the
+        # r4->r5 "+30% uniform" adjudication, made self-evident)
+        medians[name] = round(runs[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -115,6 +129,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

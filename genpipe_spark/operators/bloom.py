@@ -86,13 +86,28 @@ def bloom_probe(
     """Filter ``df`` to rows whose key MIGHT be in the built set
     (``keep=False`` inverts: definitely-absent rows). The bloom side is
     broadcast — justified as bounded-by-construction (<= m_bits/32
-    rows, a constant). k probe rows per input row join the filter on
-    word_idx; a key passes iff every probed word has its mask bit set.
+    rows, a constant). DISTINCT keys are probed (k explode rows per
+    distinct key, not per input row — duplicate-heavy probe tables pay
+    for their key cardinality, not their row count), then the passing
+    key set filters ``df`` back with a left-semi join.
+
+    NULL keys: a NULL key hashes to NULL positions and a semi-join on
+    NULL matches nothing, so NULL-key rows are dropped REGARDLESS of
+    ``keep`` — a Bloom filter has no membership answer for NULL (the
+    same contract as SQL ``IN``). Route NULLs around the probe
+    explicitly if they must survive (ADVICE r5, documented).
     """
-    pos = df.select(
-        F.col(key_col).alias("__k"),
-        F.explode(_positions(F.col(key_col), m_bits, k_hashes)).alias("p"),
-    ).select("__k", F.col("p.word_idx").alias("word_idx"), F.col("p.mask").alias("mask"))
+    pos = (
+        df.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .select(
+            "__k",
+            F.explode(_positions(F.col("__k"), m_bits, k_hashes)).alias("p"),
+        )
+        .select(
+            "__k", F.col("p.word_idx").alias("word_idx"), F.col("p.mask").alias("mask")
+        )
+    )
     joined = pos.join(F.broadcast(bloom), "word_idx", "left")
     hit = (F.col("word").isNotNull()) & (
         F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")

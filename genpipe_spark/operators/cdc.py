@@ -21,10 +21,11 @@ as any keyed shuffle (tests/test_skew coverage of operators/skew.py).
 
 Determinism: ties on the sequence are broken by the op column then the
 payload hash is NOT consulted — callers must supply a per-key-unique
-sequence (CDC sources do: LSN / binlog offset / kafka offset). The
-operator asserts uniqueness OPTIONALLY (validate=True) by failing the
-job on the first duplicate (key, seq) pair rather than picking a
-winner silently.
+sequence (CDC sources do: LSN / binlog offset / kafka offset). With
+``validate=True`` the operator fails the job when a key's WINNING
+sequence is duplicated (the only ambiguity that can change the
+result), detected inside the existing window pass — no second scan of
+the changeset.
 """
 
 from __future__ import annotations
@@ -50,18 +51,6 @@ def merge_apply(
     upserts the full payload. Output schema == snapshot schema."""
     keys = list(key_cols)
     data_cols = snapshot.columns
-    if validate:
-        # fail loudly on ambiguous (key, seq) duplicates instead of
-        # letting the tie-break pick silently
-        dup = (
-            changes.groupBy(*keys, seq_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(f"merge_apply: duplicate (key, seq) in changeset: {dup[0]}")
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
@@ -70,6 +59,41 @@ def merge_apply(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if validate:
+        # fail loudly when the WINNER is ambiguous — a duplicate
+        # (key, seq) at the top of the ordering, detected as
+        # lead(seq) == seq over the SAME window spec, so the check
+        # rides the existing Window node instead of launching a
+        # separate limit(1).collect() job that re-scanned the whole
+        # changeset (VERDICT r5). Duplicates buried below the winner
+        # cannot change the result and are not the contract's concern.
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__next_seq", F.lead(seq_col).over(w))
+            .where(F.col("__rn") == 1)
+            .where(
+                F.coalesce(
+                    F.assert_true(
+                        F.coalesce(
+                            F.col("__next_seq") != F.col(seq_col), F.lit(True)
+                        ),
+                        F.concat(
+                            F.lit(
+                                "merge_apply: duplicate (key, "
+                                f"{seq_col}) in changeset at "
+                            ),
+                            F.concat_ws(
+                                "/", *[F.col(k).cast("string") for k in keys]
+                            ),
+                            F.lit(f" {seq_col}="),
+                            F.col(seq_col).cast("string"),
+                        ),
+                    ).cast("boolean"),
+                    F.lit(True),
+                )
+            )
+            .drop("__rn", "__next_seq")
+        )
     unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
     # NULL-safe: only an EXPLICIT delete_op removes the key — a NULL op
     # (malformed feed) upserts rather than silently vanishing, because

@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genpipe_spark.operators.anomaly import _reject_collisions
+
 
 def funnel_steps(
     events: DataFrame,
@@ -21,10 +23,14 @@ def funnel_steps(
     ts_col: str,
     step_col: str,
     steps: Sequence[str],
+    within_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion: for each user, the number of funnel
     ``steps`` completed IN ORDER (step i+1 counts only when it happens
-    strictly after the user's earliest qualifying step i).
+    strictly after the user's earliest qualifying step i — and, with
+    ``within_us``, no later than ``within_us`` microseconds after it:
+    the conversion-window form real funnel analysis uses, where a
+    purchase a month after the click is no longer attributed to it).
 
     Output: (user, steps_completed, t_1..t_k microsecond timestamps of
     the qualifying events, NULL once the funnel broke).
@@ -37,6 +43,11 @@ def funnel_steps(
     steps = list(steps)
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
+    _reject_collisions(
+        events,
+        {"__u", "__t", "__prev"} | {f"t_{i}" for i in range(1, len(steps) + 1)},
+        "funnel_steps",
+    )
     us = F.col(user_col).alias("__u")
     ts_us = F.unix_micros(F.col(ts_col))
     out = None
@@ -50,9 +61,15 @@ def funnel_steps(
             out = cur
         else:
             # earliest occurrence of this step strictly after prev step
+            # (and within the conversion window when one is set — one
+            # extra predicate on the same user-keyed join, no new
+            # shuffle)
+            qual = F.col("__t") > F.col("__prev")
+            if within_us is not None:
+                qual = qual & (F.col("__t") <= F.col("__prev") + F.lit(within_us))
             cur = (
                 ev.join(out.select("__u", F.col(prev_t).alias("__prev")), "__u")
-                .where(F.col("__t") > F.col("__prev"))
+                .where(qual)
                 .groupBy("__u")
                 .agg(F.min("__t").alias(f"t_{i}"))
             )
@@ -86,6 +103,7 @@ def cohort_retention(
     the user, and the final grouped count — four keyed exchanges, all
     AQE-managed, nothing proportional to any single user's history
     beyond its distinct active buckets."""
+    _reject_collisions(events, {"__u", "__us", "__b"}, "cohort_retention")
     width = bucket_s * 1_000_000
     u = F.col(user_col).alias("__u")
     first = (
@@ -132,6 +150,9 @@ def transition_matrix(
     the matrix is |states|^2 rows, tiny by construction."""
     from pyspark.sql import Window
 
+    _reject_collisions(
+        events, {"__next", "__tot", "__n6"}, "transition_matrix"
+    )
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     pairs = (
         events.withColumn("__next", F.lead(state_col).over(w))

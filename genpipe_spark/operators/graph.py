@@ -204,7 +204,12 @@ def bfs_levels(
     connected_components; the frontier only carries NEWLY-discovered
     nodes, so total work is O(edges within the horizon), not O(paths)
     — the path-enumeration blowup a naive recursive expansion hits on
-    cyclic graphs."""
+    cyclic graphs. The loop exits EARLY once the frontier empties
+    (graph diameter < max_depth) — the frontier is eagerly
+    checkpointed each round anyway, so the emptiness probe reads the
+    materialized blocks, not a recomputation (the same
+    cost-rides-the-round trick as connected_components' changed-count;
+    VERDICT r5)."""
     visited = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
         "level", F.lit(0)
     )
@@ -216,9 +221,13 @@ def bfs_levels(
             .select(F.col("__dst").alias("node"))
             .distinct()
         )
-        new = reached.join(visited.select("node"), "node", "left_anti").withColumn(
-            "level", F.lit(depth)
+        new = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .localCheckpoint(eager=True)
         )
+        if new.isEmpty():
+            break
         visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return visited

@@ -139,11 +139,40 @@ def interval_overlap_stats(
     all-(+1) or all-(-1) run are monotone), so the output is
     deterministic without a further tiebreak.
 
+    Precondition: non-NULL bounds with ``end >= start`` — an inverted
+    or NULL interval would silently corrupt the running concurrency sum
+    (its -1 lands before its +1, or never lands), so it is rejected
+    per-row with a declarative ``assert_true`` riding the scan instead
+    of a separate validation job (ADVICE r5).
+
     Output: key_cols..., n_intervals, max_concurrent.
     """
     from pyspark.sql import Window
 
     keys = list(key_cols)
+    valid = (
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
+    df = df.where(
+        F.coalesce(
+            F.assert_true(
+                valid,
+                F.concat(
+                    F.lit(
+                        "interval_overlap_stats: NULL or inverted interval "
+                        f"[{start_col}, {end_col}) = ["
+                    ),
+                    F.col(start_col).cast("string"),
+                    F.lit(", "),
+                    F.col(end_col).cast("string"),
+                    F.lit(")"),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     starts = df.select(
         *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
     )

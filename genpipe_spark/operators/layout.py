@@ -154,6 +154,19 @@ def hilbert_index_pandas(df: DataFrame, x_col: str, y_col: str, bits: int = 10) 
         for pdf in it:
             x = pdf[x_col].to_numpy(dtype=np.int64).copy()
             y = pdf[y_col].to_numpy(dtype=np.int64).copy()
+            # the xy2d rotation is only a bijection on [0, 2^bits)^2 —
+            # out-of-range or negative cells would silently produce
+            # garbage indexes (and break the SQL-twin parity), so the
+            # quantization contract is enforced per batch (ADVICE r5)
+            side = 1 << bits
+            bad = (x < 0) | (x >= side) | (y < 0) | (y >= side)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(
+                    f"hilbert_index_pandas: cell coordinates must be in "
+                    f"[0, {side}) — got ({x[i]}, {y[i]}); quantize with "
+                    f"scale_to_levels(bits={bits}) first"
+                )
             d = np.zeros(len(x), dtype=np.int64)
             s = 1 << (bits - 1)
             while s > 0:
@@ -172,6 +185,86 @@ def hilbert_index_pandas(df: DataFrame, x_col: str, y_col: str, bits: int = 10) 
                 s >>= 1
             out = pdf.copy()
             out["hilbert_d"] = d
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField("hilbert_d", LongType())])
+    return df.mapInPandas(batches, schema=schema)
+
+
+def hilbert_index_nd_pandas(
+    df: DataFrame, cols: Sequence[str], bits: int = 10
+) -> DataFrame:
+    """Append ``hilbert_d`` for ANY number of dimensions — the 3-D+
+    generalization of :func:`hilbert_index_pandas` (VERDICT r5 item 8)
+    using Skilling's transpose algorithm (J. Skilling, "Programming
+    the Hilbert curve", AIP Conf. Proc. 707, 2004 — the standard
+    public-domain N-D formulation): inverse-undo + Gray-decode each
+    coordinate column, then bit-interleave the transposed result. All
+    integer mask/xor work, vectorized over Arrow batches exactly like
+    the 2-D form; dims*bits must fit an int64 index (<= 62).
+
+    Note: for d=2 this yields a valid Hilbert curve that may differ in
+    ORIENTATION from the xy2d loop in :func:`hilbert_index_pandas`
+    (both are unit-step space-filling curves; the 2-D form keeps its
+    10-round unrolled SQL twin, this one is property-tested for the
+    bijection + unit-step-path invariants that define the curve).
+
+    Same quantization contract: every coordinate in [0, 2^bits)."""
+    cols = list(cols)
+    d = len(cols)
+    if d < 2:
+        raise ValueError("hilbert_index_nd_pandas: need >= 2 dimensions")
+    if d * bits > 62:
+        raise ValueError(
+            f"hilbert_index_nd_pandas: dims*bits = {d * bits} exceeds the "
+            "62-bit int64 index budget"
+        )
+
+    def batches(it):
+        import numpy as np
+
+        side = 1 << bits
+        for pdf in it:
+            X = np.stack(
+                [pdf[c].to_numpy(dtype=np.int64) for c in cols], axis=1
+            ).copy()
+            if len(X) and ((X < 0) | (X >= side)).any():
+                raise ValueError(
+                    f"hilbert_index_nd_pandas: coordinates must be in "
+                    f"[0, {side}); quantize with scale_to_levels first"
+                )
+            # inverse undo (Skilling AxestoTranspose, vectorized)
+            q = 1 << (bits - 1)
+            while q > 1:
+                p = q - 1
+                for i in range(d):
+                    m = (X[:, i] & q) != 0
+                    X[m, 0] ^= p
+                    nm = ~m
+                    t = (X[nm, 0] ^ X[nm, i]) & p
+                    X[nm, 0] ^= t
+                    X[nm, i] ^= t
+                q >>= 1
+            # Gray encode
+            for i in range(1, d):
+                X[:, i] ^= X[:, i - 1]
+            t = np.zeros(len(X), dtype=np.int64)
+            q = 1 << (bits - 1)
+            while q > 1:
+                m = (X[:, d - 1] & q) != 0
+                t[m] ^= q - 1
+                q >>= 1
+            X ^= t[:, None]
+            # interleave: round b contributes one bit per dim, X[:,0]
+            # most significant within the round
+            h = np.zeros(len(X), dtype=np.int64)
+            for b in range(bits - 1, -1, -1):
+                for i in range(d):
+                    h = (h << 1) | ((X[:, i] >> b) & 1)
+            out = pdf.copy()
+            out["hilbert_d"] = h
             yield out
 
     from pyspark.sql.types import LongType, StructField, StructType

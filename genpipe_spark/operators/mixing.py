@@ -155,6 +155,69 @@ def weighted_sample(
     )
 
 
+def weighted_sample_with_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement: ``k``
+    independent draws (per ``by`` group, or globally), each selecting
+    one row with probability proportional to its weight — a heavy row
+    may win several draws, which is exactly the with-replacement
+    semantics (completes the sampling family next to the
+    without-replacement :func:`weighted_sample`; VERDICT r5 item 6).
+
+    Draw ``j`` re-hashes each row's portable id-hash through an affine
+    map with per-draw constants (``a_j = 48271^(j+1) mod M31``,
+    ``b_j = (j+1)·2246822519 mod M31`` — the same seeded-family style
+    as minhash signatures), then takes the Efraimidis–Spirakis argmax
+    of ``ln(u_j)/w`` over the group. Keys are quantized to nano-units
+    before ranking (the libm 1-ulp rule, see :func:`weighted_sample`)
+    and ties break toward the smaller id, so reruns and the DuckDB
+    oracle agree bit-for-bit.
+
+    Scale shape: one explode (k structs per row, k a small constant)
+    feeding a map-side-combinable ``max(struct(key, -id))`` argmax per
+    (group, draw) — partial aggregation reduces each partition to
+    groups×k rows before the single shuffle; no window sort over the
+    exploded stream. Rows with non-positive weights never qualify.
+
+    Output: [by,] draw, ``id_col``, key_nano — one row per draw."""
+    if k <= 0:
+        raise ValueError("weighted_sample_with_replacement: k must be positive")
+    h0 = _id_hash(F.col(id_col))
+    w = F.col(weight_col).cast("double")
+    entries = []
+    for j in range(k):
+        a = pow(48271, j + 1, M31)
+        b = (2246822519 * (j + 1)) % M31
+        hj = (h0 * F.lit(a) + F.lit(b)) % F.lit(M31)
+        u = (hj + F.lit(1)).cast("double") / F.lit(float(M31 + 1))
+        key = F.round(F.log(u) / w * 1e9).cast("long")
+        entries.append(
+            F.struct(F.lit(j).alias("draw"), key.alias("key_nano"))
+        )
+    keys = [by] if by else []
+    exploded = df.where(w > 0).select(
+        *keys, F.col(id_col), F.explode(F.array(*entries)).alias("d")
+    )
+    winners = exploded.groupBy(*keys, F.col("d.draw").alias("draw")).agg(
+        F.max(
+            F.struct(
+                F.col("d.key_nano").alias("k"), (-F.col(id_col)).alias("negid")
+            )
+        ).alias("m")
+    )
+    return winners.select(
+        *keys,
+        "draw",
+        (-F.col("m.negid")).alias(id_col),
+        F.col("m.k").alias("key_nano"),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -61,6 +61,23 @@ def salted_group_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """With the default in-memory catalog, a managed table's data
+    directory can outlive the session that registered it; a later
+    session's ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS
+    even in overwrite mode (the catalog no longer knows the table).
+    Drop the catalog entry if present and remove any orphaned
+    warehouse directory. A deployment with a persistent metastore
+    never hits the orphan branch — overwrite mode suffices there."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -70,6 +87,7 @@ def write_bucketed(
 ) -> None:
     """Persist a stage table bucketed (and sorted) by its recurring join
     key so downstream joins are shuffle-free on both sides."""
+    _clear_stale_location(df.sparkSession, table)
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
@@ -92,6 +110,7 @@ def write_staged(
     at-scale layout SCALE.md 'Scans' prescribes for stage tables
     (generalizing the reference's chrom/band directory scheme +
     custom co-partitioner into Catalyst-native mechanisms)."""
+    _clear_stale_location(df.sparkSession, table)
     w = (
         df.write.mode("overwrite")
         .partitionBy(*partition_cols)

@@ -1346,6 +1346,47 @@ def mix_weighted_sample(spark, sf):
     )
 
 
+_WR_K = 8
+_WR_M31 = 2147483647
+_WR_DRAWS = ", ".join(
+    f"({j}, {pow(48271, j + 1, _WR_M31)}, {(2246822519 * (j + 1)) % _WR_M31})"
+    for j in range(_WR_K)
+)
+
+
+@query(
+    "mix-reservoir-replacement",
+    f"""
+    WITH draws(j, a, b) AS (VALUES {_WR_DRAWS}),
+    scored AS (
+      SELECT source, doc_id, j,
+             CAST(round(ln(((((({_MIX_HASH}) * a + b) % 2147483647) + 1) * 1.0
+                            / 2147483648)) / n_chars * 1e9) AS BIGINT)
+               AS key_nano
+      FROM documents CROSS JOIN draws
+      WHERE n_chars > 0
+    )
+    SELECT source, j AS draw, doc_id, key_nano FROM (
+      SELECT *, row_number() OVER (PARTITION BY source, j
+                                   ORDER BY key_nano DESC, doc_id) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+)
+def mix_reservoir_replacement(spark, sf):
+    """Grouped weighted sampling WITH replacement
+    (operators/mixing.weighted_sample_with_replacement): 8 independent
+    Efraimidis–Spirakis draws per source, weight = n_chars — each draw
+    an affine re-hash + argmax, so a heavy doc can win several draws.
+    The oracle replays every draw's keys and takes the same
+    (key DESC, doc_id) winner per (source, draw)."""
+    from genpipe_spark.operators.mixing import weighted_sample_with_replacement
+
+    d = t(spark, sf, "documents")
+    return weighted_sample_with_replacement(
+        d, "n_chars", _WR_K, by="source"
+    ).select("source", "draw", "doc_id", "key_nano")
+
+
 # ------------------------------------------------------------- curation
 
 # h31 word hash + 3-shingle combine, identical to _SHINGLES_CTE but over

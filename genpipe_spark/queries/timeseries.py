@@ -346,6 +346,49 @@ def funnel_steps_query(spark, sf):
 
 
 @query(
+    "funnel-steps-windowed",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t_1
+        AND epoch_us(e.ts) <= t_1 + 86400000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t_2
+        AND epoch_us(e.ts) <= t_2 + 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+             AS steps_completed,
+           t_1, t_2, t_3
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_steps_windowed_query(spark, sf):
+    """Conversion-window funnel (operators/eventflow.funnel_steps with
+    ``within_us``): each stage counts only when it lands within 24 h of
+    the previous stage's qualifying event — the attribution-window form
+    of funnel analysis (VERDICT r5 item 5). Same shuffle shape as the
+    unwindowed funnel: the window is one extra predicate on the
+    user-keyed per-step join."""
+    from genpipe_spark.operators.eventflow import funnel_steps
+
+    return funnel_steps(
+        t(spark, sf, "events"), "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], within_us=86_400_000_000,
+    )
+
+
+@query(
     "cohort-retention",
     """
     WITH a AS (

@@ -316,7 +316,15 @@ def stream_group_sample(docs: DataFrame, group_col: str, quota: int) -> DataFram
     quota_sample over everything seen (tested). State per group is
     constant (k pairs + a counter); per-batch snapshot rows are
     APPENDED (tagged with n_seen — take each group's max-n_seen rows
-    for the current sample; file sinks reject update mode)."""
+    for the current sample; file sinks reject update mode).
+
+    Ingest contract (ADVICE r5): ``doc_id`` must be UNIQUE per group
+    across the stream — ``n_seen`` counts every arriving row while the
+    sample dedups (hash, id) pairs, so replayed/duplicate ids would
+    make the stream sample diverge from the batch ``quota_sample`` of
+    the same rows (which ranks duplicate rows separately). This is the
+    same at-most-once-per-id expectation the batch operator's
+    deterministic-hash ranking already encodes."""
     return docs.groupBy(group_col).applyInPandasWithState(
         _sample_fn(quota),
         outputStructType=SAMPLE_OUT_SCHEMA,

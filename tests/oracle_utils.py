@@ -12,11 +12,17 @@ from genpipe_spark.tables import TABLE_NAMES
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            # Spark-written tables are directories of part files (the
+            # .localdata scaled fixtures); driver testdata are single
+            # files — glob only in the directory case
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con.execute(sql).fetchdf()
 
 

@@ -353,6 +353,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE b_ord_{suffix}")
 
 
+def test_layout_bucketed_join_query_no_shuffle(spark):
+    """The driver-window layout-bucketed-join query (VERDICT r5 item 1)
+    must plan BOTH the join and the per-customer aggregate with zero
+    shuffle Exchange — the bucketed layout's HashPartitioning(c_custkey)
+    satisfies the join and the (c_custkey, c_mktsegment) grouping."""
+    from genpipe_spark import registry
+
+    registry.load_all_query_modules()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["layout-bucketed-join"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     """Stage tables written partitionBy(key) must show PartitionFilters
     (directory pruning) when filtered on the key — the Catalyst-native
@@ -581,6 +599,57 @@ def test_connected_components_max_iter_guard(spark):
         for r in connected_components(chain, max_iter=20).collect()
     }
     assert got == {(i, 1) for i in range(1, 10)}
+
+
+def test_weighted_sample_with_replacement(spark):
+    """k draws → k winners per group; a dominant-weight row wins most
+    draws (with-replacement semantics); reruns are bit-identical."""
+    from genpipe_spark.operators.mixing import weighted_sample_with_replacement
+
+    rows = [(1, "a", 1_000_000), (2, "a", 1), (3, "a", 1), (4, "b", 5)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_chars: long")
+    out = weighted_sample_with_replacement(df, "n_chars", 8, by="source")
+    got = [(r["source"], r["draw"], r["doc_id"]) for r in out.collect()]
+    assert len(got) == 16  # 8 draws x 2 groups, one winner each
+    assert len({(s, d) for s, d, _ in got}) == 16
+    a_winners = [i for s, _, i in got if s == "a"]
+    # weight 1e6 vs 1: doc 1 must dominate group a's draws — and win
+    # MORE THAN ONCE, which without-replacement sampling cannot do
+    assert a_winners.count(1) >= 6
+    assert all(i == 4 for s, _, i in got if s == "b")
+    rerun = [(r["source"], r["draw"], r["doc_id"]) for r in
+             weighted_sample_with_replacement(df, "n_chars", 8, by="source").collect()]
+    assert sorted(rerun) == sorted(got)
+
+
+def test_bfs_levels_early_exit_on_empty_frontier(spark, monkeypatch):
+    """A diameter-2 graph under max_depth=50 must stop as soon as the
+    frontier empties (VERDICT r5): the per-round localCheckpoint count
+    stays O(diameter), not O(max_depth), and levels are exact."""
+    from pyspark.sql import DataFrame
+
+    from genpipe_spark.operators.graph import bfs_levels
+
+    calls = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {
+        (r["node"], r["level"])
+        for r in bfs_levels(edges, seeds, max_depth=50).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2)}
+    # 3 productive rounds + 1 empty-frontier probe, 2 checkpoints per
+    # round max — far below the ~100 a full 50-round run would issue
+    assert calls["n"] <= 10, calls["n"]
 
 
 def test_asof_join_rejects_reserved_internal_names(spark):
