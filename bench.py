@@ -79,6 +79,8 @@ HEADLINE = [
     "mix-reservoir-replacement",
     "agg-grouped-corr",
     "layout-bucketed-join",
+    "interval-interval-join",
+    "rollup-twap",
 ]
 
 

@@ -188,3 +188,92 @@ def interval_overlap_stats(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("__c").alias("max_concurrent"),
     )
+
+
+def interval_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    band_width: int = 10_000,
+) -> DataFrame:
+    """Overlap join of two INTERVAL tables on shared keys — the
+    region×region primitive (genomic regions × annotation tracks,
+    sessions × maintenance windows) that the point-in-interval
+    :func:`interval_join` cannot express. Closed intervals: pairs with
+    ``l_lo <= r_hi AND r_lo <= l_hi`` match (touching endpoints
+    overlap, same doIntersect convention as interval_join).
+
+    Scale design — banded, never all-pairs, and DISTINCT-free:
+
+      1. each side explodes to its covered band cells
+         (``sequence(lo div W, hi div W)`` — int64 div, no double
+         rounding at epoch-microsecond magnitudes);
+      2. candidates equi-join on (keys..., cell) — a plain AQE-managed
+         shuffle join, skew-split on hot cells;
+      3. each overlapping pair is emitted EXACTLY ONCE without a
+         dedup shuffle: only at the first shared cell,
+         ``greatest(l_lo div W, r_lo div W)`` — which equals
+         ``(max(l_lo, r_lo)) div W`` because truncating div is
+         monotone and commutes with max, and which both sides are
+         guaranteed to cover precisely when they overlap (the overlap
+         start lies in both intervals). The overlap test itself rides
+         as a residual predicate on the same join.
+
+    Replication is ``ceil(len/W)+1`` cells per interval — pick W near
+    the typical interval length, exactly as in interval_join. NULL or
+    inverted (hi < lo) intervals are rejected per-row with the same
+    declarative assert as :func:`interval_overlap_stats` (a descending
+    ``sequence()`` would otherwise explode the wrong cells silently).
+
+    Output: key columns once + both sides' remaining columns (callers
+    pre-rename collisions, as with interval_join)."""
+    keys = list(on)
+    w = int(band_width)
+
+    def checked(df, lo, hi):
+        valid = (
+            F.col(lo).isNotNull()
+            & F.col(hi).isNotNull()
+            & (F.col(hi) >= F.col(lo))
+        )
+        return df.where(
+            F.coalesce(
+                F.assert_true(
+                    valid,
+                    F.concat(
+                        F.lit(f"interval_interval_join: NULL or inverted [{lo}, {hi}] = ["),
+                        F.col(lo).cast("string"),
+                        F.lit(", "),
+                        F.col(hi).cast("string"),
+                        F.lit("]"),
+                    ),
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        )
+
+    la = checked(left, l_lo, l_hi).withColumn(
+        "__cell", F.explode(F.sequence(F.expr(f"{l_lo} div {w}"), F.expr(f"{l_hi} div {w}")))
+    ).alias("L")
+    ra = checked(right, r_lo, r_hi).withColumn(
+        "__cell", F.explode(F.sequence(F.expr(f"{r_lo} div {w}"), F.expr(f"{r_hi} div {w}")))
+    ).alias("R")
+    cond = F.col("L.__cell") == F.col("R.__cell")
+    for k in keys:
+        cond = cond & (F.col(f"L.{k}") == F.col(f"R.{k}"))
+    overlap = (F.col(f"L.{l_lo}") <= F.col(f"R.{r_hi}")) & (
+        F.col(f"R.{r_lo}") <= F.col(f"L.{l_hi}")
+    )
+    first_cell = F.greatest(
+        F.expr(f"L.{l_lo} div {w}"), F.expr(f"R.{r_lo} div {w}")
+    )
+    out = la.join(ra, cond & overlap & (F.col("L.__cell") == first_cell))
+    return out.select(
+        *[F.col(f"L.{k}") for k in keys],
+        *[F.col(f"L.{c}") for c in left.columns if c not in keys],
+        *[F.col(f"R.{c}") for c in right.columns if c not in keys],
+    )

@@ -91,3 +91,70 @@ def time_bucket_gapfill(
         F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
         F.last("value_sum", ignorenulls=True).over(w_locf).alias("value_locf"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    value_cents_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average over irregular observations (the
+    TWAP / sensor-mean aggregate): each value holds until the next
+    observation (step-function / LOCF weighting), so
+
+        twap = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_1)
+
+    over each key's ordered samples — NOT the arithmetic mean, which
+    over-weights burst periods. The last observation contributes no
+    duration (nothing is known past it).
+
+    Exact integer construction (cross-engine determinism doctrine):
+    values are int64 cents, timestamps int64 microseconds; the weighted
+    sum is one int64 ``sum(cents * dur_us)`` and the average is folded
+    as hundredths-of-a-cent via euclidean split
+    ``q*10000 + (r*10000) div span`` (q = wsum div span, r = wsum mod
+    span) so no intermediate exceeds int64 while span*1e4 < 2^63
+    (spans to ~29k years). Headroom: |cents|·dur_us summed per key must
+    stay < 2^63 — at cents ≤ 1e6 and year-long spans that allows ~300k
+    observations/key; beyond that, split the sum hi/lo as
+    agg-grouped-corr does.
+
+    Shape: one lag/lead window + one groupBy on the SAME key — two
+    exchanges AQE overlaps; ties on the timestamp are pinned by
+    ``order_tiebreak`` (required for determinism when duplicate
+    timestamps are possible).
+
+    Output: key_cols..., n_obs, span_us, wsum_cents_us,
+    twap_c4 (hundredths of a cent; NULL when span is 0)."""
+    keys = list(key_cols)
+    order = [F.col(ts_us_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    stepped = df.withColumn("__next_t", F.lead(ts_us_col).over(w))
+    agg = (
+        stepped.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.max(ts_us_col) - F.min(ts_us_col)).alias("span_us"),
+            F.sum(
+                F.when(
+                    F.col("__next_t").isNotNull(),
+                    F.col(value_cents_col)
+                    * (F.col("__next_t") - F.col(ts_us_col)),
+                )
+            ).alias("wsum_cents_us"),
+        )
+    )
+    return agg.withColumn(
+        "twap_c4",
+        F.when(
+            F.col("span_us") > 0,
+            F.expr(
+                "(wsum_cents_us div span_us) * 10000"
+                " + ((wsum_cents_us % span_us) * 10000) div span_us"
+            ),
+        ).cast("long"),
+    )

@@ -89,3 +89,58 @@ def join_interval_broadcast(spark, sf):
         hi_col="hi",
         broadcast_intervals=True,
     ).select("l_orderkey", "l_linenumber", "p", "s_suppkey", "lo", "hi")
+
+
+@query(
+    "interval-interval-join",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS l_event,
+             epoch_us(ts) AS l_lo,
+             epoch_us(ts) + ((event_id % 7) + 1) * 3600000000 AS l_hi
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id AS r_event,
+             epoch_us(ts) AS r_lo,
+             epoch_us(ts) + ((event_id % 11) + 1) * 3600000000 AS r_hi
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l_event, r_event,
+           (CASE WHEN l_hi < r_hi THEN l_hi ELSE r_hi END
+            - CASE WHEN l_lo > r_lo THEN l_lo ELSE r_lo END) AS overlap_us
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l_lo <= r_hi AND r_lo <= l_hi
+    """,
+)
+def interval_interval_join_query(spark, sf):
+    """Region×region overlap join
+    (operators/interval.interval_interval_join): click sessions (1-7 h)
+    × view windows (1-11 h) per user, banded at 4 h — the banded
+    equi-join emits each overlapping pair exactly once via the
+    first-shared-cell rule (no distinct), the DuckDB IEJoin twin uses
+    the plain overlap predicate. Output includes the exact overlap
+    length in microseconds (closed-interval min(hi)-max(lo))."""
+    from genpipe_spark.operators.interval import interval_interval_join
+
+    e = t(spark, sf, "events")
+    hour = 3_600_000_000
+    left = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("l_event"),
+        F.unix_micros("ts").alias("l_lo"),
+        (F.unix_micros("ts") + ((F.col("event_id") % 7) + 1) * hour).alias("l_hi"),
+    )
+    right = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_event"),
+        F.unix_micros("ts").alias("r_lo"),
+        (F.unix_micros("ts") + ((F.col("event_id") % 11) + 1) * hour).alias("r_hi"),
+    )
+    j = interval_interval_join(
+        left, right, ["user_id"], "l_lo", "l_hi", "r_lo", "r_hi",
+        band_width=4 * hour,
+    )
+    return j.select(
+        "user_id", "l_event", "r_event",
+        (F.least("l_hi", "r_hi") - F.greatest("l_lo", "r_lo")).alias("overlap_us"),
+    )

@@ -1520,3 +1520,46 @@ def layout_bucketed_join(spark, sf):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("__cents").alias("price_cents"),
     )
+
+
+_ZORDER_BITS = 10
+_ZORDER_TERMS = " + ".join(
+    f"((hx >> {b}) & 1) * {1 << (b * 2)} + ((hy >> {b}) & 1) * {1 << (b * 2 + 1)}"
+    for b in range(_ZORDER_BITS)
+)
+
+
+@query(
+    "layout-zorder-key",
+    f"""
+    WITH g AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS hx, o_orderkey % 1024 AS hy
+      FROM orders
+    )
+    SELECT o_orderkey, hx, hy,
+           CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+    FROM g
+    """,
+)
+def layout_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key (operators/layout.zorder_key)
+    for orders on the same 1024x1024 grid as layout-hilbert-index —
+    bit interleave of the two quantized coordinates, column i
+    contributing bit b to position b*2+i. Pure shiftleft/AND/OR int64
+    expressions, replayed term-for-term by the oracle (non-overlapping
+    bits make bitwise-or equal to plus), so the multi-dimension
+    clustering key used by write_zordered gets a driver-checkable row
+    next to its Hilbert sibling. The write path itself
+    (repartitionByRange + sortWithinPartitions) stays covered by the
+    row-group skipping plan tests."""
+    from genpipe_spark.operators.layout import zorder_key
+
+    g = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("hx"),
+        (F.col("o_orderkey") % 1024).alias("hy"),
+    )
+    return g.withColumn(
+        "zkey", zorder_key([F.col("hx"), F.col("hy")], bits=_ZORDER_BITS)
+    )

@@ -255,6 +255,10 @@ _SORT_SET_MEMBERS = {
             ("price_cents", "s"),
         ],
     ),
+    "zorder": (
+        "layout-zorder-key",
+        [("o_orderkey", "s"), ("hx", "s"), ("hy", "s"), ("zkey", "s")],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -347,6 +351,13 @@ _TIMEGRID_MEMBERS = {
     "cohort": (
         "cohort-retention",
         [("cohort_bucket", "s"), ("bucket_offset", "s"), ("n_users", "s")],
+    ),
+    "twap": (
+        "rollup-twap",
+        [
+            ("user_id", "s"), ("n_obs", "s"), ("span_us", "s"),
+            ("wsum_cents_us", "s"), ("twap_c4", "s"),
+        ],
     ),
     "markov": (
         "event-transition-matrix",
@@ -445,9 +456,10 @@ sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
     "set-union ∪ sort-within-partitions ∪ topk ∪ sort-global ∪ "
     "set-except-intersect ∪ layout-hilbert-index ∪ "
-    "layout-bucketed-join — the §2.5 sort/limit/set-op family plus "
-    "the Hilbert clustering key and the zero-shuffle bucketed-layout "
-    "join (r5 third rotation; bucketed added r6).",
+    "layout-bucketed-join ∪ layout-zorder-key — the §2.5 "
+    "sort/limit/set-op family plus the layout keys (Hilbert + Morton) "
+    "and the zero-shuffle bucketed-layout join (r5 third rotation; "
+    "bucketed + zorder added r6).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
@@ -470,10 +482,11 @@ timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
-    "event-transition-matrix — the time-series/event-analytics "
-    "family: gap-filled buckets, calendar rollup, rolling z-score/EWMA, "
-    "ordered funnels (plain + 24h-conversion-window), cohort retention "
-    "(r5 third rotation; funnelw added r6).",
+    "rollup-twap ∪ event-transition-matrix — the "
+    "time-series/event-analytics family: gap-filled buckets, calendar "
+    "rollup, rolling z-score/EWMA, ordered funnels (plain + "
+    "24h-conversion-window), cohort retention, time-weighted averages "
+    "(r5 third rotation; funnelw + twap added r6).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -588,13 +601,18 @@ _INTERVAL_MEMBERS = {
         "interval-overlap-count",
         [("user_id", "s"), ("n_intervals", "s"), ("max_concurrent", "s")],
     ),
+    "regionjoin": (
+        "interval-interval-join",
+        [("user_id", "s"), ("l_event", "s"), ("r_event", "s"), ("overlap_us", "s")],
+    ),
 }
 
 interval_suite = _register(
     "interval-suite", _INTERVAL_MEMBERS,
-    "join-interval ∪ interval-overlap-count — the interval family: "
-    "banded range join plus exact sweep-line peak-concurrency "
-    "(r5 third rotation).",
+    "join-interval ∪ interval-overlap-count ∪ interval-interval-join — "
+    "the interval family: banded point-in-range join, exact sweep-line "
+    "peak-concurrency, and the banded region×region overlap join "
+    "(r5 third rotation; regionjoin added r6).",
 )
 
 _GRAPH_MEMBERS = {

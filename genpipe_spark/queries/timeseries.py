@@ -442,3 +442,53 @@ def event_transition_matrix(spark, sf):
     return transition_matrix(
         t(spark, sf, "events"), "user_id", ["ts", "event_id"], "event_type"
     )
+
+
+@query(
+    "rollup-twap",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, t, cents,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+      FROM s
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n_obs,
+             max(t) - min(t) AS span_us,
+             CAST(sum(CASE WHEN nt IS NOT NULL
+                           THEN cents * (nt - t) END) AS BIGINT)
+               AS wsum_cents_us
+      FROM st GROUP BY user_id
+    )
+    SELECT user_id, n_obs, span_us, wsum_cents_us,
+           CASE WHEN span_us > 0 THEN
+             (wsum_cents_us // span_us) * 10000
+             + ((wsum_cents_us % span_us) * 10000) // span_us
+           END AS twap_c4
+    FROM a
+    """,
+)
+def rollup_twap(spark, sf):
+    """Time-weighted average value per user
+    (operators/timegrid.time_weighted_avg): step-function/LOCF
+    weighting over each user's irregular event stream — the TWAP
+    aggregate, exact int64 cents·us weighted sums with a euclidean
+    hundredth-of-a-cent fold (non-negative values in this fixture, so
+    div/mod conventions agree across engines). One lag window + one
+    groupBy on the same user key."""
+    from genpipe_spark.operators.timegrid import time_weighted_avg
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return time_weighted_avg(
+        e, ["user_id"], "t_us", "cents", order_tiebreak="event_id"
+    )

@@ -4,7 +4,8 @@ SF dir (made by scripts/make_scaled_sf.py) with min-of-N warm runs and
 print one JSON line. Used for the 10x/100x scale-up evidence in
 SCALE.md / BENCH_SF1.json — NOT the driver-facing bench (bench.py).
 
-Usage: python scripts/bench_heavy.py [SF_DIR] [RUNS]
+Usage: python scripts/bench_heavy.py [SF_DIR] [RUNS] [QUERY ...]
+(QUERY names override the default HEAVY list.)
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ HEAVY = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    names = sys.argv[3:] or HEAVY
 
     from genpipe_spark import registry
     from genpipe_spark.session import get_spark
@@ -45,7 +47,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEAVY:
+    for name in names:
         best = float("inf")
         for _ in range(runs):
             start = time.perf_counter()

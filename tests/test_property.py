@@ -42,6 +42,40 @@ def test_interval_join_matches_model(spark, points, intervals, width):
     assert got == expected
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    left=intervals_strategy,
+    right=intervals_strategy,
+    width=st.sampled_from([7, 64, 1000]),
+)
+def test_interval_interval_join_matches_model(spark, left, right, width):
+    """Banded region×region join == brute-force overlap model, each
+    pair EXACTLY once (the first-shared-cell rule must not duplicate
+    pairs spanning several shared cells, for any band width)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.interval import interval_interval_join
+
+    ldf = spark.createDataFrame(
+        [Row(li=i, l_lo=lo, l_hi=hi) for i, (lo, hi) in enumerate(left)]
+    ).withColumn("k", F.lit(1))
+    rdf = spark.createDataFrame(
+        [Row(ri=i, r_lo=lo, r_hi=hi) for i, (lo, hi) in enumerate(right)]
+    ).withColumn("k", F.lit(1))
+    rows = interval_interval_join(
+        ldf, rdf, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", band_width=width
+    ).collect()
+    got = [(r["li"], r["ri"]) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    expected = {
+        (i, j)
+        for i, (a, b) in enumerate(left)
+        for j, (c, d) in enumerate(right)
+        if a <= d and c <= b
+    }
+    assert set(got) == expected
+
+
 # --------------------------------------------------------- alt-decompose
 
 def _model_alt_decompose(ref: str, alt: str, gt: str):
