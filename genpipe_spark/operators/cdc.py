@@ -62,38 +62,27 @@ def merge_apply(
     if validate:
         # fail loudly when the WINNER is ambiguous — a duplicate
         # (key, seq) at the top of the ordering, detected as
-        # lead(seq) == seq over the SAME window spec, so the check
-        # rides the existing Window node instead of launching a
-        # separate limit(1).collect() job that re-scanned the whole
-        # changeset (VERDICT r5). Duplicates buried below the winner
-        # cannot change the result and are not the contract's concern.
-        latest = (
-            changes.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__next_seq", F.lead(seq_col).over(w))
-            .where(F.col("__rn") == 1)
-            .where(
-                F.coalesce(
-                    F.assert_true(
-                        F.coalesce(
-                            F.col("__next_seq") != F.col(seq_col), F.lit(True)
-                        ),
-                        F.concat(
-                            F.lit(
-                                "merge_apply: duplicate (key, "
-                                f"{seq_col}) in changeset at "
-                            ),
-                            F.concat_ws(
-                                "/", *[F.col(k).cast("string") for k in keys]
-                            ),
-                            F.lit(f" {seq_col}="),
-                            F.col(seq_col).cast("string"),
-                        ),
-                    ).cast("boolean"),
-                    F.lit(True),
-                )
-            )
-            .drop("__rn", "__next_seq")
-        )
+        # lead(seq) null-safe-equal to seq over the SAME window spec
+        # (eqNullSafe: two NULL sequences are just as ambiguous as two
+        # equal ones — a plain != would coalesce NULLs to 'pass'), so
+        # the check rides the existing Window node instead of
+        # launching a separate limit(1).collect() job that re-scanned
+        # the whole changeset (VERDICT r5). Duplicates buried below
+        # the winner cannot change the result and are not the
+        # contract's concern.
+        from genpipe_spark.operators.checks import assert_rows
+
+        ranked = changes.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__next_seq", F.lead(seq_col).over(w)
+        ).where(F.col("__rn") == 1)
+        latest = assert_rows(
+            ranked,
+            ~F.col("__next_seq").eqNullSafe(F.col(seq_col)),
+            F.lit(f"merge_apply: duplicate (key, {seq_col}) in changeset at "),
+            F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+            F.lit(f" {seq_col}="),
+            F.coalesce(F.col(seq_col).cast("string"), F.lit("NULL")),
+        ).drop("__rn", "__next_seq")
     unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
     # NULL-safe: only an EXPLICIT delete_op removes the key — a NULL op
     # (malformed feed) upserts rather than silently vanishing, because

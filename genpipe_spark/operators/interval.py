@@ -33,6 +33,25 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genpipe_spark.operators.checks import assert_rows
+
+
+def _checked_intervals(df: DataFrame, lo: str, hi: str, op: str) -> DataFrame:
+    """Reject NULL or inverted (hi < lo) intervals per-row — both
+    silently corrupt downstream band explosion / sweep sums."""
+    valid = (
+        F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(hi) >= F.col(lo))
+    )
+    return assert_rows(
+        df,
+        valid,
+        F.lit(f"{op}: NULL or inverted interval [{lo}, {hi}] = ["),
+        F.coalesce(F.col(lo).cast("string"), F.lit("NULL")),
+        F.lit(", "),
+        F.coalesce(F.col(hi).cast("string"), F.lit("NULL")),
+        F.lit("]"),
+    )
+
 
 def interval_join(
     points: DataFrame,
@@ -150,29 +169,7 @@ def interval_overlap_stats(
     from pyspark.sql import Window
 
     keys = list(key_cols)
-    valid = (
-        F.col(start_col).isNotNull()
-        & F.col(end_col).isNotNull()
-        & (F.col(end_col) >= F.col(start_col))
-    )
-    df = df.where(
-        F.coalesce(
-            F.assert_true(
-                valid,
-                F.concat(
-                    F.lit(
-                        "interval_overlap_stats: NULL or inverted interval "
-                        f"[{start_col}, {end_col}) = ["
-                    ),
-                    F.col(start_col).cast("string"),
-                    F.lit(", "),
-                    F.col(end_col).cast("string"),
-                    F.lit(")"),
-                ),
-            ).cast("boolean"),
-            F.lit(True),
-        )
-    )
+    df = _checked_intervals(df, start_col, end_col, "interval_overlap_stats")
     starts = df.select(
         *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
     )
@@ -233,29 +230,9 @@ def interval_interval_join(
     pre-rename collisions, as with interval_join)."""
     keys = list(on)
     w = int(band_width)
-
-    def checked(df, lo, hi):
-        valid = (
-            F.col(lo).isNotNull()
-            & F.col(hi).isNotNull()
-            & (F.col(hi) >= F.col(lo))
-        )
-        return df.where(
-            F.coalesce(
-                F.assert_true(
-                    valid,
-                    F.concat(
-                        F.lit(f"interval_interval_join: NULL or inverted [{lo}, {hi}] = ["),
-                        F.col(lo).cast("string"),
-                        F.lit(", "),
-                        F.col(hi).cast("string"),
-                        F.lit("]"),
-                    ),
-                ).cast("boolean"),
-                F.lit(True),
-            )
-        )
-
+    checked = lambda df, lo, hi: _checked_intervals(  # noqa: E731
+        df, lo, hi, "interval_interval_join"
+    )
     la = checked(left, l_lo, l_hi).withColumn(
         "__cell", F.explode(F.sequence(F.expr(f"{l_lo} div {w}"), F.expr(f"{l_hi} div {w}")))
     ).alias("L")

@@ -229,7 +229,7 @@ def hilbert_index_nd_pandas(
         for pdf in it:
             X = np.stack(
                 [pdf[c].to_numpy(dtype=np.int64) for c in cols], axis=1
-            ).copy()
+            )
             if len(X) and ((X < 0) | (X >= side)).any():
                 raise ValueError(
                     f"hilbert_index_nd_pandas: coordinates must be in "

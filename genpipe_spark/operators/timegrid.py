@@ -113,13 +113,15 @@ def time_weighted_avg(
     Exact integer construction (cross-engine determinism doctrine):
     values are int64 cents, timestamps int64 microseconds; the weighted
     sum is one int64 ``sum(cents * dur_us)`` and the average is folded
-    as hundredths-of-a-cent via euclidean split
+    as hundredths-of-a-cent via the quotient/remainder split
     ``q*10000 + (r*10000) div span`` (q = wsum div span, r = wsum mod
     span) so no intermediate exceeds int64 while span*1e4 < 2^63
-    (spans to ~29k years). Headroom: |cents|·dur_us summed per key must
-    stay < 2^63 — at cents ≤ 1e6 and year-long spans that allows ~300k
-    observations/key; beyond that, split the sum hi/lo as
-    agg-grouped-corr does.
+    (spans to ~29k years). div/mod TRUNCATE toward zero in both Spark
+    and DuckDB, so for a negative wsum the sub-c4 digit rounds toward
+    zero (not floor) — engine-identical either way. Headroom:
+    |cents|·dur_us summed per key must stay < 2^63 — at cents ≤ 1e6
+    and year-long spans that allows ~300k observations/key; beyond
+    that, split the sum hi/lo as agg-grouped-corr does.
 
     Shape: one lag/lead window + one groupBy on the SAME key — two
     exchanges AQE overlaps; ties on the timestamp are pinned by

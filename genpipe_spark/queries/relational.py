@@ -1252,8 +1252,7 @@ def quantile_mad(spark, sf):
                    CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem)
       GROUP BY l_returnflag
     )
-    SELECT l_returnflag, n, sx, sy,
-           sxy_hi * 1073741824 + sxy_lo AS sxy,
+    SELECT l_returnflag, n, sx, sy, sxy_hi, sxy_lo,
            CAST(floor(1000000.0 *
                  (CAST(n AS DOUBLE)
                     * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
@@ -1322,9 +1321,12 @@ def agg_grouped_corr(spark, sf):
         (n_d * recon_d("sxx") - sx_d * sx_d)
         * (n_d * recon_d("syy") - sy_d * sy_d)
     )
+    # the cross-moment is EXPOSED as its (hi, lo) pair — reconstructing
+    # hi*2^30+lo in int64 would overflow in exactly the cents-scale/
+    # sf10+ regime the split exists for (round-6 review); consumers
+    # reconstruct in whatever width they need
     return s.select(
-        "l_returnflag", "n", "sx", "sy",
-        (F.col("sxy_hi") * F.lit(split) + F.col("sxy_lo")).alias("sxy"),
+        "l_returnflag", "n", "sx", "sy", "sxy_hi", "sxy_lo",
         F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("corr_micro"),
     )
 

@@ -559,7 +559,7 @@ _AGG_DISTINCT_EXTREMA_MEMBERS = {
         "agg-grouped-corr",
         [
             ("l_returnflag", "s"), ("n", "s"), ("sx", "s"), ("sy", "s"),
-            ("sxy", "s"), ("corr_micro", "s"),
+            ("sxy_hi", "s"), ("sxy_lo", "s"), ("corr_micro", "s"),
         ],
     ),
 }

@@ -69,6 +69,15 @@ def test_validate_rejects_ambiguous_duplicates(spark):
         validate=True,
     )
     assert (1, "z", 2) in got
+    # two NULL sequences for one key are just as ambiguous as two
+    # equal ones — eqNullSafe detection (round-6 review: a plain !=
+    # coalesced NULLs to 'pass' and picked an arbitrary winner)
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        _apply(
+            spark,
+            [(1, "a", 0, None, "U"), (1, "b", 1, None, "U")],
+            validate=True,
+        )
     # without validate, the documented tie-break (op desc) is applied
     got = _apply(spark, [(1, "x", 0, 5, "U"), (1, "y", 1, 5, "D")])
     assert (1, "x", 0) in got

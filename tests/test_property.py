@@ -42,10 +42,22 @@ def test_interval_join_matches_model(spark, points, intervals, width):
     assert got == expected
 
 
+# region-join bounds cross zero: the first-shared-cell exactly-once
+# rule must hold where truncating div and floor diverge (negative
+# coordinates), not just on the positive axis
+signed_intervals_strategy = st.lists(
+    st.tuples(st.integers(-300, 300), st.integers(0, 60)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
 @settings(max_examples=12, deadline=None)
 @given(
-    left=intervals_strategy,
-    right=intervals_strategy,
+    left=signed_intervals_strategy,
+    right=signed_intervals_strategy,
     width=st.sampled_from([7, 64, 1000]),
 )
 def test_interval_interval_join_matches_model(spark, left, right, width):
