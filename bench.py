@@ -81,6 +81,8 @@ HEADLINE = [
     "layout-bucketed-join",
     "interval-interval-join",
     "rollup-twap",
+    "graph-triangle-count",
+    "copurchase-pairs",
 ]
 
 

@@ -184,6 +184,72 @@ def pagerank_micro(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the
+    clustering-coefficient / community-density primitive, via the
+    degree-ordered wedge join (the standard distributed formulation:
+    Suri & Vassilvitskii's MR triangle counting).
+
+    Steps, all keyed joins/aggregates:
+      1. canonicalize to distinct undirected edges (min, max), dropping
+         self-loops;
+      2. ORIENT each edge from its lower (degree, id) endpoint to the
+         higher — every triangle then appears as exactly ONE wedge
+         (u→v, v→w) closed by the oriented edge (u→w), and each
+         node's oriented out-degree is O(sqrt(m)), which bounds the
+         wedge explosion on skewed (hub-heavy) graphs — the reason for
+         degree ordering rather than plain id ordering at scale;
+      3. wedge join on the middle node + a semi-ish join back to the
+         oriented edge set to keep closed wedges;
+      4. explode each triangle to its three corners and count per node.
+
+    Output: (node, n_triangles) for nodes in >= 1 triangle. The total
+    triangle count is sum(n_triangles)/3. Deterministic (set-valued),
+    oracle-replayable: the orientation is a pure function of the edge
+    set."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient a->b iff (deg(a), a) < (deg(b), b); else b->a
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    wedges = o.alias("E1").join(
+        o.alias("E2"), F.col("E1.v") == F.col("E2.u")
+    ).select(
+        F.col("E1.u").alias("u"), F.col("E1.v").alias("v"), F.col("E2.v").alias("w")
+    ).alias("W")
+    closed = wedges.join(
+        o.alias("E3"),
+        (F.col("W.u") == F.col("E3.u")) & (F.col("W.w") == F.col("E3.v")),
+        "left_semi",
+    )
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v").alias("node")))
+        .unionByName(closed.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

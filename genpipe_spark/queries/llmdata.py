@@ -1708,6 +1708,57 @@ def graph_bfs_levels(spark, sf):
 
 
 @query(
+    "graph-triangle-count",
+    """
+    WITH raw AS (
+      SELECT DISTINCT
+             CASE WHEN o_custkey % 100 < o_orderkey % 100
+                  THEN o_custkey % 100 ELSE o_orderkey % 100 END AS a,
+             CASE WHEN o_custkey % 100 < o_orderkey % 100
+                  THEN o_orderkey % 100 ELSE o_custkey % 100 END AS b
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM raw UNION ALL SELECT b AS n FROM raw)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                  THEN b ELSE a END AS v
+      FROM raw JOIN deg da ON da.n = raw.a JOIN deg db ON db.n = raw.b
+    ),
+    tri AS (
+      SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e1.v = e2.u
+      WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    ),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def graph_triangle_count(spark, sf):
+    """Per-node triangle counts (operators/graph.triangle_count) over
+    the same 100-node orders-derived graph as pagerank/BFS — the
+    degree-ordered wedge join (one triangle = one wedge), replayed
+    orientation-for-orientation by the oracle."""
+    from genpipe_spark.operators.graph import triangle_count
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@query(
     "multimodal-image-ahash",
     """
     WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),

@@ -1565,3 +1565,49 @@ def layout_zorder_key(spark, sf):
     return g.withColumn(
         "zkey", zorder_key([F.col("hx"), F.col("hy")], bits=_ZORDER_BITS)
     )
+
+
+@query(
+    "copurchase-pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           count(*) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    HAVING count(*) >= 3
+    """,
+)
+def copurchase_pairs(spark, sf):
+    """Market-basket co-occurrence: brand pairs bought together in >= 3
+    orders — the association-mining support count. Shape: one dim join
+    (brand onto lines; part grows with SF, so broadcast is left to AQE
+    — the flagship rule), distinct (order, brand) to collapse repeat
+    lines, a self equi-join on the order key with the a<b ordering so
+    each unordered pair counts once, and one grouped count. Pairs per
+    order are bounded by the basket's distinct-brand count, so the
+    self-join fan-out is C(basket,2) — basket-bounded, never
+    corpus-quadratic."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    a, b = ob.alias("A"), ob.alias("B")
+    pairs = a.join(
+        b,
+        (F.col("A.l_orderkey") == F.col("B.l_orderkey"))
+        & (F.col("A.p_brand") < F.col("B.p_brand")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("A.p_brand").alias("brand_a"),
+            F.col("B.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )

@@ -438,6 +438,10 @@ _RESHAPE_OLAP_MEMBERS = {
         ],
     ),
     "q3": ("tpch-q3", [("l_orderkey", "s"), ("revenue", "f"), ("orderdate", "s")]),
+    "basket": (
+        "copurchase-pairs",
+        [("brand_a", "s"), ("brand_b", "s"), ("n_orders", "s")],
+    ),
 }
 
 quantile_suite = _register(
@@ -511,8 +515,10 @@ text_token_suite = _register(
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
-    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 — reshape + "
-    "grouping-sets + the TPC-H showcases (r5 third rotation).",
+    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ "
+    "copurchase-pairs — reshape + grouping-sets + the TPC-H showcases "
+    "+ market-basket support counts (r5 third rotation; basket added "
+    "r6).",
 )
 
 
@@ -618,14 +624,18 @@ interval_suite = _register(
 _GRAPH_MEMBERS = {
     "pagerank": ("graph-pagerank", [("node", "s"), ("rank_micro", "s")]),
     "bfs": ("graph-bfs-levels", [("node", "s"), ("level", "s")]),
+    "triangles": (
+        "graph-triangle-count", [("node", "s"), ("n_triangles", "s")]
+    ),
 }
 
 graph_suite = _register(
     "graph-suite", _GRAPH_MEMBERS,
-    "graph-pagerank ∪ graph-bfs-levels — iterative graph algorithms: "
-    "exact-integer PageRank and bounded multi-source BFS matched "
-    "against a genuine WITH RECURSIVE oracle (r5 third rotation; "
-    "dedup-components rides dedup-misc-suite).",
+    "graph-pagerank ∪ graph-bfs-levels ∪ graph-triangle-count — graph "
+    "algorithms: exact-integer PageRank, bounded multi-source BFS "
+    "matched against a genuine WITH RECURSIVE oracle, and "
+    "degree-ordered wedge-join triangle counting (r5 third rotation; "
+    "triangles added r6; dedup-components rides dedup-misc-suite).",
 )
 
 _MM_FULL_MEMBERS = {
