@@ -83,6 +83,7 @@ HEADLINE = [
     "rollup-twap",
     "graph-triangle-count",
     "copurchase-pairs",
+    "session-paths",
 ]
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from genpipe_spark.operators.anomaly import _reject_collisions
@@ -83,6 +83,70 @@ def funnel_steps(
         F.col("__u").alias(user_col),
         completed.alias("steps_completed"),
         *[f"t_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_us: int = 6 * 3600 * 1_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Navigation-path mining: sessionize each user's stream by
+    inactivity gap (gaps-and-islands, the stream-sessionize-batch
+    pattern), concatenate each session's states IN ORDER into a path
+    string, and count sessions per path — the "top user journeys"
+    product-analytics query.
+
+    Determinism: within-session order is (ts, tiebreak) — pass a
+    unique ``tiebreak_col`` when duplicate timestamps are possible;
+    the path is built by sorting the collected (ts, tiebreak, state)
+    structs (lexicographic struct sort == the window order), so the
+    string is a pure function of the session's event SET.
+
+    Shape: one user-keyed window (lag + running sum share it), one
+    (user, session) aggregate collecting the session's own events —
+    state bounded by session length, never a user's full history — and
+    one grouped count on the path string. Three keyed exchanges.
+
+    Output: (path, n_sessions)."""
+    _reject_collisions(
+        events, {"__us", "__ns", "__sid", "__e"}, "session_paths"
+    )
+    tb = [tiebreak_col] if tiebreak_col else []
+    ev = events.select(
+        user_col,
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        *tb,
+        state_col,
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        "__us", *[F.col(c) for c in tb]
+    )
+    marked = ev.withColumn(
+        "__ns",
+        (F.col("__us") - F.lag("__us", 1, -(10**18)).over(w) > gap_us).cast(
+            "int"
+        ),
+    ).withColumn(
+        "__sid",
+        F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = marked.groupBy(user_col, "__sid").agg(
+        F.concat_ws(
+            "->",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__us", *tb, state_col))
+                ),
+                lambda s: s[state_col],
+            ),
+        ).alias("path")
+    )
+    return sessions.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
     )
 
 

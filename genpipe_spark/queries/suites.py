@@ -359,6 +359,10 @@ _TIMEGRID_MEMBERS = {
             ("wsum_cents_us", "s"), ("twap_c4", "s"),
         ],
     ),
+    "paths": (
+        "session-paths",
+        [("path", "s"), ("n_sessions", "s")],
+    ),
     "markov": (
         "event-transition-matrix",
         [("state_from", "s"), ("state_to", "s"), ("n", "s"), ("p_micro", "s")],
@@ -486,11 +490,12 @@ timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
-    "rollup-twap ∪ event-transition-matrix — the "
+    "rollup-twap ∪ session-paths ∪ event-transition-matrix — the "
     "time-series/event-analytics family: gap-filled buckets, calendar "
     "rollup, rolling z-score/EWMA, ordered funnels (plain + "
-    "24h-conversion-window), cohort retention, time-weighted averages "
-    "(r5 third rotation; funnelw + twap added r6).",
+    "24h-conversion-window), cohort retention, time-weighted averages, "
+    "session path mining "
+    "(r5 third rotation; funnelw + twap + paths added r6).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

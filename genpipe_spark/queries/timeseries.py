@@ -492,3 +492,41 @@ def rollup_twap(spark, sf):
     return time_weighted_avg(
         e, ["user_id"], "t_us", "cents", order_tiebreak="event_id"
     )
+
+
+@query(
+    "session-paths",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN epoch_us(ts)
+                    - epoch_us(lag(ts, 1, TIMESTAMP '1970-01-01') OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                  > 21600000000 THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+    """,
+)
+def session_paths_query(spark, sf):
+    """Top user-journey paths (operators/eventflow.session_paths):
+    6-hour inactivity-gap sessions, each session's event types joined
+    in (ts, event_id) order, counted per distinct path. The oracle
+    sessionizes with the same gaps-and-islands windows and an ORDER BY
+    string_agg."""
+    from genpipe_spark.operators.eventflow import session_paths
+
+    return session_paths(
+        t(spark, sf, "events"), "user_id", "ts", "event_type",
+        gap_us=21_600_000_000, tiebreak_col="event_id",
+    )
