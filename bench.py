@@ -84,6 +84,8 @@ HEADLINE = [
     "graph-triangle-count",
     "copurchase-pairs",
     "session-paths",
+    "snapshot-diff",
+    "quantile-weighted-median",
 ]
 
 

@@ -159,3 +159,61 @@ def scd2_history(
         F.col("__version").cast("int").alias("version"),
         F.col("__valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Derive the CHANGESET between two snapshots — the inverse of
+    :func:`merge_apply` (table-diff / audit / incremental-export): one
+    row per key whose state changed, tagged ``op`` = 'I' (key only in
+    ``new``), 'U' (present in both, payload differs), 'D' (key only in
+    ``old``). Unchanged keys emit nothing. Payload columns carry the
+    NEW side's values for I/U and the OLD side's for D (the row being
+    removed). Both inputs must share the snapshot schema; keys are
+    assumed non-NULL (the merge_apply contract).
+
+    Comparison is null-safe on the full non-key payload struct, so
+    NULL→value and value→NULL transitions count as updates.
+
+    Scale shape: ONE full-outer join hash-partitioned on the key —
+    both sides shuffle once, AQE handles skew; no window, no collect.
+    Pair with dynamic partition overwrite to export only touched
+    partitions."""
+    keys = list(key_cols)
+    payload = [c for c in old.columns if c not in keys]
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot_diff: schema mismatch {old.columns} vs {new.columns}"
+        )
+    o = old.alias("O")
+    n = new.alias("N")
+    cond = None
+    for k in keys:
+        eq = F.col(f"O.{k}") == F.col(f"N.{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    old_present = F.col(f"O.{keys[0]}").isNotNull()
+    new_present = F.col(f"N.{keys[0]}").isNotNull()
+    changed = ~F.struct(*[F.col(f"O.{c}") for c in payload]).eqNullSafe(
+        F.struct(*[F.col(f"N.{c}") for c in payload])
+    )
+    op = (
+        F.when(~new_present, F.lit("D"))
+        .when(~old_present, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    out = j.withColumn("op", op).where(F.col("op").isNotNull())
+    side = lambda c: F.coalesce(F.col(f"N.{c}"), F.col(f"O.{c}"))  # noqa: E731
+    return out.select(
+        *[side(k).alias(k) for k in keys],
+        *[
+            F.when(F.col("op") == "D", F.col(f"O.{c}"))
+            .otherwise(F.col(f"N.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+        "op",
+    )

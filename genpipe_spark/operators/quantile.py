@@ -167,3 +167,43 @@ def group_mad(
         *by, F.col("q").alias("mad_cents")
     )
     return med.join(mad, list(by))
+
+
+def group_weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    importance-weighted center (duplicate-aware corpus statistics,
+    weighted latency medians). Integer weights keep every comparison
+    exact; the result is an ACTUAL data value (nearest-rank doctrine,
+    see module docstring), so the oracle reproduces it bit-for-bit.
+
+    Determinism under ties: rows with equal values may accumulate in
+    any order, but the first value whose VALUE-level cumulative weight
+    crosses half-total is order-independent, and only the value is
+    emitted.
+
+    Shape: one value-ordered window (cumulative + total ride the same
+    partition spec) + one grouped min — a single hash shuffle on the
+    group key. Output: *by, w_total, wmedian."""
+    keys = list(by)
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    flagged = df.withColumn("__cum", F.sum(weight_col).over(wo)).withColumn(
+        "__tot", F.sum(weight_col).over(wp)
+    )
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.max("__tot").alias("w_total"),
+            F.min(
+                F.when(
+                    F.col("__cum") * 2 >= F.col("__tot"), F.col(value_col)
+                )
+            ).alias("wmedian"),
+        )
+    )

@@ -1611,3 +1611,107 @@ def copurchase_pairs(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 3)
     )
+
+
+@query(
+    "snapshot-diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+             c_mktsegment
+      FROM customer
+    ),
+    new AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN acct_cents + 1000
+                  ELSE acct_cents END AS acct_cents,
+             c_mktsegment
+      FROM old WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, acct_cents,
+             c_mktsegment
+      FROM old WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN o.c_name ELSE n.c_name END
+             AS c_name,
+           CASE WHEN n.c_custkey IS NULL THEN o.c_nationkey
+                ELSE n.c_nationkey END AS c_nationkey,
+           CASE WHEN n.c_custkey IS NULL THEN o.acct_cents
+                ELSE n.acct_cents END AS acct_cents,
+           CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+                ELSE n.c_mktsegment END AS c_mktsegment,
+           CASE WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN o.c_custkey IS NULL THEN 'I'
+                ELSE 'U' END AS op
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE n.c_custkey IS NULL OR o.c_custkey IS NULL
+       OR (n.c_name, n.c_nationkey, n.acct_cents, n.c_mktsegment)
+          IS DISTINCT FROM
+          (o.c_name, o.c_nationkey, o.acct_cents, o.c_mktsegment)
+    """,
+)
+def snapshot_diff_query(spark, sf):
+    """Table diff (operators/cdc.snapshot_diff — the inverse of
+    merge_apply): customer vs a deterministically perturbed next
+    snapshot (every 10th key deleted, every 7th rebalanced +10.00,
+    every 13th re-inserted under key+1e6) — emits I/U/D changeset rows
+    from ONE full-outer key join, unchanged keys emitting nothing.
+    Payload travels as integer cents (exact compare + exact hash)."""
+    from genpipe_spark.operators.cdc import snapshot_diff
+
+    old = t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+        "c_mktsegment",
+    )
+    new = old.where(F.col("c_custkey") % 10 != 0).withColumn(
+        "acct_cents",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("acct_cents") + 1000
+        ).otherwise(F.col("acct_cents")),
+    ).unionByName(
+        old.where(F.col("c_custkey") % 13 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1_000_000
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
+@query(
+    "quantile-weighted-median",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT g, xc, w,
+             sum(w) OVER (PARTITION BY g ORDER BY xc
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY g) AS tot
+      FROM v
+    )
+    SELECT g AS l_returnflag,
+           CAST(max(tot) AS BIGINT) AS w_total,
+           min(CASE WHEN cum * 2 >= tot THEN xc END) AS wmedian
+    FROM c GROUP BY g
+    """,
+)
+def quantile_weighted_median(spark, sf):
+    """Quantity-weighted median price cents per return flag
+    (operators/quantile.group_weighted_median): the smallest price
+    whose cumulative quantity reaches half the flag's total — exact
+    integer cumulative weights, value-level crossing independent of
+    tie order."""
+    from genpipe_spark.operators.quantile import group_weighted_median
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return group_weighted_median(li, "xc", "w", ["l_returnflag"])

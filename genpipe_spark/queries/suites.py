@@ -211,6 +211,10 @@ _QUANTILE_MEMBERS = {
         "quantile-mad",
         [("l_returnflag", "s"), ("med_cents", "s"), ("mad_cents", "s")],
     ),
+    "wmedian": (
+        "quantile-weighted-median",
+        [("l_returnflag", "s"), ("w_total", "s"), ("wmedian", "s")],
+    ),
 }
 
 _WINDOW_MEMBERS = {
@@ -409,6 +413,13 @@ _CDC_MEMBERS = {
         "scd2-point-in-time",
         [("custkey", "s"), ("fact_seq", "s"), ("seg", "s"), ("st", "s"), ("version", "s")],
     ),
+    "diff": (
+        "snapshot-diff",
+        [
+            ("c_custkey", "s"), ("c_name", "s"), ("c_nationkey", "s"),
+            ("acct_cents", "s"), ("c_mktsegment", "s"), ("op", "s"),
+        ],
+    ),
 }
 
 _FN_STRUCT_MEMBERS = {
@@ -450,9 +461,11 @@ _RESHAPE_OLAP_MEMBERS = {
 
 quantile_suite = _register(
     "quantile-suite", _QUANTILE_MEMBERS,
-    "quantile-group-exact ∪ quantile-group-histogram ∪ quantile-mad — "
-    "exact grouped percentiles, the mergeable histogram estimator, and "
-    "robust median/MAD dispersion in one slot (r5 third rotation).",
+    "quantile-group-exact ∪ quantile-group-histogram ∪ quantile-mad ∪ "
+    "quantile-weighted-median — exact grouped percentiles, the "
+    "mergeable histogram estimator, robust median/MAD dispersion, and "
+    "the weighted median in one slot (r5 third rotation; wmedian "
+    "added r6).",
 )
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
@@ -504,9 +517,10 @@ profile_suite = _register(
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
-    "merge-upsert ∪ scd2-history ∪ scd2-point-in-time — the CDC family: "
-    "MERGE INTO apply, SCD Type-2 history, and the temporal "
-    "point-in-time fact join (r5 third rotation).",
+    "merge-upsert ∪ scd2-history ∪ scd2-point-in-time ∪ snapshot-diff "
+    "— the CDC family: MERGE INTO apply, SCD Type-2 history, the "
+    "temporal point-in-time fact join, and the inverse table-diff that "
+    "derives I/U/D changesets (r5 third rotation; diff added r6).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,

@@ -83,6 +83,33 @@ def test_validate_rejects_ambiguous_duplicates(spark):
     assert (1, "x", 0) in got
 
 
+def test_snapshot_diff_roundtrip(spark):
+    """merge_apply(old, snapshot_diff(old, new)) must reproduce new
+    exactly — the diff is a faithful changeset (inverse pair), and
+    unchanged keys emit no diff row."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.cdc import merge_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k: long, v: string, x: long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 99), (5, "e", 50)],
+        "k: long, v: string, x: long",
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    ops = {(r["k"], r["op"]) for r in diff.collect()}
+    assert ops == {(2, "U"), (3, "D"), (4, "D"), (5, "I")}  # 1 unchanged
+    applied = merge_apply(
+        old, diff.withColumn("seq", F.lit(1)), ["k"], "seq"
+    )
+    assert {tuple(r) for r in applied.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
 def test_null_op_upserts_instead_of_vanishing(spark):
     # a malformed feed with a NULL op must not silently delete the key:
     # `op != 'D'` alone is NULL-valued there (code-review regression)
