@@ -188,6 +188,9 @@ def snapshot_diff(
         raise ValueError(
             f"snapshot_diff: schema mismatch {old.columns} vs {new.columns}"
         )
+    from genpipe_spark.operators.anomaly import _reject_collisions
+
+    _reject_collisions(old, {"op"}, "snapshot_diff")
     o = old.alias("O")
     n = new.alias("N")
     cond = None

@@ -112,9 +112,7 @@ def session_paths(
     one grouped count on the path string. Three keyed exchanges.
 
     Output: (path, n_sessions)."""
-    _reject_collisions(
-        events, {"__us", "__ns", "__sid", "__e"}, "session_paths"
-    )
+    _reject_collisions(events, {"__us", "__ns", "__sid"}, "session_paths")
     tb = [tiebreak_col] if tiebreak_col else []
     ev = events.select(
         user_col,

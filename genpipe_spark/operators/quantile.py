@@ -189,8 +189,15 @@ def group_weighted_median(
 
     Shape: one value-ordered window (cumulative + total ride the same
     partition spec) + one grouped min — a single hash shuffle on the
-    group key. Output: *by, w_total, wmedian."""
+    group key. NULL values or weights are EXCLUDED (the module's
+    NULL-exclusion doctrine; Spark sorts NULLS FIRST where DuckDB
+    sorts them LAST, so including them would both shift the crossing
+    and break engine parity — round-6 review). Output: *by, w_total,
+    wmedian."""
     keys = list(by)
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
     wp = Window.partitionBy(*keys)
     wo = wp.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
     flagged = df.withColumn("__cum", F.sum(weight_col).over(wo)).withColumn(

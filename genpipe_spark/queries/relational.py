@@ -1629,7 +1629,7 @@ def copurchase_pairs(spark, sf):
              c_mktsegment
       FROM old WHERE c_custkey % 10 <> 0
       UNION ALL
-      SELECT c_custkey + 1000000, c_name, c_nationkey, acct_cents,
+      SELECT -c_custkey, c_name, c_nationkey, acct_cents,
              c_mktsegment
       FROM old WHERE c_custkey % 13 = 0
     )
@@ -1656,9 +1656,12 @@ def snapshot_diff_query(spark, sf):
     """Table diff (operators/cdc.snapshot_diff — the inverse of
     merge_apply): customer vs a deterministically perturbed next
     snapshot (every 10th key deleted, every 7th rebalanced +10.00,
-    every 13th re-inserted under key+1e6) — emits I/U/D changeset rows
-    from ONE full-outer key join, unchanged keys emitting nothing.
-    Payload travels as integer cents (exact compare + exact hash)."""
+    every 13th re-inserted under the NEGATED key — custkeys are
+    positive at every SF, so synthetic inserts can never collide with
+    a real key, unlike a fixed +1e6 offset which real keys overtake
+    past sf~7; round-6 review) — emits I/U/D changeset rows from ONE
+    full-outer key join, unchanged keys emitting nothing. Payload
+    travels as integer cents (exact compare + exact hash)."""
     from genpipe_spark.operators.cdc import snapshot_diff
 
     old = t(spark, sf, "customer").select(
@@ -1673,7 +1676,7 @@ def snapshot_diff_query(spark, sf):
         ).otherwise(F.col("acct_cents")),
     ).unionByName(
         old.where(F.col("c_custkey") % 13 == 0).withColumn(
-            "c_custkey", F.col("c_custkey") + 1_000_000
+            "c_custkey", -F.col("c_custkey")
         )
     )
     return snapshot_diff(old, new, ["c_custkey"])
@@ -1687,6 +1690,7 @@ def snapshot_diff_query(spark, sf):
              CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
              CAST(l_quantity AS BIGINT) AS w
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     c AS (
       SELECT g, xc, w,
