@@ -86,6 +86,7 @@ HEADLINE = [
     "session-paths",
     "snapshot-diff",
     "quantile-weighted-median",
+    "copurchase-lift",
 ]
 
 

@@ -214,3 +214,51 @@ def group_weighted_median(
             ).alias("wmedian"),
         )
     )
+
+
+def group_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: Sequence[str],
+    pcts: Sequence[int] = (25, 50, 75),
+) -> DataFrame:
+    """Generalization of :func:`group_weighted_median` to arbitrary
+    percentiles: for each pct, the smallest value whose cumulative
+    weight reaches pct% of the group total — exact integer crossing
+    ``cum*100 >= pct*tot`` (no float thresholds), one row per
+    (group, pct). Same single-shuffle shape and NULL-exclusion as the
+    median; pcts is a small constant, so the per-pct mins ride ONE
+    aggregate over the same flagged frame.
+
+    Output: *by, pct, w_total, wq."""
+    keys = list(by)
+    pcts = list(pcts)
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("group_weighted_quantiles: pcts must be in [1, 100]")
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    flagged = df.withColumn("__cum", F.sum(weight_col).over(wo)).withColumn(
+        "__tot", F.sum(weight_col).over(wp)
+    )
+    agg = flagged.groupBy(*keys).agg(
+        F.max("__tot").alias("w_total"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * 100 >= F.lit(p) * F.col("__tot"),
+                    F.col(value_col),
+                )
+            ).alias(f"__q_{p}")
+            for p in pcts
+        ],
+    )
+    stacked = ", ".join(f"{p}, __q_{p}" for p in pcts)
+    return agg.select(
+        *keys,
+        "w_total",
+        F.expr(f"stack({len(pcts)}, {stacked}) AS (pct, wq)"),
+    ).select(*keys, "pct", "w_total", "wq")

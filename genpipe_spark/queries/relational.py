@@ -1719,3 +1719,132 @@ def quantile_weighted_median(spark, sf):
         F.col("l_quantity").cast("long").alias("w"),
     )
     return group_weighted_median(li, "xc", "w", ["l_returnflag"])
+
+
+_WPCTS = (25, 50, 75, 90)
+_WPCT_MINS = ",\n             ".join(
+    f"min(CASE WHEN cum * 100 >= {p} * tot THEN xc END) AS q{p}"
+    for p in _WPCTS
+)
+_WPCT_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT l_returnflag, {p} AS pct, w_total, q{p} AS wq FROM a"
+    for p in _WPCTS
+)
+
+
+@query(
+    "quantile-weighted-pcts",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    c AS (
+      SELECT g, xc, w,
+             sum(w) OVER (PARTITION BY g ORDER BY xc
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY g) AS tot
+      FROM v
+    ),
+    a AS (
+      SELECT g AS l_returnflag,
+             CAST(max(tot) AS BIGINT) AS w_total,
+             {_WPCT_MINS}
+      FROM c GROUP BY g
+    )
+{_WPCT_UNION}
+    """,
+)
+def quantile_weighted_pcts(spark, sf):
+    """Quantity-weighted price percentiles (25/50/75/90) per return
+    flag (operators/quantile.group_weighted_quantiles): the smallest
+    price whose cumulative quantity reaches pct% of the flag total —
+    exact integer crossing cum*100 >= pct*tot, every pct riding ONE
+    window + ONE aggregate."""
+    from genpipe_spark.operators.quantile import group_weighted_quantiles
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return group_weighted_quantiles(
+        li, "xc", "w", ["l_returnflag"], pcts=_WPCTS
+    ).select("l_returnflag", "pct", "w_total", F.col("wq"))
+
+
+@query(
+    "copurchase-lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    nb AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS n_pair
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING count(*) >= 3
+    )
+    SELECT brand_a, brand_b, n_pair,
+           CAST((n_pair * 1000000) // na.n_b AS BIGINT) AS conf_a_to_b,
+           CAST(floor(1000000.0
+                 * (CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                 / (CAST(na.n_b AS DOUBLE) * CAST(nb2.n_b AS DOUBLE)))
+             AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN nb na ON na.p_brand = brand_a
+    JOIN nb nb2 ON nb2.p_brand = brand_b
+    CROSS JOIN tot
+    """,
+)
+def copurchase_lift(spark, sf):
+    """Association-rule strength on top of copurchase-pairs:
+    confidence(a→b) = n_pair/n_a in exact integer millionths, and
+    lift = n_pair·N / (n_a·n_b) folded in doubles with a pinned
+    operation order (the agg-grouped-corr doctrine: int64→double,
+    multiply, divide, floor are all IEEE-correctly-rounded, so both
+    engines produce identical micro-units even past 2^53). The
+    1-row order-count attach is a bounded crossJoin (plan-audit
+    whitelisted); brand counts join per pair side."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = ob.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a, b = ob.alias("A"), ob.alias("B")
+    pairs = (
+        a.join(
+            b,
+            (F.col("A.l_orderkey") == F.col("B.l_orderkey"))
+            & (F.col("A.p_brand") < F.col("B.p_brand")),
+        )
+        .groupBy(
+            F.col("A.p_brand").alias("brand_a"),
+            F.col("B.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    na = nb.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("__na"))
+    nb2 = nb.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("__nb"))
+    out = pairs.join(na, "brand_a").join(nb2, "brand_b").crossJoin(tot)
+    lift = (
+        F.lit(1_000_000.0)
+        * (F.col("n_pair").cast("double") * F.col("n_orders").cast("double"))
+        / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+    )
+    return out.select(
+        "brand_a", "brand_b", "n_pair",
+        F.expr("(n_pair * 1000000) div __na").alias("conf_a_to_b"),
+        F.floor(lift).cast("long").alias("lift_micro"),
+    )

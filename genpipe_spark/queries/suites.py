@@ -215,6 +215,10 @@ _QUANTILE_MEMBERS = {
         "quantile-weighted-median",
         [("l_returnflag", "s"), ("w_total", "s"), ("wmedian", "s")],
     ),
+    "wpcts": (
+        "quantile-weighted-pcts",
+        [("l_returnflag", "s"), ("pct", "s"), ("w_total", "s"), ("wq", "s")],
+    ),
 }
 
 _WINDOW_MEMBERS = {
@@ -457,6 +461,13 @@ _RESHAPE_OLAP_MEMBERS = {
         "copurchase-pairs",
         [("brand_a", "s"), ("brand_b", "s"), ("n_orders", "s")],
     ),
+    "lift": (
+        "copurchase-lift",
+        [
+            ("brand_a", "s"), ("brand_b", "s"), ("n_pair", "s"),
+            ("conf_a_to_b", "s"), ("lift_micro", "s"),
+        ],
+    ),
 }
 
 quantile_suite = _register(
@@ -535,9 +546,9 @@ text_token_suite = _register(
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
     "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ "
-    "copurchase-pairs — reshape + grouping-sets + the TPC-H showcases "
-    "+ market-basket support counts (r5 third rotation; basket added "
-    "r6).",
+    "copurchase-pairs ∪ copurchase-lift — reshape + grouping-sets + "
+    "the TPC-H showcases + market-basket support/confidence/lift "
+    "(r5 third rotation; basket + lift added r6).",
 )
 
 

@@ -57,6 +57,9 @@ BOUNDED_NLJ_OK = {
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
     "dedup-embedding-cosine (all documented bounded/baseline forms)",
     "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
+    # 1-row total-order-count crossJoined to attach the lift denominator
+    "copurchase-lift": "1-row order-count scalar attach",
+    "reshape-olap-suite": "inherits copurchase-lift's 1-row attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
