@@ -485,3 +485,151 @@ def test_transition_matrix_rows_normalize(spark, events):
         assert 1_000_000 - len(rs) < psum <= 1_000_000, (state, rs)
         for r in rs:
             assert r["p_micro"] == r["n"] * 1_000_000 // tot
+
+
+# ------------------------------------------------- snapshot diff roundtrip
+
+snapshot_strategy = st.dictionaries(
+    st.integers(1, 12),  # key
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 3)),
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(old=snapshot_strategy, new=snapshot_strategy)
+def test_snapshot_diff_roundtrip_property(spark, old, new):
+    """For ANY pair of snapshots: applying the derived diff to old
+    reproduces new exactly, and the diff is minimal (no rows for
+    unchanged keys, ops partition into I/U/D correctly)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.cdc import merge_apply, snapshot_diff
+
+    schema = "k: long, v: string, x: long"
+    odf = spark.createDataFrame(
+        [(k, v, x) for k, (v, x) in old.items()], schema
+    ) if old else spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(
+        [(k, v, x) for k, (v, x) in new.items()], schema
+    ) if new else spark.createDataFrame([], schema)
+    diff = snapshot_diff(odf, ndf, ["k"]).collect()
+    expected_ops = {}
+    for k in set(old) | set(new):
+        if k in old and k not in new:
+            expected_ops[k] = "D"
+        elif k not in old and k in new:
+            expected_ops[k] = "I"
+        elif old[k] != new[k]:
+            expected_ops[k] = "U"
+    assert {(r["k"], r["op"]) for r in diff} == set(expected_ops.items())
+    applied = merge_apply(
+        odf,
+        snapshot_diff(odf, ndf, ["k"]).withColumn("seq", F.lit(1)),
+        ["k"],
+        "seq",
+    )
+    assert {tuple(r) for r in applied.collect()} == {
+        (k, v, x) for k, (v, x) in new.items()
+    }
+
+
+# --------------------------------------------- weighted quantile crossing
+
+wq_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(-50, 50),  # value
+        st.integers(1, 9),  # weight
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=wq_strategy, pcts=st.sampled_from([(50,), (25, 50, 75), (10, 90, 100)]))
+def test_group_weighted_quantiles_matches_model(spark, rows, pcts):
+    """Crossing rule vs a brute-force model: smallest value whose
+    cumulative weight reaches pct% of the group total."""
+    from genpipe_spark.operators.quantile import group_weighted_quantiles
+
+    df = spark.createDataFrame(rows, "g: string, v: long, w: long")
+    got = {
+        (r["g"], r["pct"]): (r["w_total"], r["wq"])
+        for r in group_weighted_quantiles(df, "v", "w", ["g"], pcts).collect()
+    }
+    groups = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((v, w))
+    expected = {}
+    for g, vw in groups.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        svw = sorted(vw)
+        for p in pcts:
+            cum = 0
+            q = None
+            for v, w in svw:
+                cum += w
+                if cum * 100 >= p * tot:
+                    q = v
+                    break
+            expected[(g, p)] = (tot, q)
+    assert got == expected
+
+
+# ------------------------------------------------------ session paths
+
+sp_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # user
+        st.integers(0, 100),  # t (seconds)
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=sp_strategy, gap_s=st.sampled_from([5, 17, 40]))
+def test_session_paths_matches_model(spark, events, gap_s):
+    """Gap sessionization + ordered path concat vs a Python model
+    (unique (t, eid) per user enforced by synthetic event ids)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.eventflow import session_paths
+
+    rows = [
+        (u, t * 1_000_000, i, s) for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "u: long, t_us: long, eid: long, state: string"
+    ).select(
+        "u", F.timestamp_micros(F.col("t_us")).alias("ts"), "eid", "state"
+    )
+    got = {
+        (r["path"], r["n_sessions"])
+        for r in session_paths(
+            df, "u", "ts", "state", gap_us=gap_s * 1_000_000,
+            tiebreak_col="eid",
+        ).collect()
+    }
+    by_user = {}
+    for u, t_us, eid, s in rows:
+        by_user.setdefault(u, []).append((t_us, eid, s))
+    paths = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        cur, last_t = [], None
+        for t_us, _, s in evs:
+            if last_t is not None and t_us - last_t > gap_s * 1_000_000:
+                p = "->".join(cur)
+                paths[p] = paths.get(p, 0) + 1
+                cur = []
+            cur.append(s)
+            last_t = t_us
+        p = "->".join(cur)
+        paths[p] = paths.get(p, 0) + 1
+    assert got == set(paths.items())
