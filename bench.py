@@ -87,6 +87,8 @@ HEADLINE = [
     "snapshot-diff",
     "quantile-weighted-median",
     "copurchase-lift",
+    "tpch-q5",
+    "window-range-frame",
 ]
 
 

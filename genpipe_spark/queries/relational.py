@@ -1848,3 +1848,109 @@ def copurchase_lift(spark, sf):
         F.expr("(n_pair * 1000000) div __na").alias("conf_a_to_b"),
         F.floor(lift).cast("long").alias("lift_micro"),
     )
+
+
+@query(
+    "tpch-q5",
+    """
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): the 6-way star join —
+    region→nation prune the supplier side, customer and supplier must
+    share a nation (the join that defeats naive join ordering), fact
+    revenue aggregated per nation in exact integer cents. region and
+    nation are constant-size dims (5/25 rows at ANY SF, safe for AQE
+    broadcast); customer/supplier/orders/lineitem grow with SF so no
+    forced hints — Catalyst's join reordering + AQE pick the plan, the
+    point of expressing Q5 declaratively."""
+    region = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf, "nation")
+    supp = t(spark, sf, "supplier")
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf, "lineitem")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+
+
+@query(
+    "window-range-frame",
+    """
+    SELECT o_orderkey, o_custkey, d,
+           CAST(sum(cents) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll7_cents
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    """,
+)
+def window_range_frame(spark, sf):
+    """RANGE-frame window (vs the window-suite's ROWS frames): 7-day
+    rolling order revenue per customer — the frame is defined by the
+    ORDER-BY VALUE (integer day index, 6 preceding days + today,
+    including all same-day peers), so the result is deterministic
+    without any tiebreak even when a customer places several orders a
+    day. One keyed window exchange; integer days and cents keep both
+    engines bit-identical."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # timezone-free day index: o_orderdate is TIMESTAMP_NTZ, so
+        # epoch arithmetic would drag in a session timezone
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.withColumn("roll7_cents", F.sum("cents").over(w)).select(
+        "o_orderkey", "o_custkey", "d", "roll7_cents"
+    )

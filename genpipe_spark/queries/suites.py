@@ -241,6 +241,13 @@ _WINDOW_MEMBERS = {
             ("second_order", "s"),
         ],
     ),
+    "range": (
+        "window-range-frame",
+        [
+            ("o_orderkey", "s"), ("o_custkey", "s"), ("d", "s"),
+            ("roll7_cents", "s"),
+        ],
+    ),
 }
 
 _SORT_SET_MEMBERS = {
@@ -457,6 +464,7 @@ _RESHAPE_OLAP_MEMBERS = {
         ],
     ),
     "q3": ("tpch-q3", [("l_orderkey", "s"), ("revenue", "f"), ("orderdate", "s")]),
+    "q5": ("tpch-q5", [("n_name", "s"), ("revenue", "f")]),
     "basket": (
         "copurchase-pairs",
         [("brand_a", "s"), ("brand_b", "s"), ("n_orders", "s")],
@@ -481,8 +489,9 @@ quantile_suite = _register(
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
     "window-rank-first-running-sum ∪ window-lag-lead-ntile ∪ "
-    "global-row-number ∪ window-dist-functions — the full "
-    "window-function family (r5 third rotation).",
+    "global-row-number ∪ window-dist-functions ∪ window-range-frame — "
+    "the full window-function family incl. value-defined RANGE frames "
+    "(r5 third rotation; range added r6).",
 )
 sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
@@ -545,10 +554,11 @@ text_token_suite = _register(
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
-    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ "
+    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
     "copurchase-pairs ∪ copurchase-lift — reshape + grouping-sets + "
-    "the TPC-H showcases + market-basket support/confidence/lift "
-    "(r5 third rotation; basket + lift added r6).",
+    "the TPC-H showcases (Q1/Q3/Q5 incl. the 6-way star join) + "
+    "market-basket support/confidence/lift "
+    "(r5 third rotation; basket + lift + q5 added r6).",
 )
 
 
