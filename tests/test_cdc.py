@@ -115,3 +115,48 @@ def test_null_op_upserts_instead_of_vanishing(spark):
     # `op != 'D'` alone is NULL-valued there (code-review regression)
     got = _apply(spark, [(1, "fixed", 99, 5, None)])
     assert (1, "fixed", 99) in got
+
+
+def test_incremental_export_rewrites_only_dirty_partitions(spark, tmp_path):
+    """plans/export.incremental_export: refresh touches ONLY partitions
+    with diff rows — proven by file identity (untouched partition's
+    part-files survive byte-for-byte with the same names), including
+    the fully-deleted-partition edge; final mirror == new snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.plans.export import incremental_export
+
+    dest = str(tmp_path / "mirror")
+    schema = "k: long, v: string, p: string"
+    snap1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y"), (4, "d", "z")], schema
+    )
+    r1 = incremental_export(spark, snap1, dest, ["k"], "p")
+    assert r1["partitions_rewritten"] == 3  # bootstrap writes everything
+
+    def files(part):
+        d = f"{dest}/p={part}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    x_before, y_before = files("x"), files("y")
+    # change partition x (update k=2), delete partition z entirely,
+    # leave y untouched
+    snap2 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "x"), (3, "c", "y")], schema
+    )
+    r2 = incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r2 == {"changed_rows": 2, "partitions_rewritten": 2}  # x + z
+    assert files("y") == y_before  # untouched partition: same files
+    assert files("x") != x_before  # dirty partition: rewritten
+    assert not os.path.exists(f"{dest}/p=z")  # dead partition removed
+    mirror = {tuple(r) for r in spark.read.parquet(dest).select("k", "v", "p").collect()}
+    assert mirror == {(1, "a", "x"), (2, "B", "x"), (3, "c", "y")}
+    # idempotent no-op refresh
+    r3 = incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r3 == {"changed_rows": 0, "partitions_rewritten": 0}
