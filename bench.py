@@ -89,6 +89,8 @@ HEADLINE = [
     "copurchase-lift",
     "tpch-q5",
     "window-range-frame",
+    "text-bigram-pmi",
+    "scd2-change-feed",
 ]
 
 

@@ -220,3 +220,49 @@ def snapshot_diff(
         ],
         "op",
     )
+
+
+def scd2_change_feed(
+    history: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Re-emit the canonical change stream from an SCD Type-2 history —
+    the inverse of :func:`scd2_history` (the third inverse pair in the
+    CDC family, after merge_apply ↔ snapshot_diff): every version row
+    becomes an upsert at its ``valid_from``; a version whose
+    ``valid_to`` is NOT the next version's ``valid_from`` was closed by
+    a DELETE at that sequence (or is the key's final closed version),
+    emitted with the closing version's attributes as the before-image.
+
+    Roundtrip law (tested): ``scd2_history(scd2_change_feed(h)) == h``
+    for any history h that scd2_history produced — the feed is exactly
+    the collapsed canonical stream, so re-deriving history is the
+    identity.
+
+    Shape: ONE key-ordered window (lead) + a filtered union — a single
+    hash shuffle on the dimension key, no joins.
+
+    Output: key_cols..., attr_cols..., ``seq_col``, ``op_col``."""
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    w = Window.partitionBy(*keys).orderBy(from_col)
+    h = history.withColumn("__next_from", F.lead(from_col).over(w))
+    ups = h.select(
+        *keys, *attrs,
+        F.col(from_col).alias(seq_col),
+        F.lit("U").alias(op_col),
+    )
+    dels = h.where(
+        F.col(to_col).isNotNull()
+        & ~F.col(to_col).eqNullSafe(F.col("__next_from"))
+    ).select(
+        *keys, *attrs,
+        F.col(to_col).alias(seq_col),
+        F.lit("D").alias(op_col),
+    )
+    return ups.unionByName(dels)

@@ -366,3 +366,68 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     pair_rows = vocab.select("wc", F.explode(pairs).alias("pair"))
     return pair_rows.groupBy("pair").agg(F.sum("wc").alias("freq"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs under the corpus's own unigram/bigram distributions —
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with
+    P(w1,w2)=n_12/N_bigrams and P(w)=n_w/N_unigrams. High-PMI pairs
+    are multiword expressions ("new york"); the standard phrase-
+    induction signal (word2vec-phrases style).
+
+    Shape at scale: posexplode gives word positions, adjacency is a
+    (doc, position)-keyed self-join (equi-join, no window), then two
+    map-side-combinable count aggs (bigram + unigram), a pair→unigram
+    equi-join per side (vocabulary never broadcast), and two 1-row
+    total attaches. ``min_count`` prunes the long tail BEFORE the
+    unigram joins — the doc-frequency-cap idiom.
+
+    Determinism: the ln argument is assembled with a pinned double
+    operation order and the result quantized to integer micro-units
+    via the nano-round (the module's libm rule, see
+    unigram_logprob_score). Output: w1, w2, n_pair, pmi_micro."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words(F.lower(F.col(text_col)))).alias("__i", "w"),
+    )
+    nxt = toks.select(
+        F.col("__id"), (F.col("__i") - 1).alias("__i"), F.col("w").alias("w2")
+    )
+    bigrams = toks.join(nxt, ["__id", "__i"]).select(
+        F.col("w").alias("w1"), "w2"
+    )
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_uni = uni.agg(F.sum("n_w").alias("n_unigrams"))
+    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    joined = (
+        pair_counts.join(
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("__n1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("__n2")), "w2"
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    arg = (
+        F.col("n_pair").cast("double")
+        * F.col("n_unigrams").cast("double")
+        * F.col("n_unigrams").cast("double")
+    ) / (
+        F.col("n_bigrams").cast("double")
+        * F.col("__n1").cast("double")
+        * F.col("__n2").cast("double")
+    )
+    pmi_micro = F.floor(F.round(F.log(arg) * 1e9) / 1000).cast("long")
+    return joined.select("w1", "w2", "n_pair", pmi_micro.alias("pmi_micro"))

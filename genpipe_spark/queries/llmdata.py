@@ -1979,3 +1979,51 @@ def dedup_duplicated_spans(spark, sf):
     return duplicated_spans(
         widen(t(spark, sf, "documents")), min_span_tokens=6
     )
+
+
+@query(
+    "text-bigram-pmi",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    toks0 AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w
+    ),
+    toks AS (SELECT doc_id, i, ws[i] AS wd FROM toks0),
+    big AS (
+      SELECT a.wd AS w1, b.wd AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    pc AS (
+      SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+      HAVING count(*) >= 3
+    ),
+    uni AS (SELECT wd, count(*) AS n_w FROM toks GROUP BY wd),
+    nu AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_unigrams FROM uni),
+    nb AS (SELECT count(*) AS n_bigrams FROM big)
+    SELECT w1, w2, n_pair,
+           CAST(floor(round(ln(
+                 (CAST(n_pair AS DOUBLE) * CAST(n_unigrams AS DOUBLE)
+                    * CAST(n_unigrams AS DOUBLE))
+                 / (CAST(n_bigrams AS DOUBLE) * CAST(u1.n_w AS DOUBLE)
+                    * CAST(u2.n_w AS DOUBLE))
+               ) * 1e9) / 1000) AS BIGINT) AS pmi_micro
+    FROM pc
+    JOIN uni u1 ON u1.wd = w1
+    JOIN uni u2 ON u2.wd = w2
+    CROSS JOIN nu CROSS JOIN nb
+    """,
+)
+def text_bigram_pmi(spark, sf):
+    """Adjacent-word collocations scored by PMI
+    (operators/text.bigram_pmi): multiword-expression induction over
+    the corpus's own unigram/bigram distributions, min support 3.
+    Micro-unit quantization (nano-round then floor) keeps libm ln
+    cross-engine-stable (the module rule)."""
+    from genpipe_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(widen(t(spark, sf, "documents")))

@@ -1954,3 +1954,36 @@ def window_range_frame(spark, sf):
     return o.withColumn("roll7_cents", F.sum("cents").over(w)).select(
         "o_orderkey", "o_custkey", "d", "roll7_cents"
     )
+
+
+from genpipe_spark.registry import ORACLES as _ORACLES  # noqa: E402
+from genpipe_spark.registry import QUERIES  # noqa: E402
+
+@query(
+    "scd2-change-feed",
+    f"""
+    WITH h AS ({_ORACLES["scd2-history"]}),
+    x AS (
+      SELECT *, lead(valid_from) OVER (PARTITION BY custkey
+                                       ORDER BY valid_from) AS nf
+      FROM h
+    )
+    SELECT custkey, seg, st, valid_from AS seq, 'U' AS op FROM h
+    UNION ALL
+    SELECT custkey, seg, st, valid_to AS seq, 'D' AS op FROM x
+    WHERE valid_to IS NOT NULL AND (nf IS NULL OR nf <> valid_to)
+    """,
+)
+def scd2_change_feed_query(spark, sf):
+    """Change-data-feed reconstruction (operators/cdc.scd2_change_feed
+    — the inverse of scd2_history, third CDC inverse pair): every
+    version re-emits its upsert at valid_from; versions closed by
+    something other than the next version's valid_from were closed by
+    a DELETE, re-emitted with the before-image. The oracle wraps the
+    scd2-history oracle and replays the same lead-based gap
+    detection. Roundtrip law scd2_history(feed) == history is
+    pytest-proven on this same fixture."""
+    from genpipe_spark.operators.cdc import scd2_change_feed
+
+    h = QUERIES["scd2-history"](spark, sf)
+    return scd2_change_feed(h, ["custkey"], ["seg", "st"])

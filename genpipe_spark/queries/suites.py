@@ -431,6 +431,13 @@ _CDC_MEMBERS = {
             ("acct_cents", "s"), ("c_mktsegment", "s"), ("op", "s"),
         ],
     ),
+    "cdf": (
+        "scd2-change-feed",
+        [
+            ("custkey", "s"), ("seg", "s"), ("st", "s"), ("seq", "s"),
+            ("op", "s"),
+        ],
+    ),
 }
 
 _FN_STRUCT_MEMBERS = {
@@ -451,6 +458,10 @@ _FN_STRUCT_MEMBERS = {
 _TEXT_TOKEN_MEMBERS = {
     "vocab": ("text-vocab-topk", [("w", "s"), ("cnt", "s")]),
     "bpe": ("text-bpe-pairs", [("pair", "s"), ("freq", "s")]),
+    "pmi": (
+        "text-bigram-pmi",
+        [("w1", "s"), ("w2", "s"), ("n_pair", "s"), ("pmi_micro", "s")],
+    ),
 }
 
 _RESHAPE_OLAP_MEMBERS = {
@@ -538,9 +549,11 @@ profile_suite = _register(
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
     "merge-upsert ∪ scd2-history ∪ scd2-point-in-time ∪ snapshot-diff "
-    "— the CDC family: MERGE INTO apply, SCD Type-2 history, the "
-    "temporal point-in-time fact join, and the inverse table-diff that "
-    "derives I/U/D changesets (r5 third rotation; diff added r6).",
+    "∪ scd2-change-feed — the CDC family: MERGE INTO apply, SCD "
+    "Type-2 history, the temporal point-in-time fact join, and BOTH "
+    "inverse pairs — table-diff (I/U/D changesets) and the "
+    "change-data-feed reconstruction from history (r5 third rotation; "
+    "diff + cdf added r6).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
@@ -549,8 +562,9 @@ fn_struct_parse_suite = _register(
 )
 text_token_suite = _register(
     "text-token-suite", _TEXT_TOKEN_MEMBERS,
-    "text-vocab-topk ∪ text-bpe-pairs — tokenizer-induction statistics "
-    "(r5 third rotation).",
+    "text-vocab-topk ∪ text-bpe-pairs ∪ text-bigram-pmi — "
+    "tokenizer/phrase-induction statistics incl. PMI collocations "
+    "(r5 third rotation; pmi added r6).",
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,

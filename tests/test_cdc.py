@@ -160,3 +160,34 @@ def test_incremental_export_rewrites_only_dirty_partitions(spark, tmp_path):
     # idempotent no-op refresh
     r3 = incremental_export(spark, snap2, dest, ["k"], "p")
     assert r3 == {"changed_rows": 0, "partitions_rewritten": 0}
+
+
+def test_scd2_change_feed_roundtrip(spark):
+    """scd2_history(scd2_change_feed(h)) == h — the feed is exactly the
+    collapsed canonical stream, covering deletes mid-key, final closed
+    versions, re-inserts, and open versions."""
+    from genpipe_spark.operators.cdc import scd2_change_feed, scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: update, noop-update (collapses), update, delete,
+            # re-insert with the PRE-DELETE attrs (must not collapse)
+            (1, "a", 10, 1, "U"), (1, "a", 10, 2, "U"), (1, "b", 20, 3, "U"),
+            (1, "b", 20, 5, "D"), (1, "b", 20, 8, "U"),
+            # key 2: single open version
+            (2, "z", 0, 4, "U"),
+            # key 3: insert then final delete (closed, no successor)
+            (3, "q", 7, 2, "U"), (3, "q", 7, 9, "D"),
+        ],
+        "k: long, seg: string, x: long, seq: long, op: string",
+    )
+    h = scd2_history(changes, ["k"], "seq", ["seg", "x"], op_col="op")
+    feed = scd2_change_feed(h, ["k"], ["seg", "x"])
+    ops = {(r["k"], r["seq"], r["op"]) for r in feed.collect()}
+    assert ops == {
+        (1, 1, "U"), (1, 3, "U"), (1, 5, "D"), (1, 8, "U"),
+        (2, 4, "U"),
+        (3, 2, "U"), (3, 9, "D"),
+    }
+    h2 = scd2_history(feed, ["k"], "seq", ["seg", "x"], op_col="op")
+    assert {tuple(r) for r in h2.collect()} == {tuple(r) for r in h.collect()}

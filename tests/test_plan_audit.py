@@ -60,6 +60,9 @@ BOUNDED_NLJ_OK = {
     # 1-row total-order-count crossJoined to attach the lift denominator
     "copurchase-lift": "1-row order-count scalar attach",
     "reshape-olap-suite": "inherits copurchase-lift's 1-row attach",
+    # two 1-row corpus totals (unigram + bigram counts) crossJoined
+    "text-bigram-pmi": "1-row corpus-totals scalar attach",
+    "text-token-suite": "inherits text-bigram-pmi's 1-row attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -102,6 +105,8 @@ BOUNDED_BROADCAST_OK = {
     # the bloom filter is <= m_bits/32 rows — a CONSTANT chosen at build
     "join-bloom-prefilter": "broadcast fixed-size bloom word table",
     "join-filter-suite": "inherits join-bloom-prefilter's fixed-size bloom",
+    "text-bigram-pmi": "broadcast 1-row unigram/bigram totals",
+    "text-token-suite": "inherits text-bigram-pmi's 1-row broadcasts",
     "embedding-suite": "inherits the ann/brute members' bounded broadcasts",
     "text-bm25-suite": "inherits text-bm25's |query|-row dfreq broadcast",
 }
