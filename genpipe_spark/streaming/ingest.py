@@ -384,3 +384,70 @@ def stream_cms_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdc_apply(
+    changes_stream: DataFrame,
+    snapshot: DataFrame,
+    dest: str,
+    checkpoint: str,
+    key_cols,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> StreamingQuery:
+    """Streaming MERGE maintenance — the incremental-ingest loop the
+    CDC family exists for: micro-batches of change rows continuously
+    reconcile a persisted snapshot through the SAME latest-by-sequence
+    semantics as the batch :func:`operators.cdc.merge_apply`.
+
+    State design (ORDER-INDEPENDENT across micro-batches): ``dest``
+    stores the latest change per key seen so far — payload + its
+    ``seq_col`` + ``op_col`` — INCLUDING delete tombstones. Each batch
+    unions the stored heads with the new rows and re-collapses
+    latest-per-key (one keyed window), so a change arriving with an
+    OLDER sequence in a LATER micro-batch can never overwrite a newer
+    state, and a late upsert cannot resurrect a key a tombstone
+    already deleted at a higher sequence. The final state therefore
+    equals batch ``merge_apply`` of ALL changes regardless of how the
+    stream was micro-batched (tested). The live snapshot is
+    ``read.parquet(dest).where(op != delete_op)`` minus the seq/op
+    bookkeeping columns.
+
+    Bootstrap: snapshot rows enter as upserts at sequence -2^62
+    (before any real CDC sequence). Per-batch cost: one keyed window
+    over |state| + |batch| rows; at scale partition ``dest`` by a key
+    prefix and swap the full overwrite for plans/export.
+    incremental_export-style dirty-partition rewrites. Delivery is
+    idempotent under micro-batch replay (re-collapsing the same rows
+    is a fixpoint)."""
+    keys = list(key_cols)
+    payload = snapshot.columns
+    from pyspark.sql import Window
+
+    snapshot.withColumn(seq_col, F.lit(-(2**62))).withColumn(
+        op_col, F.lit("U")
+    ).write.mode("overwrite").parquet(dest)
+    cols = payload + [seq_col, op_col]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = s.read.parquet(dest).select(*cols)
+        merged = cur.unionByName(batch_df.select(*cols))
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        head = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()  # eager: materialize before overwriting input
+        )
+        head.write.mode("overwrite").parquet(dest)
+
+    return (
+        changes_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

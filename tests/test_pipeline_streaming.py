@@ -1158,3 +1158,70 @@ def test_stream_group_sample_matches_batch_quota(spark, tmp_path):
         for r in quota_sample(docs, "source", 10).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_cdc_apply_equals_batch_merge(spark, tmp_path):
+    """stream_cdc_apply over micro-batches (with a cross-batch
+    OUT-OF-ORDER sequence: key 2's older change arrives one batch
+    after its newer one) must converge to exactly batch merge_apply of
+    all changes — the order-independence the tombstone+re-collapse
+    state design guarantees."""
+    import json
+    import os
+    import time as _t
+
+    from genpipe_spark.operators.cdc import merge_apply
+    from genpipe_spark.streaming.ingest import stream_cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, v string, x long",
+    )
+    rows = {
+        # b1: update 1, NEWER update for 2 (seq 9), delete 3
+        "b1": [
+            {"k": 1, "v": "a2", "x": 11, "seq": 4, "op": "U"},
+            {"k": 2, "v": "b9", "x": 29, "seq": 9, "op": "U"},
+            {"k": 3, "v": "c", "x": 30, "seq": 5, "op": "D"},
+        ],
+        # b2: OLDER update for 2 (seq 2, must NOT overwrite seq 9),
+        # late upsert for 3 BELOW its tombstone (must stay deleted),
+        # brand-new key 7
+        "b2": [
+            {"k": 2, "v": "b2", "x": 22, "seq": 2, "op": "U"},
+            {"k": 3, "v": "zombie", "x": 0, "seq": 1, "op": "U"},
+            {"k": 7, "v": "new", "x": 70, "seq": 6, "op": "U"},
+        ],
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, name in enumerate(["b1", "b2"]):
+        p = src / f"{name}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows[name]))
+        os.utime(p, (_t.time() + i, _t.time() + i))
+    stream = (
+        spark.readStream.schema("k long, v string, x long, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_cdc_apply(
+        stream, snap, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        ["k"], "seq",
+    )
+    q.awaitTermination(300)
+
+    live = (
+        spark.read.parquet(str(tmp_path / "state"))
+        .where(F.col("op") != "D")
+        .select("k", "v", "x")
+    )
+    got = {tuple(r) for r in live.collect()}
+    all_changes = spark.createDataFrame(
+        [tuple(r.values()) for b in rows.values() for r in b],
+        "k long, v string, x long, seq long, op string",
+    )
+    expected = {
+        tuple(r) for r in merge_apply(snap, all_changes, ["k"], "seq").collect()
+    }
+    assert got == expected
+    assert got == {(1, "a2", 11), (2, "b9", 29), (7, "new", 70)}
