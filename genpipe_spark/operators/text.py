@@ -402,14 +402,18 @@ def bigram_pmi(
     bigrams = toks.join(nxt, ["__id", "__i"]).select(
         F.col("w").alias("w1"), "w2"
     )
-    pair_counts = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
+    # one aggregation over the bigram stream: the total bigram count is
+    # the SUM of the unfiltered pair counts, so the expensive
+    # posexplode + adjacency self-join is evaluated once, not twice
+    # (round-6 review); uni re-scans the token stream — cheaper than
+    # caching the exploded corpus
+    pair_all = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
     )
+    pair_counts = pair_all.where(F.col("n_pair") >= min_count)
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     n_uni = uni.agg(F.sum("n_w").alias("n_unigrams"))
-    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    n_big = pair_all.agg(F.sum("n_pair").alias("n_bigrams"))
     joined = (
         pair_counts.join(
             uni.select(F.col("w").alias("w1"), F.col("n_w").alias("__n1")), "w1"

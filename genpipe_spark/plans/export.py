@@ -4,17 +4,28 @@ The operational composition the CDC family exists for: a downstream
 parquet mirror of a snapshot table is refreshed by (1) diffing the
 incoming snapshot against the current mirror (operators/cdc.
 snapshot_diff — one full-outer key join), (2) finding which PARTITIONS
-contain any I/U/D row (a distinct over the diff's partition column —
-proportional to the CHANGESET, not the table), and (3) rewriting ONLY
-those partitions from the new snapshot via dynamic partition overwrite
-(sources/sinks.write_parquet_partitioned). Untouched partition
-directories are never listed, read, or rewritten — at 100 TB a daily
-refresh costs O(changed data), not O(table).
+contain any I/U/D row — on BOTH sides: the diff's own partition values
+(new side + D before-images) plus the mirror partitions of every
+changed key (a changed key's OLD partition must be rewritten too, or a
+row that MOVED partitions would leave a stale copy behind — round-6
+review), and (3) rewriting ONLY those partitions from the new snapshot
+via dynamic partition overwrite (sources/sinks.
+write_parquet_partitioned). Untouched partition directories are never
+rewritten — at 100 TB a daily refresh costs O(changed data), not
+O(table).
+
+Partition-value contract: values must be NULL or match
+``[A-Za-z0-9_.+-]*`` — anything Hive would percent-escape in the
+directory name (spaces, ':', '/', '#', …) is REJECTED loudly, because
+the dead-partition cleanup addresses directories by name and a silent
+escape mismatch would leave stale data (round-6 review). NULL
+partition values are supported and map to Hive's
+``__HIVE_DEFAULT_PARTITION__`` directory.
 
 Deleted-partition edge: a partition whose keys ALL disappeared still
-has diff rows (op='D'), so it is rewritten — with zero rows, which
-dynamic overwrite expresses by replacing the directory content. A
-partition absent from the diff is untouched by construction.
+has diff rows (op='D'), so it is marked dirty — with zero replacement
+rows, which dynamic overwrite cannot express, so its directory is
+removed explicitly.
 
 This is the plain-parquet expression of what table formats call MERGE +
 OPTIMIZE-pruned rewrite; the reference has nothing comparable (plain
@@ -24,6 +35,7 @@ would feel first.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +43,32 @@ from pyspark.sql import functions as F
 
 from genpipe_spark.operators.cdc import snapshot_diff
 from genpipe_spark.sources.sinks import write_parquet_partitioned
+
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+_SAFE_PART = re.compile(r"^[A-Za-z0-9_.+-]*$")
+
+
+def _check_partition_values(vals) -> None:
+    for v in vals:
+        if v is not None and not _SAFE_PART.match(str(v)):
+            raise ValueError(
+                "incremental_export: partition value "
+                f"{v!r} would be Hive-escaped in the directory name; "
+                "restrict partition values to [A-Za-z0-9_.+-] so "
+                "dead-partition cleanup can address directories by name"
+            )
+
+
+def _partition_filter(col, vals):
+    """NULL-safe membership: isin() is NULL for NULL inputs, which
+    would silently drop NULL-partition rows (round-6 review)."""
+    non_null = [v for v in vals if v is not None]
+    cond = F.lit(False)
+    if non_null:
+        cond = col.isin(non_null)
+    if any(v is None for v in vals):
+        cond = cond | col.isNull()
+    return cond
 
 
 def incremental_export(
@@ -56,31 +94,51 @@ def incremental_export(
         write_parquet_partitioned(
             new_snapshot, dest, (partition_col,), mode="overwrite"
         )
-        nparts = new_snapshot.select(partition_col).distinct().count()
+        # count from the just-written mirror, not a second pass over
+        # the input lineage (round-6 review)
+        written = spark.read.parquet(dest)
+        parts = [
+            r[0] for r in written.select(partition_col).distinct().collect()
+        ]
+        _check_partition_values(parts)
         return {
-            "changed_rows": new_snapshot.count(),
-            "partitions_rewritten": nparts,
+            "changed_rows": written.count(),
+            "partitions_rewritten": len(parts),
         }
     # align column order (parquet read may reorder partition column last)
     current = current.select(*new_snapshot.columns)
-    diff = snapshot_diff(current, new_snapshot, keys)
-    dirty = [
-        r[0] for r in diff.select(partition_col).distinct().collect()
-    ]
+    # materialize the diff once — TWO actions read it (dirty partitions
+    # + changed_rows) and recomputing would repeat the full-outer join
+    # over both snapshots, the dominant cost (round-6 review)
+    diff = snapshot_diff(current, new_snapshot, keys).localCheckpoint()
+    # dirty partitions, BOTH sides: the diff's partition values cover
+    # the new side + delete before-images; the mirror partitions of
+    # changed KEYS cover the old side of rows that MOVED partitions
+    # (their single 'U' row carries only the new partition value).
+    # Both collects stay changeset-bounded (semi-join on diff keys).
+    dirty_new = {r[0] for r in diff.select(partition_col).distinct().collect()}
+    dirty_old = {
+        r[0]
+        for r in current.join(
+            diff.select(*keys).distinct(), keys, "left_semi"
+        )
+        .select(partition_col)
+        .distinct()
+        .collect()
+    }
+    dirty = sorted(dirty_new | dirty_old, key=lambda v: (v is None, str(v)))
     if not dirty:
         return {"changed_rows": 0, "partitions_rewritten": 0}
+    _check_partition_values(dirty)
     changed_rows = diff.count()
-    # `dirty` is bounded by the number of CHANGED partitions (the
-    # collect is changeset-sized); the isin literal list is fine at
-    # partition-count cardinalities — swap for a semi-join if a table
-    # ever has millions of partitions
-    replacement = new_snapshot.where(F.col(partition_col).isin(dirty))
+    replacement = new_snapshot.where(
+        _partition_filter(F.col(partition_col), dirty)
+    )
     # dynamic overwrite replaces exactly the partitions present in the
     # written frame; a fully-deleted partition has no replacement rows,
-    # so its directory is cleared explicitly (the one case dynamic
-    # overwrite cannot express with an empty input). live_dirty is a
-    # distinct over the REPLACEMENT (dirty-partition rows only), so
-    # both collects stay changeset-bounded.
+    # so its directory is cleared explicitly. live_dirty is a distinct
+    # over the REPLACEMENT (dirty-partition rows only) — changeset-
+    # bounded.
     live_dirty = {
         r[0] for r in replacement.select(partition_col).distinct().collect()
     }
@@ -90,8 +148,9 @@ def incremental_export(
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         for p in dead:
+            dirname = _HIVE_NULL_DIR if p is None else str(p)
             path = jvm.org.apache.hadoop.fs.Path(
-                f"{dest}/{partition_col}={p}"
+                f"{dest}/{partition_col}={dirname}"
             )
             fs = path.getFileSystem(hconf)
             if fs.exists(path):

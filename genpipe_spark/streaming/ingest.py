@@ -415,9 +415,22 @@ def stream_cdc_apply(
     bookkeeping columns.
 
     Bootstrap: snapshot rows enter as upserts at sequence -2^62
-    (before any real CDC sequence). Per-batch cost: one keyed window
-    over |state| + |batch| rows; at scale partition ``dest`` by a key
-    prefix and swap the full overwrite for plans/export.
+    (before any real CDC sequence) — ONLY when ``dest`` does not
+    already hold state: a restart with an existing checkpoint resumes
+    from the persisted state instead of wiping applied changes while
+    the source skips already-processed batches (round-6 review).
+    Sequence ties between a delete and an upsert break by ``op``
+    descending, exactly merge_apply's documented tie-break (this
+    assumes the delete op sorts below 'U' — true for 'D'; a
+    ``delete_op`` >= 'U' is rejected).
+
+    Durability: each state update writes to a staging directory and
+    swaps it in (delete + rename) — a crash mid-swap leaves the full
+    new state in ``<dest>__staging`` for manual recovery rather than a
+    half-deleted directory; true atomic commit needs a table format
+    (the documented trade-off). Per-batch cost: one keyed window over
+    |state| + |batch| rows; at scale partition ``dest`` by a key
+    prefix and swap the full rewrite for plans/export.
     incremental_export-style dirty-partition rewrites. Delivery is
     idempotent under micro-batch replay (re-collapsing the same rows
     is a fixpoint)."""
@@ -425,10 +438,25 @@ def stream_cdc_apply(
     payload = snapshot.columns
     from pyspark.sql import Window
 
-    snapshot.withColumn(seq_col, F.lit(-(2**62))).withColumn(
-        op_col, F.lit("U")
-    ).write.mode("overwrite").parquet(dest)
+    if delete_op >= "U":
+        raise ValueError(
+            f"stream_cdc_apply: delete_op {delete_op!r} must sort below "
+            "'U' for the seq-tie break to match merge_apply"
+        )
+    spark = snapshot.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _path(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _path(dest).getFileSystem(hconf)
+    if not fs.exists(_path(dest)):
+        snapshot.withColumn(seq_col, F.lit(-(2**62))).withColumn(
+            op_col, F.lit("U")
+        ).write.mode("overwrite").parquet(dest)
     cols = payload + [seq_col, op_col]
+    staging = dest.rstrip("/") + "__staging"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -441,9 +469,12 @@ def stream_cdc_apply(
             merged.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint()  # eager: materialize before overwriting input
         )
-        head.write.mode("overwrite").parquet(dest)
+        # stage-and-swap: the previous state stays intact until the
+        # full new state is durably written
+        head.write.mode("overwrite").parquet(staging)
+        fs.delete(_path(dest), True)
+        fs.rename(_path(staging), _path(dest))
 
     return (
         changes_stream.writeStream.foreachBatch(write_batch)

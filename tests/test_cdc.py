@@ -191,3 +191,38 @@ def test_scd2_change_feed_roundtrip(spark):
     }
     h2 = scd2_history(feed, ["k"], "seq", ["seg", "x"], op_col="op")
     assert {tuple(r) for r in h2.collect()} == {tuple(r) for r in h.collect()}
+
+
+def test_incremental_export_partition_move(spark, tmp_path):
+    """A row whose PARTITION VALUE changes must dirty BOTH partitions —
+    the old one would otherwise keep a stale copy (round-6 review);
+    NULL partition values round-trip through the Hive default dir."""
+    import os
+
+    from genpipe_spark.plans.export import incremental_export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    snap1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)], schema
+    )
+    incremental_export(spark, snap1, dest, ["k"], "p")
+    # move k=1 from x to z (x empties), update the NULL-partition row
+    snap2 = spark.createDataFrame(
+        [(1, "a", "z"), (2, "b", "y"), (3, "C", None)], schema
+    )
+    r = incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r["partitions_rewritten"] == 3  # x (old), z (new), NULL
+    assert not os.path.exists(f"{dest}/p=x")  # emptied source partition
+    mirror = {tuple(r) for r in spark.read.parquet(dest).select("k", "v", "p").collect()}
+    assert mirror == {(1, "a", "z"), (2, "b", "y"), (3, "C", None)}
+
+
+def test_incremental_export_rejects_unsafe_partition_values(spark, tmp_path):
+    from genpipe_spark.plans.export import incremental_export
+
+    bad = spark.createDataFrame(
+        [(1, "a", "has space")], "k: long, v: string, p: string"
+    )
+    with pytest.raises(ValueError, match="Hive-escaped"):
+        incremental_export(spark, bad, str(tmp_path / "m2"), ["k"], "p")

@@ -1225,3 +1225,47 @@ def test_stream_cdc_apply_equals_batch_merge(spark, tmp_path):
     }
     assert got == expected
     assert got == {(1, "a2", 11), (2, "b9", 29), (7, "new", 70)}
+
+
+def test_stream_cdc_apply_restart_preserves_state(spark, tmp_path):
+    """Re-invoking stream_cdc_apply with an existing state + checkpoint
+    (the crash-restart path) must RESUME from the persisted state, not
+    re-bootstrap from the original snapshot — otherwise the source's
+    checkpoint would skip already-processed batches whose effects were
+    just wiped (round-6 review)."""
+    import json
+    import os
+    import time as _t
+
+    from genpipe_spark.streaming.ingest import stream_cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps({"k": 1, "v": "a2", "seq": 5, "op": "U"}))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string, seq long, op string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_cdc_apply(
+            stream, snap, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["k"], "seq",
+        )
+        q.awaitTermination(300)
+
+    run()  # processes b1
+    # "restart": second batch arrives, same checkpoint + existing state
+    p = src / "b2.json"
+    p.write_text(json.dumps({"k": 2, "v": "n", "seq": 6, "op": "U"}))
+    os.utime(p, (_t.time() + 2, _t.time() + 2))
+    run()  # must NOT re-bootstrap (b1 already consumed by checkpoint)
+    live = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "state"))
+        .where(F.col("op") != "D")
+        .collect()
+    }
+    assert live == {(1, "a2"), (2, "n")}  # b1's effect survived the restart
