@@ -134,6 +134,26 @@ def main() -> None:
         medians[name] = round(runs[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two lines, detail FIRST and the contract line LAST: the driver
+    # keeps only the TAIL of stdout, and in round 6 the single
+    # min+median line outgrew that capture, losing the headline total
+    # (BENCH_r06 parsed:null — VERDICT r6 item 2). The final line is
+    # the required {"metric","value","unit","queries","sf"} shape,
+    # serialized compact (no spaces) so 60+ queries stay well inside
+    # the ~2000-char tail window; medians ride the sacrificial first
+    # line only.
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-detail",
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
@@ -141,9 +161,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -72,17 +72,34 @@ def merge_apply(
         # contract's concern.
         from genpipe_spark.operators.checks import assert_rows
 
-        ranked = changes.withColumn("__rn", F.row_number().over(w)).withColumn(
-            "__next_seq", F.lead(seq_col).over(w)
-        ).where(F.col("__rn") == 1)
-        latest = assert_rows(
-            ranked,
-            ~F.col("__next_seq").eqNullSafe(F.col(seq_col)),
-            F.lit(f"merge_apply: duplicate (key, {seq_col}) in changeset at "),
-            F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
-            F.lit(f" {seq_col}="),
-            F.coalesce(F.col(seq_col).cast("string"), F.lit("NULL")),
-        ).drop("__rn", "__next_seq")
+        # __has_next = lead(1) marks whether a NEXT row exists at all:
+        # a key whose only row has a NULL sequence gets lead(seq)=NULL,
+        # and eqNullSafe(NULL, NULL) alone would flag that single
+        # unambiguous row as a duplicate (round-7 review). The assert
+        # condition is SELF-GUARDING — (__rn != 1) ORed in — so it is
+        # applied BEFORE the rn filter and stays correct no matter how
+        # Catalyst orders the two filters (previously it relied on
+        # CombineFilters putting __rn==1 left of the assert).
+        ranked = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__next_seq", F.lead(seq_col).over(w))
+            .withColumn("__has_next", F.lead(F.lit(1)).over(w))
+        )
+        dup = F.col("__has_next").isNotNull() & F.col("__next_seq").eqNullSafe(
+            F.col(seq_col)
+        )
+        latest = (
+            assert_rows(
+                ranked,
+                (F.col("__rn") != 1) | ~dup,
+                F.lit(f"merge_apply: duplicate (key, {seq_col}) in changeset at "),
+                F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+                F.lit(f" {seq_col}="),
+                F.coalesce(F.col(seq_col).cast("string"), F.lit("NULL")),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__next_seq", "__has_next")
+        )
     unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
     # NULL-safe: only an EXPLICIT delete_op removes the key — a NULL op
     # (malformed feed) upserts rather than silently vanishing, because

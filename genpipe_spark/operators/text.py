@@ -384,8 +384,10 @@ def bigram_pmi(
     Shape at scale: posexplode gives word positions, adjacency is a
     (doc, position)-keyed self-join (equi-join, no window), then two
     map-side-combinable count aggs (bigram + unigram), a pair→unigram
-    equi-join per side (vocabulary never broadcast), and two 1-row
-    total attaches. ``min_count`` prunes the long tail BEFORE the
+    equi-join per side (vocabulary never broadcast), and ONE 1-row
+    total attach (N_bigrams is derived from the token stream as
+    N_tokens - N_docs_with_tokens, so the bigram join is consumed
+    exactly once). ``min_count`` prunes the long tail BEFORE the
     unigram joins — the doc-frequency-cap idiom.
 
     Determinism: the ln argument is assembled with a pinned double
@@ -402,18 +404,24 @@ def bigram_pmi(
     bigrams = toks.join(nxt, ["__id", "__i"]).select(
         F.col("w").alias("w1"), "w2"
     )
-    # one aggregation over the bigram stream: the total bigram count is
-    # the SUM of the unfiltered pair counts, so the expensive
-    # posexplode + adjacency self-join is evaluated once, not twice
-    # (round-6 review); uni re-scans the token stream — cheaper than
-    # caching the exploded corpus
-    pair_all = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_pair")
+    # the expensive posexplode + adjacency self-join has exactly ONE
+    # consumer (pair_counts): the bigram TOTAL is derived from the
+    # token stream instead — a doc with k>=1 tokens contributes k-1
+    # adjacent pairs, so N_bigrams = N_tokens - N_docs_with_tokens,
+    # identical by construction to sum(unfiltered pair counts). The
+    # round-6 form computed both from one uncached pair_all and relied
+    # on best-effort ReuseExchange to avoid evaluating the join twice
+    # (round-7 review); this form needs no reuse and no checkpoint.
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
     )
-    pair_counts = pair_all.where(F.col("n_pair") >= min_count)
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    n_uni = uni.agg(F.sum("n_w").alias("n_unigrams"))
-    n_big = pair_all.agg(F.sum("n_pair").alias("n_bigrams"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_unigrams"),
+        (F.count(F.lit(1)) - F.countDistinct("__id")).alias("n_bigrams"),
+    )
     joined = (
         pair_counts.join(
             uni.select(F.col("w").alias("w1"), F.col("n_w").alias("__n1")), "w1"
@@ -421,8 +429,7 @@ def bigram_pmi(
         .join(
             uni.select(F.col("w").alias("w2"), F.col("n_w").alias("__n2")), "w2"
         )
-        .crossJoin(F.broadcast(n_uni))
-        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(totals))
     )
     arg = (
         F.col("n_pair").cast("double")

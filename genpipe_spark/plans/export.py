@@ -86,8 +86,14 @@ def incremental_export(
     a no-op refresh). First run (no mirror yet) writes everything when
     ``full_if_missing`` (k = all partitions)."""
     keys = list(key_cols)
+    # Mirror reads carry the snapshot's EXPLICIT schema: inference
+    # re-derives partition-column types from directory names, so a
+    # numeric-looking string partition value ('01') would come back as
+    # int 1 and the str(v)-based dead-directory cleanup would address
+    # 'p=1' while the on-disk name is 'p=01' — stale data the _SAFE_PART
+    # contract exists to prevent (round-7 review).
     try:
-        current = spark.read.parquet(dest)
+        current = spark.read.schema(new_snapshot.schema).parquet(dest)
     except Exception:  # noqa: BLE001 — path-missing is the bootstrap case
         if not full_if_missing:
             raise
@@ -96,7 +102,7 @@ def incremental_export(
         )
         # count from the just-written mirror, not a second pass over
         # the input lineage (round-6 review)
-        written = spark.read.parquet(dest)
+        written = spark.read.schema(new_snapshot.schema).parquet(dest)
         parts = [
             r[0] for r in written.select(partition_col).distinct().collect()
         ]

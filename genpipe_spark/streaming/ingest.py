@@ -425,10 +425,13 @@ def stream_cdc_apply(
     ``delete_op`` >= 'U' is rejected).
 
     Durability: each state update writes to a staging directory and
-    swaps it in (delete + rename) — a crash mid-swap leaves the full
-    new state in ``<dest>__staging`` for manual recovery rather than a
-    half-deleted directory; true atomic commit needs a table format
-    (the documented trade-off). Per-batch cost: one keyed window over
+    swaps it in (delete + rename). A crash mid-swap (dest deleted,
+    rename not yet run) is healed AUTOMATICALLY at the next start:
+    staging-present + dest-missing can only arise after the staging
+    write completed, so startup finishes the rename before anything
+    else — never re-bootstrapping over applied changes (round-7
+    review). True reader-atomicity still needs a table format (the
+    documented trade-off). Per-batch cost: one keyed window over
     |state| + |batch| rows; at scale partition ``dest`` by a key
     prefix and swap the full rewrite for plans/export.
     incremental_export-style dirty-partition rewrites. Delivery is
@@ -451,12 +454,24 @@ def stream_cdc_apply(
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = _path(dest).getFileSystem(hconf)
+    staging = dest.rstrip("/") + "__staging"
+    # Crash recovery BEFORE the bootstrap check: a crash between
+    # fs.delete(dest) and fs.rename(staging, dest) leaves dest missing
+    # with the COMPLETE new state sitting in staging (the delete only
+    # runs after the staging write returned). Re-bootstrapping from the
+    # original snapshot here would silently lose every applied change —
+    # the checkpoint skips already-processed batches and the next
+    # batch's staging overwrite destroys the recovery copy (round-7
+    # review). Completing the swap is always safe: staging-present +
+    # dest-missing can ONLY arise post-delete, i.e. staging is a fully
+    # committed state.
+    if fs.exists(_path(staging)) and not fs.exists(_path(dest)):
+        fs.rename(_path(staging), _path(dest))
     if not fs.exists(_path(dest)):
         snapshot.withColumn(seq_col, F.lit(-(2**62))).withColumn(
             op_col, F.lit("U")
         ).write.mode("overwrite").parquet(dest)
     cols = payload + [seq_col, op_col]
-    staging = dest.rstrip("/") + "__staging"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession

@@ -81,6 +81,12 @@ def test_validate_rejects_ambiguous_duplicates(spark):
     # without validate, the documented tie-break (op desc) is applied
     got = _apply(spark, [(1, "x", 0, 5, "U"), (1, "y", 1, 5, "D")])
     assert (1, "x", 0) in got
+    # a key whose ONLY change row has a NULL sequence is unambiguous:
+    # lead(seq) is NULL because there IS no next row, not because a
+    # second NULL-seq row ties — must pass (round-7 review: the
+    # __has_next marker distinguishes the two)
+    got = _apply(spark, [(1, "solo", 7, None, "U")], validate=True)
+    assert (1, "solo", 7) in got
 
 
 def test_snapshot_diff_roundtrip(spark):

@@ -1269,3 +1269,54 @@ def test_stream_cdc_apply_restart_preserves_state(spark, tmp_path):
         .collect()
     }
     assert live == {(1, "a2"), (2, "n")}  # b1's effect survived the restart
+
+
+def test_stream_cdc_apply_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash between fs.delete(dest) and fs.rename(staging, dest):
+    dest is gone but staging holds the complete new state. Startup
+    must COMPLETE the swap — round-6's `if not exists(dest)` branch
+    silently re-bootstrapped from the original snapshot while the
+    checkpoint skipped already-processed batches, losing their effects
+    (round-7 review)."""
+    import json
+    import os
+    import shutil
+    import time as _t
+
+    from genpipe_spark.streaming.ingest import stream_cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps({"k": 1, "v": "a2", "seq": 5, "op": "U"}))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string, seq long, op string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_cdc_apply(
+            stream, snap, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["k"], "seq",
+        )
+        q.awaitTermination(300)
+
+    run()  # processes b1 → state holds k=1 v=a2
+    # simulate the crash window: the committed state sits in __staging,
+    # dest was already deleted, rename never ran
+    shutil.move(str(tmp_path / "state"), str(tmp_path / "state__staging"))
+    p = src / "b2.json"
+    p.write_text(json.dumps({"k": 2, "v": "n", "seq": 6, "op": "U"}))
+    os.utime(p, (_t.time() + 2, _t.time() + 2))
+    run()  # startup must rename staging→dest, then apply b2 on top
+    live = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "state"))
+        .where(F.col("op") != "D")
+        .collect()
+    }
+    # a2 (from the recovered staging state) AND n — NOT a re-bootstrap
+    # of the original snapshot (which would read {(1,'a'),(2,'n')})
+    assert live == {(1, "a2"), (2, "n")}
+    assert not (tmp_path / "state__staging").exists()
