@@ -27,6 +27,27 @@ has diff rows (op='D'), so it is marked dirty — with zero replacement
 rows, which dynamic overwrite cannot express, so its directory is
 removed explicitly.
 
+Commit protocol (round 7 — crash-atomic at the refresh level): the
+refresh never writes into the live mirror directly. Replacement
+partitions are staged under ``<dest>__stage``, then a commit manifest
+(``<dest>__commit.json`` — the full list of partition directories to
+swap in and to remove) is published via tmp-write + rename, then the
+per-partition swaps/deletes are applied, then manifest + stage are
+cleaned up. The manifest is the commit point:
+
+  - crash BEFORE the manifest exists → the mirror is untouched
+    (fully-old); the next run discards the orphan stage;
+  - crash AFTER the manifest exists → ``recover_export`` (run
+    automatically at the start of every refresh) rolls the commit
+    FORWARD idempotently — each listed swap is skipped if its staged
+    directory is already gone — converging to fully-new.
+
+A reader racing the apply step can still observe a mix of old/new
+DIRTY partitions for the duration of a few renames — per-partition
+rename is the strongest primitive plain parquet on a filesystem
+offers; snapshot-isolation readers need a table format (the documented
+trade-off).
+
 This is the plain-parquet expression of what table formats call MERGE +
 OPTIMIZE-pruned rewrite; the reference has nothing comparable (plain
 full rewrites), flagged in VERDICT r5 as the gap a 100 TB deployment
@@ -35,6 +56,7 @@ would feel first.
 
 from __future__ import annotations
 
+import json
 import re
 from collections.abc import Sequence
 
@@ -57,6 +79,84 @@ def _check_partition_values(vals) -> None:
                 "restrict partition values to [A-Za-z0-9_.+-] so "
                 "dead-partition cleanup can address directories by name"
             )
+
+
+def _hadoop(spark: SparkSession, path: str):
+    """(Path factory, FileSystem) for ``path`` — works for any Hadoop
+    scheme, not just local files."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def mkpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    return mkpath, mkpath(path).getFileSystem(hconf)
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop rename returns False instead of raising — surface it."""
+    if not fs.rename(src, dst):
+        raise IOError(f"incremental_export: rename {src} -> {dst} failed")
+
+
+def _write_manifest(spark: SparkSession, manifest: str, payload: dict) -> None:
+    """Publish the commit manifest atomically: write to a tmp name,
+    then rename into place — the rename IS the commit point."""
+    mkpath, fs = _hadoop(spark, manifest)
+    tmp = manifest + ".tmp"
+    out = fs.create(mkpath(tmp), True)
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    out.close()
+    _rename_or_raise(fs, mkpath(tmp), mkpath(manifest))
+
+
+def _read_manifest(spark: SparkSession, manifest: str) -> dict:
+    mkpath, fs = _hadoop(spark, manifest)
+    stream = fs.open(mkpath(manifest))
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def _apply_commit(spark: SparkSession, dest: str, stage: str, payload: dict) -> None:
+    """Apply a published manifest. IDEMPOTENT: a swap whose staged
+    directory is already gone was completed by an earlier attempt and
+    is skipped, so recovery can re-run this after a crash at any
+    point."""
+    mkpath, fs = _hadoop(spark, dest)
+    for d in payload["rewrite"]:
+        sp, dp = mkpath(f"{stage}/{d}"), mkpath(f"{dest}/{d}")
+        if fs.exists(sp):
+            if fs.exists(dp):
+                fs.delete(dp, True)
+            _rename_or_raise(fs, sp, dp)
+    for d in payload["dead"]:
+        dp = mkpath(f"{dest}/{d}")
+        if fs.exists(dp):
+            fs.delete(dp, True)
+
+
+def recover_export(spark: SparkSession, dest: str) -> str:
+    """Heal an interrupted refresh of the mirror at ``dest``. Returns
+    ``'rolled_forward'`` (a published commit was completed — mirror now
+    fully-new), ``'discarded_stage'`` (a pre-commit crash left an
+    orphan stage — mirror was never touched, i.e. fully-old), or
+    ``'clean'``. Run automatically at the start of every
+    :func:`incremental_export`; safe to call any time."""
+    base = dest.rstrip("/")
+    stage, manifest = base + "__stage", base + "__commit.json"
+    mkpath, fs = _hadoop(spark, dest)
+    if fs.exists(mkpath(manifest)):
+        _apply_commit(spark, base, stage, _read_manifest(spark, manifest))
+        fs.delete(mkpath(manifest), False)
+        fs.delete(mkpath(stage), True)
+        return "rolled_forward"
+    if fs.exists(mkpath(stage)):
+        fs.delete(mkpath(stage), True)
+        return "discarded_stage"
+    return "clean"
 
 
 def _partition_filter(col, vals):
@@ -84,8 +184,15 @@ def incremental_export(
 
     Returns {"changed_rows": n, "partitions_rewritten": k} (both 0 for
     a no-op refresh). First run (no mirror yet) writes everything when
-    ``full_if_missing`` (k = all partitions)."""
+    ``full_if_missing`` (k = all partitions). Crash-safe: any
+    interrupted previous refresh is healed first (see
+    :func:`recover_export`), and this refresh itself commits through
+    the stage + manifest protocol (module docstring)."""
     keys = list(key_cols)
+    base = dest.rstrip("/")
+    stage, manifest = base + "__stage", base + "__commit.json"
+    recover_export(spark, dest)
+    mkpath, fs = _hadoop(spark, dest)
     # Mirror reads carry the snapshot's EXPLICIT schema: inference
     # re-derives partition-column types from directory names, so a
     # numeric-looking string partition value ('01') would come back as
@@ -97,9 +204,16 @@ def incremental_export(
     except Exception:  # noqa: BLE001 — path-missing is the bootstrap case
         if not full_if_missing:
             raise
+        # bootstrap is atomic too: full write into the stage, then ONE
+        # directory rename — a crash mid-write leaves no mirror at all
+        # (fully-old = absent), never a half-written one
         write_parquet_partitioned(
-            new_snapshot, dest, (partition_col,), mode="overwrite"
+            new_snapshot, stage, (partition_col,), mode="overwrite"
         )
+        parent = mkpath(base).getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        _rename_or_raise(fs, mkpath(stage), mkpath(base))
         # count from the just-written mirror, not a second pass over
         # the input lineage (round-6 review)
         written = spark.read.schema(new_snapshot.schema).parquet(dest)
@@ -149,18 +263,24 @@ def incremental_export(
         r[0] for r in replacement.select(partition_col).distinct().collect()
     }
     dead = [p for p in dirty if p not in live_dirty]
-    write_parquet_partitioned(replacement, dest, (partition_col,), mode="overwrite")
-    if dead:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for p in dead:
-            dirname = _HIVE_NULL_DIR if p is None else str(p)
-            path = jvm.org.apache.hadoop.fs.Path(
-                f"{dest}/{partition_col}={dirname}"
-            )
-            fs = path.getFileSystem(hconf)
-            if fs.exists(path):
-                fs.delete(path, True)
+
+    def _dirname(p) -> str:
+        return f"{partition_col}={_HIVE_NULL_DIR if p is None else str(p)}"
+
+    # 1. stage the replacement partitions OUTSIDE the live mirror
+    write_parquet_partitioned(replacement, stage, (partition_col,), mode="overwrite")
+    # 2. publish the manifest — THE commit point: before this rename
+    #    the mirror is untouched; after it, recovery rolls forward
+    payload = {
+        "rewrite": [_dirname(p) for p in dirty if p in live_dirty],
+        "dead": [_dirname(p) for p in dead],
+    }
+    _write_manifest(spark, manifest, payload)
+    # 3. apply (idempotent per-partition swaps + dead-dir removal)
+    _apply_commit(spark, base, stage, payload)
+    # 4. cleanup
+    fs.delete(mkpath(manifest), False)
+    fs.delete(mkpath(stage), True)
     return {
         "changed_rows": changed_rows,
         "partitions_rewritten": len(dirty),

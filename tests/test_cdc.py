@@ -232,3 +232,114 @@ def test_incremental_export_rejects_unsafe_partition_values(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Hive-escaped"):
         incremental_export(spark, bad, str(tmp_path / "m2"), ["k"], "p")
+
+
+def _mirror_rows(spark, dest):
+    return {
+        tuple(r)
+        for r in spark.read.parquet(dest).select("k", "v", "p").collect()
+    }
+
+
+def test_incremental_export_crash_before_manifest_is_fully_old(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BEFORE the commit manifest is published: the live mirror
+    must read fully-OLD (byte-untouched), and the next refresh must
+    discard the orphan stage and converge to fully-new."""
+    import genpipe_spark.plans.export as export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    snap1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema)
+    export.incremental_export(spark, snap1, dest, ["k"], "p")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest publish")
+
+    monkeypatch.setattr(export, "_write_manifest", boom)
+    snap2 = spark.createDataFrame([(1, "A", "x"), (2, "b", "y")], schema)
+    with pytest.raises(RuntimeError, match="injected"):
+        export.incremental_export(spark, snap2, dest, ["k"], "p")
+    # mirror is fully-old; the stage leftover sits outside it
+    assert _mirror_rows(spark, dest) == {(1, "a", "x"), (2, "b", "y")}
+    monkeypatch.undo()
+    assert export.recover_export(spark, dest) == "discarded_stage"
+    r = export.incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r["partitions_rewritten"] == 1
+    assert _mirror_rows(spark, dest) == {(1, "A", "x"), (2, "b", "y")}
+
+
+def test_incremental_export_crash_mid_apply_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Crash in the WORST window — after the manifest is published and
+    after a dirty partition's live directory was already deleted but
+    before its staged replacement was renamed in. recover_export must
+    roll the commit forward to fully-NEW (incl. dead-dir removal)."""
+    import os
+
+    import genpipe_spark.plans.export as export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    snap1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")], schema
+    )
+    export.incremental_export(spark, snap1, dest, ["k"], "p")
+
+    real_apply = export._apply_commit
+
+    def partial_apply(spark_, base, stage, payload):
+        # delete the first rewrite target's LIVE dir, then crash before
+        # the rename — dest is now missing that partition entirely
+        mkpath, fs = export._hadoop(spark_, base)
+        d = payload["rewrite"][0]
+        fs.delete(mkpath(f"{base}/{d}"), True)
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(export, "_apply_commit", partial_apply)
+    # update x, delete z entirely, leave y untouched
+    snap2 = spark.createDataFrame([(1, "A", "x"), (2, "b", "y")], schema)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        export.incremental_export(spark, snap2, dest, ["k"], "p")
+    monkeypatch.setattr(export, "_apply_commit", real_apply)
+    assert export.recover_export(spark, dest) == "rolled_forward"
+    assert _mirror_rows(spark, dest) == {(1, "A", "x"), (2, "b", "y")}
+    assert not os.path.exists(f"{dest}/p=z")
+    assert not os.path.exists(dest + "__stage")
+    assert not os.path.exists(dest + "__commit.json")
+
+
+def test_incremental_export_crash_between_apply_and_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 item 1's exact scenario: interrupt between the
+    partition rewrite and the cleanup. The manifest + stage leftovers
+    must roll forward idempotently (every swap already done → no-ops)
+    and the mirror must read fully-new throughout."""
+    import genpipe_spark.plans.export as export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    snap1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema)
+    export.incremental_export(spark, snap1, dest, ["k"], "p")
+
+    real_apply = export._apply_commit
+
+    def apply_then_crash(*a, **k):
+        real_apply(*a, **k)
+        raise RuntimeError("injected crash before cleanup")
+
+    monkeypatch.setattr(export, "_apply_commit", apply_then_crash)
+    snap2 = spark.createDataFrame([(1, "A", "x")], schema)  # y dies
+    with pytest.raises(RuntimeError, match="before cleanup"):
+        export.incremental_export(spark, snap2, dest, ["k"], "p")
+    # apply completed: mirror ALREADY fully-new despite the leftovers
+    assert _mirror_rows(spark, dest) == {(1, "A", "x")}
+    monkeypatch.undo()
+    assert export.recover_export(spark, dest) == "rolled_forward"
+    assert _mirror_rows(spark, dest) == {(1, "A", "x")}
+    # and a subsequent refresh is a clean no-op
+    r = export.incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r == {"changed_rows": 0, "partitions_rewritten": 0}
