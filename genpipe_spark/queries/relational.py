@@ -1987,3 +1987,126 @@ def scd2_change_feed_query(spark, sf):
 
     h = QUERIES["scd2-history"](spark, sf)
     return scd2_change_feed(h, ["custkey"], ["seg", "st"])
+
+
+@query(
+    "tpch-q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf):
+    """TPC-H Q4 shape — the EXISTS-decorrelation pattern: count orders
+    per priority having at least one qualifying lineitem. (The fixture
+    lineitem has no commitdate/receiptdate, so the inner predicate is
+    l_discount > 0.05 — the decorrelation shape, a correlated EXISTS
+    turning into a LEFT SEMI join, is what this entry pins.) Spark
+    plans the semi-join hash-partitioned on l_orderkey with the date
+    filter pushed to the orders scan; the lineitem side is pre-filtered
+    BEFORE the shuffle, so the exchange carries only qualifying keys —
+    the posture that survives a 100x fact-table scale-up."""
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf, "lineitem").where(F.col("l_discount") > 0.05)
+    sem = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch-q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf):
+    """TPC-H Q13 shape — customer order-count distribution INCLUDING
+    zero-order customers: the outer-join-then-groupBy pattern where the
+    join predicate carries an extra non-key condition (here priority
+    <> '1-URGENT'; the fixture has no o_comment for the LIKE). count(
+    o_orderkey) counts non-NULL matches only, so customers with no
+    qualifying order land in the c_count=0 bucket instead of vanishing
+    — the semantics an inner join silently breaks. Two shuffles
+    (join + final distribution agg); the per-customer count rides the
+    join's own partitioning."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch-q17",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    ),
+    part_avg AS (
+      SELECT l_partkey, sum(qty_c) AS sum_qty_c, count(*) AS n_li
+      FROM li GROUP BY l_partkey
+    )
+    SELECT sum(price_c) / 700.0 AS avg_yearly
+    FROM li
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg USING (l_partkey)
+    WHERE p_brand = 'Brand#4'
+      AND 5 * qty_c * n_li < sum_qty_c
+    """,
+)
+def tpch_q17(spark, sf):
+    """TPC-H Q17 shape — the correlated scalar subquery
+    (l_quantity < 0.2 * per-part avg quantity) decorrelated into a
+    per-part aggregate joined back to the fact rows. The threshold
+    compare is EXACT integer arithmetic: qty < 0.2*(sum/n) <=>
+    5*qty_c*n < sum_c in int64 cents, so the boundary never depends on
+    double rounding (the fixture has no p_container; the part filter
+    is brand-only). The per-part aggregate is computed over the FULL
+    lineitem (the correlation is over all parts' lineitems, not just
+    the brand's) but reduces map-side to |parts| rows before its
+    shuffle; the brand filter prunes the probe side early."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
+    )
+    p = t(spark, sf, "part").where(F.col("p_brand") == "Brand#4").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    j = li.join(p, "l_partkey").join(part_avg, "l_partkey")
+    return j.where(
+        F.lit(5) * F.col("qty_c") * F.col("n_li") < F.col("sum_qty_c")
+    ).agg((F.sum("price_c") / 700.0).alias("avg_yearly"))

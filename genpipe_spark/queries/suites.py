@@ -88,6 +88,13 @@ _TEXT_MEMBERS = {
         "text-chunk",
         [("doc_id", "s"), ("chunk_id", "s"), ("chunk_text", "s"), ("n_tokens", "s")],
     ),
+    "redact": (
+        "redact-pii",
+        [
+            ("c_custkey", "s"), ("n_email", "s"), ("n_phone", "s"),
+            ("n_ipv4", "s"), ("redacted", "s"),
+        ],
+    ),
 }
 
 _UDF_MEMBERS = {
@@ -170,7 +177,9 @@ def _register(slug, members, doc):
 text_analysis_suite = _register(
     "text-analysis-suite",
     _TEXT_MEMBERS,
-    "text-metrics ∪ text-chunk, every member column packed (r5 window rotation).",
+    "text-metrics ∪ text-chunk ∪ redact-pii, every member column packed "
+    "(r5 window rotation; redact added r7 — VERDICT r6 item 4, the last "
+    "LLM-pipeline operator without an oracle row).",
 )
 udf_suite = _register(
     "udf-suite",
@@ -438,6 +447,10 @@ _CDC_MEMBERS = {
             ("op", "s"),
         ],
     ),
+    "stream": (
+        "stream-cdc-apply",
+        [("k", "s"), ("seg", "s"), ("bal", "s")],
+    ),
 }
 
 _FN_STRUCT_MEMBERS = {
@@ -487,6 +500,9 @@ _RESHAPE_OLAP_MEMBERS = {
             ("conf_a_to_b", "s"), ("lift_micro", "s"),
         ],
     ),
+    "q4": ("tpch-q4", [("o_orderpriority", "s"), ("order_count", "s")]),
+    "q13": ("tpch-q13", [("c_count", "s"), ("custdist", "s")]),
+    "q17": ("tpch-q17", [("avg_yearly", "f")]),
 }
 
 quantile_suite = _register(
@@ -549,11 +565,13 @@ profile_suite = _register(
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
     "merge-upsert ∪ scd2-history ∪ scd2-point-in-time ∪ snapshot-diff "
-    "∪ scd2-change-feed — the CDC family: MERGE INTO apply, SCD "
-    "Type-2 history, the temporal point-in-time fact join, and BOTH "
-    "inverse pairs — table-diff (I/U/D changesets) and the "
-    "change-data-feed reconstruction from history (r5 third rotation; "
-    "diff + cdf added r6).",
+    "∪ scd2-change-feed ∪ stream-cdc-apply — the CDC family: MERGE "
+    "INTO apply, SCD Type-2 history, the temporal point-in-time fact "
+    "join, BOTH inverse pairs — table-diff (I/U/D changesets) and the "
+    "change-data-feed reconstruction from history — plus the REAL "
+    "streaming MERGE maintenance loop checked against batch-MERGE "
+    "DuckDB semantics (r5 third rotation; diff + cdf added r6; "
+    "stream added r7 — VERDICT r6 item 7).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
@@ -569,10 +587,12 @@ text_token_suite = _register(
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
     "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
-    "copurchase-pairs ∪ copurchase-lift — reshape + grouping-sets + "
-    "the TPC-H showcases (Q1/Q3/Q5 incl. the 6-way star join) + "
-    "market-basket support/confidence/lift "
-    "(r5 third rotation; basket + lift + q5 added r6).",
+    "copurchase-pairs ∪ copurchase-lift ∪ tpch-q4 ∪ tpch-q13 ∪ tpch-q17 "
+    "— reshape + grouping-sets + the TPC-H showcases (Q1/Q3/Q5 incl. "
+    "the 6-way star join, plus the r7 decorrelation shapes: Q4 EXISTS "
+    "semi-join, Q13 outer-join count-with-zeros, Q17 correlated scalar "
+    "avg) + market-basket support/confidence/lift "
+    "(r5 third rotation; basket + lift + q5 added r6; q4/q13/q17 r7).",
 )
 
 
