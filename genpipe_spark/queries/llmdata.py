@@ -2090,3 +2090,230 @@ def redact_pii_query(spark, sf):
     return T.pii_redact(synth).select(
         "c_custkey", "n_email", "n_phone", "n_ipv4", "redacted"
     )
+
+
+@query(
+    "text-tfidf-topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, w, tf,
+             tf * CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1e9 + 1e9)
+                       AS BIGINT) AS score_nano
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w, tf, score_nano // 1000 AS score_micro
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_nano DESC, w) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf):
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn-style smoothing that keeps
+    corpus-wide terms positive). Determinism doctrine: the ONE libm
+    call (ln of a single pinned double division) is nano-rounded to
+    int64 immediately, then score = tf * idf_nano stays in exact
+    integer arithmetic through ranking and the micro-unit output; ties
+    break by term. Plan shape: tf groupBy (doc, term) and df groupBy
+    (term) are both map-side-combinable; the per-term df attaches by an
+    equi-join (vocabulary never broadcast, same doctrine as bigram_pmi)
+    and N is a 1-row broadcast; the final top-3 is a per-doc window over
+    |doc x distinct-term| rows — no global sort, no all-corpus state."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_nano = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        * 1e9
+        + 1e9
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "w", "tf", (F.col("tf") * idf_nano).alias("score_nano")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id", "w", "tf",
+            F.expr("score_nano div 1000").alias("score_micro"),
+        )
+    )
+
+
+def _kcore_sql(k: int = 4, unroll: int = 8) -> str:
+    """Unrolled peeling twin (the _pagerank_sql idiom): round i keeps
+    nodes whose degree within round i-1's survivors is >= k. Peeling
+    depth at every fixture SF is <= 4 (measured sf0.001-sf10), so 8
+    unrolled rounds include >= 4 provable no-ops past the fixpoint; a
+    hypothetical deeper cascade would surface as a LOUD value mismatch
+    against the Spark side's exact fixpoint, never a silent pass."""
+    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one THREE times (the adjacency scan
+    # plus both endpoint semi-joins through k{i}), so an un-materialized
+    # 8-round unroll expands the base scan 3^8 times and never finishes
+    # (round-7 lesson; the pagerank unroll survives only because its
+    # chain references each level at most twice)
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT (o_orderkey % 3000) AS a,
+             (o_orderkey % 3000) + 1 + (o_custkey % 4) AS b
+      FROM orders
+    ),
+    u0 AS MATERIALIZED (
+      SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0)"""
+    prev = "u0"
+    for i in range(1, unroll + 1):
+        sql += f""",
+    k{i} AS MATERIALIZED (
+      SELECT n FROM (SELECT n, count(*) AS d FROM {prev} GROUP BY n)
+      WHERE d >= {k}
+    ),
+    u{i} AS MATERIALIZED (
+      SELECT u.n, u.m FROM {prev} u
+      JOIN k{i} ka ON ka.n = u.n
+      JOIN k{i} kb ON kb.n = u.m
+    )"""
+        prev = f"u{i}"
+    sql += f"""
+    SELECT n AS node, count(*) AS core_deg FROM {prev} GROUP BY n
+    """
+    return sql
+
+
+@query("graph-kcore", _kcore_sql())
+def graph_kcore(spark, sf):
+    """k-core decomposition (operators/graph.kcore, k=4) over a
+    deterministic chain-with-skips graph derived from orders (node i
+    links to i+1..i+4 as the data provides) — a graph whose density
+    SATURATES with SF (each node has <= 8 possible neighbors), so the
+    peeling behavior stays nontrivial at every scale instead of
+    trivializing as mod-graphs densify. Spark iterates to the exact
+    fixpoint (rounds <= 4 at all fixture SFs, cap 64); the DuckDB twin
+    unrolls 8 peeling rounds."""
+    from genpipe_spark.operators.graph import kcore
+
+    o = t(spark, sf, "orders")
+    a = F.col("o_orderkey") % 3000
+    edges = o.select(
+        a.alias("a"), (a + 1 + F.col("o_custkey") % 4).alias("b")
+    ).distinct()
+    return kcore(edges, k=4)
+
+
+@query(
+    "profile-entropy",
+    """
+    WITH counts AS (
+      SELECT lang,
+             count(*) FILTER (WHERE doc_id % 2 = 0) AS na,
+             count(*) FILTER (WHERE doc_id % 2 = 1) AS nb
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts),
+    terms AS (
+      SELECT CASE WHEN na > 0 THEN CAST(round(
+               (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+               * ln(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) * 1e9)
+               AS BIGINT) ELSE 0 END AS pa_nano,
+             CASE WHEN nb > 0 THEN CAST(round(
+               (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+               * ln(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) * 1e9)
+               AS BIGINT) ELSE 0 END AS pb_nano,
+             CAST(round(
+               (0.5 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                + 0.5 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+               * ln(0.5 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                    + 0.5 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+               * 1e9) AS BIGINT) AS pm_nano
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT tb FROM tot) AS BIGINT) AS n_b,
+           CAST(-sum(pa_nano) AS BIGINT) // 1000 AS h_a_micro,
+           CAST(-sum(pb_nano) AS BIGINT) // 1000 AS h_b_micro,
+           CAST(-sum(pm_nano) AS BIGINT) // 1000 AS h_m_micro,
+           (CAST(-sum(pm_nano) AS BIGINT) // 1000)
+             - ((CAST(-sum(pa_nano) AS BIGINT) // 1000)
+                + (CAST(-sum(pb_nano) AS BIGINT) // 1000)) // 2
+             AS js_micro
+    FROM terms
+    """,
+)
+def profile_entropy(spark, sf):
+    """Distribution entropy + Jensen-Shannon divergence between two
+    deterministic halves of the corpus (doc_id parity) over the lang
+    column — the corpus-version drift metric complementing PSI
+    (profile-drift): JS is symmetric, bounded by ln 2, and defined even
+    when a category is absent from one side (where PSI's log-ratio
+    blows up). Determinism doctrine: each -p ln p term is nano-rounded
+    to int64 immediately after the ONE pinned double expression (single
+    division per probability, 0.5-weighted mixture in fixed order),
+    summed exactly, floor-div'd to micro-nats; JS is then pure integer
+    arithmetic over the three quantized entropies. Plan shape: one
+    groupBy(lang) with two conditional counts (map-side combinable),
+    a 1-row total attach, and a scalar aggregate — |categories| rows
+    after the first shuffle, nothing collected."""
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("na"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    c = counts.crossJoin(F.broadcast(tot))
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    pm = F.lit(0.5) * pa + F.lit(0.5) * pb
+
+    def nano(p, guard):
+        term = F.round(p * F.log(p) * 1e9).cast("long")
+        if guard is not None:
+            return F.when(F.col(guard) > 0, term).otherwise(F.lit(0))
+        return term
+
+    terms = c.select(
+        "ta", "tb",
+        nano(pa, "na").alias("pa_nano"),
+        nano(pb, "nb").alias("pb_nano"),
+        nano(pm, None).alias("pm_nano"),
+    )
+    agg = terms.groupBy("ta", "tb").agg(
+        (-F.sum("pa_nano")).alias("sa"),
+        (-F.sum("pb_nano")).alias("sb"),
+        (-F.sum("pm_nano")).alias("sm"),
+    )
+    return agg.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        F.expr("sa div 1000").alias("h_a_micro"),
+        F.expr("sb div 1000").alias("h_b_micro"),
+        F.expr("sm div 1000").alias("h_m_micro"),
+        F.expr("(sm div 1000) - ((sa div 1000) + (sb div 1000)) div 2").alias(
+            "js_micro"
+        ),
+    )

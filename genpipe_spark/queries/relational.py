@@ -2110,3 +2110,52 @@ def tpch_q17(spark, sf):
     return j.where(
         F.lit(5) * F.col("qty_c") * F.col("n_li") < F.col("sum_qty_c")
     ).agg((F.sum("price_c") / 700.0).alias("avg_yearly"))
+
+
+@query(
+    "tpch-q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS total_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+    )
+    SELECT c_custkey, o_orderkey, total_qty_c,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-volume customers) — the
+    groupBy-HAVING-then-join-back pattern: orders whose total quantity
+    exceeds a threshold (IN-subquery decorrelated into an aggregate +
+    equi-join), enriched with the customer. Quantities in exact integer
+    cents. Scale shape: the fact aggregate reduces map-side to
+    |orders| rows BEFORE its shuffle and the HAVING prunes to a tiny
+    key set, so the two enrichment joins probe with a small build side
+    AQE will broadcast — the right plan at any SF."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("total_qty_c"))
+        .where(F.col("total_qty_c") > 25000)
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    j = big.join(o, "l_orderkey").join(c, "o_custkey")
+    return j.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("l_orderkey").alias("o_orderkey"),
+        "total_qty_c", "price_c",
+    )

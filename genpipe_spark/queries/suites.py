@@ -340,6 +340,10 @@ _BM25_MEMBERS = {
 }
 
 _TIMEGRID_MEMBERS = {
+    "acf": (
+        "timeseries-acf",
+        [("user_id", "s"), ("lag", "s"), ("n", "s"), ("acf_micro", "s")],
+    ),
     "gapfill": (
         "rollup-gapfill",
         [
@@ -404,6 +408,13 @@ _PROFILE_MEMBERS = {
     "drift": (
         "profile-drift",
         [("bin", "s"), ("n_ref", "s"), ("n_cur", "s"), ("term_micro", "s"), ("psi_micro", "s")],
+    ),
+    "entropy": (
+        "profile-entropy",
+        [
+            ("n_a", "s"), ("n_b", "s"), ("h_a_micro", "s"), ("h_b_micro", "s"),
+            ("h_m_micro", "s"), ("js_micro", "s"),
+        ],
     ),
     "kanon": (
         "profile-kanonymity",
@@ -475,6 +486,10 @@ _TEXT_TOKEN_MEMBERS = {
         "text-bigram-pmi",
         [("w1", "s"), ("w2", "s"), ("n_pair", "s"), ("pmi_micro", "s")],
     ),
+    "tfidf": (
+        "text-tfidf-topk",
+        [("doc_id", "s"), ("w", "s"), ("tf", "s"), ("score_micro", "s")],
+    ),
 }
 
 _RESHAPE_OLAP_MEMBERS = {
@@ -503,6 +518,13 @@ _RESHAPE_OLAP_MEMBERS = {
     "q4": ("tpch-q4", [("o_orderpriority", "s"), ("order_count", "s")]),
     "q13": ("tpch-q13", [("c_count", "s"), ("custdist", "s")]),
     "q17": ("tpch-q17", [("avg_yearly", "f")]),
+    "q18": (
+        "tpch-q18",
+        [
+            ("c_custkey", "s"), ("o_orderkey", "s"), ("total_qty_c", "s"),
+            ("price_c", "s"),
+        ],
+    ),
 }
 
 quantile_suite = _register(
@@ -555,12 +577,15 @@ timegrid_suite = _register(
     "rollup, rolling z-score/EWMA, ordered funnels (plain + "
     "24h-conversion-window), cohort retention, time-weighted averages, "
     "session path mining "
-    "(r5 third rotation; funnelw + twap + paths added r6).",
+    "plus lag-1..3 autocorrelation (grouped-corr doctrine) "
+    "(r5 third rotation; funnelw + twap + paths r6; acf r7).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
-    "profile-table ∪ profile-drift (PSI) ∪ profile-kanonymity — "
-    "data-quality + privacy profiling (r5 third rotation).",
+    "profile-table ∪ profile-drift (PSI) ∪ profile-entropy "
+    "(Shannon + Jensen-Shannon divergence) ∪ profile-kanonymity — "
+    "data-quality + privacy profiling (r5 third rotation; entropy "
+    "added r7).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
@@ -580,9 +605,10 @@ fn_struct_parse_suite = _register(
 )
 text_token_suite = _register(
     "text-token-suite", _TEXT_TOKEN_MEMBERS,
-    "text-vocab-topk ∪ text-bpe-pairs ∪ text-bigram-pmi — "
-    "tokenizer/phrase-induction statistics incl. PMI collocations "
-    "(r5 third rotation; pmi added r6).",
+    "text-vocab-topk ∪ text-bpe-pairs ∪ text-bigram-pmi ∪ "
+    "text-tfidf-topk — tokenizer/phrase-induction statistics incl. "
+    "PMI collocations and per-doc TF-IDF keyword extraction "
+    "(r5 third rotation; pmi r6; tfidf r7).",
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
@@ -701,15 +727,18 @@ _GRAPH_MEMBERS = {
     "triangles": (
         "graph-triangle-count", [("node", "s"), ("n_triangles", "s")]
     ),
+    "kcore": ("graph-kcore", [("node", "s"), ("core_deg", "s")]),
 }
 
 graph_suite = _register(
     "graph-suite", _GRAPH_MEMBERS,
-    "graph-pagerank ∪ graph-bfs-levels ∪ graph-triangle-count — graph "
-    "algorithms: exact-integer PageRank, bounded multi-source BFS "
-    "matched against a genuine WITH RECURSIVE oracle, and "
-    "degree-ordered wedge-join triangle counting (r5 third rotation; "
-    "triangles added r6; dedup-components rides dedup-misc-suite).",
+    "graph-pagerank ∪ graph-bfs-levels ∪ graph-triangle-count ∪ "
+    "graph-kcore — graph algorithms: exact-integer PageRank, bounded "
+    "multi-source BFS matched against a genuine WITH RECURSIVE "
+    "oracle, degree-ordered wedge-join triangle counting, and "
+    "fixpoint k-core peeling vs an unrolled materialized-CTE twin "
+    "(r5 third rotation; triangles r6; kcore r7; dedup-components "
+    "rides dedup-misc-suite).",
 )
 
 _MM_FULL_MEMBERS = {

@@ -530,3 +530,144 @@ def session_paths_query(spark, sf):
         t(spark, sf, "events"), "user_id", "ts", "event_type",
         gap_us=21_600_000_000, tiebreak_col="event_id",
     )
+
+
+_ACF_MOM = """
+      SELECT user_id, lag, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum((x*x) // 1073741824) AS BIGINT) AS sxx_hi,
+             CAST(sum((x*x) % 1073741824) AS BIGINT) AS sxx_lo,
+             CAST(sum((y*y) // 1073741824) AS BIGINT) AS syy_hi,
+             CAST(sum((y*y) % 1073741824) AS BIGINT) AS syy_lo,
+             CAST(sum((x*y) // 1073741824) AS BIGINT) AS sxy_hi,
+             CAST(sum((x*y) % 1073741824) AS BIGINT) AS sxy_lo
+      FROM p GROUP BY user_id, lag
+"""
+
+
+@query(
+    "timeseries-acf",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, x,
+             lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts) AS x1,
+             lag(x, 2) OVER (PARTITION BY user_id ORDER BY ts) AS x2,
+             lag(x, 3) OVER (PARTITION BY user_id ORDER BY ts) AS x3
+      FROM e
+    ),
+    p AS (
+      SELECT user_id, 1 AS lag, x, x1 AS y FROM l WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2, x, x2 FROM l WHERE x2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 3, x, x3 FROM l WHERE x3 IS NOT NULL
+    ),
+    s AS ({_ACF_MOM})
+    SELECT user_id, lag, n,
+           CASE WHEN (CAST(n AS DOUBLE)
+                        * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                           + CAST(sxx_lo AS DOUBLE))
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0.0
+                  OR (CAST(n AS DOUBLE)
+                        * (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                           + CAST(syy_lo AS DOUBLE))
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+                THEN NULL
+                ELSE CAST(floor(1000000.0 *
+                  (CAST(n AS DOUBLE)
+                     * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                        + CAST(sxy_lo AS DOUBLE))
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE)
+                            * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                               + CAST(sxx_lo AS DOUBLE))
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE)
+                              * (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                                 + CAST(syy_lo AS DOUBLE))
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                  AS BIGINT)
+           END AS acf_micro
+    FROM s
+    """,
+)
+def timeseries_acf(spark, sf):
+    """Per-entity autocorrelation function at lags 1-3 — the
+    seasonality/persistence diagnostic a feature pipeline computes per
+    series. Pearson correlation of (x_t, x_{t-lag}) pairs per
+    (user_id, lag), accumulated with the agg-grouped-corr doctrine:
+    exact int64 (hi, lo)-split product moments at 2^30 (values are
+    non-negative cents, so div/mod agree across engines), doubles only
+    in the final pinned-order fold; zero-variance groups emit NULL
+    instead of a divide artifact. Plan shape: ONE per-key window pass
+    produces all three lags, an inline explode unpivots them
+    (single scan, no self-joins — the naive per-lag self-join would
+    re-shuffle the series three times), then one map-side-combinable
+    groupBy on (user_id, lag)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = ev.select(
+        "user_id", "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)],
+    )
+    pairs = (
+        lagged.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("x"),
+                            F.col(f"x{k}").alias("y"),
+                        )
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("user_id", "p.lag", "p.x", "p.y")
+        .where(F.col("y").isNotNull())
+    )
+    split = 1073741824  # 2^30
+
+    def hi_lo(prod, tag):
+        return [
+            F.sum(F.expr(f"({prod}) div {split}")).alias(f"{tag}_hi"),
+            F.sum(F.expr(f"({prod}) % {split}")).alias(f"{tag}_lo"),
+        ]
+
+    s = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        *hi_lo("x*x", "sxx"),
+        *hi_lo("y*y", "syy"),
+        *hi_lo("x*y", "sxy"),
+    )
+
+    def recon_d(tag):
+        return (
+            F.col(f"{tag}_hi").cast("double") * F.lit(float(split))
+            + F.col(f"{tag}_lo").cast("double")
+        )
+
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varx = n_d * recon_d("sxx") - sx_d * sx_d
+    vary = n_d * recon_d("syy") - sy_d * sy_d
+    num = n_d * recon_d("sxy") - sx_d * sy_d
+    acf = F.when(
+        (varx <= 0.0) | (vary <= 0.0), F.lit(None).cast("long")
+    ).otherwise(
+        F.floor(F.lit(1_000_000.0) * num / F.sqrt(varx * vary)).cast("long")
+    )
+    return s.select("user_id", "lag", "n", acf.alias("acf_micro"))
