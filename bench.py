@@ -91,6 +91,17 @@ HEADLINE = [
     "window-range-frame",
     "text-bigram-pmi",
     "scd2-change-feed",
+    # r7: PII redaction, the TPC-H decorrelation shapes, TF-IDF
+    # keywords, autocorrelation, k-core peeling, entropy/JS drift
+    "redact-pii",
+    "tpch-q4",
+    "tpch-q13",
+    "tpch-q17",
+    "tpch-q18",
+    "text-tfidf-topk",
+    "timeseries-acf",
+    "graph-kcore",
+    "profile-entropy",
 ]
 
 

@@ -2317,3 +2317,83 @@ def profile_entropy(spark, sf):
             "js_micro"
         ),
     )
+
+
+@query(
+    "quantize-embedding-pq",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_apply(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    sub AS (
+      SELECT vec_id, m, list_slice(q, m * 16 + 1, m * 16 + 16) AS sq
+      FROM e CROSS JOIN ms
+    ),
+    cents AS (
+      SELECT m, vec_id AS cid, sq AS c FROM sub WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.m, cents.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_apply(list_zip(sub.sq, cents.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) AS dist
+      FROM sub JOIN cents ON sub.m = cents.m
+    )
+    SELECT vec_id, m, cid AS code, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, cid) AS rn
+          FROM dists)
+    WHERE rn = 1
+    """,
+)
+def quantize_embedding_pq(spark, sf):
+    """Product quantization (the IVF-PQ building block): the 64-dim
+    embedding splits into M=4 contiguous 16-dim subspaces, each encoded
+    as the id of its nearest codebook centroid — here the 8
+    deterministic seed vectors' subvectors (the oracle-matched twin of
+    a trained codebook, same seeding doctrine as the IVF query; the
+    trained path would swap in kmeans_centroids exactly like
+    ann-ivf-kmeans). All distances are EXACT int64: components are
+    half-up-quantized to 1e-4 units first, so argmin + the (dist, cid)
+    tie-break are engine-identical. Plan shape: per-vector explode to
+    4 subspace rows, equi-join on the subspace id against a broadcast
+    32-row codebook, one groupBy(vec_id, m) min-struct — linear in N,
+    no all-pairs, codebook never shuffled. Output long-form
+    (vec_id, m, code, dist): 4 rows per vector."""
+    emb = t(spark, sf, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("long"),
+        ).alias("q"),
+    )
+    sub = q.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(4)])).alias("m"),
+        F.col("q"),
+    ).select(
+        "vec_id", "m", F.expr("slice(q, m * 16 + 1, 16)").alias("sq")
+    )
+    cents = sub.where(F.col("vec_id") < 8).select(
+        F.col("m"), F.col("vec_id").alias("cid"), F.col("sq").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    dists = sub.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "cid", dist.alias("dist")
+    )
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist", "cid")).alias("w")
+    )
+    return best.select(
+        "vec_id", "m", F.col("w.cid").alias("code"), F.col("w.dist").alias("dist")
+    )

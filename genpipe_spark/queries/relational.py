@@ -2159,3 +2159,40 @@ def tpch_q18(spark, sf):
         F.col("l_orderkey").alias("o_orderkey"),
         "total_qty_c", "price_c",
     )
+
+
+@query(
+    "join-null-safe",
+    """
+    WITH a AS (
+      SELECT nullif(o_custkey % 50, 0) AS k, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(c_custkey % 50, 0) AS k, count(*) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT a.k, n_orders, n_cust
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark, sf):
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    bucket on each side matches — the semantic a plain equi-join
+    silently drops (NULL = NULL is NULL, the row vanishes). Both sides
+    pre-aggregate to one row per key, so the NULL<=>NULL match is a
+    single pair, not a hidden NULL-cross-product. Spark plans eqNullSafe
+    as an ordinary hash-join key (EqualNullSafe is a valid equi-join
+    expression — no nested-loop fallback), so the shape scales exactly
+    like join-inner-equi."""
+    o = t(spark, sf, "orders").select(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k")
+    )
+    a = o.groupBy("k").agg(F.count(F.lit(1)).alias("n_orders"))
+    c = t(spark, sf, "customer").select(
+        F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("k")
+    )
+    b = c.groupBy("k").agg(F.count(F.lit(1)).alias("n_cust"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_orders", "n_cust"
+    )

@@ -329,6 +329,10 @@ _EMBEDDING_MEMBERS = {
         "similarity-lsh-pairs",
         [("id_a", "s"), ("id_b", "s"), ("cos", "f")],
     ),
+    "pq": (
+        "quantize-embedding-pq",
+        [("vec_id", "s"), ("m", "s"), ("code", "s"), ("dist", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -343,6 +347,13 @@ _TIMEGRID_MEMBERS = {
     "acf": (
         "timeseries-acf",
         [("user_id", "s"), ("lag", "s"), ("n", "s"), ("acf_micro", "s")],
+    ),
+    "ohlc": (
+        "rollup-ohlc",
+        [
+            ("user_id", "s"), ("bucket", "s"), ("open_c", "s"), ("high_c", "s"),
+            ("low_c", "s"), ("close_c", "s"), ("n_ticks", "s"), ("vol_c", "s"),
+        ],
     ),
     "gapfill": (
         "rollup-gapfill",
@@ -559,10 +570,11 @@ dedup_misc_suite = _register(
 embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,
     "ann-cosine-topk ∪ ann-ivf-topk ∪ quantize-embedding-int8 ∪ "
-    "dedup-embedding-cosine ∪ similarity-lsh-pairs — the "
-    "embedding-column family (r5 third rotation; supersedes "
+    "dedup-embedding-cosine ∪ similarity-lsh-pairs ∪ "
+    "quantize-embedding-pq — the embedding-column family incl. "
+    "product-quantization codes (r5 third rotation; supersedes "
     "ann-topk-suite's slot; the hyperplane-LSH scale path rides here "
-    "so its old slot could go to graph-pagerank).",
+    "so its old slot could go to graph-pagerank; pq added r7).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
@@ -577,8 +589,9 @@ timegrid_suite = _register(
     "rollup, rolling z-score/EWMA, ordered funnels (plain + "
     "24h-conversion-window), cohort retention, time-weighted averages, "
     "session path mining "
-    "plus lag-1..3 autocorrelation (grouped-corr doctrine) "
-    "(r5 third rotation; funnelw + twap + paths r6; acf r7).",
+    "plus lag-1..3 autocorrelation (grouped-corr doctrine) and OHLC "
+    "candlestick compaction "
+    "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc r7).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -686,13 +699,19 @@ _JOIN_FILTER_MEMBERS = {
         "join-bloom-prefilter",
         [("c_custkey", "s"), ("actually_present", "s")],
     ),
+    "nullsafe": (
+        "join-null-safe",
+        [("k", "s"), ("n_orders", "s"), ("n_cust", "s")],
+    ),
 }
 
 join_filter_suite = _register(
     "join-filter-suite", _JOIN_FILTER_MEMBERS,
-    "join-semi-anti ∪ join-bloom-prefilter — existence-filtering joins: "
-    "semi/anti plus the fixed-size Bloom prefilter with its bit "
-    "arithmetic replayed by the oracle (r5 third rotation).",
+    "join-semi-anti ∪ join-bloom-prefilter ∪ join-null-safe — "
+    "existence-filtering joins (semi/anti), the fixed-size Bloom "
+    "prefilter with its bit arithmetic replayed by the oracle, and "
+    "NULL-safe equality (<=>) join semantics (r5 third rotation; "
+    "nullsafe added r7).",
 )
 
 _INTERVAL_MEMBERS = {

@@ -671,3 +671,52 @@ def timeseries_acf(spark, sf):
         F.floor(F.lit(1_000_000.0) * num / F.sqrt(varx * vary)).cast("long")
     )
     return s.select("user_id", "lag", "n", acf.alias("acf_micro"))
+
+
+@query(
+    "rollup-ohlc",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 900000000 AS BIGINT) AS bucket,
+             epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, bucket,
+           arg_min(cents, us) AS open_c,
+           max(cents) AS high_c,
+           min(cents) AS low_c,
+           arg_max(cents, us) AS close_c,
+           count(*) AS n_ticks,
+           CAST(sum(cents) AS BIGINT) AS vol_c
+    FROM e GROUP BY user_id, bucket
+    """,
+)
+def rollup_ohlc(spark, sf):
+    """OHLC candlestick rollup: open/high/low/close per (entity,
+    15-minute bucket) — the financial/telemetry compaction primitive.
+    open/close are argmin/argmax over the in-bucket timestamp
+    (min_by/max_by — deterministic because (user_id, ts) is unique in
+    the fixture; real feeds add a sequence tiebreak column), extremes
+    and volume ride the same single map-side-combinable aggregate:
+    ONE shuffle total, no window, no self-join. Values in exact
+    integer cents; the bucket is integer epoch-microseconds div 15 min
+    (no timezone arithmetic)."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        # int64 div, NOT double division + cast: a correctly-rounded
+        # double quotient can round UP across an integer boundary where
+        # exact floor division would not (the interval-banding rule)
+        F.expr("unix_micros(ts) div 900000000").alias("bucket"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("user_id", "bucket").agg(
+        F.min_by("cents", "us").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max_by("cents", "us").alias("close_c"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("cents").alias("vol_c"),
+    )

@@ -1492,3 +1492,24 @@ def test_global_row_number_no_single_partition_window(spark):
     # the whole point
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_kcore_known_graph(spark):
+    """Triangle + pendant tail: the 2-core is exactly the triangle
+    (pendant peels, which drops nothing else); the 3-core is empty; a
+    max_rounds too small to reach the fixpoint raises instead of
+    returning a half-peeled graph. Also: a longer tail exercises a
+    multi-round cascade (each peel exposes the next node)."""
+    import pytest as _pytest
+
+    from genpipe_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus chain 3-4-5-6 (peels over 3 cascading rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "a: long, b: long"
+    )
+    got = {(r["node"], r["core_deg"]) for r in kcore(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    assert kcore(edges, k=3).count() == 0
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(edges, k=2, max_rounds=1)
