@@ -2196,3 +2196,313 @@ def join_null_safe(spark, sf):
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_orders", "n_cust"
     )
+
+
+@query(
+    "tpch-q21",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    ) b
+    JOIN supplier ON s_suppkey = b.l_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    hardest decorrelation pattern: a correlated EXISTS plus a correlated
+    NOT EXISTS against the SAME fact table. The oracle runs the literal
+    nested form; the Spark plan is the aggregate rewrite a 100 TB run
+    needs — ONE groupBy(l_orderkey) computing n_supp (distinct
+    suppliers) and n_late_supp (distinct late suppliers), then
+    EXISTS(other supplier) == n_supp >= 2 and NOT EXISTS(other late
+    supplier) == n_late_supp == 1 for a late supplier's own row. That
+    replaces two shuffled self-joins of lineitem with one partial-agg
+    shuffle at |orders| rows — the decisive rewrite when lineitem is
+    the 100 TB side. "Late" is l_shipdate > o_orderdate + 90 days (the
+    fixture has no commitdate/receiptdate; same predicate both
+    engines, exact timestamp arithmetic). The blamed-row set then
+    groups per supplier and enriches from the supplier dim (AQE
+    broadcasts the tiny distinct-key side)."""
+    o = t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, "l_orderkey").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        j.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    numwait = blamed.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return numwait.join(
+        s, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+@query(
+    "tpch-q22",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acct_c
+      FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+    ),
+    avgpos AS (
+      SELECT CAST(sum(acct_c) AS BIGINT) AS s, count(*) AS n
+      FROM c WHERE acct_c > 0
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(acct_c) AS BIGINT) AS totacctbal_c
+    FROM c, avgpos
+    WHERE acct_c * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global-sales-opportunity) — the two remaining
+    decorrelation idioms in one query: an UNCORRELATED scalar subquery
+    (global avg of positive balances) every row compares against, and a
+    correlated NOT EXISTS (customers with no order SINCE 2000-01-01 —
+    the fixture's order coverage is total, so a plain no-orders
+    predicate is vacuous; the inactivity window keeps the anti-join
+    non-vacuous at every SF) that becomes a LEFT ANTI join against the
+    date-filtered orders. The country code is c_nationkey % 5 (the
+    fixture has no c_phone prefix). The avg compare is EXACT int64:
+    acct_c > s/n  <=>  acct_c * n > s in cents — no double division at
+    the boundary. Scale shape: the 1-row aggregate broadcasts (an
+    explicit broadcast of a provably-1-row side), the anti-join
+    shuffles on custkey only after the balance filter pruned the
+    probe side and the date filter pruned the build side."""
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_c"),
+    ).where(F.col("cntrycode").isin(0, 1, 2))
+    avgpos = c.where(F.col("acct_c") > 0).agg(
+        F.sum("acct_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = c.join(F.broadcast(avgpos)).where(
+        F.col("acct_c") * F.col("n") > F.col("s")
+    )
+    o = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    no_orders = rich.join(o, "c_custkey", "left_anti")
+    return no_orders.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("acct_c").alias("totacctbal_c"),
+    )
+
+
+@query(
+    "tpch-q10",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           CAST(sum(rev_c2) AS BIGINT) AS revenue_c2
+    FROM li
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name, acctbal_c
+    """,
+)
+def tpch_q10(spark, sf):
+    """TPC-H Q10 shape (returned-item revenue report): fact filtered on
+    returnflag, quarter-windowed orders, two dim enrichments, grouped
+    revenue per customer. Revenue in exact 1e-4-dollar units:
+    price_c * (100 - disc_pct), both int64 — sum order never matters.
+    Scale shape: both fact filters reach their scans (returnflag +
+    orderdate pushed), the orders/lineitem join shuffles only filtered
+    rows, customer joins on the already-aggregated-size key set and
+    nation (25 rows) broadcasts. The TPC-H top-20 LIMIT is dropped —
+    ties under revenue make it nondeterministic; callers top-k with
+    (revenue, custkey) ordering."""
+    li = t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c2"),
+    )
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey"), "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+    n = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    j = (
+        li.join(o, "l_orderkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, "c_nationkey")
+    )
+    return j.groupBy("c_custkey", "c_name", "n_name", "acctbal_c").agg(
+        F.sum("rev_c2").alias("revenue_c2")
+    )
+
+
+@query(
+    "tpch-q14",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-03-01'
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c2 ELSE 0 END)
+                AS BIGINT) AS promo_rev_c2,
+           CAST(sum(rev_c2) AS BIGINT) AS total_rev_c2,
+           count(*) AS n_items
+    FROM li JOIN part ON p_partkey = l_partkey
+    """,
+)
+def tpch_q14(spark, sf):
+    """TPC-H Q14 shape (promotion effect): windowed fact joined to the
+    part dim, conditional aggregation splitting revenue by p_type. The
+    ratio is reported as its EXACT integer numerator/denominator pair
+    (promo_rev_c2, total_rev_c2) instead of a float percentage — the
+    caller divides; the engines never do. Scale shape: shipdate window
+    pushed to the scan, part is the build side (AQE broadcasts it at
+    small SF, shuffles at large), ONE conditional agg pass — the
+    CASE-inside-SUM pattern, not two joins."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-03-01")
+    ).select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c2"),
+    )
+    p = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    j = li.join(p, "l_partkey")
+    return j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_c2")).otherwise(0)
+        ).alias("promo_rev_c2"),
+        F.sum("rev_c2").alias("total_rev_c2"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch-q19",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2
+      FROM lineitem
+    )
+    SELECT CAST(sum(rev_c2) AS BIGINT) AS revenue_c2, count(*) AS n_rows
+    FROM li JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND qty_c BETWEEN 100 AND 1100)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND qty_c BETWEEN 1000 AND 2000)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND qty_c BETWEEN 2000 AND 3000)
+    """,
+)
+def tpch_q19(spark, sf):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an equi-join on partkey whose residual is an OR of three
+    brand/size/quantity conjunct groups — the pattern that degrades to
+    a nested-loop join if the common equi-key isn't factored out.
+    Spark extracts the p_partkey = l_partkey conjunct (common to all
+    branches) as the hash-join key and evaluates the OR as a post-join
+    filter; quantities compare in exact integer cents. At 100 TB the
+    OR also admits partial pushdown (brand IN (...) and size <= 15 are
+    implied supersets Catalyst derives), pruning the dim scan."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c2"),
+    )
+    p = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+    )
+    j = li.join(p, "l_partkey")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("qty_c").between(100, 1100)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("qty_c").between(1000, 2000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty_c").between(2000, 3000)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum("rev_c2").alias("revenue_c2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

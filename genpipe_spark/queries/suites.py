@@ -536,6 +536,23 @@ _RESHAPE_OLAP_MEMBERS = {
             ("price_c", "s"),
         ],
     ),
+    "q10": (
+        "tpch-q10",
+        [
+            ("c_custkey", "s"), ("c_name", "s"), ("n_name", "s"),
+            ("acctbal_c", "s"), ("revenue_c2", "s"),
+        ],
+    ),
+    "q14": (
+        "tpch-q14",
+        [("promo_rev_c2", "s"), ("total_rev_c2", "s"), ("n_items", "s")],
+    ),
+    "q19": ("tpch-q19", [("revenue_c2", "s"), ("n_rows", "s")]),
+    "q21": ("tpch-q21", [("s_suppkey", "s"), ("s_name", "s"), ("numwait", "s")]),
+    "q22": (
+        "tpch-q22",
+        [("cntrycode", "s"), ("numcust", "s"), ("totacctbal_c", "s")],
+    ),
 }
 
 quantile_suite = _register(
@@ -626,12 +643,16 @@ text_token_suite = _register(
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
     "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
-    "copurchase-pairs ∪ copurchase-lift ∪ tpch-q4 ∪ tpch-q13 ∪ tpch-q17 "
-    "— reshape + grouping-sets + the TPC-H showcases (Q1/Q3/Q5 incl. "
-    "the 6-way star join, plus the r7 decorrelation shapes: Q4 EXISTS "
-    "semi-join, Q13 outer-join count-with-zeros, Q17 correlated scalar "
-    "avg) + market-basket support/confidence/lift "
-    "(r5 third rotation; basket + lift + q5 added r6; q4/q13/q17 r7).",
+    "copurchase-pairs ∪ copurchase-lift ∪ tpch-q4/q13/q17/q18 ∪ "
+    "tpch-q10/q14/q19/q21/q22 — reshape + grouping-sets + the TPC-H "
+    "showcases: Q1/Q3/Q5 (6-way star join), the full decorrelation "
+    "family (Q4 EXISTS, Q13 outer-join count-with-zeros, Q17 "
+    "correlated scalar avg, Q18 HAVING-join-back, Q21 EXISTS+NOT "
+    "EXISTS self-join rewrite, Q22 scalar-avg + anti-join), Q10 "
+    "returned-revenue report, Q14 conditional-agg ratio, Q19 "
+    "disjunctive-predicate join, + market-basket "
+    "support/confidence/lift (r5 third rotation; basket + lift + q5 "
+    "added r6; q4/q13/q17/q18 + q10/q14/q19/q21/q22 r7).",
 )
 
 
