@@ -283,3 +283,50 @@ def scd2_change_feed(
         F.lit("D").alias(op_col),
     )
     return ups.unionByName(dels)
+
+
+def bucket_checksum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    int_cols: Sequence[str],
+    n_buckets: int = 1024,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Per-bucket order-independent checksums — the Merkle-style
+    primitive for detecting WHERE two 100 TB snapshots differ without
+    comparing them row-by-row (the scale path snapshot_diff then runs
+    on only the dirty buckets; the reference has no incremental diff —
+    plain full rewrites, steps/gzToParquet.scala:69,74).
+
+    Each row folds its key + integer payload columns through a
+    polynomial hash kept EXACTLY reproducible across engines: every
+    step is ``(acc * 1_000_003 + ((col % mod) + mod) % mod) % mod`` in
+    int64 — acc < mod ≈ 1e9, so acc*P < 1.1e15 never overflows, and
+    the explicit ``(x % mod + mod) % mod`` canonicalises negative
+    inputs identically in Spark and DuckDB (both truncate toward
+    zero). NULLs fold as the sentinel -987654321 (distinct from any
+    canonicalised value's path because it, too, is canonicalised —
+    NULL vs 0 vs absent all differ).
+
+    Per bucket (``pmod(first key, n_buckets)``) three commutative
+    aggregates: row count, signature sum mod ``mod`` (int64-exact up
+    to ~9e9 rows/bucket), and signature bit_xor. Sum and xor together
+    make silent cancellation (two compensating edits in one bucket)
+    require a deliberate collision, not an accident. ONE map-side
+    combinable shuffle at |buckets| output rows."""
+    cols = [*key_cols, *int_cols]
+    sig = F.lit(0).cast("long")
+    for c in cols:
+        v = F.coalesce(F.col(c).cast("long"), F.lit(-987654321))
+        canon = ((v % mod) + mod) % mod
+        sig = (sig * 1_000_003 + canon) % mod
+    bucket = F.pmod(F.col(key_cols[0]).cast("long"), F.lit(n_buckets))
+    return (
+        df.select(bucket.alias("bucket"), sig.alias("__sig"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("__sig") % mod).alias("sum_sig"),
+            F.expr("bit_xor(__sig)").alias("xor_sig"),
+        )
+    )

@@ -144,3 +144,76 @@ def interval_interval_join_query(spark, sf):
         "user_id", "l_event", "r_event",
         (F.least("l_hi", "r_hi") - F.greatest("l_lo", "r_lo")).alias("overlap_us"),
     )
+
+
+@query(
+    "interval-reciprocal-join",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS l_event,
+             epoch_us(ts) AS l_lo,
+             epoch_us(ts) + ((event_id % 7) + 1) * 3600000000 AS l_hi
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id AS r_event,
+             epoch_us(ts) AS r_lo,
+             epoch_us(ts) + ((event_id % 11) + 1) * 3600000000 AS r_hi
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, l_event, r_event, overlap_us
+    FROM (
+      SELECT l.user_id, l_event, r_event,
+             (CASE WHEN l_hi < r_hi THEN l_hi ELSE r_hi END
+              - CASE WHEN l_lo > r_lo THEN l_lo ELSE r_lo END) AS overlap_us,
+             l_hi - l_lo AS l_len, r_hi - r_lo AS r_len
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND l_lo <= r_hi AND r_lo <= l_hi
+    )
+    WHERE 2 * overlap_us >= l_len AND 2 * overlap_us >= r_len
+    """,
+)
+def interval_reciprocal_join_query(spark, sf):
+    """Reciprocal-overlap region join — the genomics filter variant
+    (bedtools ``intersect -f 0.5 -r``; the reference's interval joins
+    stop at any-overlap, `steps/intersectSwap.scala:17-27`): a pair
+    qualifies only when the overlap covers >= 50% of BOTH intervals'
+    lengths. Built as the SAME banded exactly-once candidate join as
+    interval-interval-join plus a residual fraction predicate in EXACT
+    integer microseconds (2*overlap >= len, no double ratios) — the
+    filter tightens selectivity but the plan shape, replication bound,
+    and single shuffle are unchanged, so the 100 TB posture is
+    identical to the any-overlap form."""
+    from genpipe_spark.operators.interval import interval_interval_join
+
+    e = t(spark, sf, "events")
+    hour = 3_600_000_000
+    left = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("l_event"),
+        F.unix_micros("ts").alias("l_lo"),
+        (F.unix_micros("ts") + ((F.col("event_id") % 7) + 1) * hour).alias("l_hi"),
+    )
+    right = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_event"),
+        F.unix_micros("ts").alias("r_lo"),
+        (F.unix_micros("ts") + ((F.col("event_id") % 11) + 1) * hour).alias("r_hi"),
+    )
+    j = interval_interval_join(
+        left, right, ["user_id"], "l_lo", "l_hi", "r_lo", "r_hi",
+        band_width=4 * hour,
+    )
+    overlap = F.least("l_hi", "r_hi") - F.greatest("l_lo", "r_lo")
+    return (
+        j.select(
+            "user_id", "l_event", "r_event",
+            overlap.alias("overlap_us"),
+            (F.col("l_hi") - F.col("l_lo")).alias("l_len"),
+            (F.col("r_hi") - F.col("r_lo")).alias("r_len"),
+        )
+        .where(
+            (2 * F.col("overlap_us") >= F.col("l_len"))
+            & (2 * F.col("overlap_us") >= F.col("r_len"))
+        )
+        .select("user_id", "l_event", "r_event", "overlap_us")
+    )

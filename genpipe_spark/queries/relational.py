@@ -2506,3 +2506,95 @@ def tpch_q19(spark, sf):
         F.sum("rev_c2").alias("revenue_c2"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_BUCKET_SIG = (
+    "((((c_custkey % 1000000007 + 1000000007) % 1000000007) * 1000003"
+    " + ((c_nationkey % 1000000007 + 1000000007) % 1000000007))"
+    " % 1000000007 * 1000003"
+    " + ((acct_cents % 1000000007 + 1000000007) % 1000000007))"
+    " % 1000000007"
+)
+
+
+@query(
+    "validate-bucket-checksum",
+    f"""
+    WITH old AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+      FROM customer
+    ),
+    new AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN acct_cents + 1000
+                  ELSE acct_cents END AS acct_cents
+      FROM old WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT -c_custkey, c_nationkey, acct_cents
+      FROM old WHERE c_custkey % 13 = 0
+    ),
+    co AS (
+      SELECT ((c_custkey % 64) + 64) % 64 AS bucket, count(*) AS n,
+             CAST(sum({_BUCKET_SIG}) % 1000000007 AS BIGINT) AS s,
+             bit_xor({_BUCKET_SIG}) AS x
+      FROM old GROUP BY 1
+    ),
+    cn AS (
+      SELECT ((c_custkey % 64) + 64) % 64 AS bucket, count(*) AS n,
+             CAST(sum({_BUCKET_SIG}) % 1000000007 AS BIGINT) AS s,
+             bit_xor({_BUCKET_SIG}) AS x
+      FROM new GROUP BY 1
+    )
+    SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+           co.n AS n_old, cn.n AS n_new,
+           co.s AS sum_old, cn.s AS sum_new,
+           co.x AS xor_old, cn.x AS xor_new
+    FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket
+    WHERE (co.n, co.s, co.x) IS DISTINCT FROM (cn.n, cn.s, cn.x)
+    """,
+)
+def validate_bucket_checksum(spark, sf):
+    """Snapshot drift detection by bucket checksum
+    (operators/cdc.bucket_checksum): customer vs the same perturbed
+    next snapshot as snapshot-diff, each reduced to 64 bucket rows of
+    (count, polynomial-sum, bit_xor) signatures, full-outer-joined on
+    the bucket id and filtered to the buckets that actually changed.
+    This is the O(|buckets|) FIRST pass of a 100 TB table compare —
+    the row-level snapshot_diff then runs with both scans pruned to
+    the dirty buckets, turning a full-table diff into a touched-data
+    diff. All signature arithmetic is canonicalised int64 mod
+    1000000007 (identical in both engines, including negative keys),
+    so the checksums — not just the verdicts — hash-match the
+    oracle."""
+    from genpipe_spark.operators.cdc import bucket_checksum
+
+    old = t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    new = old.where(F.col("c_custkey") % 10 != 0).withColumn(
+        "acct_cents",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("acct_cents") + 1000
+        ).otherwise(F.col("acct_cents")),
+    ).unionByName(
+        old.where(F.col("c_custkey") % 13 == 0).withColumn(
+            "c_custkey", -F.col("c_custkey")
+        )
+    )
+    cols = (["c_custkey"], ["c_nationkey", "acct_cents"])
+    co = bucket_checksum(old, *cols, n_buckets=64).alias("O")
+    cn = bucket_checksum(new, *cols, n_buckets=64).alias("N")
+    j = co.join(cn, F.col("O.bucket") == F.col("N.bucket"), "full_outer")
+    changed = (
+        ~F.struct("O.n_rows", "O.sum_sig", "O.xor_sig").eqNullSafe(
+            F.struct("N.n_rows", "N.sum_sig", "N.xor_sig")
+        )
+    )
+    return j.where(changed).select(
+        F.coalesce("O.bucket", "N.bucket").alias("bucket"),
+        F.col("O.n_rows").alias("n_old"), F.col("N.n_rows").alias("n_new"),
+        F.col("O.sum_sig").alias("sum_old"), F.col("N.sum_sig").alias("sum_new"),
+        F.col("O.xor_sig").alias("xor_old"), F.col("N.xor_sig").alias("xor_new"),
+    )

@@ -473,6 +473,14 @@ _CDC_MEMBERS = {
         "stream-cdc-apply",
         [("k", "s"), ("seg", "s"), ("bal", "s")],
     ),
+    "bucketsum": (
+        "validate-bucket-checksum",
+        [
+            ("bucket", "s"), ("n_old", "s"), ("n_new", "s"),
+            ("sum_old", "s"), ("sum_new", "s"),
+            ("xor_old", "s"), ("xor_new", "s"),
+        ],
+    ),
 }
 
 _FN_STRUCT_MEMBERS = {
@@ -620,13 +628,14 @@ profile_suite = _register(
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
     "merge-upsert ∪ scd2-history ∪ scd2-point-in-time ∪ snapshot-diff "
-    "∪ scd2-change-feed ∪ stream-cdc-apply — the CDC family: MERGE "
-    "INTO apply, SCD Type-2 history, the temporal point-in-time fact "
-    "join, BOTH inverse pairs — table-diff (I/U/D changesets) and the "
-    "change-data-feed reconstruction from history — plus the REAL "
-    "streaming MERGE maintenance loop checked against batch-MERGE "
-    "DuckDB semantics (r5 third rotation; diff + cdf added r6; "
-    "stream added r7 — VERDICT r6 item 7).",
+    "∪ scd2-change-feed ∪ stream-cdc-apply ∪ validate-bucket-checksum "
+    "— the CDC family: MERGE INTO apply, SCD Type-2 history, the "
+    "temporal point-in-time fact join, BOTH inverse pairs — table-diff "
+    "(I/U/D changesets) and the change-data-feed reconstruction from "
+    "history — the REAL streaming MERGE maintenance loop checked "
+    "against batch-MERGE DuckDB semantics, plus Merkle-style bucket "
+    "checksums for O(buckets) drift detection before a row-level diff "
+    "(r5 third rotation; diff + cdf r6; stream + bucketsum r7).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
@@ -751,14 +760,20 @@ _INTERVAL_MEMBERS = {
         "interval-interval-join",
         [("user_id", "s"), ("l_event", "s"), ("r_event", "s"), ("overlap_us", "s")],
     ),
+    "reciprocal": (
+        "interval-reciprocal-join",
+        [("user_id", "s"), ("l_event", "s"), ("r_event", "s"), ("overlap_us", "s")],
+    ),
 }
 
 interval_suite = _register(
     "interval-suite", _INTERVAL_MEMBERS,
-    "join-interval ∪ interval-overlap-count ∪ interval-interval-join — "
-    "the interval family: banded point-in-range join, exact sweep-line "
-    "peak-concurrency, and the banded region×region overlap join "
-    "(r5 third rotation; regionjoin added r6).",
+    "join-interval ∪ interval-overlap-count ∪ interval-interval-join ∪ "
+    "interval-reciprocal-join — the interval family: banded "
+    "point-in-range join, exact sweep-line peak-concurrency, the "
+    "banded region×region overlap join, and its 50%-reciprocal-overlap "
+    "variant (bedtools -f -r semantics) "
+    "(r5 third rotation; regionjoin r6; reciprocal r7).",
 )
 
 _GRAPH_MEMBERS = {

@@ -1513,3 +1513,33 @@ def test_kcore_known_graph(spark):
     assert kcore(edges, k=3).count() == 0
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(edges, k=2, max_rounds=1)
+
+
+def test_bucket_checksum_detects_single_cell_change(spark):
+    """One flipped payload value changes exactly its own bucket's
+    (sum, xor) and nothing else; NULL payloads fold as the sentinel so
+    NULL vs 0 differ; negative keys bucket via pmod (never negative)."""
+    from genpipe_spark.operators.cdc import bucket_checksum
+
+    rows = [(i, i % 5, i * 10) for i in range(1, 41)] + [(-7, None, 0)]
+    a = spark.createDataFrame(rows, "k: long, g: long, v: long")
+    b = spark.createDataFrame(
+        [(k, g, v + 1 if k == 9 else v) for k, g, v in rows],
+        "k: long, g: long, v: long",
+    )
+    ca = {r["bucket"]: r for r in bucket_checksum(
+        a, ["k"], ["g", "v"], n_buckets=8).collect()}
+    cb = {r["bucket"]: r for r in bucket_checksum(
+        b, ["k"], ["g", "v"], n_buckets=8).collect()}
+    assert set(ca) == set(cb) and all(0 <= bk < 8 for bk in ca)
+    changed = [bk for bk in ca
+               if (ca[bk]["sum_sig"], ca[bk]["xor_sig"])
+               != (cb[bk]["sum_sig"], cb[bk]["xor_sig"])]
+    assert changed == [9 % 8]
+    assert all(ca[bk]["n_rows"] == cb[bk]["n_rows"] for bk in ca)
+    # NULL folds as the sentinel, distinct from an explicit zero
+    n0 = spark.createDataFrame([(1, None, 2)], "k: long, g: long, v: long")
+    z0 = spark.createDataFrame([(1, 0, 2)], "k: long, g: long, v: long")
+    s_null = bucket_checksum(n0, ["k"], ["g", "v"]).collect()[0]["sum_sig"]
+    s_zero = bucket_checksum(z0, ["k"], ["g", "v"]).collect()[0]["sum_sig"]
+    assert s_null != s_zero
