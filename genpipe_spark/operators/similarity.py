@@ -361,3 +361,151 @@ def quantize_int8(
         F.col("__qz.q").alias("q"),
         F.col("__qz.err_max").alias("err_max"),
     )
+
+
+def _q10k(vec: Column) -> Column:
+    """Half-up quantization of a float vector to 1e-4 int64 units — the
+    shared exactness gate for the PQ/IVF-PQ family: once components are
+    integers, every distance, argmin, and tie-break is engine-exact."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("long")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Exact int64 squared-L2 between two quantized vectors (strict left
+    fold; components <= ~1e4 so 64 squared diffs stay < 2^35)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    nprobe: int = 3,
+    k: int = 5,
+    refine_r: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate nearest-neighbour search — the composed scale
+    path (inverted-file cells for candidate pruning + product-quantized
+    codes for O(M) asymmetric distances) that makes billion-vector ANN
+    tractable where even per-cell exact cosine is too hot. Both
+    codebooks are the deterministic first-``num_cells`` seed vectors
+    (the oracle-matched twin of trained codebooks — swap in
+    kmeans_centroids exactly like ivf_topk does), and ALL arithmetic is
+    int64 over 1e-4-quantized components, so cell assignment, PQ codes,
+    ADC distances, and the (dist, id) top-k tie-break are
+    engine-identical.
+
+    Plan shape at scale, per stage (N = corpus size, Q = |queries|):
+      - cell assignment: N × num_cells broadcast join + min-struct
+        groupBy — linear, map-side combinable;
+      - PQ encoding: N × m_sub explode, 32-row broadcast codebook,
+        min-struct groupBy — linear;
+      - probe: Q × num_cells (driver-tiny) → nprobe cells/query;
+      - candidates: equi-join on cell id (AQE skew-splits hot cells);
+      - ADC: candidates × m_sub rows joined to the BROADCAST
+        Q·m_sub·num_cells lookup table, summed by (query, vector) —
+        the corpus-side vectors themselves never re-travel; only codes
+        do (m_sub bytes-equivalent per vector, the entire point of PQ);
+      - refine: only the ADC top-``refine_r`` per query (Q·R rows)
+        joins back to the full vectors for an EXACT int64 re-rank —
+        the FAISS IVFPQ+refine posture; R bounds exactly how much
+        full-width vector data moves per query.
+    No stage is quadratic in N; nothing non-broadcast is collected."""
+    q = emb.select(F.col(id_col).alias("vid"), _q10k(F.col(vec_col)).alias("q"))
+    cents = q.where(F.col("vid") < num_cells).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    # coarse cells: argmin exact L2² with (d, cid) tie-break
+    cellmap = (
+        q.join(F.broadcast(cents))
+        .select("vid", _l2sq(F.col("q"), F.col("cq")).alias("d"), "cid")
+        .groupBy("vid")
+        .agg(F.min(F.struct("d", "cid")).alias("w"))
+        .select("vid", F.col("w.cid").alias("cell"))
+    )
+    # PQ encode: subspace explode + 32-row broadcast codebook
+    sub = q.select(
+        "vid",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+        F.col("q"),
+    ).select(
+        "vid", "m", F.expr(f"slice(q, m * {sub_dim} + 1, {sub_dim})").alias("sq")
+    )
+    pqc = sub.where(F.col("vid") < num_cells).select(
+        F.col("m"), F.col("vid").alias("pcid"), F.col("sq").alias("pc")
+    )
+    codes = (
+        sub.join(F.broadcast(pqc), "m")
+        .select("vid", "m", _l2sq(F.col("sq"), F.col("pc")).alias("d"), "pcid")
+        .groupBy("vid", "m")
+        .agg(F.min(F.struct("d", "pcid")).alias("w"))
+        .select("vid", "m", F.col("w.pcid").alias("code"))
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _q10k(F.col(vec_col)).alias("qq")
+    )
+    probe = (
+        qs.join(F.broadcast(cents))
+        .select("query_id", _l2sq(F.col("qq"), F.col("cq")).alias("d"), "cid")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "cid")
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # per-query ADC lookup table: Q × m_sub × num_cells rows, broadcast
+    qd = (
+        qs.select(
+            "query_id",
+            F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+            F.col("qq"),
+        )
+        .select(
+            "query_id", "m",
+            F.expr(f"slice(qq, m * {sub_dim} + 1, {sub_dim})").alias("qsub"),
+        )
+        .join(F.broadcast(pqc), "m")
+        .select(
+            "query_id", "m", F.col("pcid").alias("code"),
+            _l2sq(F.col("qsub"), F.col("pc")).alias("d"),
+        )
+    )
+    cand = cellmap.join(F.broadcast(probe), "cell").where(
+        F.col("vid") != F.col("query_id")
+    )
+    adist = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(qd), ["query_id", "m", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vid")
+    shortlist = (
+        adist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= refine_r)
+        .select("query_id", "vid")
+    )
+    exact = (
+        shortlist.join(q, "vid")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "vid", _l2sq(F.col("q"), F.col("qq")).alias("dist"))
+    )
+    wf = Window.partitionBy("query_id").orderBy("dist", "vid")
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "dist")
+    )

@@ -2397,3 +2397,107 @@ def quantize_embedding_pq(spark, sf):
     return best.select(
         "vec_id", "m", F.col("w.cid").alias("code"), F.col("w.dist").alias("dist")
     )
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators/similarity._l2sq: exact int64 squared
+    L2 as a strict left fold over zipped quantized components."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_apply(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@query(
+    "ann-ivfpq-topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding::DOUBLE[],
+             x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 8),
+    cellmap AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_l2_sql('e.q', 'cq')}, cid) AS rn
+        FROM e CROSS JOIN cents) WHERE rn = 1
+    ),
+    ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    sub AS (
+      SELECT vec_id, m, list_slice(q, m * 16 + 1, m * 16 + 16) AS sq
+      FROM e CROSS JOIN ms
+    ),
+    pqc AS (SELECT m, vec_id AS pcid, sq AS pc FROM sub WHERE vec_id < 8),
+    codes AS (
+      SELECT vec_id, m, pcid AS code FROM (
+        SELECT sub.vec_id, sub.m, pqc.pcid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                                  ORDER BY {_l2_sql('sub.sq', 'pqc.pc')},
+                                           pqc.pcid) AS rn
+        FROM sub JOIN pqc ON sub.m = pqc.m) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 97 = 0),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cid AS cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_l2_sql('qq', 'cq')}, cid) AS rn
+        FROM qs CROSS JOIN cents) WHERE rn <= 3
+    ),
+    qd AS (
+      SELECT query_id, m, pcid AS code,
+             {_l2_sql('list_slice(qq, m * 16 + 1, m * 16 + 16)', 'pc')} AS d
+      FROM qs CROSS JOIN pqc
+    ),
+    cand AS (
+      SELECT query_id, cm.vec_id
+      FROM probe JOIN cellmap cm ON cm.cell = probe.cell
+      WHERE cm.vec_id <> query_id
+    ),
+    adist AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(sum(qd.d) AS BIGINT) AS adist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN qd ON qd.query_id = cand.query_id
+             AND qd.m = codes.m AND qd.code = codes.code
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist, vec_id) AS rn
+            FROM adist)
+      WHERE rn <= 64
+    ),
+    refined AS (
+      SELECT s.query_id, s.vec_id, {_l2_sql('e.q', 'qs.qq')} AS dist
+      FROM shortlist s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN qs ON qs.query_id = s.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, vec_id) AS rank
+          FROM refined)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_topk(spark, sf):
+    """IVF-PQ composed search (operators/similarity.ivfpq_topk): the
+    third and final ANN form — brute (exact baseline), IVF (cell
+    pruning, exact in-cell), IVF-PQ (cell pruning + O(M) asymmetric
+    code distances + exact refine of the ADC top-64; the
+    billion-vector FAISS posture where in-cell exact is still too
+    hot). Deterministic seed codebooks and all-int64 quantized
+    arithmetic make every step — cell assignment, PQ codes, ADC
+    lookup sums, the refine re-rank, and both (dist, id) tie-breaks —
+    engine-identical, so the DuckDB twin replays the full
+    construction, not just the verdict. Queries are vec_id % 97 (6 at
+    sf0.01); recall vs exact-L2 brute force is separately
+    pytest-gated like ann-ivf-topk's."""
+    emb = t(spark, sf, "embeddings")
+    return S.ivfpq_topk(emb, emb.where(F.col("vec_id") % 97 == 0))

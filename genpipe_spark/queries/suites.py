@@ -333,6 +333,10 @@ _EMBEDDING_MEMBERS = {
         "quantize-embedding-pq",
         [("vec_id", "s"), ("m", "s"), ("code", "s"), ("dist", "s")],
     ),
+    "ivfpq": (
+        "ann-ivfpq-topk",
+        [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("dist", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -596,10 +600,11 @@ embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,
     "ann-cosine-topk ∪ ann-ivf-topk ∪ quantize-embedding-int8 ∪ "
     "dedup-embedding-cosine ∪ similarity-lsh-pairs ∪ "
-    "quantize-embedding-pq — the embedding-column family incl. "
-    "product-quantization codes (r5 third rotation; supersedes "
+    "quantize-embedding-pq ∪ ann-ivfpq-topk — the embedding-column "
+    "family incl. product-quantization codes and the composed "
+    "IVF-PQ + exact-refine search (r5 third rotation; supersedes "
     "ann-topk-suite's slot; the hyperplane-LSH scale path rides here "
-    "so its old slot could go to graph-pagerank; pq added r7).",
+    "so its old slot could go to graph-pagerank; pq + ivfpq r7).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
