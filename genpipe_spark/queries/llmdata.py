@@ -2439,7 +2439,8 @@ def _l2_sql(a: str, b: str) -> str:
                                            pqc.pcid) AS rn
         FROM sub JOIN pqc ON sub.m = pqc.m) WHERE rn = 1
     ),
-    qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 97 = 0),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+           WHERE vec_id % 97 = 0 AND vec_id < 1000),
     probe AS (
       SELECT query_id, cell FROM (
         SELECT query_id, cid AS cell,
@@ -2496,8 +2497,14 @@ def ann_ivfpq_topk(spark, sf):
     arithmetic make every step — cell assignment, PQ codes, ADC
     lookup sums, the refine re-rank, and both (dist, id) tie-breaks —
     engine-identical, so the DuckDB twin replays the full
-    construction, not just the verdict. Queries are vec_id % 97 (6 at
-    sf0.01); recall vs exact-L2 brute force is separately
+    construction, not just the verdict. Queries are vec_id % 97
+    capped below 1000 (6-11 at any SF) — the query set must NOT grow
+    linearly with the corpus at FIXED num_cells, or the probe stage's
+    Q·N·nprobe/cells work turns quadratic; production scales cells
+    ~sqrt(N) instead (the codebook here is pinned to 8 seeds for
+    oracle determinism). Recall vs exact-L2 brute force is separately
     pytest-gated like ann-ivf-topk's."""
     emb = t(spark, sf, "embeddings")
-    return S.ivfpq_topk(emb, emb.where(F.col("vec_id") % 97 == 0))
+    return S.ivfpq_topk(
+        emb, emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000))
+    )
