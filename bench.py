@@ -102,6 +102,19 @@ HEADLINE = [
     "timeseries-acf",
     "graph-kcore",
     "profile-entropy",
+    # r7 batch 2: the completed TPC-H family, OHLC/null-safe/PQ,
+    # reciprocal-overlap join, bucket-checksum diff, IVF-PQ search
+    "tpch-q10",
+    "tpch-q14",
+    "tpch-q19",
+    "tpch-q21",
+    "tpch-q22",
+    "rollup-ohlc",
+    "join-null-safe",
+    "quantize-embedding-pq",
+    "interval-reciprocal-join",
+    "validate-bucket-checksum",
+    "ann-ivfpq-topk",
 ]
 
 

@@ -59,10 +59,23 @@ BOUNDED_NLJ_OK = {
     "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
     # 1-row total-order-count crossJoined to attach the lift denominator
     "copurchase-lift": "1-row order-count scalar attach",
-    "reshape-olap-suite": "inherits copurchase-lift's 1-row attach",
     # two 1-row corpus totals (unigram + bigram counts) crossJoined
     "text-bigram-pmi": "1-row corpus-totals scalar attach",
     "text-token-suite": "inherits text-bigram-pmi's 1-row attach",
+    # 1-row corpus doc-count crossJoined to attach the IDF normaliser
+    "text-tfidf-topk": "1-row corpus doc-count scalar attach",
+    # 1-row per-split totals crossJoined to attach JS/entropy scalars
+    "profile-entropy": "1-row split-totals scalar attach",
+    "profile-suite": "inherits profile-entropy's 1-row attach",
+    # the Q22 uncorrelated scalar subquery: a provably-1-row aggregate
+    # (global avg of positive balances) crossJoined to every candidate
+    "tpch-q22": "1-row global-avg scalar attach (the Q22 subquery)",
+    "reshape-olap-suite": "inherits copurchase-lift's and tpch-q22's "
+    "1-row attaches",
+    # coarse/probe assignment: broadcast <=8-row centroid set
+    # crossJoin-scored per vector/query (same shape as ann-ivf-topk)
+    "ann-ivfpq-topk": "broadcast <=8 centroids / <=32-row PQ codebook "
+    "vs one corpus scan",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -109,6 +122,19 @@ BOUNDED_BROADCAST_OK = {
     "text-token-suite": "inherits text-bigram-pmi's 1-row broadcasts",
     "embedding-suite": "inherits the ann/brute members' bounded broadcasts",
     "text-bm25-suite": "inherits text-bm25's |query|-row dfreq broadcast",
+    # constant-by-construction codebooks / lookup tables (8 centroids,
+    # 32 PQ codewords, Q-bounded ADC table with Q capped in the query)
+    "quantize-embedding-pq": "broadcast 32-row PQ codebook",
+    "ann-ivfpq-topk": "broadcast 8-row centroids + 32-row codebook + "
+    "capped-Q probe/ADC tables",
+    # the Q22 scalar subquery: broadcast of a provably-1-row aggregate
+    "tpch-q22": "broadcast 1-row global-avg aggregate",
+    "reshape-olap-suite": "inherits tpch-q22's 1-row broadcast",
+    # 1-row corpus doc-count for the IDF normaliser
+    "text-tfidf-topk": "broadcast 1-row corpus doc count",
+    # 1-row split-totals attach for the entropy/JS normalisers
+    "profile-entropy": "broadcast 1-row split totals",
+    "profile-suite": "inherits profile-entropy's 1-row broadcast",
 }
 
 
