@@ -2598,3 +2598,83 @@ def validate_bucket_checksum(spark, sf):
         F.col("O.sum_sig").alias("sum_old"), F.col("N.sum_sig").alias("sum_new"),
         F.col("O.xor_sig").alias("xor_old"), F.col("N.xor_sig").alias("xor_new"),
     )
+
+
+@query(
+    "copurchase-triples",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    freq_pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ),
+    pairs_in_order AS (
+      SELECT a.l_orderkey, a.p_brand AS brand_a, b.p_brand AS brand_b
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      WHERE EXISTS (SELECT 1 FROM freq_pairs f
+                    WHERE f.brand_a = a.p_brand AND f.brand_b = b.p_brand)
+    )
+    SELECT brand_a, brand_b, c.p_brand AS brand_c,
+           count(*) AS n_orders
+    FROM pairs_in_order p JOIN ob c
+      ON c.l_orderkey = p.l_orderkey AND c.p_brand > p.brand_b
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 3
+    """,
+)
+def copurchase_triples(spark, sf):
+    """3-itemset mining — the Apriori level after copurchase-pairs:
+    brand triples bought together in >= 3 orders. The scale move is
+    DOWNWARD CLOSURE: a triple can only reach min-support if every
+    sub-pair does, so the per-order pair stream is LEFT SEMI pruned
+    against the frequent-pairs set BEFORE the third extension join —
+    semantics provably unchanged (the oracle applies the same prune
+    via IN), fan-out cut from C(basket,3) to only extensions of
+    surviving pairs. All joins are equi on the order key with
+    lexicographic a<b<c ordering so each unordered triple counts
+    exactly once; per-order fan-out stays basket-bounded, never
+    corpus-quadratic."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    a, b = ob.alias("A"), ob.alias("B")
+    pairs = a.join(
+        b,
+        (F.col("A.l_orderkey") == F.col("B.l_orderkey"))
+        & (F.col("A.p_brand") < F.col("B.p_brand")),
+    ).select(
+        F.col("A.l_orderkey").alias("l_orderkey"),
+        F.col("A.p_brand").alias("brand_a"),
+        F.col("B.p_brand").alias("brand_b"),
+    )
+    freq = (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("brand_a", "brand_b")
+    )
+    pruned = pairs.join(freq, ["brand_a", "brand_b"], "left_semi").alias("P")
+    c = ob.alias("C")
+    triples = pruned.join(
+        c,
+        (F.col("P.l_orderkey") == F.col("C.l_orderkey"))
+        & (F.col("C.p_brand") > F.col("P.brand_b")),
+    )
+    return (
+        triples.groupBy(
+            F.col("P.brand_a").alias("brand_a"),
+            F.col("P.brand_b").alias("brand_b"),
+            F.col("C.p_brand").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )

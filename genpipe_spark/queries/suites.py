@@ -561,6 +561,13 @@ _RESHAPE_OLAP_MEMBERS = {
     ),
     "q19": ("tpch-q19", [("revenue_c2", "s"), ("n_rows", "s")]),
     "q21": ("tpch-q21", [("s_suppkey", "s"), ("s_name", "s"), ("numwait", "s")]),
+    "triples": (
+        "copurchase-triples",
+        [
+            ("brand_a", "s"), ("brand_b", "s"), ("brand_c", "s"),
+            ("n_orders", "s"),
+        ],
+    ),
     "q22": (
         "tpch-q22",
         [("cntrycode", "s"), ("numcust", "s"), ("totacctbal_c", "s")],
@@ -665,8 +672,8 @@ reshape_olap_suite = _register(
     "EXISTS self-join rewrite, Q22 scalar-avg + anti-join), Q10 "
     "returned-revenue report, Q14 conditional-agg ratio, Q19 "
     "disjunctive-predicate join, + market-basket "
-    "support/confidence/lift (r5 third rotation; basket + lift + q5 "
-    "added r6; q4/q13/q17/q18 + q10/q14/q19/q21/q22 r7).",
+    "support/confidence/lift and Apriori 3-itemsets (r5 third "
+    "rotation; basket + lift + q5 r6; q4..q22 family + triples r7).",
 )
 
 
