@@ -365,3 +365,72 @@ def stream_cdc_apply_query(spark, sf):
     q.awaitTermination(300)
     back = spark.read.parquet(os.path.join(base, "state"))
     return back.where(F.col("op") != F.lit("D")).select("k", "seg", "bal")
+
+
+@query(
+    "stream-dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS val_c
+    FROM events
+    """,
+)
+def stream_dedup_query(spark, sf):
+    """Streaming exact deduplication, driver-checked end-to-end
+    (streaming/ingest.stream_dedup_events —
+    dropDuplicatesWithinWatermark, the bounded-state streaming sibling
+    of operators/dedup.exact_dedup): the events table plus an injected
+    duplicate of every 3rd event is split into TWO micro-batch files
+    by event_id parity — so many duplicates arrive in a DIFFERENT
+    micro-batch than their original, exercising cross-batch dedup
+    state — and drained through a real availableNow file stream (one
+    file per trigger). The watermark is 400 days, beyond the
+    fixture's whole time range, so no state evicts mid-run and the
+    result is exactly DISTINCT-by-key; the oracle is the plain events
+    table (duplicates are exact row copies, so first-arrival-wins is
+    value-identical). At production scale the same operator runs with
+    an hours-scale watermark: state stays bounded by the horizon —
+    the documented, intended approximation for unbounded feeds."""
+    import os
+    import time as _time
+
+    from genpipe_spark.streaming.ingest import stream_dedup_events
+
+    e = t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("val_c"),
+    )
+    feed = e.unionByName(e.where(F.col("event_id") % 3 == 0))
+    base = tempfile.mkdtemp(prefix="genpipe_stream_dedup_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(2):
+        d = os.path.join(base, f"bucket{i}")
+        feed.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = [f for f in os.listdir(d) if f.startswith("part-")][0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.replace(os.path.join(d, part), dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup_events(stream, ["event_id"], watermark="9600 hours")
+    out_dir = os.path.join(base, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"), "val_c",
+    )

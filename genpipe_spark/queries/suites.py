@@ -118,6 +118,13 @@ _STREAM_MEMBERS = {
         "stream-sliding-window-agg",
         [("win_start", "s"), ("event_type", "s"), ("n_events", "s"), ("value_sum", "f")],
     ),
+    "dedup": (
+        "stream-dedup",
+        [
+            ("event_id", "s"), ("user_id", "s"), ("event_type", "s"),
+            ("ts_us", "s"), ("val_c", "s"),
+        ],
+    ),
 }
 
 _SCAN_MEMBERS = {
@@ -189,8 +196,10 @@ udf_suite = _register(
 stream_agg_suite = _register(
     "stream-agg-suite",
     _STREAM_MEMBERS,
-    "stream-window-agg ∪ stream-sessionize-batch batch-twin checks, packed "
-    "(r5 window rotation; the real-stream legs keep their dedicated tests).",
+    "stream-window-agg ∪ stream-sessionize-batch batch-twin checks ∪ "
+    "stream-dedup (a REAL availableNow dropDuplicatesWithinWatermark "
+    "stream with cross-batch duplicates), packed (r5 window rotation; "
+    "dedup added r7).",
 )
 scan_source_suite = _register(
     "scan-source-suite",

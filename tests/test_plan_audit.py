@@ -81,6 +81,7 @@ BOUNDED_NLJ_OK = {
 # queries whose construction runs real side-effects (stream drains, temp
 # fixtures) — their plans are audited by their own dedicated tests
 SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-sessionize-batch", "pipeline-parse-bulk",
+        "stream-dedup",  # real stream drain at construction (r7)
         "source-filestream", "sink-parquet-partitioned", "scan-text-vcf",
         "row-sample-parser", "stream-window-agg",
         # suites whose members are SKIP fixture/stream queries
