@@ -115,6 +115,7 @@ HEADLINE = [
     "interval-reciprocal-join",
     "validate-bucket-checksum",
     "ann-ivfpq-topk",
+    "copurchase-triples",
 ]
 
 

@@ -2678,3 +2678,78 @@ def copurchase_triples(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 3)
     )
+
+
+@query(
+    "quantile-cont-interp",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    p AS (SELECT unnest([25, 50, 75]) AS pct),
+    c AS (
+      SELECT g, pct,
+             CASE WHEN rn = (n - 1) * pct // 100 + 1
+                  THEN qc * (100 - (n - 1) * pct % 100)
+                  WHEN rn = (n - 1) * pct // 100 + 2
+                  THEN qc * ((n - 1) * pct % 100)
+             END AS contrib
+      FROM v CROSS JOIN p
+    )
+    SELECT g, pct, CAST(sum(contrib) AS BIGINT) AS interp_c100
+    FROM c WHERE contrib IS NOT NULL
+    GROUP BY g, pct
+    """,
+)
+def quantile_cont_interp(spark, sf):
+    """SQL-standard PERCENTILE_CONT (linear interpolation between the
+    two bracketing order statistics) — the continuous sibling of
+    quantile-group-exact's nearest-rank PERCENTILE_DISC. The
+    interpolation is EXACT integer arithmetic: position
+    (n-1)*pct/100 splits into idx = (n-1)*pct div 100 and remainder
+    rem; the result is reported as interp_c100 = lo_c*(100-rem) +
+    hi_c*rem — cents x 100 units, the un-divided numerator — so no
+    engine ever performs the float division and the boundary rows
+    (rem = 0, where the hi bracket may not exist) fall out naturally
+    as a zero term. Plan shape: ONE ranking window per group + a
+    3-row percentile explode + one grouped sum of the (at most two)
+    non-NULL contributions per (group, pct) — same single-shuffle
+    posture as quantile-group-exact. Tie-break (value, orderkey,
+    linenumber) makes rn engine-identical under duplicate values."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem").where(F.col("l_quantity").isNotNull())
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    c = v.select(
+        "g", "qc", "rn", "n",
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("pct"),
+    ).select(
+        "g", "pct",
+        F.when(
+            F.col("rn") == F.expr("(n - 1) * pct div 100 + 1"),
+            F.col("qc") * (F.lit(100) - F.expr("(n - 1) * pct % 100")),
+        ).when(
+            F.col("rn") == F.expr("(n - 1) * pct div 100 + 2"),
+            F.col("qc") * F.expr("(n - 1) * pct % 100"),
+        ).alias("contrib"),
+    )
+    return (
+        c.where(F.col("contrib").isNotNull())
+        .groupBy("g", "pct")
+        .agg(F.sum("contrib").alias("interp_c100"))
+    )

@@ -237,6 +237,10 @@ _QUANTILE_MEMBERS = {
         "quantile-weighted-pcts",
         [("l_returnflag", "s"), ("pct", "s"), ("w_total", "s"), ("wq", "s")],
     ),
+    "cont": (
+        "quantile-cont-interp",
+        [("g", "s"), ("pct", "s"), ("interp_c100", "s")],
+    ),
 }
 
 _WINDOW_MEMBERS = {
@@ -586,10 +590,11 @@ _RESHAPE_OLAP_MEMBERS = {
 quantile_suite = _register(
     "quantile-suite", _QUANTILE_MEMBERS,
     "quantile-group-exact ∪ quantile-group-histogram ∪ quantile-mad ∪ "
-    "quantile-weighted-median — exact grouped percentiles, the "
-    "mergeable histogram estimator, robust median/MAD dispersion, and "
-    "the weighted median in one slot (r5 third rotation; wmedian "
-    "added r6).",
+    "quantile-weighted-median ∪ quantile-cont-interp — exact grouped "
+    "percentiles (DISC), SQL-standard PERCENTILE_CONT with exact "
+    "integer interpolation, the mergeable histogram estimator, robust "
+    "median/MAD dispersion, and the weighted median in one slot "
+    "(r5 third rotation; wmedian r6; cont r7).",
 )
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
