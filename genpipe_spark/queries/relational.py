@@ -2753,3 +2753,118 @@ def quantile_cont_interp(spark, sf):
         .groupBy("g", "pct")
         .agg(F.sum("contrib").alias("interp_c100"))
     )
+
+
+@query(
+    "agg-spearman-corr",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT g,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + count(*) OVER (PARTITION BY g, x) - 1 AS dx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + count(*) OVER (PARTITION BY g, y) - 1 AS dy
+      FROM base
+    ),
+    s AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum((dx*dx) // 1073741824) AS BIGINT) AS sxx_hi,
+             CAST(sum((dx*dx) % 1073741824) AS BIGINT) AS sxx_lo,
+             CAST(sum((dy*dy) // 1073741824) AS BIGINT) AS syy_hi,
+             CAST(sum((dy*dy) % 1073741824) AS BIGINT) AS syy_lo,
+             CAST(sum((dx*dy) // 1073741824) AS BIGINT) AS sxy_hi,
+             CAST(sum((dx*dy) % 1073741824) AS BIGINT) AS sxy_lo
+      FROM ranked GROUP BY g
+    )
+    SELECT g, n,
+           CAST(floor(1000000.0 *
+                 (CAST(n AS DOUBLE)
+                    * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                       + CAST(sxy_lo AS DOUBLE))
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)
+                           * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                              + CAST(sxx_lo AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)
+                             * (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                                + CAST(syy_lo AS DOUBLE))
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS BIGINT) AS spearman_micro
+    FROM s
+    """,
+)
+def agg_spearman_corr(spark, sf):
+    """Grouped Spearman rank correlation — the robust, monotone-
+    invariant sibling of agg-grouped-corr, with EXACT tie handling:
+    the average rank of a tie group is (2*min_rank + ties - 1)/2, so
+    DOUBLED ranks dx = 2*rank() + count_over(g, value) - 1 stay pure
+    int64 (doubling both sides leaves Pearson invariant — corr is
+    scale-free). The moment accumulation reuses the agg-grouped-corr
+    (hi, lo) 2^30 split verbatim (dx <= 2n, dx² <= 4n² — cents-scale-
+    equivalent magnitudes at sf10+), and the final fold is the same
+    pinned-order IEEE double reconstruction, so spearman_micro is
+    bit-identical across engines. Plan: two ranking windows (one per
+    variable, each partitioned by group — no global window) + ONE
+    map-side-combinable moment aggregate."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dx = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "x"))
+        - 1
+    )
+    dy = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "y"))
+        - 1
+    )
+    r = li.select("g", dx.alias("dx"), dy.alias("dy"))
+    split = 1073741824
+
+    def hi_lo(prod, tag):
+        return [
+            F.sum(F.expr(f"({prod}) div {split}")).alias(f"{tag}_hi"),
+            F.sum(F.expr(f"({prod}) % {split}")).alias(f"{tag}_lo"),
+        ]
+
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        *hi_lo("dx*dx", "sxx"),
+        *hi_lo("dy*dy", "syy"),
+        *hi_lo("dx*dy", "sxy"),
+    )
+
+    def recon_d(tag):
+        return (
+            F.col(f"{tag}_hi").cast("double") * F.lit(float(split))
+            + F.col(f"{tag}_lo").cast("double")
+        )
+
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * recon_d("sxy") - sx_d * sy_d
+    den = F.sqrt(
+        (n_d * recon_d("sxx") - sx_d * sx_d)
+        * (n_d * recon_d("syy") - sy_d * sy_d)
+    )
+    return s.select(
+        "g", "n",
+        F.floor(F.lit(1_000_000.0) * num / den).cast("long")
+        .alias("spearman_micro"),
+    )

@@ -737,13 +737,19 @@ _AGG_DISTINCT_EXTREMA_MEMBERS = {
             ("sxy_hi", "s"), ("sxy_lo", "s"), ("corr_micro", "s"),
         ],
     ),
+    "spearman": (
+        "agg-spearman-corr",
+        [("g", "s"), ("n", "s"), ("spearman_micro", "s")],
+    ),
 }
 
 agg_distinct_extrema_suite = _register(
     "agg-distinct-extrema-suite", _AGG_DISTINCT_EXTREMA_MEMBERS,
-    "agg-count-distinct-reduce ∪ agg-mode-argmax ∪ agg-grouped-corr — "
-    "distinct-count reductions, deterministic mode/argmax/argmin, and "
-    "Pearson correlation from exact int64 moments (r5 third rotation).",
+    "agg-count-distinct-reduce ∪ agg-mode-argmax ∪ agg-grouped-corr ∪ "
+    "agg-spearman-corr — distinct-count reductions, deterministic "
+    "mode/argmax/argmin, Pearson correlation from exact int64 moments, "
+    "and Spearman rank correlation with exact doubled-average-rank tie "
+    "handling (r5 third rotation; spearman r7).",
 )
 
 _JOIN_FILTER_MEMBERS = {
