@@ -2868,3 +2868,56 @@ def agg_spearman_corr(spark, sf):
         F.floor(F.lit(1_000_000.0) * num / den).cast("long")
         .alias("spearman_micro"),
     )
+
+
+@query(
+    "layout-compaction-plan",
+    """
+    WITH files AS (
+      SELECT o_orderkey % 200 AS file_id, count(*) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    planned AS (
+      SELECT file_id, n_rows,
+             CAST(sum(n_rows) OVER (ORDER BY file_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT) AS before
+      FROM files
+    )
+    SELECT file_id, n_rows,
+           COALESCE(before, 0) // 400 AS target_bin
+    FROM planned
+    """,
+)
+def layout_compaction_plan(spark, sf):
+    """Small-file compaction PLANNING as a query — the assignment step
+    of operators/layout.compact_small_files made declarative and
+    oracle-checkable: a simulated file inventory (orders bucketed to
+    200 'files' with row counts as the size proxy) is packed into
+    target bins by exclusive running size: bin = (size of everything
+    before me) div capacity — the sequential fill a sorted OPTIMIZE
+    run performs, deterministic and engine-identical in int64. The
+    ordering window is GLOBAL but bounded by METADATA size (#files —
+    thousands at 100 TB, never data-sized; the compaction itself then
+    moves data with one partitioned write per bin), which is exactly
+    the boundedness argument for every table-maintenance planner. The
+    inventory aggregation underneath is a normal map-side-combinable
+    shuffle over the data."""
+    from pyspark.sql import Window
+
+    files = (
+        t(spark, sf, "orders")
+        .groupBy((F.col("o_orderkey") % 200).alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = (
+        Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # int64 div, not double division + cast (the rollup-ohlc rule)
+    return files.select(
+        "file_id", "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("__before"),
+    ).select(
+        "file_id", "n_rows", F.expr("__before div 400").alias("target_bin")
+    )

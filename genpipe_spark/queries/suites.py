@@ -296,6 +296,10 @@ _SORT_SET_MEMBERS = {
         "layout-zorder-key",
         [("o_orderkey", "s"), ("hx", "s"), ("hy", "s"), ("zkey", "s")],
     ),
+    "compaction": (
+        "layout-compaction-plan",
+        [("file_id", "s"), ("n_rows", "s"), ("target_bin", "s")],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -607,10 +611,12 @@ sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
     "set-union ∪ sort-within-partitions ∪ topk ∪ sort-global ∪ "
     "set-except-intersect ∪ layout-hilbert-index ∪ "
-    "layout-bucketed-join ∪ layout-zorder-key — the §2.5 "
-    "sort/limit/set-op family plus the layout keys (Hilbert + Morton) "
-    "and the zero-shuffle bucketed-layout join (r5 third rotation; "
-    "bucketed + zorder added r6).",
+    "layout-bucketed-join ∪ layout-zorder-key ∪ "
+    "layout-compaction-plan — the §2.5 sort/limit/set-op family plus "
+    "the layout keys (Hilbert + Morton), the zero-shuffle "
+    "bucketed-layout join, and the declarative small-file compaction "
+    "planner (r5 third rotation; bucketed + zorder r6; compaction "
+    "plan r7).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
