@@ -116,6 +116,9 @@ HEADLINE = [
     "validate-bucket-checksum",
     "ann-ivfpq-topk",
     "copurchase-triples",
+    "quantile-cont-interp",
+    "agg-spearman-corr",
+    "layout-compaction-plan",
 ]
 
 
