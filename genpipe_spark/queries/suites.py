@@ -369,6 +369,13 @@ _TIMEGRID_MEMBERS = {
         "timeseries-acf",
         [("user_id", "s"), ("lag", "s"), ("n", "s"), ("acf_micro", "s")],
     ),
+    "attribution": (
+        "attribution-last-touch",
+        [
+            ("user_id", "s"), ("purchase_id", "s"), ("touch_us", "s"),
+            ("lag_us", "s"),
+        ],
+    ),
     "ohlc": (
         "rollup-ohlc",
         [
@@ -646,9 +653,11 @@ timegrid_suite = _register(
     "rollup, rolling z-score/EWMA, ordered funnels (plain + "
     "24h-conversion-window), cohort retention, time-weighted averages, "
     "session path mining "
-    "plus lag-1..3 autocorrelation (grouped-corr doctrine) and OHLC "
-    "candlestick compaction "
-    "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc r7).",
+    "plus lag-1..3 autocorrelation (grouped-corr doctrine), OHLC "
+    "candlestick compaction, and last-touch attribution (windowed "
+    "running-max, join-free) "
+    "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc + "
+    "attribution r7).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

@@ -720,3 +720,69 @@ def rollup_ohlc(spark, sf):
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum("cents").alias("vol_c"),
     )
+
+
+@query(
+    "attribution-last-touch",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN last_click_us IS NOT NULL
+                 AND us - last_click_us <= 604800000000
+                THEN last_click_us END AS touch_us,
+           CASE WHEN last_click_us IS NOT NULL
+                 AND us - last_click_us <= 604800000000
+                THEN us - last_click_us END AS lag_us
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark, sf):
+    """Last-touch attribution — the marketing-analytics primitive: each
+    purchase is attributed to the user's most recent PRIOR click
+    within a 7-day lookback, or left unattributed (NULL) otherwise.
+    ONE running-max window per user over the two relevant event types
+    (filter pushed to the scan — views/errors never leave the
+    parquet) replaces the naive purchase×click as-of self-join: no
+    join at all, state is one int64 per user per row, and the window
+    keys on user_id so there is no global sort. The lookback compare
+    is exact integer microseconds. The 1-PRECEDING frame excludes a
+    click at the exact purchase timestamp on the purchase row itself
+    (same-row events are ordered (ts, event_id), matching the oracle
+    deterministically)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    week = 604_800_000_000
+    o = e.withColumn(
+        "last_click_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).over(w),
+    )
+    attributed = F.col("last_click_us").isNotNull() & (
+        F.col("us") - F.col("last_click_us") <= week
+    )
+    return o.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(attributed, F.col("last_click_us")).alias("touch_us"),
+        F.when(attributed, F.col("us") - F.col("last_click_us")).alias("lag_us"),
+    )
