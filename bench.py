@@ -27,7 +27,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship-variant-doc",
     "join-interval",
-    "join-interval-explode",
     "join-asof",
     "agg-group-collect",
     "window-rank-first-running-sum",
@@ -164,17 +163,20 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Two lines, detail FIRST and the contract line LAST: the driver
-    # keeps only the TAIL of stdout, and in round 6 the single
-    # min+median line outgrew that capture, losing the headline total
-    # (BENCH_r06 parsed:null — VERDICT r6 item 2). The final line is
-    # the required {"metric","value","unit","queries","sf"} shape,
-    # serialized compact (no spaces) so 60+ queries stay well inside
-    # the ~2000-char tail window; medians ride the sacrificial first
-    # line only.
+    # keeps EXACTLY the last 2000 chars of stdout (BENCH_r06's tail
+    # field), and in round 6 the single min+median line outgrew that
+    # capture, losing the headline total (parsed:null — VERDICT r6
+    # item 2). The final line is the required {"metric","value",
+    # "unit","queries","sf"} shape, compact-serialized with PER-QUERY
+    # TIMES ROUNDED TO 0.1 s so 80+ queries stay under the 2000-char
+    # hard cap (measured: 3-decimal broke 2000 at 79 queries).
+    # Full-precision mins AND medians ride the sacrificial detail
+    # line — cross-round comparisons read THAT, not the contract line.
     print(
         json.dumps(
             {
                 "metric": "headline-suite-detail",
+                "queries_min": timings,
                 "queries_median": medians,
                 "median_total": round(sum(medians.values()), 3),
                 "sf": sf_val,
@@ -188,7 +190,7 @@ def main() -> None:
                 "metric": "headline-suite-total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 1) for k, v in timings.items()},
                 "sf": sf_val,
             },
             separators=(",", ":"),
