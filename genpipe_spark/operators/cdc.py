@@ -308,7 +308,8 @@ def bucket_checksum(
     canonicalised value's path because it, too, is canonicalised —
     NULL vs 0 vs absent all differ).
 
-    Per bucket (``pmod(first key, n_buckets)``) three commutative
+    Per bucket (``pmod(coalesce(first key, sentinel), n_buckets)`` —
+    NULL keys route to an ordinary joinable bucket) three commutative
     aggregates: row count, signature sum mod ``mod`` (int64-exact up
     to ~9e9 rows/bucket), and signature bit_xor. Sum and xor together
     make silent cancellation (two compensating edits in one bucket)
@@ -320,7 +321,14 @@ def bucket_checksum(
         v = F.coalesce(F.col(c).cast("long"), F.lit(-987654321))
         canon = ((v % mod) + mod) % mod
         sig = (sig * 1_000_003 + canon) % mod
-    bucket = F.pmod(F.col(key_cols[0]).cast("long"), F.lit(n_buckets))
+    # NULL-safe bucket: pmod(NULL) is NULL, and a NULL bucket id can
+    # never equi-join against the other snapshot's row — identical
+    # NULL-key data would report as permanent drift (review r7); the
+    # sentinel routes NULL keys to one ordinary, joinable bucket
+    bucket = F.pmod(
+        F.coalesce(F.col(key_cols[0]).cast("long"), F.lit(-987654321)),
+        F.lit(n_buckets),
+    )
     return (
         df.select(bucket.alias("bucket"), sig.alias("__sig"))
         .groupBy("bucket")

@@ -2365,14 +2365,10 @@ def quantize_embedding_pq(spark, sf):
     32-row codebook, one groupBy(vec_id, m) min-struct — linear in N,
     no all-pairs, codebook never shuffled. Output long-form
     (vec_id, m, code, dist): 4 rows per vector."""
+    # quantizer + L2 fold shared with ivfpq_topk (similarity._q10k /
+    # _l2sq) — ONE copy of the exactness-critical formulas (review r7)
     emb = t(spark, sf, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("long"),
-        ).alias("q"),
-    )
+    q = emb.select("vec_id", S._q10k(F.col("embedding")).alias("q"))
     sub = q.select(
         "vec_id",
         F.explode(F.array(*[F.lit(m) for m in range(4)])).alias("m"),
@@ -2383,13 +2379,9 @@ def quantize_embedding_pq(spark, sf):
     cents = sub.where(F.col("vec_id") < 8).select(
         F.col("m"), F.col("vec_id").alias("cid"), F.col("sq").alias("c")
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, y: acc + y,
-    )
     dists = sub.join(F.broadcast(cents), "m").select(
-        "vec_id", "m", "cid", dist.alias("dist")
+        "vec_id", "m", "cid",
+        S._l2sq(F.col("sq"), F.col("c")).alias("dist"),
     )
     best = dists.groupBy("vec_id", "m").agg(
         F.min(F.struct("dist", "cid")).alias("w")

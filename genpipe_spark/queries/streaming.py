@@ -401,13 +401,21 @@ def stream_dedup_query(spark, sf):
         "event_id", "user_id", "event_type", "ts",
         F.round(F.col("value") * 100).cast("long").alias("val_c"),
     )
-    feed = e.unionByName(e.where(F.col("event_id") % 3 == 0))
+    # __b: originals bucket by event_id parity; every duplicate goes to
+    # the OPPOSITE bucket — a same-parity split would co-locate each
+    # duplicate with its original in one micro-batch and never exercise
+    # the cross-batch state path this query exists to check (review r7)
+    feed = e.withColumn("__b", F.col("event_id") % 2).unionByName(
+        e.where(F.col("event_id") % 3 == 0).withColumn(
+            "__b", (F.col("event_id") + 1) % 2
+        )
+    )
     base = tempfile.mkdtemp(prefix="genpipe_stream_dedup_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     for i in range(2):
         d = os.path.join(base, f"bucket{i}")
-        feed.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+        feed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
         part = [f for f in os.listdir(d) if f.startswith("part-")][0]
@@ -415,7 +423,7 @@ def stream_dedup_query(spark, sf):
         os.replace(os.path.join(d, part), dst)
         os.utime(dst, (_time.time() + i, _time.time() + i))
     stream = (
-        spark.readStream.schema(feed.schema)
+        spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )

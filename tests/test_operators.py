@@ -1521,7 +1521,10 @@ def test_bucket_checksum_detects_single_cell_change(spark):
     NULL vs 0 differ; negative keys bucket via pmod (never negative)."""
     from genpipe_spark.operators.cdc import bucket_checksum
 
-    rows = [(i, i % 5, i * 10) for i in range(1, 41)] + [(-7, None, 0)]
+    # -7: negative key (pmod); None-key row: NULL bucket would never
+    # equi-join — must land in an ordinary bucket on BOTH sides
+    rows = [(i, i % 5, i * 10) for i in range(1, 41)] + [
+        (-7, None, 0), (None, 3, 5)]
     a = spark.createDataFrame(rows, "k: long, g: long, v: long")
     b = spark.createDataFrame(
         [(k, g, v + 1 if k == 9 else v) for k, g, v in rows],
