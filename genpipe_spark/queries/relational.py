@@ -2921,3 +2921,322 @@ def layout_compaction_plan(spark, sf):
     ).select(
         "file_id", "n_rows", F.expr("__before div 400").alias("target_bin")
     )
+
+
+@query(
+    "tpch-q6",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c2,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+    """,
+)
+def tpch_q6(spark, sf):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    query — no join at all, the canonical predicate-pushdown +
+    whole-stage-codegen benchmark. Revenue = sum(extendedprice *
+    discount) in exact 1e-4-dollar int64 units; the discount band
+    compares in integer percent so the 0.05/0.07 boundaries are exact,
+    not float-rounded. Scale shape: the shipdate window pushes to the
+    parquet scan (row-group min/max skipping), the three predicates
+    evaluate inside ONE codegen stage, and the global agg is a
+    map-side partial + 1-row final — the fastest possible 100 TB plan
+    for this shape."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        li.where(disc_pct.between(5, 7) & (qty_c < 2400))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long") * disc_pct
+            ).alias("revenue_c2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch-q7",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, l_year,
+           CAST(sum(rev_c2) AS BIGINT) AS revenue_c2,
+           count(*) AS n_lines
+    FROM li
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_regionkey = 2 AND cn.n_regionkey = 3)
+       OR (sn.n_regionkey = 3 AND cn.n_regionkey = 2)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): cross-border trade volume between
+    two trading blocs, BOTH directions, by supplier nation x customer
+    nation x ship year. Faithful shape: fact -> supplier and
+    (via orders) customer, each enriched with its OWN copy of the
+    nation dim — the double-dim-alias join — with the disjunctive
+    direction predicate evaluated post-join. (The fixture's nation
+    names carry no TPC-H semantics, so the two 'nations' are the
+    region-2 and region-3 blocs — keeps both directions non-vacuous
+    at every SF.) Revenue in exact 1e-4-dollar units. Scale shape:
+    the 2-year shipdate window is pushed to the fact scan; nation
+    (25 rows) broadcasts twice; the OR over the two direction pairs
+    prunes nothing at the scan but Catalyst derives the implied
+    regionkey IN (2,3) filter on BOTH nation copies, shrinking the
+    supplier/customer join inputs before the fact shuffle."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c2"),
+    )
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    sn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("s_regionkey"),
+    )
+    cn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    j = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), "s_nationkey")
+        .join(F.broadcast(cn), "c_nationkey")
+    )
+    both_dirs = (
+        (F.col("s_regionkey") == 2) & (F.col("c_regionkey") == 3)
+    ) | ((F.col("s_regionkey") == 3) & (F.col("c_regionkey") == 2))
+    return j.where(both_dirs).groupBy(
+        "supp_nation", "cust_nation", "l_year"
+    ).agg(
+        F.sum("rev_c2").alias("revenue_c2"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch-q8",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2
+      FROM lineitem
+    )
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_regionkey = 2 THEN rev_c2 ELSE 0 END)
+                AS BIGINT) AS bloc_rev_c2,
+           CAST(sum(rev_c2) AS BIGINT) AS total_rev_c2
+    FROM li
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'AMERICA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): of all ECONOMY-part revenue
+    sold into AMERICA-region customers over two years, what share came
+    from region-2-bloc suppliers, per order year. The widest TPC-H
+    join tree without partsupp: fact + part + supplier + orders +
+    customer + nation(x2 aliases) + region — 7 relations. The share is
+    reported as its EXACT integer (numerator, denominator) pair per
+    the q14 rule: engines never divide. (Fixture adaptation: supplier
+    'nation' is the region-2 bloc — the fixture's nation names carry
+    no TPC-H semantics — and p_type is a plain equality, the fixture
+    having single-word types.) Scale shape: p_type and the order-date
+    window push to their scans; part/supplier/nation/region broadcast
+    under AQE at driver SF; the conditional CASE aggregation replaces
+    the all-vs-subset double join — ONE pass over the joined fact."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c2"),
+    )
+    p = t(spark, sf, "part").where(F.col("p_type") == "ECONOMY").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    cn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    r = t(spark, sf, "region").where(F.col("r_name") == "AMERICA").select(
+        F.col("r_regionkey").alias("c_regionkey")
+    )
+    sn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_regionkey").alias("s_regionkey"),
+    )
+    j = (
+        li.join(p, "l_partkey")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(r), "c_regionkey")
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    return j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("s_regionkey") == 2, F.col("rev_c2")).otherwise(0)
+        ).alias("bloc_rev_c2"),
+        F.sum("rev_c2").alias("total_rev_c2"),
+    )
+
+
+@query(
+    "tpch-q12",
+    """
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_bucket
+    """,
+)
+def tpch_q12(spark, sf):
+    """TPC-H Q12 shape (shipping priority audit): fact-to-orders join
+    with BOTH the grouping key and the aggregated measures produced by
+    CASE expressions — the conditional-bucket + conditional-count
+    pattern. (Fixture adaptation: no l_shipmode/l_commitdate/
+    l_receiptdate, so the group is a date-arithmetic lateness bucket —
+    shipped 60+ days after the order date — which additionally pins
+    timestamp + INTERVAL arithmetic identical across engines.) Scale
+    shape: the ship-year window pushes to the fact scan; the join
+    shuffles on orderkey carrying only (shipdate, priority); the
+    two-row output comes from map-side partial aggs — at 100 TB this
+    is join-bound, and the orders side carries exactly two pruned
+    columns."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    j = li.join(o, "l_orderkey")
+    bucket = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "LATE",
+    ).otherwise("ONTIME")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch-q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_c2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_c2
+    FROM supplier JOIN rev USING (s_suppkey)
+    WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): a derived revenue-per-supplier view
+    consumed TWICE — once for the global max (scalar subquery), once
+    joined back to find every supplier achieving it. Revenue is exact
+    int64 1e-4-dollar units, so 'the max' is well-defined with no
+    float-tie ambiguity and ALL tied suppliers return (the TPC-H
+    spec's own tie rule). Scale shape: the view is one map-side-
+    combinable agg over the window-pruned fact; the max reduces it to
+    ONE row which broadcasts back as the filter (explicit broadcast of
+    a provably-1-row side — plan-audit whitelisted class); supplier
+    joins on the post-aggregation key set, far smaller than the fact.
+    Spark computes the view once per consumer (twice total) — both
+    passes over the PRUNED fact; a persist() would trade memory for
+    the second pass at a real 100 TB run's discretion."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("total_rev_c2")
+    )
+    mx = rev.agg(F.max("total_rev_c2").alias("__mx"))
+    top = rev.join(F.broadcast(mx)).where(
+        F.col("total_rev_c2") == F.col("__mx")
+    ).drop("__mx")
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return top.join(supp, "s_suppkey").select(
+        "s_suppkey", "s_name", "total_rev_c2"
+    )
