@@ -2500,3 +2500,51 @@ def ann_ivfpq_topk(spark, sf):
     return S.ivfpq_topk(
         emb, emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000))
     )
+
+
+@query(
+    "graph-link-predict",
+    """
+    WITH raw AS (
+      SELECT DISTINCT o_orderkey % 3000 AS a,
+             o_orderkey % 3000 + 1 + o_custkey % 4 AS b
+      FROM orders
+    ),
+    adj AS (SELECT a AS v, b AS n FROM raw
+            UNION ALL SELECT b AS v, a AS n FROM raw),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    pairs AS (
+      SELECT a1.n AS u, a2.n AS w, count(*) AS common
+      FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.n < a2.n
+      GROUP BY u, w
+      HAVING count(*) >= 2
+    ),
+    fresh AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM raw
+                        WHERE raw.a = p.u AND raw.b = p.w)
+    )
+    SELECT u, w, common, du.d AS du, dw.d AS dw,
+           (1000000 * common) // (du.d + dw.d - common) AS jaccard_micro
+    FROM fresh JOIN deg du ON du.v = u JOIN deg dw ON dw.v = w
+    """,
+)
+def graph_link_predict(spark, sf):
+    """Common-neighbor link prediction (operators/graph.
+    common_neighbors): non-adjacent node pairs sharing >= 2 neighbors,
+    scored by exact-millionths neighborhood Jaccard — the candidate
+    generator for entity resolution / recommendation. The graph is the
+    kcore chain-with-skips (node i links to i+1..i+4 as the data
+    provides): bounded degree <= 8 at EVERY SF, so the prediction set
+    stays non-trivial instead of saturating to a complete graph the
+    way mod-N graphs densify. Uncapped here (bounded degree); the
+    operator's max_center_degree knob is the documented hub-quadratic
+    mitigation at 100 TB, unit-tested separately."""
+    from genpipe_spark.operators.graph import common_neighbors
+
+    o = t(spark, sf, "orders")
+    a = F.col("o_orderkey") % 3000
+    edges = o.select(
+        a.alias("src"), (a + 1 + F.col("o_custkey") % 4).alias("dst")
+    )
+    return common_neighbors(edges, min_common=2)

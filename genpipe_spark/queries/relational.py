@@ -3240,3 +3240,126 @@ def tpch_q15(spark, sf):
     return top.join(supp, "s_suppkey").select(
         "s_suppkey", "s_name", "total_rev_c2"
     )
+
+
+@query(
+    "agg-ols-regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum((x*x) // 1073741824) AS BIGINT) AS sxx_hi,
+             CAST(sum((x*x) % 1073741824) AS BIGINT) AS sxx_lo,
+             CAST(sum((y*y) // 1073741824) AS BIGINT) AS syy_hi,
+             CAST(sum((y*y) % 1073741824) AS BIGINT) AS syy_lo,
+             CAST(sum((x*y) // 1073741824) AS BIGINT) AS sxy_hi,
+             CAST(sum((x*y) % 1073741824) AS BIGINT) AS sxy_lo
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy,
+           CAST(floor(1000000.0 *
+                 (CAST(n AS DOUBLE)
+                    * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                       + CAST(sxy_lo AS DOUBLE))
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                      * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                         + CAST(sxx_lo AS DOUBLE))
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             AS BIGINT) AS slope_micro,
+           CAST(floor(1000000.0 *
+                 (CAST(sy AS DOUBLE)
+                    * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                       + CAST(sxx_lo AS DOUBLE))
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                       + CAST(sxy_lo AS DOUBLE)))
+                 / (CAST(n AS DOUBLE)
+                      * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                         + CAST(sxx_lo AS DOUBLE))
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             AS BIGINT) AS intercept_micro,
+           CAST(floor(1000000.0 *
+                 ((CAST(n AS DOUBLE)
+                     * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                        + CAST(sxy_lo AS DOUBLE))
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE)
+                       * (CAST(sxy_hi AS DOUBLE) * 1073741824.0
+                          + CAST(sxy_lo AS DOUBLE))
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE)
+                       * (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                          + CAST(sxx_lo AS DOUBLE))
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE)
+                         * (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                            + CAST(syy_lo AS DOUBLE))
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS BIGINT) AS r2_micro
+    FROM s
+    """,
+)
+def agg_ols_regression(spark, sf):
+    """Grouped simple linear regression (y = a + b*x per return flag,
+    x = quantity, y = price cents): slope, intercept, and R**2 from
+    EXACT integer moments — the same 128-bit-safe (hi, lo)-split
+    accumulation as agg-grouped-corr (sums of p div 2^30 / p mod 2^30
+    never overflow int64 past 1e13 rows/group), reconstructed in
+    IEEE-pinned double operation order so both engines emit
+    bit-identical micro-integers. This is the closed-form regr_slope/
+    regr_intercept/regr_r2 family computed the deterministic way —
+    no per-engine float accumulation order anywhere. Preconditions:
+    non-negative x, y (div/mod sign agreement) and non-constant x and
+    y within every group (denominators nonzero; lineitem satisfies
+    both). Scale shape: ONE map-side-combinable aggregate — partial
+    state is 10 longs per group, no window, no second pass; the exact
+    posture for a 100 TB per-segment trend fit."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    split = 1073741824  # 2^30
+
+    def hi_lo(prod, tag):
+        return [
+            F.sum(F.expr(f"({prod}) div {split}")).alias(f"{tag}_hi"),
+            F.sum(F.expr(f"({prod}) % {split}")).alias(f"{tag}_lo"),
+        ]
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        *hi_lo("x*x", "sxx"),
+        *hi_lo("y*y", "syy"),
+        *hi_lo("x*y", "sxy"),
+    )
+
+    def recon_d(tag):
+        return (
+            F.col(f"{tag}_hi").cast("double") * F.lit(float(split))
+            + F.col(f"{tag}_lo").cast("double")
+        )
+
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * recon_d("sxy") - sx_d * sy_d
+    denx = n_d * recon_d("sxx") - sx_d * sx_d
+    deny = n_d * recon_d("syy") - sy_d * sy_d
+    inum = sy_d * recon_d("sxx") - sx_d * recon_d("sxy")
+    return s.select(
+        "l_returnflag", "n", "sx", "sy",
+        F.floor(F.lit(1_000_000.0) * num / denx).cast("long").alias("slope_micro"),
+        F.floor(F.lit(1_000_000.0) * inum / denx).cast("long").alias("intercept_micro"),
+        F.floor(F.lit(1_000_000.0) * (num * num) / (denx * deny))
+        .cast("long")
+        .alias("r2_micro"),
+    )

@@ -1586,3 +1586,48 @@ def test_ivfpq_recall_vs_exact_l2(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
     recalls = [len(exact[q] & approx.get(q, set())) / 5 for q in qids]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_common_neighbors_star_plus_path(spark):
+    """Star center 0 with leaves 1..3 plus edge 1-2: leaves share hub
+    0, so every leaf pair is a candidate EXCEPT 1-2 (already adjacent
+    — anti-joined away). Jaccard in exact millionths; reversed
+    duplicate edges must not inflate counts."""
+    from genpipe_spark.operators.graph import common_neighbors
+
+    e = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src: long, dst: long"
+    )
+    got = {
+        (r["u"], r["w"], r["common"], r["du"], r["dw"], r["jaccard_micro"])
+        for r in common_neighbors(edges).collect()
+    }
+    # 1-3: common {0}; du=2 (0,2), dw=1 (0) -> 1e6*1 div (2+1-1) = 500000
+    # 2-3: symmetric.  1-2 adjacent -> excluded.
+    assert got == {(1, 3, 1, 2, 1, 500_000), (2, 3, 1, 2, 1, 500_000)}
+
+
+def test_common_neighbors_center_degree_cap(spark):
+    """max_center_degree drops wedges CENTERED on super-hubs (hubs
+    still appear as endpoints): with hub 0 (degree 3) capped out, the
+    leaf pairs 1-2/1-3/2-3 lose their shared center and only wedges
+    through low-degree centers survive. min_common=2 also exercised."""
+    from genpipe_spark.operators.graph import common_neighbors
+
+    # hub 0 - leaves 1,2,3; plus 1-4, 2-4 (4 is a second shared
+    # neighbor for pair 1-2 only)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4), (2, 4)], "src: long, dst: long"
+    )
+    capped = common_neighbors(edges, max_center_degree=2).collect()
+    # centers 1 and 2 (deg 2) each close the 0-4 pair; center 4 closes 1-2
+    assert {(r["u"], r["w"], r["common"]) for r in capped} == {
+        (0, 4, 2),
+        (1, 2, 1),
+    }
+    two = common_neighbors(edges, min_common=2).collect()
+    assert {(r["u"], r["w"], r["common"]) for r in two} == {
+        (0, 4, 2),
+        (1, 2, 2),
+    }
