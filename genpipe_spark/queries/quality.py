@@ -158,3 +158,88 @@ def profile_kanonymity(spark, sf):
     return k_anonymity_profile(
         t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=5
     )
+
+
+# log10(1 + 1/d) in exact micro units; the nine constants sum to
+# exactly 1_000_000 so expected counts partition n
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT count(*) AS n_rows FROM v),
+obs AS (SELECT digit, count(*) AS obs FROM v GROUP BY digit),
+p(digit, p_micro) AS (VALUES
+  {", ".join(f"({d}, {m})" for d, m in _BENFORD_MICRO.items())})
+SELECT p.digit, COALESCE(obs, 0) AS obs, n_rows,
+       CAST(n_rows * p_micro AS BIGINT) AS expected_micro,
+       CAST(floor(1000000.0 *
+             (CAST(COALESCE(obs, 0) AS DOUBLE)
+              - CAST(n_rows AS DOUBLE)
+                * (CAST(p_micro AS DOUBLE) / 1000000.0))
+             * (CAST(COALESCE(obs, 0) AS DOUBLE)
+                - CAST(n_rows AS DOUBLE)
+                  * (CAST(p_micro AS DOUBLE) / 1000000.0))
+             / (CAST(n_rows AS DOUBLE)
+                * (CAST(p_micro AS DOUBLE) / 1000000.0)))
+         AS BIGINT) AS chi2_term_micro
+FROM p LEFT JOIN obs ON obs.digit = p.digit CROSS JOIN n
+"""
+
+
+@query("quality-benford", _BENFORD_ORACLE)
+def quality_benford(spark, sf):
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-data / corrupted-feed detector: per digit 1-9, the
+    observed count, the expected count under Benford (exact int64
+    micro-rows: n * log10(1+1/d) in micro units, constants summing to
+    exactly 1e6), and the per-digit chi-square term in IEEE-pinned
+    double micro units (consumers sum 9 terms against the chi2(8)
+    critical value). The first digit is extracted from the int64
+    CENTS decimal rendering — pure integer/string ops, no log10 on
+    the data path, so both engines agree bit-for-bit. Digits with
+    zero observations still emit (LEFT join from the constant digit
+    table). Scale shape: ONE map-side-combinable 9-group aggregate
+    over the scan + a 9-row broadcast constant join + a 1-row count
+    attach — nothing grows with data but the scan."""
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    n = digits.agg(F.count(F.lit(1)).alias("n_rows"))
+    p = spark.createDataFrame(
+        list(_BENFORD_MICRO.items()), "digit: long, p_micro: long"
+    )
+    # p is the preserved side (every digit emits) — Spark cannot
+    # broadcast the left of a left join, so the 9-row obs broadcasts
+    j = (
+        p.join(F.broadcast(obs), "digit", "left")
+        .join(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            "n_rows",
+            (F.col("n_rows") * F.col("p_micro")).alias("expected_micro"),
+            F.col("p_micro"),
+        )
+    )
+    obs_d = F.col("obs").cast("double")
+    exp_d = F.col("n_rows").cast("double") * (
+        F.col("p_micro").cast("double") / F.lit(1_000_000.0)
+    )
+    return j.select(
+        "digit", "obs", "n_rows", "expected_micro",
+        F.floor(F.lit(1_000_000.0) * (obs_d - exp_d) * (obs_d - exp_d) / exp_d)
+        .cast("long")
+        .alias("chi2_term_micro"),
+    )

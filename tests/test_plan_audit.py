@@ -76,6 +76,11 @@ BOUNDED_NLJ_OK = {
     # crossJoin-scored per vector/query (same shape as ann-ivf-topk)
     "ann-ivfpq-topk": "broadcast <=8 centroids / <=32-row PQ codebook "
     "vs one corpus scan",
+    # the Q15 scalar subquery: a provably-1-row max aggregate
+    # crossJoined to every per-supplier revenue row
+    "tpch-q15": "1-row global-max scalar attach (the Q15 subquery)",
+    # 1-row total-count attach to the 9-row digit table
+    "quality-benford": "1-row row-count scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -136,6 +141,13 @@ BOUNDED_BROADCAST_OK = {
     # 1-row split-totals attach for the entropy/JS normalisers
     "profile-entropy": "broadcast 1-row split totals",
     "profile-suite": "inherits profile-entropy's 1-row broadcast",
+    # constant-cardinality dims: nation is 25 rows at ANY SF, region 5
+    "tpch-q7": "broadcast 25-row nation dim (twice-aliased)",
+    "tpch-q8": "broadcast 25-row nation (x2) + 5-row region dims",
+    # the Q15 scalar subquery: broadcast of a provably-1-row max
+    "tpch-q15": "broadcast 1-row global-max aggregate",
+    # 9-row first-digit observation table + 1-row total count
+    "quality-benford": "broadcast 9-row digit counts + 1-row total",
 }
 
 
