@@ -89,3 +89,67 @@ def psi_drift(
     term_micro = F.floor(F.round(term * 1e9) / 1000).cast("long")
     out = joined.select("bin", "n_ref", "n_cur", term_micro.alias("term_micro"))
     return out.withColumn("psi_micro", F.sum("term_micro").over(tot))
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, in_a: "F.Column"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: the max gap
+    between the two empirical CDFs — the nonparametric drift test that
+    needs no binning choice (complements psi_drift's fixed bins).
+
+    ``in_a`` is a boolean Column splitting rows into samples A / B.
+    NULL values are dropped. Output is ONE row:
+      n1, n2           — sample sizes,
+      ks_num, ks_denom — D as the EXACT fraction
+                         max|cdfA - cdfB| = ks_num / (n1*n2),
+      ks_micro         — floor(1e6 * D), IEEE-pinned double fold of
+                         the exact integers (identical across engines).
+
+    Shape: one conditional agg collapses the data to DISTINCT metric
+    values with (cA, cB) counts — map-side combinable, the only pass
+    over the data. The cumulative window then runs over the REDUCED
+    value table ordered by value. That table is bounded by the metric's
+    value domain, not the row count (price cents, quantized scores);
+    for genuinely unbounded/continuous domains, quantize first (the
+    standard KS-monitor practice — any monotone quantization only
+    tightens D estimates downward by at most one cell's mass). The
+    exact-integer cross-products cum*n stay in int64 for
+    n1*n2 < 2^63 (~3e9 rows per side)."""
+    c = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("x"), in_a.cast("int").alias("fa"))
+        .groupBy("x")
+        .agg(
+            F.sum("fa").alias("c1"),
+            F.sum(F.lit(1) - F.col("fa")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "x",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    n = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = cum.join(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "__d"
+        ),
+    )
+    out = d.groupBy("n1", "n2").agg(F.max("__d").alias("ks_num"))
+    return out.select(
+        "n1",
+        "n2",
+        "ks_num",
+        (F.col("n1") * F.col("n2")).alias("ks_denom"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("ks_num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        )
+        .cast("long")
+        .alias("ks_micro"),
+    )

@@ -243,3 +243,49 @@ def quality_benford(spark, sf):
         .cast("long")
         .alias("chi2_term_micro"),
     )
+
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fa
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+c AS (SELECT x, CAST(sum(fa) AS BIGINT) AS c1,
+             CAST(sum(1 - fa) AS BIGINT) AS c2
+      FROM v GROUP BY x),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+cum AS (SELECT x,
+               CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS cum2
+        FROM c)
+SELECT n1, n2,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+       CAST(n1 * n2 AS BIGINT) AS ks_denom,
+       CAST(floor(1000000.0
+              * CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+              / CAST(n1 * n2 AS DOUBLE)) AS BIGINT) AS ks_micro
+FROM cum CROSS JOIN n
+GROUP BY n1, n2
+"""
+
+
+@query("profile-ks-drift", _KS_ORACLE)
+def profile_ks_drift(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (operators/drift.ks_two_sample): finished vs open orders compared
+    on the o_totalprice CENTS distribution — the binning-free
+    complement to profile-drift's PSI. D is emitted as the exact
+    integer fraction ks_num/(n1*n2) plus the IEEE-pinned micro fold.
+    The data collapses to distinct cents values in one map-side agg;
+    the cumulative window runs over that reduced value table
+    (domain-bounded, not row-bounded — see the operator docstring's
+    quantize-first rule for unbounded metrics)."""
+    from genpipe_spark.operators.drift import ks_two_sample
+
+    o = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    return ks_two_sample(o, "cents", F.col("o_orderstatus") == "F")

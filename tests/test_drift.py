@@ -63,3 +63,32 @@ def test_nan_values_are_excluded(spark):
     )
     h = {r["bin"]: r["n"] for r in histogram_fixed(df, "x", 0.0, 10.0, 5).collect()}
     assert h == {2: 1}  # NaN must not clamp-count into bin 0
+
+
+def test_ks_two_sample_known(spark):
+    """A=[1,2,3] vs B=[2,3,4]: D = 1/3 (largest CDF gap at x=1), as
+    the exact fraction 3/9; NULL values dropped."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b"),
+         (None, "a")],
+        "x: long, s: string",
+    )
+    row = ks_two_sample(df, "x", F.col("s") == "a").collect()[0]
+    assert (row["n1"], row["n2"]) == (3, 3)
+    assert (row["ks_num"], row["ks_denom"], row["ks_micro"]) == (3, 9, 333_333)
+
+
+def test_ks_two_sample_identical_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(v, s) for v in (5, 7, 7, 9) for s in ("a", "b")], "x: long, s: string"
+    )
+    row = ks_two_sample(df, "x", F.col("s") == "a").collect()[0]
+    assert row["ks_num"] == 0 and row["ks_micro"] == 0

@@ -81,6 +81,8 @@ BOUNDED_NLJ_OK = {
     "tpch-q15": "1-row global-max scalar attach (the Q15 subquery)",
     # 1-row total-count attach to the 9-row digit table
     "quality-benford": "1-row row-count scalar attach",
+    # 1-row (n1, n2) totals crossJoined to the reduced value table
+    "profile-ks-drift": "1-row sample-totals scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -148,6 +150,8 @@ BOUNDED_BROADCAST_OK = {
     "tpch-q15": "broadcast 1-row global-max aggregate",
     # 9-row first-digit observation table + 1-row total count
     "quality-benford": "broadcast 9-row digit counts + 1-row total",
+    # 1-row sample-sizes (n1, n2) attach for the CDF-gap cross products
+    "profile-ks-drift": "broadcast 1-row sample totals",
 }
 
 
