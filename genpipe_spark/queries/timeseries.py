@@ -786,3 +786,60 @@ def attribution_last_touch(spark, sf):
         F.when(attributed, F.col("last_click_us")).alias("touch_us"),
         F.when(attributed, F.col("us") - F.col("last_click_us")).alias("lag_us"),
     )
+
+
+@query(
+    "rollup-rolling-median",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_custkey % 8 AS seg, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, seg, cents,
+             quantile_disc(cents, 0.5) OVER (
+               PARTITION BY seg ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW
+             ) AS roll_med_cents
+      FROM v
+    )
+    SELECT o_orderkey, seg, cents, roll_med_cents
+    FROM r WHERE o_orderkey % 50 = 0
+    """,
+)
+def rollup_rolling_median(spark, sf):
+    """Rolling EXACT median denoiser: per segment, the lower median of
+    the trailing 25 order totals (cents, int64) under a total
+    (date, key) order — the robust alternative to a rolling mean that
+    a spike can't drag. Spark has no frame-bounded exact median, so
+    the frame is materialized per row via sort_array(collect_list)
+    over a ROWS window and indexed at (n+1) div 2 — per-row state is
+    BOUNDED BY THE FRAME (25 values), never the partition, so memory
+    is O(frame) at any SF; DuckDB's quantile_disc(0.5) window computes
+    the identical lower median. The output is thinned to every 50th
+    key AFTER the window (both engines), keeping the checked payload
+    small while every row still exercises the frame."""
+    from pyspark.sql import Window
+
+    v = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 8).alias("seg"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-24, 0)
+    )
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    r = v.select(
+        "o_orderkey",
+        "seg",
+        "cents",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias(
+            "roll_med_cents"
+        ),
+    )
+    return r.where(F.col("o_orderkey") % 50 == 0)
