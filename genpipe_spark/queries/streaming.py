@@ -442,3 +442,44 @@ def stream_dedup_query(spark, sf):
         "event_id", "user_id", "event_type",
         F.unix_micros("ts").alias("ts_us"), "val_c",
     )
+
+
+@query(
+    "stream-interval-left-join",
+    """
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_click,
+           b.event_id AS conv_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_conv
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_interval_left_join_query(spark, sf):
+    """Batch twin of the watermarked LEFT OUTER stream-stream join
+    (streaming/ingest.stream_interval_left_join): click→purchase
+    attribution where unconverted clicks survive with NULL conversion
+    columns — withWatermark is a no-op in batch so the SAME operator
+    runs here and the oracle checks exact pair-level values including
+    the NULL outer rows. The streaming path (outer emission gated on
+    watermark passing ts_click + horizon, sentinel-flush drain) is
+    pytest-covered e2e."""
+    from genpipe_spark.streaming.ingest import stream_interval_left_join
+
+    ev = t(spark, sf, "events")
+    pairs = stream_interval_left_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="10 minutes",
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        F.date_format("ts_click", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_click"),
+        "conv_id",
+        F.date_format("ts_conv", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_conv"),
+    )

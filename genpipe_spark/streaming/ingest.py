@@ -497,3 +497,43 @@ def stream_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_left_join(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click pairs with the same
+    user's conversions in the following ``horizon``; clicks with NO
+    conversion emit once with NULL conversion columns — but only after
+    the watermark passes ts_click + horizon, when Spark can PROVE no
+    match can still arrive (the semantics that make outer results
+    correct under late data instead of speculative). Both sides are
+    watermarked and the join carries the event-time range condition,
+    so state stays bounded by watermark + horizon exactly like the
+    inner form (stream_interval_self_join). In batch mode withWatermark
+    is a no-op and this is a plain left join — the oracle twin.
+
+    At-scale note: outer-NULL emission lags the data by up to
+    watermark + horizon by design; a drained availableNow run emits
+    tail unmatched clicks only if later input advanced the watermark
+    past them (the e2e test's sentinel-flush pattern)."""
+    a = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("ts_click"),
+    ).withWatermark("ts_click", watermark)
+    b = conversions.select(
+        F.col("user_id").alias("__uid_b"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("ts_conv"),
+    ).withWatermark("ts_conv", watermark)
+    return a.join(
+        b,
+        (a["user_id"] == b["__uid_b"])
+        & (F.col("ts_conv") > F.col("ts_click"))
+        & (F.col("ts_conv") <= F.col("ts_click") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("user_id", "click_id", "ts_click", "conv_id", "ts_conv")

@@ -1320,3 +1320,59 @@ def test_stream_cdc_apply_recovers_mid_swap_crash(spark, tmp_path):
     # of the original snapshot (which would read {(1,'a'),(2,'n')})
     assert live == {(1, "a2"), (2, "n")}
     assert not (tmp_path / "state__staging").exists()
+
+
+def test_stream_interval_left_join_outer_rows_emit(spark, tmp_path):
+    """LEFT OUTER stream-stream join e2e: the streamed result must
+    equal the batch twin INCLUDING the NULL outer rows. Outer emission
+    is gated on the watermark passing ts_click + horizon, so the
+    source gets far-future sentinel rows on BOTH sides to flush the
+    tail; sentinels are filtered from the comparison."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.streaming.ingest import stream_interval_left_join
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    convs = ev.where(F.col("event_type") == "purchase")
+    batch = {
+        (r["click_id"], r["conv_id"])
+        for r in stream_interval_left_join(clicks, convs).collect()
+    }
+    assert any(c is None for _, c in batch), "fixture should have unconverted clicks"
+
+    SENTINEL = 10_000_000
+    flush = spark.range(1).select(
+        F.lit(SENTINEL).alias("event_id"),
+        F.expr("timestamp '2030-01-01 00:00:00'").alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+    )
+    src = tmp_path / "src"
+    clicks.unionByName(flush).coalesce(1).write.parquet(str(src / "clicks"))
+    convs.unionByName(
+        flush.withColumn("event_type", F.lit("purchase"))
+    ).coalesce(1).write.parquet(str(src / "convs"))
+    cs = spark.readStream.schema(clicks.schema).parquet(str(src / "clicks"))
+    vs = spark.readStream.schema(convs.schema).parquet(str(src / "convs"))
+    out = stream_interval_left_join(cs, vs, watermark="1 minute")
+    dest = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["click_id"], r["conv_id"])
+        for r in spark.read.parquet(dest).collect()
+        if r["click_id"] != SENTINEL
+    }
+    assert got == batch
