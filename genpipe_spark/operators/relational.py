@@ -171,3 +171,39 @@ def global_row_number(
         .withColumn(alias, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), minimize-both: rows not
+    STRICTLY dominated — no other row is <= on both dims and < on at
+    least one. Identical (x, y) duplicates dominate nothing and all
+    survive (set semantics of the classic skyline definition).
+
+    O(n log n), not the textbook O(n^2) self-join:
+      1. reduce to the per-x minimum y — ONE map-side-combinable agg
+         (among equal x, only min-y rows can be non-dominated);
+      2. exclusive running min of ymin over x ascending — a window on
+         the REDUCED distinct-x table (domain-bounded, not row-
+         bounded; quantize x first if its domain is unbounded — the
+         same rule as drift.ks_two_sample);
+      3. a distinct x survives iff its ymin beats every smaller x's
+         (strict <, which also resolves the equal-y-smaller-x
+         dominance case); join survivors back by x, keeping original
+         rows at y == ymin.
+    NULL in either dim drops the row (NULL is incomparable under
+    dominance)."""
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per_x = base.groupBy(F.col(x_col).alias("__x")).agg(
+        F.min(F.col(y_col)).alias("__ymin")
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_x.withColumn("__prev", F.min("__ymin").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__ymin") < F.col("__prev")))
+        .select("__x", "__ymin")
+    )
+    return base.join(
+        frontier,
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymin")),
+        "inner",
+    ).drop("__x", "__ymin")

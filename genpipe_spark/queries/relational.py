@@ -3363,3 +3363,39 @@ def agg_ols_regression(spark, sf):
         .cast("long")
         .alias("r2_micro"),
     )
+
+
+@query(
+    "sort-skyline-pareto",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT p_partkey, price_c, p_size FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.price_c <= p.price_c AND q.p_size <= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size < p.p_size)
+    )
+    """,
+)
+def sort_skyline_pareto(spark, sf):
+    """2-D skyline / Pareto frontier (operators/relational.skyline_2d):
+    the parts no other part beats on BOTH price and size — the
+    multi-objective shortlist primitive. Spark runs the O(n log n)
+    per-x-reduce + exclusive-running-min formulation; the oracle is
+    the INDEPENDENT textbook NOT-EXISTS dominance spec, so the parity
+    check proves the fast formulation equals the definition (the
+    bloom-probe doctrine: oracle as spec, not replay)."""
+    from genpipe_spark.operators.relational import skyline_2d
+
+    p = t(spark, sf, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(p, "price_c", "p_size")

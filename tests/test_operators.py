@@ -1631,3 +1631,18 @@ def test_common_neighbors_center_degree_cap(spark):
         (0, 4, 2),
         (1, 2, 2),
     }
+
+
+def test_skyline_2d_known_points(spark):
+    """(1,5) (2,3) (3,3) (4,1) (4,4) (1,5)dup: frontier is (1,5),
+    (2,3), (4,1) — (3,3) loses to (2,3) (equal y, smaller x), (4,4)
+    loses to (2,3) outright; the duplicate (1,5) row survives twice
+    (identical points never dominate). NULLs drop."""
+    from genpipe_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 3), (4, 1), (4, 4), (1, 5), (None, 0), (0, None)],
+        "x: long, y: long",
+    )
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == [(1, 5), (1, 5), (2, 3), (4, 1)]
