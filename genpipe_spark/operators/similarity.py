@@ -509,3 +509,86 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "dist")
     )
+
+
+def center_l2_normalize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus mean-centering + L2 normalization — the standard
+    embedding preprocessing before cosine retrieval / clustering /
+    whitening — with EXACT cross-engine determinism: a naive float
+    mean depends on accumulation order, so instead
+
+      1. each component quantizes to int64 micros with portable
+         half-up (floor(x*1e6 + 0.5) — the quantize_int8 rule);
+      2. per-DIMENSION exact integer sums via posexplode + groupBy
+         (one map-side-combinable agg; the dim table is
+         dimensionality-sized, 64 rows here — broadcast back);
+      3. the centered component is kept as the exact integer
+         c = m*n - sum_m  (= n * (m - mean), scaled by n to avoid
+         division) — the n factor CANCELS under L2 normalization, so
+         no float mean ever exists;
+      4. one strict left fold per vector for the norm, then each
+         component maps to floor(1e6 * c / norm + 0.5) micros
+         (0 if the norm is 0, i.e. the vector equals the mean).
+
+    NULL vectors drop; all vectors must share one dimensionality (the
+    posexplode/groupBy would silently mix dims otherwise — enforced
+    cheaply via the per-dim count equality against dim 0).
+    Scale: data moves twice (explode agg + regroup); state beyond the
+    data is ONE dim-sized sum table. The regroup collect_list is
+    bounded by the dimensionality per (vec, not partition)."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    m = e.select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("m"),
+    )
+    s = m.groupBy("pos").agg(
+        F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
+    )
+    # ragged-dimensionality guard: every dim must cover every vector.
+    # The global max window (over the dim-sized table — bounded) must
+    # materialize as a column BEFORE the assert filter (window
+    # functions cannot sit inside WHERE).
+    from genpipe_spark.operators.checks import assert_rows
+
+    s = s.withColumn("__nmax", F.max("n").over(Window.partitionBy()))
+    s = assert_rows(
+        s,
+        F.col("n") == F.col("__nmax"),
+        F.lit("center_l2_normalize: ragged dimensionality at pos "),
+        F.col("pos").cast("string"),
+    ).drop("__nmax")
+    c = m.join(F.broadcast(s), "pos").select(
+        "vec_id", "pos", (F.col("m") * F.col("n") - F.col("sm")).alias("c")
+    )
+    arr = c.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda st: st["c"],
+        ).alias("cv")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("cv"),
+            F.lit(0.0),
+            lambda acc, y: acc + y.cast("double") * y.cast("double"),
+        )
+    )
+    return arr.select(
+        "vec_id",
+        F.transform(
+            F.col("cv"),
+            lambda y: F.when(norm == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(
+                    F.lit(1_000_000.0) * y.cast("double") / norm + 0.5
+                ).cast("long")
+            ),
+        ).alias("unit_micro"),
+    )

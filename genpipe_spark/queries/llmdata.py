@@ -2548,3 +2548,46 @@ def graph_link_predict(spark, sf):
         a.alias("src"), (a + 1 + F.col("o_custkey") % 4).alias("dst")
     )
     return common_neighbors(edges, min_common=2)
+
+
+@query(
+    "embedding-center-l2",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor(v[CAST(t.i AS INTEGER) + 1] * 1000000.0 + 0.5)
+                       AS BIGINT) AS m
+           FROM e, unnest(range(len(v))) AS t(i)),
+    s AS (SELECT pos, CAST(sum(m) AS BIGINT) AS sm, count(*) AS n
+          FROM ex GROUP BY pos),
+    c AS (SELECT vec_id, ex.pos, m * n - sm AS c
+          FROM ex JOIN s ON ex.pos = s.pos),
+    arr AS (SELECT vec_id, list(c ORDER BY pos) AS cv
+            FROM c GROUP BY vec_id),
+    nrm AS (SELECT vec_id, cv,
+                   sqrt(list_reduce(
+                     list_prepend(0.0, list_apply(cv, y -> CAST(y AS DOUBLE))),
+                     (a, b) -> a + b * b)) AS norm
+            FROM arr)
+    SELECT vec_id,
+           array_to_string(list_apply(cv, y ->
+             CASE WHEN norm = 0 THEN 0
+                  ELSE CAST(floor(1000000.0 * CAST(y AS DOUBLE) / norm + 0.5)
+                            AS BIGINT) END), '|') AS unit_micro
+    FROM nrm
+    """,
+)
+def embedding_center_l2(spark, sf):
+    """Corpus mean-centering + L2 normalization of the embedding
+    column (operators/similarity.center_l2_normalize) — the standard
+    preprocessing before cosine retrieval/clustering, determinized:
+    components quantize to int64 micros, per-dimension means are EXACT
+    integer sums (the centered value rides as n*(m - mean), the n
+    cancelling under normalization, so no order-dependent float mean
+    ever exists), and the single norm fold is the strict left fold of
+    the cosine doctrine. Output serialized for driver hashability."""
+    from genpipe_spark.operators.similarity import center_l2_normalize
+
+    out = center_l2_normalize(t(spark, sf, "embeddings"))
+    return out.select("vec_id", F.concat_ws("|", "unit_micro").alias("unit_micro"))

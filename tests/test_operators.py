@@ -1646,3 +1646,28 @@ def test_skyline_2d_known_points(spark):
     )
     got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
     assert got == [(1, 5), (1, 5), (2, 3), (4, 1)]
+
+
+def test_center_l2_normalize_known_and_ragged(spark):
+    """Two 2-D vectors symmetric about their mean: centered values are
+    +/-(delta*n) which normalize to +/-unit components; a ragged third
+    vector must abort via the per-dim coverage assert."""
+    import pytest
+    from genpipe_spark.operators.similarity import center_l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [3.0, 1.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {r["vec_id"]: r["unit_micro"] for r in center_l2_normalize(df).collect()}
+    # centered (scaled by n=2): v1 -> (-2e6, +2e6), v2 -> (+2e6, -2e6);
+    # each normalizes to (∓707107, ±707107) (1/sqrt(2) micros, half-up)
+    assert got[1] == [-707106, 707107] or got[1] == [-707107, 707107]
+    assert got[2][0] == -got[1][0] and got[2][1] == -got[1][1]
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [3.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    with pytest.raises(Exception, match="ragged dimensionality"):
+        center_l2_normalize(ragged).collect()

@@ -152,6 +152,9 @@ BOUNDED_BROADCAST_OK = {
     "quality-benford": "broadcast 9-row digit counts + 1-row total",
     # 1-row sample-sizes (n1, n2) attach for the CDF-gap cross products
     "profile-ks-drift": "broadcast 1-row sample totals",
+    # per-dimension sum table is dimensionality-sized (64 rows), a
+    # property of the embedding model, not the corpus
+    "embedding-center-l2": "broadcast dim-sized per-dimension sums",
 }
 
 
