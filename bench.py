@@ -118,6 +118,24 @@ HEADLINE = [
     "quantile-cont-interp",
     "agg-spearman-corr",
     "layout-compaction-plan",
+    # r7 session 3: the remaining feasible TPC-H (q6/q7/q8/q12/q15),
+    # grouped OLS, link prediction, Benford + KS quality stats,
+    # rolling median, Pareto skyline, outer stream join batch twin,
+    # centered+normalized embeddings
+    "tpch-q6",
+    "tpch-q7",
+    "tpch-q8",
+    "tpch-q12",
+    "tpch-q15",
+    "agg-ols-regression",
+    "graph-link-predict",
+    "quality-benford",
+    "profile-ks-drift",
+    "rollup-rolling-median",
+    "sort-skyline-pareto",
+    "stream-interval-left-join",
+    "embedding-center-l2",
+    "forecast-seasonal-naive",
 ]
 
 

@@ -125,6 +125,13 @@ _STREAM_MEMBERS = {
             ("ts_us", "s"), ("val_c", "s"),
         ],
     ),
+    "leftjoin": (
+        "stream-interval-left-join",
+        [
+            ("user_id", "s"), ("click_id", "s"), ("ts_click", "s"),
+            ("conv_id", "s"), ("ts_conv", "s"),
+        ],
+    ),
 }
 
 _SCAN_MEMBERS = {
@@ -198,8 +205,10 @@ stream_agg_suite = _register(
     _STREAM_MEMBERS,
     "stream-window-agg ∪ stream-sessionize-batch batch-twin checks ∪ "
     "stream-dedup (a REAL availableNow dropDuplicatesWithinWatermark "
-    "stream with cross-batch duplicates), packed (r5 window rotation; "
-    "dedup added r7).",
+    "stream with cross-batch duplicates) ∪ stream-interval-left-join "
+    "(the watermarked LEFT OUTER stream-stream join's batch twin, "
+    "NULL outer rows checked), packed (r5 window rotation; dedup + "
+    "left-join r7).",
 )
 scan_source_suite = _register(
     "scan-source-suite",
@@ -300,6 +309,10 @@ _SORT_SET_MEMBERS = {
         "layout-compaction-plan",
         [("file_id", "s"), ("n_rows", "s"), ("target_bin", "s")],
     ),
+    "skyline": (
+        "sort-skyline-pareto",
+        [("p_partkey", "s"), ("price_c", "s"), ("p_size", "s")],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -353,6 +366,10 @@ _EMBEDDING_MEMBERS = {
     "ivfpq": (
         "ann-ivfpq-topk",
         [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("dist", "s")],
+    ),
+    "centl2": (
+        "embedding-center-l2",
+        [("vec_id", "s"), ("unit_micro", "s")],
     ),
 }
 
@@ -434,6 +451,20 @@ _TIMEGRID_MEMBERS = {
         "event-transition-matrix",
         [("state_from", "s"), ("state_to", "s"), ("n", "s"), ("p_micro", "s")],
     ),
+    "snaive": (
+        "forecast-seasonal-naive",
+        [
+            ("user_id", "s"), ("n_eval", "s"), ("abs_err_sum_c", "s"),
+            ("actual_sum_c", "s"),
+        ],
+    ),
+    "rollmed": (
+        "rollup-rolling-median",
+        [
+            ("o_orderkey", "s"), ("seg", "s"), ("cents", "s"),
+            ("roll_med_cents", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -460,6 +491,20 @@ _PROFILE_MEMBERS = {
         [
             ("k", "s"), ("n_groups", "s"), ("n_violating_groups", "s"),
             ("rows_at_risk", "s"), ("min_group_size", "s"),
+        ],
+    ),
+    "ks": (
+        "profile-ks-drift",
+        [
+            ("n1", "s"), ("n2", "s"), ("ks_num", "s"), ("ks_denom", "s"),
+            ("ks_micro", "s"),
+        ],
+    ),
+    "benford": (
+        "quality-benford",
+        [
+            ("digit", "s"), ("obs", "s"), ("n_rows", "s"),
+            ("expected_micro", "s"), ("chi2_term_micro", "s"),
         ],
     ),
 }
@@ -596,6 +641,26 @@ _RESHAPE_OLAP_MEMBERS = {
         "tpch-q22",
         [("cntrycode", "s"), ("numcust", "s"), ("totacctbal_c", "s")],
     ),
+    "q6": ("tpch-q6", [("revenue_c2", "s"), ("n_rows", "s")]),
+    "q7": (
+        "tpch-q7",
+        [
+            ("supp_nation", "s"), ("cust_nation", "s"), ("l_year", "s"),
+            ("revenue_c2", "s"), ("n_lines", "s"),
+        ],
+    ),
+    "q8": (
+        "tpch-q8",
+        [("o_year", "s"), ("bloc_rev_c2", "s"), ("total_rev_c2", "s")],
+    ),
+    "q12": (
+        "tpch-q12",
+        [("ship_bucket", "s"), ("high_line_count", "s"), ("low_line_count", "s")],
+    ),
+    "q15": (
+        "tpch-q15",
+        [("s_suppkey", "s"), ("s_name", "s"), ("total_rev_c2", "s")],
+    ),
 }
 
 quantile_suite = _register(
@@ -622,8 +687,9 @@ sort_set_suite = _register(
     "layout-compaction-plan — the §2.5 sort/limit/set-op family plus "
     "the layout keys (Hilbert + Morton), the zero-shuffle "
     "bucketed-layout join, and the declarative small-file compaction "
-    "planner (r5 third rotation; bucketed + zorder r6; compaction "
-    "plan r7).",
+    "planner, and the 2-D Pareto skyline (running-min formulation "
+    "proven against the NOT-EXISTS dominance spec) (r5 third "
+    "rotation; bucketed + zorder r6; compaction plan + skyline r7).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
@@ -636,9 +702,12 @@ embedding_suite = _register(
     "dedup-embedding-cosine ∪ similarity-lsh-pairs ∪ "
     "quantize-embedding-pq ∪ ann-ivfpq-topk — the embedding-column "
     "family incl. product-quantization codes and the composed "
-    "IVF-PQ + exact-refine search (r5 third rotation; supersedes "
+    "IVF-PQ + exact-refine search, plus deterministic corpus "
+    "mean-centering + L2 normalization (exact integer per-dim means) "
+    "(r5 third rotation; supersedes "
     "ann-topk-suite's slot; the hyperplane-LSH scale path rides here "
-    "so its old slot could go to graph-pagerank; pq + ivfpq r7).",
+    "so its old slot could go to graph-pagerank; pq + ivfpq r7; "
+    "centl2 r7).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
@@ -656,15 +725,19 @@ timegrid_suite = _register(
     "plus lag-1..3 autocorrelation (grouped-corr doctrine), OHLC "
     "candlestick compaction, and last-touch attribution (windowed "
     "running-max, join-free) "
+    "plus the frame-bounded exact rolling median denoiser and the "
+    "seasonal-naive forecast backtest (calendar-joined lag, exact MAE) "
     "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc + "
-    "attribution r7).",
+    "attribution + rollmed r7).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
     "profile-table ∪ profile-drift (PSI) ∪ profile-entropy "
     "(Shannon + Jensen-Shannon divergence) ∪ profile-kanonymity — "
-    "data-quality + privacy profiling (r5 third rotation; entropy "
-    "added r7).",
+    "∪ profile-ks-drift (exact two-sample Kolmogorov-Smirnov as an "
+    "integer fraction) ∪ quality-benford (first-digit law + "
+    "chi-square terms) — data-quality + privacy profiling "
+    "(r5 third rotation; entropy + ks + benford r7).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
@@ -702,7 +775,8 @@ reshape_olap_suite = _register(
     "returned-revenue report, Q14 conditional-agg ratio, Q19 "
     "disjunctive-predicate join, + market-basket "
     "support/confidence/lift and Apriori 3-itemsets (r5 third "
-    "rotation; basket + lift + q5 r6; q4..q22 family + triples r7).",
+    "rotation; basket + lift + q5 r6; q4..q22 family + triples r7; "
+    "q6/q7/q8/q12/q15 complete the feasible TPC-H set r7).",
 )
 
 
@@ -755,6 +829,13 @@ _AGG_DISTINCT_EXTREMA_MEMBERS = {
     "spearman": (
         "agg-spearman-corr",
         [("g", "s"), ("n", "s"), ("spearman_micro", "s")],
+    ),
+    "ols": (
+        "agg-ols-regression",
+        [
+            ("l_returnflag", "s"), ("n", "s"), ("sx", "s"), ("sy", "s"),
+            ("slope_micro", "s"), ("intercept_micro", "s"), ("r2_micro", "s"),
+        ],
     ),
 }
 
@@ -830,6 +911,13 @@ _GRAPH_MEMBERS = {
         "graph-triangle-count", [("node", "s"), ("n_triangles", "s")]
     ),
     "kcore": ("graph-kcore", [("node", "s"), ("core_deg", "s")]),
+    "linkpred": (
+        "graph-link-predict",
+        [
+            ("u", "s"), ("w", "s"), ("common", "s"), ("du", "s"),
+            ("dw", "s"), ("jaccard_micro", "s"),
+        ],
+    ),
 }
 
 graph_suite = _register(

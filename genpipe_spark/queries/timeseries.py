@@ -843,3 +843,51 @@ def rollup_rolling_median(spark, sf):
         ),
     )
     return r.where(F.col("o_orderkey") % 50 == 0)
+
+
+@query(
+    "forecast-seasonal-naive",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+      FROM events GROUP BY user_id, day
+    )
+    SELECT a.user_id,
+           count(*) AS n_eval,
+           CAST(sum(abs(a.v_c - f.v_c)) AS BIGINT) AS abs_err_sum_c,
+           CAST(sum(a.v_c) AS BIGINT) AS actual_sum_c
+    FROM d a JOIN d f
+      ON a.user_id = f.user_id AND f.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.user_id
+    """,
+)
+def forecast_seasonal_naive(spark, sf):
+    """Seasonal-naive forecast backtest: predict each user-day's value
+    total with the SAME WEEKDAY LAST WEEK and score the per-user MAE —
+    the baseline every forecasting pipeline must beat, and the
+    denominator of relative-error model metrics (MASE). The lag is a
+    calendar self-join on (user, day-7) — NOT lag(7) over a row
+    window, which silently misaligns whenever a day is missing —
+    evaluated only where the prior week exists (inner join). MAE rides
+    as the exact integer pair (abs_err_sum_c, n_eval); actual_sum_c
+    enables the relative form. Scale: one map-side-combinable day
+    rollup, then a self-equi-join on the REDUCED per-day table —
+    both keyed (user, day), no window, no skew beyond the day rollup
+    itself."""
+    ev = t(spark, sf, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_c"))
+    a = d.select("user_id", "day", F.col("v_c").alias("av"))
+    f = d.select(
+        "user_id",
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("v_c").alias("fv"),
+    )
+    j = a.join(f, ["user_id", "day"])
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("av") - F.col("fv"))).alias("abs_err_sum_c"),
+        F.sum("av").alias("actual_sum_c"),
+    )
