@@ -136,6 +136,7 @@ HEADLINE = [
     "stream-interval-left-join",
     "embedding-center-l2",
     "forecast-seasonal-naive",
+    "dedup-containment",
 ]
 
 

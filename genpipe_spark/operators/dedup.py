@@ -887,3 +887,60 @@ def duplicated_spans(
         "id_a", "id_b", "n_spans", "max_span_tokens", "dup_tokens_a",
         "longest_start_a",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — |A∩B| / |A| — the near-dup
+    signal Jaccard misses: a short document pasted inside a long one
+    scores near 1 on containment but near 0 on Jaccard (the
+    boilerplate / quotation / partial-crawl duplication class; cf.
+    Broder's resemblance-vs-containment distinction). Same inverted
+    shingle index as ngram_jaccard_pairs (explode distinct hashes,
+    equi-self-join on hash, per-pair intersection counts); each
+    unordered pair emits BOTH directions' scores and survives when
+    either reaches ``threshold``. ``max_doc_freq`` prunes stop-shingle
+    quadratic blowup exactly as in the Jaccard form (scores become
+    lower bounds)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.floor(F.col("n_inter") / F.col("n_a") * 10000) / 10000.0
+    c_ba = F.floor(F.col("n_inter") / F.col("n_b") * 10000) / 10000.0
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            c_ab.alias("c_a_in_b"),
+            c_ba.alias("c_b_in_a"),
+        )
+        .where(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+    )

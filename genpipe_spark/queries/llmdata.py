@@ -2591,3 +2591,32 @@ def embedding_center_l2(spark, sf):
 
     out = center_l2_normalize(t(spark, sf, "embeddings"))
     return out.select("vec_id", F.concat_ws("|", "unit_micro").alias("unit_micro"))
+
+
+@query(
+    "dedup-containment",
+    _SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(n_inter / sa.n * 10000)/10000.0 AS c_a_in_b,
+           floor(n_inter / sb.n * 10000)/10000.0 AS c_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_inter / sa.n * 10000)/10000.0 >= 0.5
+       OR floor(n_inter / sb.n * 10000)/10000.0 >= 0.5
+    """,
+)
+def dedup_containment(spark, sf):
+    """Asymmetric shingle containment (operators/dedup.
+    containment_pairs): catches a short doc pasted inside a long one —
+    near-1 containment at near-0 Jaccard (boilerplate / quotation /
+    partial-crawl duplication). Same inverted-index scale shape as
+    dedup-ngram-jaccard; both directions reported per pair."""
+    return D.containment_pairs(widen(t(spark, sf, "documents")), k=3, threshold=0.5)

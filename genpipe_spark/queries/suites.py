@@ -329,6 +329,10 @@ _DEDUP_MISC_MEMBERS = {
         "text-line-dedup",
         [("part", "s"), ("doc_id", "s"), ("text", "s"), ("n_lines", "s"), ("n_kept", "s")],
     ),
+    "containment": (
+        "dedup-containment",
+        [("id_a", "s"), ("id_b", "s"), ("c_a_in_b", "f"), ("c_b_in_a", "f")],
+    ),
     "spans": (
         "dedup-duplicated-spans",
         [
@@ -694,7 +698,9 @@ sort_set_suite = _register(
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
     "dedup-simhash ∪ dedup-contamination ∪ dedup-components ∪ "
-    "text-line-dedup ∪ dedup-duplicated-spans (r5 third rotation).",
+    "text-line-dedup ∪ dedup-duplicated-spans ∪ dedup-containment "
+    "(asymmetric shingle containment — the short-doc-inside-long-doc "
+    "class Jaccard misses) (r5 third rotation; containment r7).",
 )
 embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,
