@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding-center-l2",
     "forecast-seasonal-naive",
     "dedup-containment",
+    "rollup-period-over-period",
 ]
 
 

@@ -455,6 +455,14 @@ _TIMEGRID_MEMBERS = {
         "event-transition-matrix",
         [("state_from", "s"), ("state_to", "s"), ("n", "s"), ("p_micro", "s")],
     ),
+    "pop": (
+        "rollup-period-over-period",
+        [
+            ("seg", "s"), ("mon", "s"), ("rev_c", "s"), ("n_orders", "s"),
+            ("mom_delta_c", "s"), ("mom_base_c", "s"),
+            ("yoy_delta_c", "s"), ("yoy_base_c", "s"),
+        ],
+    ),
     "snaive": (
         "forecast-seasonal-naive",
         [
@@ -733,6 +741,8 @@ timegrid_suite = _register(
     "running-max, join-free) "
     "plus the frame-bounded exact rolling median denoiser and the "
     "seasonal-naive forecast backtest (calendar-joined lag, exact MAE) "
+    "and MoM/YoY period-over-period growth (calendar self-joins, NULL "
+    "base periods preserved) "
     "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc + "
     "attribution + rollmed r7).",
 )

@@ -891,3 +891,69 @@ def forecast_seasonal_naive(spark, sf):
         F.sum(F.abs(F.col("av") - F.col("fv"))).alias("abs_err_sum_c"),
         F.sum("av").alias("actual_sum_c"),
     )
+
+
+@query(
+    "rollup-period-over-period",
+    """
+    WITH m AS (
+      SELECT o_custkey % 8 AS seg, date_trunc('month', o_orderdate) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             count(*) AS n_orders
+      FROM orders GROUP BY seg, mon
+    )
+    SELECT a.seg, strftime(a.mon, '%Y-%m-%d') AS mon,
+           a.rev_c, a.n_orders,
+           a.rev_c - mom.rev_c AS mom_delta_c,
+           mom.rev_c AS mom_base_c,
+           a.rev_c - yoy.rev_c AS yoy_delta_c,
+           yoy.rev_c AS yoy_base_c
+    FROM m a
+    LEFT JOIN m mom ON mom.seg = a.seg
+                   AND mom.mon = a.mon - INTERVAL 1 MONTH
+    LEFT JOIN m yoy ON yoy.seg = a.seg
+                   AND yoy.mon = a.mon - INTERVAL 12 MONTH
+    """,
+)
+def rollup_period_over_period(spark, sf):
+    """Month-over-month + year-over-year growth in one pass — the
+    standard OLAP reporting shape, computed by CALENDAR self-joins on
+    (segment, month - INTERVAL) rather than lag(1)/lag(12) row
+    windows, which silently misalign when a month is missing (the
+    forecast-seasonal-naive doctrine). Deltas ride as exact integer
+    (delta_c, base_c) pairs — consumers divide; missing comparison
+    periods stay NULL (LEFT joins), which an outer-join-blind inner
+    formulation would silently drop. Scale: one map-side-combinable
+    month rollup, then two self-equi-joins on the REDUCED per-month
+    table — keyed (seg, month), no window, no global ordering."""
+    o = t(spark, sf, "orders")
+    m = o.groupBy(
+        (F.col("o_custkey") % 8).alias("seg"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    a = m.select("seg", "mon", "rev_c", "n_orders")
+    mom = m.select(
+        "seg",
+        (F.col("mon") + F.expr("INTERVAL 1 MONTH")).alias("mon"),
+        F.col("rev_c").alias("mom_base_c"),
+    )
+    yoy = m.select(
+        "seg",
+        (F.col("mon") + F.expr("INTERVAL 12 MONTHS")).alias("mon"),
+        F.col("rev_c").alias("yoy_base_c"),
+    )
+    j = a.join(mom, ["seg", "mon"], "left").join(yoy, ["seg", "mon"], "left")
+    return j.select(
+        "seg",
+        F.date_format("mon", "yyyy-MM-dd").alias("mon"),
+        "rev_c",
+        "n_orders",
+        (F.col("rev_c") - F.col("mom_base_c")).alias("mom_delta_c"),
+        "mom_base_c",
+        (F.col("rev_c") - F.col("yoy_base_c")).alias("yoy_delta_c"),
+        "yoy_base_c",
+    )
