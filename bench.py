@@ -138,6 +138,7 @@ HEADLINE = [
     "forecast-seasonal-naive",
     "dedup-containment",
     "rollup-period-over-period",
+    "udtf-python-sentences",
 ]
 
 

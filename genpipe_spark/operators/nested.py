@@ -108,3 +108,30 @@ def allele_freq(samples_col: Column, gt_key: str = "gt") -> Column:
     )
     n = F.size(samples_col)
     return (digit_sum / (2.0 * n)).cast("double")
+
+
+def sentence_split_udtf():
+    """A REAL Python user-defined table function (Spark 4 ``@udtf``),
+    Arrow-batched (``useArrow=True`` → the plan node is
+    ArrowEvalPythonUDTF, not row-at-a-time BatchEvalPython — the
+    plan-audit rule holds even for the one operator family whose
+    POINT is Python execution): per input row, yield one row per
+    '. '-delimited sentence with its index and whitespace word count.
+    The generator shape (0..N output rows per input row) is what
+    neither a scalar UDF nor a built-in explode of a precomputed
+    array expresses — the UDTF owns the split AND the derived
+    metrics in one Python body. Returns the class for
+    ``spark.udtf.register`` (registration is per-session,
+    idempotent)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sent_id: int, sentence: string, n_words: int",
+        useArrow=True,
+    )
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s, len([w for w in s.split(" ") if w])
+
+    return SentenceSplit

@@ -225,3 +225,39 @@ def sql_group_collect(spark, sf):
         FROM lineitem_v GROUP BY l_orderkey
         """
     )
+
+
+@query(
+    "udtf-python-sentences",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, '. ') AS parts
+               FROM documents WHERE doc_id < 200 AND text IS NOT NULL)
+    SELECT doc_id, CAST(t.i AS INTEGER) AS sent_id,
+           parts[CAST(t.i AS INTEGER) + 1] AS sentence,
+           CAST(len(list_filter(
+                  string_split(parts[CAST(t.i AS INTEGER) + 1], ' '),
+                  w -> w <> '')) AS INTEGER) AS n_words
+    FROM d, unnest(range(len(parts))) AS t(i)
+    """,
+)
+def udtf_python_sentences(spark, sf):
+    """Arrow-batched PYTHON UDTF in a correlated LATERAL join
+    (operators/nested.sentence_split_udtf): sentence segmentation
+    with per-sentence word counts — the 0..N-rows-per-row generator
+    shape that defines the UDTF family (§2.7), exercised through the
+    genuine Spark 4 @udtf API rather than a built-in-explode stand-in
+    (udtf-explode pins that cheaper form). The DuckDB twin replays
+    the '. ' split + word count with list functions. Plan:
+    ArrowEvalPythonUDTF (vectorized Arrow transfer) — the audited
+    exception-free path; at 100 TB the UDTF is per-row streaming
+    work, embarrassingly parallel over the scan."""
+    from genpipe_spark.operators.nested import sentence_split_udtf
+
+    spark.udtf.register("sentence_split", sentence_split_udtf())
+    docs = t(spark, sf, "documents").where(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
+    docs.createOrReplaceTempView("__udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, s.* FROM __udtf_docs_v, LATERAL sentence_split(text) s"
+    )

@@ -100,6 +100,10 @@ _TEXT_MEMBERS = {
 _UDF_MEMBERS = {
     "allele_freq": ("udf-allele-freq", [("l_orderkey", "s"), ("freqInt", "f")]),
     "pop_merge": ("udf-pop-merge", [("o_custkey", "s"), ("merged", "s")]),
+    "pyudtf": (
+        "udtf-python-sentences",
+        [("doc_id", "s"), ("sent_id", "s"), ("sentence", "s"), ("n_words", "s")],
+    ),
 }
 
 _STREAM_MEMBERS = {
@@ -198,7 +202,9 @@ text_analysis_suite = _register(
 udf_suite = _register(
     "udf-suite",
     _UDF_MEMBERS,
-    "udf-allele-freq ∪ udf-pop-merge, packed (r5 window rotation).",
+    "udf-allele-freq ∪ udf-pop-merge ∪ udtf-python-sentences (a REAL "
+    "Spark-4 @udtf Python table function, Arrow-batched, in a "
+    "correlated LATERAL join), packed (r5 window rotation; pyudtf r7).",
 )
 stream_agg_suite = _register(
     "stream-agg-suite",
