@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup-containment",
     "rollup-period-over-period",
     "udtf-python-sentences",
+    "quality-winsorize",
 ]
 
 

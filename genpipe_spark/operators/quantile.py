@@ -262,3 +262,46 @@ def group_weighted_quantiles(
         "w_total",
         F.expr(f"stack({len(pcts)}, {stacked}) AS (pct, wq)"),
     ).select(*keys, "pct", "w_total", "wq")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization — clip ``value_col`` into its own
+    group's exact nearest-rank [lo_pct, hi_pct] band — the standard
+    outlier-robust preprocessing before means/regressions (trimming's
+    keep-the-row sibling). Bounds come from :func:`group_quantiles`
+    (exact mode; one sort-window shuffle over the data), pivoted to a
+    per-group (lo, hi) row and joined back group-keyed — the bounds
+    table is group-count-sized, so AQE broadcasts it when small and
+    shuffles when not; nothing here is data-sized state. Appends
+    ``<value_col>_wins`` and a ``clipped`` flag; NULL values pass
+    through as NULL with a NULL flag — guarded explicitly, because
+    least/greatest IGNORE NULLs in both engines (greatest(NULL, lo)
+    = lo would silently impute the lower bound)."""
+    if not (1 <= lo_pct < hi_pct <= 100):
+        raise ValueError("winsorize: need 1 <= lo_pct < hi_pct <= 100")
+    bounds = group_quantiles(df, value_col, by, pcts=(lo_pct, hi_pct))
+    b = bounds.groupBy(*by).agg(
+        F.min(F.when(F.col("pct") == lo_pct, F.col("q"))).alias("__lo"),
+        F.min(F.when(F.col("pct") == hi_pct, F.col("q"))).alias("__hi"),
+    )
+    out = df.join(b, list(by))
+    c = F.col(value_col)
+    return (
+        out.withColumn(
+            f"{value_col}_wins",
+            F.when(
+                c.isNotNull(),
+                F.least(F.greatest(c, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .withColumn(
+            "clipped", (c < F.col("__lo")) | (c > F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

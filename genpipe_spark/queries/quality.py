@@ -289,3 +289,48 @@ def profile_ks_drift(spark, sf):
         "o_orderstatus",
     )
     return ks_two_sample(o, "cents", F.col("o_orderstatus") == "F")
+
+
+@query(
+    "quality-winsorize",
+    """
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ),
+    lo AS (SELECT g, cents AS lo_c FROM r WHERE rn = (5 * n + 99) // 100),
+    hi AS (SELECT g, cents AS hi_c FROM r WHERE rn = (95 * n + 99) // 100)
+    SELECT l_orderkey, l_linenumber, g, cents,
+           least(greatest(cents, lo_c), hi_c) AS cents_wins,
+           (cents < lo_c OR cents > hi_c) AS clipped
+    FROM v JOIN lo USING (g) JOIN hi USING (g)
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def quality_winsorize(spark, sf):
+    """Per-group winsorization (operators/quantile.winsorize): price
+    cents clipped into each return flag's exact nearest-rank P05-P95
+    band, with the clip flag — the outlier-robust preprocessing step.
+    The oracle recomputes the bounds independently via the rank/count
+    window identity (rn == (p*n+99) div 100). Output thinned to every
+    100th order AFTER clipping; the bounds join is group-sized."""
+    from genpipe_spark.operators.quantile import winsorize
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = winsorize(li, "cents", ["g"], lo_pct=5, hi_pct=95)
+    return w.where(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey", "l_linenumber", "g", "cents",
+        F.col("cents_wins"), "clipped",
+    )

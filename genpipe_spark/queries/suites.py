@@ -256,6 +256,13 @@ _QUANTILE_MEMBERS = {
         "quantile-cont-interp",
         [("g", "s"), ("pct", "s"), ("interp_c100", "s")],
     ),
+    "winsor": (
+        "quality-winsorize",
+        [
+            ("l_orderkey", "s"), ("l_linenumber", "s"), ("g", "s"),
+            ("cents", "s"), ("cents_wins", "s"), ("clipped", "s"),
+        ],
+    ),
 }
 
 _WINDOW_MEMBERS = {
@@ -687,8 +694,9 @@ quantile_suite = _register(
     "quantile-weighted-median ∪ quantile-cont-interp — exact grouped "
     "percentiles (DISC), SQL-standard PERCENTILE_CONT with exact "
     "integer interpolation, the mergeable histogram estimator, robust "
-    "median/MAD dispersion, and the weighted median in one slot "
-    "(r5 third rotation; wmedian r6; cont r7).",
+    "median/MAD dispersion, the weighted median, and per-group P05-P95 "
+    "winsorization (exact bounds joined back, NULL-safe clip) in one "
+    "slot (r5 third rotation; wmedian r6; cont + winsor r7).",
 )
 window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,

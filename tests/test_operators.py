@@ -1671,3 +1671,22 @@ def test_center_l2_normalize_known_and_ragged(spark):
     )
     with pytest.raises(Exception, match="ragged dimensionality"):
         center_l2_normalize(ragged).collect()
+
+
+def test_winsorize_known_group(spark):
+    """Ten values 1..10 in one group at P20-P80: bounds are the exact
+    nearest-rank elements 2 and 8; 1 clips up, 9/10 clip down, NULL
+    passes through unflagged."""
+    from genpipe_spark.operators.quantile import winsorize
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)] + [("g", None)], "g: string, x: long"
+    )
+    rows = {r["x"]: (r["x_wins"], r["clipped"])
+            for r in winsorize(df, "x", ["g"], 20, 80).collect()}
+    assert rows[1] == (2, True)
+    assert rows[2] == (2, False)
+    assert rows[8] == (8, False)
+    assert rows[9] == (8, True)
+    assert rows[10] == (8, True)
+    assert rows[None] == (None, None)
