@@ -442,3 +442,68 @@ def bigram_pmi(
     )
     pmi_micro = F.floor(F.round(F.log(arg) * 1e9) / 1000).cast("long")
     return joined.select("w1", "w2", "n_pair", pmi_micro.alias("pmi_micro"))
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), fully declarative:
+    candidate phrases are maximal runs of consecutive non-stopword
+    tokens; each word scores degree/frequency within its DOCUMENT
+    (degree = sum of the lengths of the phrases its occurrences sit
+    in — co-occurrence reach; frequency = occurrence count), and a
+    phrase scores the sum of its member tokens' scores. Scores ride
+    as exact integer micros (floor(1e6*degree/freq) per token, summed
+    — sum-of-floors, deterministic; repeated words inside one phrase
+    count per occurrence, documented divergence from set-based RAKE).
+
+    Pipeline — posexplode + two windows + two aggs, no Python:
+      1. lowercase regex tokens with positions; stopword flag;
+      2. runs: island = pos - row_number() among the doc's non-stop
+         tokens (consecutive positions ⇔ same island);
+      3. per-(doc, island) phrase length; per-(doc, word) freq and
+         degree (sum of phrase lengths over occurrences);
+      4. phrase reassembly via position-sorted collect + the summed
+         member scores.
+    Output: one row per (doc, phrase occurrence-run): ``doc_id,
+    phrase, n_words, score_micro``. All shuffles are doc-keyed; phrase
+    state is bounded by phrase length. Callers top-k per doc."""
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    ).where(~F.col("w").isin(stops))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    plen = runs.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    member = runs.join(plen, ["doc_id", "island"])
+    wstats = member.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    scored = member.join(wstats, ["doc_id", "w"]).withColumn(
+        "w_score_micro", F.expr("(1000000 * degree) div freq")
+    )
+    return scored.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda st: st["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("w_score_micro").alias("score_micro"),
+    ).drop("island")

@@ -2620,3 +2620,71 @@ def dedup_containment(spark, sf):
     partial-crawl duplication). Same inverted-index scale shape as
     dedup-ngram-jaccard; both directions reported per pair."""
     return D.containment_pairs(widen(t(spark, sf, "documents")), k=3, threshold=0.5)
+
+
+@query(
+    "text-rake-keywords",
+    """
+    WITH tok0 AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 w -> w <> '') AS parts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+             parts[CAST(t.i AS INTEGER) + 1] AS w
+      FROM tok0, unnest(range(len(parts))) AS t(i)
+    ),
+    ns AS (SELECT * FROM tok
+           WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+    runs AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM ns
+    ),
+    plen AS (SELECT doc_id, island, count(*) AS phrase_len
+             FROM runs GROUP BY 1, 2),
+    member AS (SELECT r.*, phrase_len
+               FROM runs r JOIN plen USING (doc_id, island)),
+    wstats AS (SELECT doc_id, w, count(*) AS freq,
+                      CAST(sum(phrase_len) AS BIGINT) AS degree
+               FROM member GROUP BY 1, 2),
+    scored AS (SELECT m.doc_id, m.island, m.pos, m.w,
+                      (1000000 * degree) // freq AS w_score
+               FROM member m JOIN wstats USING (doc_id, w)),
+    phrases AS (
+      SELECT doc_id, island, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words, CAST(sum(w_score) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id, island
+    )
+    SELECT doc_id, phrase, n_words, score_micro FROM (
+      SELECT doc_id, phrase, n_words, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, phrase) AS rk
+      FROM phrases)
+    WHERE rk = 1
+    """,
+)
+def text_rake_keywords(spark, sf):
+    """RAKE keyword extraction (operators/text.rake_keywords): the
+    top-scoring stopword-delimited phrase per document by summed
+    degree/frequency word scores in exact micros — unsupervised
+    keyword metadata for corpus curation, next to TF-IDF's
+    corpus-relative variant (text-tfidf-topk). Deterministic top-1
+    via (score desc, phrase asc); the oracle replays tokenization,
+    gaps-and-islands runs, and both aggregations in SQL."""
+    from pyspark.sql import Window
+
+    from genpipe_spark.operators.text import rake_keywords
+
+    phrases = rake_keywords(widen(t(spark, sf, "documents")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "phrase"
+    )
+    return (
+        phrases.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "phrase", "n_words", "score_micro")
+    )

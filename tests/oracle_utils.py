@@ -15,6 +15,10 @@ def run_oracle(sql: str, sf_dir: str):
     import os
 
     con = duckdb.connect()
+    # in-memory DuckDB cannot spill without an explicit temp dir; the
+    # sf10 fixture oracles (1e8-row token/shingle CTEs) need it when
+    # pytest/Spark hold most of the box's RAM
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLE_NAMES:
         src = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(src):

@@ -1690,3 +1690,23 @@ def test_winsorize_known_group(spark):
     assert rows[9] == (8, True)
     assert rows[10] == (8, True)
     assert rows[None] == (None, None)
+
+
+def test_rake_keywords_known_doc(spark):
+    """'deep learning of deep networks' with stopword 'of': phrases
+    are 'deep learning' and 'deep networks'. deep: freq 2, degree 4
+    (two 2-token phrases) -> 2e6; learning/networks: freq 1 degree 2
+    -> 2e6; each phrase scores 4e6."""
+    from genpipe_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "Deep learning of deep networks")], "doc_id: long, text: string"
+    )
+    got = sorted(
+        (r["phrase"], r["n_words"], r["score_micro"])
+        for r in rake_keywords(df).collect()
+    )
+    assert got == [
+        ("deep learning", 2, 4_000_000),
+        ("deep networks", 2, 4_000_000),
+    ]
