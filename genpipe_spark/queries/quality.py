@@ -334,3 +334,259 @@ def quality_winsorize(spark, sf):
         "l_orderkey", "l_linenumber", "g", "cents",
         F.col("cents_wins"), "clipped",
     )
+
+
+_GINI_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i
+  FROM v
+),
+s AS (
+  SELECT g, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum((i*x) // 1073741824) AS BIGINT) AS six_hi,
+         CAST(sum((i*x) % 1073741824) AS BIGINT) AS six_lo
+  FROM r GROUP BY g
+)
+SELECT g, n, sx, six_hi, six_lo,
+       CAST(floor(1000000.0 *
+             (2.0 * (CAST(six_hi AS DOUBLE) * 1073741824.0
+                     + CAST(six_lo AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         AS gini_micro
+FROM s
+"""
+
+
+@query("quality-gini", _GINI_ORACLE)
+def quality_gini(spark, sf):
+    """Per-group Gini concentration index of order value — the
+    inequality / concentration audit (is 90% of revenue coming from
+    1% of orders?). Exact identity on sorted non-negative cents
+    x_1<=...<=x_n: G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)).
+    Tie groups make row_number's tie-break engine-dependent, but
+    SUM(i*x_i) is tie-invariant (equal x swap positions freely), so
+    the int64 moments are deterministic. i*x_i reaches n*max_cents
+    (~9e14 at sf10) and its SUM would overflow int64, so the sum rides
+    the repo's (hi, lo) 2^30 split (agg-grouped-corr pattern); the
+    final fold is one pinned-order IEEE expression. Plan: ONE
+    rank window per group + ONE map-side-combinable aggregate. The
+    per-group sort concentrates a group on one task — exact grouped
+    order statistics always do (quantile-group-exact note); the
+    5-priority grouping here is a profile-table-class audit, not a
+    hot-path join."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        )
+    )
+    r = v.select(
+        "g", "x",
+        F.row_number().over(Window.partitionBy("g").orderBy("x")).alias("i"),
+    )
+    split = 1073741824
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr(f"(i*x) div {split}")).alias("six_hi"),
+        F.sum(F.expr(f"(i*x) % {split}")).alias("six_lo"),
+    )
+    six_d = (
+        F.col("six_hi").cast("double") * F.lit(float(split))
+        + F.col("six_lo").cast("double")
+    )
+    n_d, sx_d = F.col("n").cast("double"), F.col("sx").cast("double")
+    return s.select(
+        "g", "n", "sx", "six_hi", "six_lo",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.lit(2.0) * six_d - (n_d + F.lit(1.0)) * sx_d)
+            / (n_d * sx_d)
+        ).cast("long").alias("gini_micro"),
+    )
+
+
+_CHI2_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c FROM orders
+),
+cell AS (SELECT r, c, CAST(count(*) AS BIGINT) AS obs FROM v GROUP BY r, c),
+rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS row_tot FROM cell GROUP BY r),
+ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS col_tot FROM cell GROUP BY c),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+grid AS (SELECT rt.r, rt.row_tot, ct.c, ct.col_tot FROM rt CROSS JOIN ct)
+SELECT g.r, g.c,
+       coalesce(cell.obs, 0) AS obs,
+       g.row_tot, g.col_tot, tot.n,
+       CAST(floor(1000000.0 *
+             ((CAST(coalesce(cell.obs, 0) AS DOUBLE) * CAST(tot.n AS DOUBLE)
+               - CAST(g.row_tot AS DOUBLE) * CAST(g.col_tot AS DOUBLE))
+              * (CAST(coalesce(cell.obs, 0) AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                 - CAST(g.row_tot AS DOUBLE) * CAST(g.col_tot AS DOUBLE)))
+             / ((CAST(g.row_tot AS DOUBLE) * CAST(g.col_tot AS DOUBLE))
+                * CAST(tot.n AS DOUBLE))) AS BIGINT) AS chi2_term_micro
+FROM grid g
+LEFT JOIN cell ON cell.r = g.r AND cell.c = g.c
+CROSS JOIN tot
+"""
+
+
+@query("quality-chi2-independence", _CHI2_ORACLE)
+def quality_chi2_independence(spark, sf):
+    """Chi-squared test of independence between two categorical
+    columns (order priority x order status) — the standard
+    association audit for drift / leakage between label-like fields.
+    Every (r, c) grid cell emits, INCLUDING zero-observation cells
+    (expected counts stay positive whenever both margins are), via a
+    margins cross-join LEFT-joined back to observed cells. The
+    per-cell term (obs - E)^2/E is algebraically lifted to
+    (obs*N - rt*ct)^2 / (rt*ct*N): every factor is an exact int64
+    count exactly representable in double (< 2^53 at any plausible
+    SF), and the one pinned-order IEEE expression (explicit d*d, not
+    pow) is bit-identical across engines. Consumers sum the terms
+    against the chi2((R-1)(C-1)) critical value. Plan: ONE grouped
+    count over the scan, then margins/grid/term on grouped-size
+    (R*C) data — broadcast joins, nothing grows with the scan."""
+    v = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    )
+    cell = v.groupBy("r", "c").agg(F.count(F.lit(1)).alias("obs"))
+    rt = cell.groupBy("r").agg(F.sum("obs").alias("row_tot"))
+    ct = cell.groupBy("c").agg(F.sum("obs").alias("col_tot"))
+    tot = cell.agg(F.sum("obs").alias("n"))
+    grid = rt.crossJoin(F.broadcast(ct))
+    j = (
+        grid.join(F.broadcast(cell), ["r", "c"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r", "c",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            "row_tot", "col_tot", "n",
+        )
+    )
+    obs_d, n_d = F.col("obs").cast("double"), F.col("n").cast("double")
+    rt_d, ct_d = F.col("row_tot").cast("double"), F.col("col_tot").cast("double")
+    diff = obs_d * n_d - rt_d * ct_d
+    return j.select(
+        "r", "c", "obs", "row_tot", "col_tot", "n",
+        F.floor(F.lit(1_000_000.0) * (diff * diff) / ((rt_d * ct_d) * n_d))
+        .cast("long").alias("chi2_term_micro"),
+    )
+
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fa
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT g, fa,
+         2 * rank() OVER (PARTITION BY g ORDER BY x)
+           + count(*) OVER (PARTITION BY g, x) - 1 AS d
+  FROM v
+),
+ties AS (
+  SELECT g, CAST(sum(t*t*t - t) AS BIGINT) AS tie_cubed_sum
+  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY g, x)
+  GROUP BY g
+),
+s AS (
+  SELECT g,
+         CAST(sum(fa) AS BIGINT) AS n1,
+         CAST(sum(1 - fa) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN fa = 1 THEN d ELSE 0 END) AS BIGINT) AS r1d
+  FROM ranked GROUP BY g
+)
+SELECT s.g, n1, n2,
+       r1d - n1 * (n1 + 1) AS u1_doubled,
+       2 * n1 * n2 - (r1d - n1 * (n1 + 1)) AS u2_doubled,
+       tie_cubed_sum,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         CAST(floor(1000000.0 *
+               ((CAST(r1d - n1 * (n1 + 1) AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+               / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                         - CAST(tie_cubed_sum AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+           AS BIGINT) END AS z_micro
+FROM s JOIN ties ON s.g = ties.g
+"""
+
+
+@query("quality-mannwhitney", _MWU_ORACLE)
+def quality_mannwhitney(spark, sf):
+    """Grouped two-sample Mann-Whitney U — the nonparametric 'did the
+    distribution shift' test (pairs with profile-ks-drift's sup-gap
+    view): per priority group, finished vs non-finished order values.
+    DOUBLED average ranks d = 2*rank + ties - 1 keep everything int64
+    (agg-spearman-corr pattern): U1_doubled = sum(d | sample1)
+    - n1*(n1+1), U2_doubled = 2*n1*n2 - U1_doubled (identity checked
+    by construction), plus the exact tie-correction moment
+    sum(t^3 - t). The normal-approximation z rides ONE pinned-order
+    IEEE expression over those exact int64s, NULL-guarded for empty
+    samples. Plan: one rank window per group + two map-side-combinable
+    aggregates (rank moments; tie moments from the (g, x) grouped
+    counts) joined on the group key — output is group-sized."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fa"),
+        )
+    )
+    d = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "x"))
+        - 1
+    )
+    ranked = v.select("g", "fa", d.alias("d"))
+    ties = (
+        v.groupBy("g", "x").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("t*t*t - t")).alias("tie_cubed_sum"))
+    )
+    s = ranked.groupBy("g").agg(
+        F.sum("fa").alias("n1"),
+        F.sum(F.lit(1) - F.col("fa")).alias("n2"),
+        F.sum(F.when(F.col("fa") == 1, F.col("d")).otherwise(0)).alias("r1d"),
+    )
+    j = s.join(ties, "g")
+    n1_d, n2_d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u1d = F.col("r1d") - F.col("n1") * (F.col("n1") + 1)
+    nn_d = (F.col("n1") + F.col("n2")).cast("double")
+    var = (n1_d * n2_d / F.lit(12.0)) * (
+        (nn_d + F.lit(1.0))
+        - F.col("tie_cubed_sum").cast("double") / (nn_d * (nn_d - F.lit(1.0)))
+    )
+    z = F.floor(
+        F.lit(1_000_000.0)
+        * ((u1d.cast("double") - n1_d * n2_d) / F.lit(2.0))
+        / F.sqrt(var)
+    ).cast("long")
+    return j.select(
+        "g", "n1", "n2",
+        u1d.alias("u1_doubled"),
+        (F.lit(2) * F.col("n1") * F.col("n2") - u1d).alias("u2_doubled"),
+        "tie_cubed_sum",
+        F.when((F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("long"))
+        .otherwise(z).alias("z_micro"),
+    )

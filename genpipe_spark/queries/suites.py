@@ -532,6 +532,27 @@ _PROFILE_MEMBERS = {
             ("expected_micro", "s"), ("chi2_term_micro", "s"),
         ],
     ),
+    "gini": (
+        "quality-gini",
+        [
+            ("g", "s"), ("n", "s"), ("sx", "s"), ("six_hi", "s"),
+            ("six_lo", "s"), ("gini_micro", "s"),
+        ],
+    ),
+    "chi2": (
+        "quality-chi2-independence",
+        [
+            ("r", "s"), ("c", "s"), ("obs", "s"), ("row_tot", "s"),
+            ("col_tot", "s"), ("n", "s"), ("chi2_term_micro", "s"),
+        ],
+    ),
+    "mwu": (
+        "quality-mannwhitney",
+        [
+            ("g", "s"), ("n1", "s"), ("n2", "s"), ("u1_doubled", "s"),
+            ("u2_doubled", "s"), ("tie_cubed_sum", "s"), ("z_micro", "s"),
+        ],
+    ),
 }
 
 _CDC_MEMBERS = {
@@ -766,8 +787,11 @@ profile_suite = _register(
     "(Shannon + Jensen-Shannon divergence) ∪ profile-kanonymity — "
     "∪ profile-ks-drift (exact two-sample Kolmogorov-Smirnov as an "
     "integer fraction) ∪ quality-benford (first-digit law + "
-    "chi-square terms) — data-quality + privacy profiling "
-    "(r5 third rotation; entropy + ks + benford r7).",
+    "chi-square terms) ∪ quality-gini (exact concentration index) "
+    "∪ quality-chi2-independence (categorical association, zero "
+    "cells included) ∪ quality-mannwhitney (tie-corrected doubled-"
+    "rank U + z) — data-quality + privacy profiling (r5 third "
+    "rotation; entropy + ks + benford r7; gini + chi2 + mwu r7s4).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
