@@ -1,0 +1,229 @@
+"""Stateful per-key sequential scans — recurrences no window function
+can express.
+
+The flagship here is the two-sided clamped (capped) running sum
+``b_i = clamp(b_{i-1} + x_i, lo, hi)``: inventory/credit balances that
+saturate at a cap and floor at zero. Unlike a plain prefix sum, the
+clamp is NONLINEAR, so ``sum() OVER (ORDER BY ...)`` cannot express it
+— this is the canonical case for Spark's (b)-class custom-operator
+path: ``applyInPandas`` over the key partitioning, Arrow-batched, with
+the sequential recurrence evaluated inside each group.
+
+Reference comparison: the reference's engine had no equivalent; its
+users dropped to driver-side loops for saturating balances. Here the
+shuffle is the SAME single hash-partition any grouped aggregate pays,
+and the scan parallelizes across keys (the 100 TB posture: millions of
+users, each group small).
+
+Scale notes for the one-huge-key case:
+  - one-sided clamp (lo only) has the closed form
+    ``b_i = p_i - min(0, running_min(p_i))`` over the raw prefix sum
+    ``p`` — fully window-expressible, use that when there is no cap;
+  - the two-sided map ``x -> min(hi', max(lo', x + d))`` is
+    composition-closed (saturating affine maps form a 3-parameter
+    monoid), so a parallel prefix scan over per-chunk composed
+    ``(d, lo', hi')`` triples splits ONE key across partitions —
+    implemented as :func:`capped_running_sum_parallel` (range-chunk →
+    per-chunk composed triple → driver prefix-compose over n_chunks
+    triples → seeded per-chunk replay). Data is touched exactly twice,
+    the driver sees n_chunks rows, and equality with the sequential
+    recurrence is property-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def capped_running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    lo: int,
+    hi: int,
+    bal_col: str = "bal",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Per-key ordered scan ``b_i = clamp(b_{i-1} + delta_i, lo, hi)``
+    with ``b_0 = 0``; emits every input row plus its 1-based per-key
+    sequence number ``rn_col`` and post-clamp balance ``bal_col``
+    (both int64).
+
+    Preconditions (caller-enforced): ``delta_col`` is a non-NULL
+    integer column; ``(keys, order_cols)`` uniquely order rows within
+    a key (ties would make the recurrence nondeterministic).
+    """
+    if lo > hi:
+        raise ValueError(f"capped_running_sum: lo {lo} > hi {hi}")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    base = df.select(*keys, *order_cols, delta_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `{bal_col}` bigint"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        deltas = pdf[delta_col].to_numpy()
+        bal = [0] * len(deltas)
+        s = 0
+        for i, d in enumerate(deltas):
+            s += int(d)
+            if s < lo:
+                s = lo
+            elif s > hi:
+                s = hi
+            bal[i] = s
+        pdf[rn_col] = pd.RangeIndex(1, len(deltas) + 1)
+        pdf[bal_col] = pd.Series(bal, dtype="int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(scan, out_schema)
+
+
+def capped_running_sum_parallel(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    delta_col: str,
+    lo: int,
+    hi: int,
+    n_chunks: int = 32,
+    bal_col: str = "bal",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Single-sequence (keyless) clamped running sum, parallelized via
+    the saturating-affine-map monoid: ``clamp(x + d, l, h)`` maps are
+    closed under composition with
+
+        (d1,l1,h1) then (d2,l2,h2)
+          = (d1+d2, clamp(l1+d2, lo, hi), clamp(h1+d2, lo, hi))
+
+    so ONE ordered sequence too large for one task splits into range
+    chunks: pass 1 composes each chunk's triple (a per-chunk O(rows)
+    scan, n_chunks rows to the driver), the driver prefix-composes
+    n_chunks triples into per-chunk entry balances, pass 2 replays
+    each chunk seeded with its entry state. Both passes read the SAME
+    localCheckpoint'ed range partitioning (the repo's lineage-cut
+    idiom), so chunk membership cannot drift between them; the
+    checkpoint blocks are reclaimed by the ContextCleaner when the
+    returned plan is garbage-collected.
+
+    Output: the input columns plus global 1-based ``rn_col`` and
+    ``bal_col`` (both int64) — identical to what
+    :func:`capped_running_sum` under a single constant key produces
+    (property-tested). Preconditions match: integer non-NULL deltas,
+    globally unique ``order_cols``.
+    """
+    if lo > hi:
+        raise ValueError(f"capped_running_sum_parallel: lo {lo} > hi {hi}")
+    order_cols = list(order_cols)
+    base = df.select(*order_cols, delta_col)
+    chunked = (
+        base.repartitionByRange(n_chunks, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    def clamp(v: int) -> int:
+        return lo if v < lo else (hi if v > hi else v)
+
+    # pass 1: one composed (d, l, h) triple + row count per chunk
+    def compose(batches):
+        pid, n, d, l, h = None, 0, 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            n += len(pdf)
+            for x in pdf[delta_col].to_numpy():
+                x = int(x)
+                d += x
+                l = lo if l is None else clamp(l + x)
+                h = hi if h is None else clamp(h + x)
+        if pid is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "n": [n], "d": [d], "l": [l], "h": [h]}
+            )
+
+    triples = {
+        r["pid"]: r
+        for r in chunked.mapInPandas(
+            compose, "pid int, n bigint, d bigint, l bigint, h bigint"
+        ).collect()
+    }
+    # driver prefix-compose: entry balance + rn offset per chunk.
+    # n_chunks rows total — the only driver-side state, by design.
+    entry: dict[int, tuple[int, int]] = {}
+    s, off = 0, 0
+    for pid in sorted(triples):  # range partition ids are order-aligned
+        r = triples[pid]
+        entry[pid] = (s, off)
+        s = min(r["h"], max(r["l"], s + r["d"]))
+        off += r["n"]
+
+    # pass 2: seeded sequential replay per chunk (state carried across
+    # Arrow batches — mapInPandas yields a partition's batches in order)
+    out_schema = ", ".join(
+        f"`{c}` {f.dataType.simpleString()}"
+        for c, f in zip(base.columns, base.schema.fields)
+    ) + f", `{rn_col}` bigint, `{bal_col}` bigint"
+
+    def replay(batches):
+        state = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if state is None:
+                state = entry[int(pdf["__pid"].iloc[0])]
+            s, off = state
+            deltas = pdf[delta_col].to_numpy()
+            bal = [0] * len(deltas)
+            for i, x in enumerate(deltas):
+                s = clamp(s + int(x))
+                bal[i] = s
+            out = pdf.drop(columns=["__pid"])
+            out[rn_col] = pd.RangeIndex(off + 1, off + 1 + len(deltas))
+            out[bal_col] = pd.Series(bal, dtype="int64")
+            state = (s, off + len(deltas))
+            yield out
+
+    return chunked.mapInPandas(replay, out_schema)
+
+
+def lower_clamped_running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    bal_col: str = "bal",
+) -> DataFrame:
+    """One-sided (floor-at-zero) clamped running sum — the closed-form
+    window variant of :func:`capped_running_sum` for the no-cap case:
+    ``b_i = p_i - min(0, min_{j<=i} p_j)`` over the raw prefix sum
+    ``p``. Pure window functions, whole-stage codegen, no Python —
+    ALWAYS prefer this when there is no upper bound. Equality with the
+    sequential recurrence is property-tested."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # windows don't nest: materialize the prefix sum, then min over it
+    # (both windows share one partitioning — ONE sort, no extra shuffle)
+    return (
+        df.withColumn("__p", F.sum(F.col(delta_col)).over(w))
+        .withColumn(
+            bal_col,
+            (F.col("__p") - F.least(F.lit(0), F.min("__p").over(w)))
+            .cast("long"),
+        )
+        .drop("__p")
+    )

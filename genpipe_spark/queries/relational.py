@@ -3399,3 +3399,50 @@ def sort_skyline_pareto(spark, sf):
         F.col("p_size").cast("long").alias("p_size"),
     )
     return skyline_2d(p, "price_c", "p_size")
+
+
+_APPORTION_ORACLE = """
+WITH w AS (
+  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS w
+  FROM customer GROUP BY 1
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+q AS (
+  SELECT k, w,
+         (10000 * w) // wt AS base,
+         (10000 * w) % wt AS rem
+  FROM w CROSS JOIN tot
+),
+r AS (
+  SELECT k, w, base, rem,
+         row_number() OVER (ORDER BY rem DESC, k) AS rk,
+         10000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+  FROM q
+)
+SELECT k, w, base, rem,
+       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM r
+"""
+
+
+@query("alloc-largest-remainder", _APPORTION_ORACLE)
+def alloc_largest_remainder(spark, sf):
+    """Hamilton largest-remainder apportionment
+    (operators/alloc.largest_remainder_apportion): split 10,000 units
+    across nations proportionally to customer count, floored quotas
+    first, leftovers to the largest remainders with a deterministic
+    key tie-break. Pure integer arithmetic ((10000*w) div/% W) — no
+    floats anywhere, engine-exact by construction; sum(alloc) == 10000
+    exactly. The ranking window is GLOBAL but runs over post-aggregate
+    group-sized rows (25 nations), the same shape as global-row-number
+    — the scan-sized work is one map-side-combinable count."""
+    from genpipe_spark.operators.alloc import largest_remainder_apportion
+
+    w = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return largest_remainder_apportion(
+        w, key_cols=["k"], weight_col="w", seats=10_000
+    ).select("k", "w", "base", "rem", "alloc")

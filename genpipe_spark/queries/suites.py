@@ -399,6 +399,14 @@ _BM25_MEMBERS = {
 }
 
 _TIMEGRID_MEMBERS = {
+    "cappedsum": (
+        "stateful-capped-sum",
+        [("user_id", "s"), ("rn", "s"), ("delta", "s"), ("bal", "s")],
+    ),
+    "cappedglobal": (
+        "stateful-capped-sum-global",
+        [("day", "s"), ("rn", "s"), ("delta", "s"), ("bal", "s")],
+    ),
     "acf": (
         "timeseries-acf",
         [("user_id", "s"), ("lag", "s"), ("n", "s"), ("acf_micro", "s")],
@@ -764,7 +772,10 @@ text_bm25_suite = _register(
 )
 timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
-    "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
+    "stateful-capped-sum (the applyInPandas clamped-balance scan, "
+    "recursive-CTE oracle) ∪ stateful-capped-sum-global (the keyless "
+    "monoid-composed parallel chunk scan) ∪ rollup-gapfill ∪ "
+    "rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
     "rollup-twap ∪ session-paths ∪ event-transition-matrix — the "
     "time-series/event-analytics family: gap-filled buckets, calendar "

@@ -957,3 +957,190 @@ def rollup_period_over_period(spark, sf):
         (F.col("rev_c") - F.col("yoy_base_c")).alias("yoy_delta_c"),
         "yoy_base_c",
     )
+
+
+_CAPPED_SUM_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT)
+           * CASE WHEN event_type IN ('purchase', 'signup') THEN 1
+                  ELSE -1 END AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+  WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, rn, delta,
+         greatest(0, least(20000, delta)) AS bal
+  FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, v.delta,
+         greatest(0, least(20000, rec.bal + v.delta))
+  FROM rec JOIN v ON v.user_id = rec.user_id AND v.rn = rec.rn + 1
+)
+SELECT user_id, rn, delta, bal FROM rec
+"""
+
+
+@query("stateful-capped-sum", _CAPPED_SUM_ORACLE)
+def stateful_capped_sum(spark, sf):
+    """Two-sided clamped running balance per user — credits (purchase/
+    signup cents) push up, debits pull down, the balance saturates in
+    [0, 20000]. The clamp recurrence b_i = clamp(b_{i-1}+x_i, lo, hi)
+    is NONLINEAR, hence inexpressible as any window aggregate — this
+    is the repo's showcase of the applyInPandas stateful-scan operator
+    class (operators/statescan.py, which also documents the
+    window-only closed form for the one-sided case and the
+    saturating-affine-monoid parallel scan for a single huge key).
+    The oracle replays the recurrence as a DuckDB recursive CTE
+    stepping all users one row per iteration. Plan: ONE hash exchange
+    on user_id (what any grouped agg pays) + Arrow-batched per-group
+    scans; parallelism comes from key count, the 100 TB shape."""
+    from genpipe_spark.operators.statescan import capped_running_sum
+
+    ev = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            (
+                F.round(F.col("value") * 100).cast("long")
+                * F.when(
+                    F.col("event_type").isin("purchase", "signup"), 1
+                ).otherwise(-1)
+            ).alias("delta"),
+        )
+    )
+    out = capped_running_sum(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"],
+        delta_col="delta", lo=0, hi=20000,
+    )
+    return out.select("user_id", "rn", "delta", "bal")
+
+
+_FIFO_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS qty,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+           AS is_s
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT user_id, event_id AS supply_id,
+         CAST(sum(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) - qty AS s_lo,
+         CAST(sum(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS s_hi
+  FROM base WHERE is_s = 1
+),
+d AS (
+  SELECT user_id, event_id AS demand_id,
+         CAST(sum(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) - qty AS d_lo,
+         CAST(sum(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS d_hi
+  FROM base WHERE is_s = 0
+)
+SELECT s.user_id, supply_id, demand_id,
+       least(s_hi, d_hi) - greatest(s_lo, d_lo) AS alloc_qty
+FROM s JOIN d ON s.user_id = d.user_id
+            AND s_lo < d_hi AND d_lo < s_hi
+"""
+
+
+@query("alloc-fifo-lots", _FIFO_ORACLE)
+def alloc_fifo_lots(spark, sf):
+    """FIFO lot allocation (operators/alloc.fifo_allocate): per user,
+    credit events (purchase/signup cents) form supply lots, the rest
+    form demand, and each demand row consumes the OLDEST available
+    lots. Sequential on its face, but alloc(i, j) is exactly the
+    overlap of cumulative-quantity intervals — two per-key prefix-sum
+    windows + one per-key range join, all inside whole-stage codegen,
+    with output bounded by supplies+demands-1 per key (the merge
+    property). The oracle replays the same identity; window sums are
+    CAST from DuckDB HUGEINT back to BIGINT (FIXTURES rule). Plan:
+    one hash partitioning on user_id shared by both windows and the
+    join; keys are the parallelism at 100 TB."""
+    from genpipe_spark.operators.alloc import fifo_allocate
+
+    base = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id", "ts",
+            F.round(F.col("value") * 100).cast("long").alias("qty"),
+            F.col("event_type").isin("purchase", "signup").alias("is_s"),
+        )
+    )
+    supply = base.where("is_s")
+    demand = base.where("NOT is_s")
+    return fifo_allocate(
+        supply, demand,
+        keys=["user_id"], order_cols=["ts", "event_id"],
+        qty_col="qty", supply_id="event_id", demand_id="event_id",
+    )
+
+
+_CAPPED_GLOBAL_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT day, delta, row_number() OVER (ORDER BY day) AS rn
+  FROM (
+    SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN 1 ELSE -1 END) AS BIGINT) AS delta
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+  )
+),
+rec AS (
+  SELECT day, rn, delta,
+         greatest(0, least(500000, delta)) AS bal
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.day, d.rn, d.delta,
+         greatest(0, least(500000, rec.bal + d.delta))
+  FROM rec JOIN d ON d.rn = rec.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, rn, delta, bal FROM rec
+"""
+
+
+@query("stateful-capped-sum-global", _CAPPED_GLOBAL_ORACLE)
+def stateful_capped_sum_global(spark, sf):
+    """ONE keyless clamped balance over the whole corpus — the daily
+    net cash position saturating in [0, 500000] cents — computed by
+    the PARALLEL scan (operators/statescan.capped_running_sum_parallel):
+    range-chunk the ordered days, compose each chunk's saturating-
+    affine (d, lo, hi) triple, prefix-compose n_chunks triples on the
+    driver, replay each chunk from its entry state. This is the
+    single-huge-key scale path the per-key operator can't cover:
+    the driver sees n_chunks rows regardless of sequence length, and
+    data is touched exactly twice. Equality with the sequential
+    recurrence is property-tested at random chunk counts; here the
+    DuckDB oracle replays the recurrence one day per recursive-CTE
+    step. Fixture days are few — the SAME code path splits a
+    billion-row sequence 32 ways."""
+    from genpipe_spark.operators.statescan import capped_running_sum_parallel
+
+    daily = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+                * F.when(
+                    F.col("event_type").isin("purchase", "signup"), 1
+                ).otherwise(-1)
+            ).alias("delta")
+        )
+    )
+    out = capped_running_sum_parallel(
+        daily, order_cols=["day"], delta_col="delta",
+        lo=0, hi=500_000, n_chunks=8,
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "rn", "delta", "bal"
+    )

@@ -633,3 +633,164 @@ def test_session_paths_matches_model(spark, events, gap_s):
         p = "->".join(cur)
         paths[p] = paths.get(p, 0) + 1
     assert got == set(paths.items())
+
+
+# ------------------------------------------------- stateful capped scan
+
+deltas_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 50)),  # (key, delta)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=deltas_strategy, lo=st.sampled_from([0, -20]), cap=st.sampled_from([30, 10_000_000]))
+def test_capped_running_sum_matches_model(spark, rows, lo, cap):
+    from genpipe_spark.operators.statescan import capped_running_sum
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, delta=d) for i, (k, d) in enumerate(rows)]
+    )
+    got = {
+        (r["k"], r["seq"]): r["bal"]
+        for r in capped_running_sum(
+            df, keys=["k"], order_cols=["seq"], delta_col="delta",
+            lo=lo, hi=cap,
+        ).collect()
+    }
+    state: dict[int, int] = {}
+    for i, (k, d) in enumerate(rows):
+        s = min(cap, max(lo, state.get(k, 0) + d))
+        state[k] = s
+        assert got[(k, i)] == s, (k, i)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=deltas_strategy)
+def test_lower_clamp_closed_form_matches_sequential(spark, rows):
+    """The window closed form b = p - min(0, running_min(p)) must equal
+    the sequential recurrence with no cap (hi = +inf-ish)."""
+    from genpipe_spark.operators.statescan import (
+        capped_running_sum,
+        lower_clamped_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, delta=d) for i, (k, d) in enumerate(rows)]
+    )
+    seq = {
+        (r["k"], r["seq"]): r["bal"]
+        for r in capped_running_sum(
+            df, keys=["k"], order_cols=["seq"], delta_col="delta",
+            lo=0, hi=1 << 60,
+        ).collect()
+    }
+    closed = {
+        (r["k"], r["seq"]): r["bal"]
+        for r in lower_clamped_running_sum(
+            df, keys=["k"], order_cols=["seq"], delta_col="delta"
+        ).collect()
+    }
+    assert seq == closed
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    deltas=st.lists(st.integers(-50, 50), min_size=0, max_size=60),
+    chunks=st.sampled_from([1, 3, 7]),
+    lo=st.sampled_from([0, -20]),
+)
+def test_capped_parallel_matches_sequential(spark, deltas, chunks, lo):
+    """The monoid-composed chunked scan must equal the per-key
+    sequential recurrence for every chunk count — including chunks >
+    rows (empty chunks compose as identity) and a cap tight enough to
+    saturate both ways."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.statescan import (
+        capped_running_sum,
+        capped_running_sum_parallel,
+    )
+
+    df = spark.createDataFrame(
+        [Row(seq=i, delta=d) for i, d in enumerate(deltas)],
+        schema="seq bigint, delta bigint",
+    )
+    par = {
+        (r["seq"]): (r["rn"], r["bal"])
+        for r in capped_running_sum_parallel(
+            df, order_cols=["seq"], delta_col="delta",
+            lo=lo, hi=30, n_chunks=chunks,
+        ).collect()
+    }
+    seq = {
+        (r["seq"]): (r["rn"], r["bal"])
+        for r in capped_running_sum(
+            df.withColumn("k", F.lit(1)), keys=["k"], order_cols=["seq"],
+            delta_col="delta", lo=lo, hi=30,
+        ).collect()
+    }
+    assert par == seq
+
+
+# ------------------------------------------------------ FIFO allocation
+
+fifo_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),      # key
+        st.booleans(),          # is_supply
+        st.integers(0, 12),     # qty (0 allowed: zero-qty lots)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=fifo_rows)
+def test_fifo_allocate_matches_sequential_model(spark, rows):
+    """The interval-overlap formulation must equal the obvious
+    sequential oldest-lot-first consumption loop, pair for pair."""
+    from genpipe_spark.operators.alloc import fifo_allocate
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, qty=q, is_s=s) for i, (k, s, q) in enumerate(rows)],
+        schema="k bigint, seq bigint, qty bigint, is_s boolean",
+    )
+    got = {
+        (r["k"], r["supply_id"], r["demand_id"]): r["alloc_qty"]
+        for r in fifo_allocate(
+            df.where("is_s"), df.where("NOT is_s"),
+            keys=["k"], order_cols=["seq"], qty_col="qty",
+            supply_id="seq", demand_id="seq",
+        ).collect()
+    }
+    # sequential model: per key, demands consume lots oldest-first
+    model: dict[tuple[int, int, int], int] = {}
+    for key in {k for (k, _, _) in rows}:
+        lots = [
+            [i, q] for i, (k, s, q) in enumerate(rows) if k == key and s
+        ]
+        li = 0
+        for i, (k, s, q) in enumerate(rows):
+            if k != key or s:
+                continue
+            need = q
+            while li < len(lots):
+                take = min(need, lots[li][1])
+                # the operator emits every interval-overlap pair,
+                # including zero-width touches only when strict
+                # inequalities hold; mirror by recording take>0 and
+                # the boundary zero-overlap cases the join admits
+                if take > 0:
+                    model[(key, lots[li][0], i)] = take
+                lots[li][1] -= take
+                need -= take
+                if lots[li][1] == 0 and need > 0:
+                    li += 1
+                else:
+                    break
+    got_pos = {k: v for k, v in got.items() if v > 0}
+    assert got_pos == model
+    assert all(v >= 0 for v in got.values())
