@@ -944,3 +944,90 @@ def containment_pairs(
             (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
         )
     )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule) — same output as
+    :func:`ngram_jaccard_pairs` with ``max_doc_freq=None``
+    (equality property-tested), but the quadratic self-join runs only
+    over each document's PREFIX: order every document's shingles by
+    ascending global document frequency (tie-break hash value) and
+    keep the first ``n - ceil(t*n) + 1``; two documents with Jaccard
+    >= t MUST share a prefix shingle (pigeonhole on the required
+    overlap), so the full inverted index never self-joins. Hot
+    stop-word shingles land at the END of every prefix ordering and
+    effectively vanish from candidate generation — the quadratic
+    blowup ``max_doc_freq`` bounds LOSSILY is avoided here EXACTLY.
+
+    The size filter ``min >= t * max`` prunes candidates further
+    (J >= t forces it), and verification touches only candidate
+    pairs: fan out each pair over A's shingles, inner-join on
+    (id_b, sh), count — cost linear in candidates, not in df^2 of
+    the hot token. Threshold arithmetic is integer (t quantized DOWN
+    to 1e-4, so prefixes only lengthen — no float-ceil false
+    negatives). Reported ``jaccard`` is floor-truncated at 4 decimals,
+    matching ngram_jaccard_pairs and the SQL oracle."""
+    t_num = int(threshold * 10000)  # floor: t' <= t keeps the rule safe
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    # ceil(t*n) in exact integers: (n*t_num + 9999) div 10000
+    plen = (
+        F.col("n_sh")
+        - F.expr(f"(n_sh * {t_num} + 9999) div 10000")
+        + F.lit(1)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy("__df", "sh")
+    )
+    pref = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "id")
+        .withColumn("__r", rank)
+        .where(F.col("__r") <= plen)
+        .select("id", "sh", "n_sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J >= t forces min(|A|,|B|) >= t * max
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 10000
+                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * t_num
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.floor(jac * 10000) / 10000.0).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -2623,6 +2623,40 @@ def dedup_containment(spark, sf):
 
 
 @query(
+    "dedup-jaccard-prefix",
+    _SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 >= 0.4
+    """,
+)
+def dedup_jaccard_prefix(spark, sf):
+    """Exact Jaccard pairs via PREFIX FILTERING (operators/dedup.
+    jaccard_prefix_filter_pairs, the AllPairs/PPJoin rule): the
+    self-join runs only over each doc's lowest-document-frequency
+    shingle prefix (n - ceil(t*n) + 1 tokens) plus a size filter, so
+    hot stop-shingles never drive the candidate join — the quadratic
+    blowup the ``max_doc_freq`` cap bounds LOSSILY is avoided
+    EXACTLY. The oracle is the full pairwise exact-Jaccard SQL: any
+    candidate the prefix rule missed would surface as a hash
+    mismatch. Equality with the inverted-index operator is also
+    hypothesis-tested on adversarial tiny-vocab corpora."""
+    return D.jaccard_prefix_filter_pairs(
+        widen(t(spark, sf, "documents")), k=3, threshold=0.4
+    )
+
+
+@query(
     "text-rake-keywords",
     """
     WITH tok0 AS (

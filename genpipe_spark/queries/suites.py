@@ -346,6 +346,10 @@ _DEDUP_MISC_MEMBERS = {
         "dedup-containment",
         [("id_a", "s"), ("id_b", "s"), ("c_a_in_b", "f"), ("c_b_in_a", "f")],
     ),
+    "prefixfilter": (
+        "dedup-jaccard-prefix",
+        [("id_a", "s"), ("id_b", "s"), ("jaccard", "f")],
+    ),
     "spans": (
         "dedup-duplicated-spans",
         [

@@ -81,6 +81,9 @@ BOUNDED_NLJ_OK = {
     "tpch-q15": "1-row global-max scalar attach (the Q15 subquery)",
     # 1-row total-count attach to the 9-row digit table
     "quality-benford": "1-row row-count scalar attach",
+    "quality-chi2-independence": "R*C cell-grid/margins/1-row-total "
+    "attaches — all grouped-size, nothing scan-sized",
+    "alloc-largest-remainder": "1-row total-weight scalar attach",
     # 1-row (n1, n2) totals crossJoined to the reduced value table
     "profile-ks-drift": "1-row sample-totals scalar attach",
 }
@@ -152,6 +155,11 @@ BOUNDED_BROADCAST_OK = {
     "quality-benford": "broadcast 9-row digit counts + 1-row total",
     # 1-row sample-sizes (n1, n2) attach for the CDF-gap cross products
     "profile-ks-drift": "broadcast 1-row sample totals",
+    # margins/grid/total are GROUPED-size (R*C cells), not scan-size
+    "quality-chi2-independence": "broadcast R*C cell grid, margins, "
+    "1-row grand total",
+    # 1-row total-weight attach; ranking window is group-count-sized
+    "alloc-largest-remainder": "broadcast 1-row total-weight aggregate",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",

@@ -794,3 +794,39 @@ def test_fifo_allocate_matches_sequential_model(spark, rows):
     got_pos = {k: v for k, v in got.items() if v > 0}
     assert got_pos == model
     assert all(v >= 0 for v in got.values())
+
+
+# ------------------------------------------------- prefix-filter Jaccard
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=docs_strategy, thr=st.sampled_from([0.1, 0.35, 0.6]))
+def test_prefix_filter_equals_exact_jaccard(spark, texts, thr):
+    """The AllPairs prefix-filter candidate rule must lose NOTHING:
+    output identical to the full-inverted-index exact operator at any
+    threshold — tiny vocab maximizes shared (and hot) shingles, the
+    adversarial case for the pruning math."""
+    from genpipe_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t_) for i, t_ in enumerate(texts)]
+    )
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_prefix_filter_pairs(df, threshold=thr).collect()
+    }
+    assert pref == exact
