@@ -411,6 +411,13 @@ _TIMEGRID_MEMBERS = {
         "stateful-capped-sum-global",
         [("day", "s"), ("rn", "s"), ("delta", "s"), ("bal", "s")],
     ),
+    "kaplanmeier": (
+        "survival-kaplan-meier",
+        [
+            ("cohort", "s"), ("dur", "s"), ("n_risk", "s"),
+            ("n_event", "s"), ("n_censor", "s"), ("surv_micro", "s"),
+        ],
+    ),
     "acf": (
         "timeseries-acf",
         [("user_id", "s"), ("lag", "s"), ("n", "s"), ("acf_micro", "s")],
@@ -778,8 +785,9 @@ timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
     "stateful-capped-sum (the applyInPandas clamped-balance scan, "
     "recursive-CTE oracle) ∪ stateful-capped-sum-global (the keyless "
-    "monoid-composed parallel chunk scan) ∪ rollup-gapfill ∪ "
-    "rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
+    "monoid-composed parallel chunk scan) ∪ survival-kaplan-meier "
+    "(product-limit estimator, pinned-IEEE float scan) ∪ "
+    "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
     "rollup-twap ∪ session-paths ∪ event-transition-matrix — the "
     "time-series/event-analytics family: gap-filled buckets, calendar "

@@ -1144,3 +1144,99 @@ def stateful_capped_sum_global(spark, sf):
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "rn", "delta", "bal"
     )
+
+
+_KM_ORACLE = """
+WITH RECURSIVE s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s0.t0 GROUP BY 1
+),
+z AS (SELECT user_id, max(ts) AS tz FROM events GROUP BY 1),
+subj AS (
+  SELECT s0.user_id % 4 AS cohort,
+         date_diff('day', CAST(t0 AS DATE),
+                   CAST(coalesce(tp, tz) AS DATE)) AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM s0 LEFT JOIN p USING (user_id) JOIN z USING (user_id)
+),
+cell AS (
+  SELECT cohort, dur,
+         CAST(sum(obs) AS BIGINT) AS n_event,
+         CAST(sum(1 - obs) AS BIGINT) AS n_censor,
+         row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT *,
+         CAST(sum(n_event + n_censor) OVER (PARTITION BY cohort)
+              - coalesce(sum(n_event + n_censor) OVER (
+                  PARTITION BY cohort ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM cell
+),
+rec AS (
+  SELECT cohort, rn, dur, n_risk, n_event, n_censor,
+         1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT r.cohort, r.rn, r.dur, r.n_risk, r.n_event, r.n_censor,
+         rec.s * (1.0 - CAST(r.n_event AS DOUBLE)
+                        / CAST(r.n_risk AS DOUBLE))
+  FROM rec JOIN risk r ON r.cohort = rec.cohort AND r.rn = rec.rn + 1
+)
+SELECT cohort, dur, n_risk, n_event, n_censor,
+       CAST(floor(s * 1000000.0) AS BIGINT) AS surv_micro
+FROM rec
+"""
+
+
+@query("survival-kaplan-meier", _KM_ORACLE)
+def survival_kaplan_meier(spark, sf):
+    """Kaplan-Meier time-to-conversion with right censoring
+    (operators/survival.km_survival): per cohort (user_id % 4), the
+    survival curve of days from first signup to first subsequent
+    purchase, censoring never-converters at their last observed
+    event. Everything up to the product limit is declarative (one
+    grouped count collapses subjects to grouped-size (cohort, dur)
+    cells, one per-cohort window builds risk sets); the float product
+    rides the stateful-scan class in pinned IEEE order — one divide,
+    one subtract, one multiply per step — so the recursive-CTE oracle
+    matches surv_micro bit-for-bit (the pinned-double doctrine).
+    Scale: the scan input is cohorts x distinct durations, thousands
+    of rows at ANY corpus size; only the first count touches the
+    scan."""
+    from genpipe_spark.operators.survival import km_survival
+
+    ev = t(spark, sf, "events")
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    tp = (
+        s0.join(pur, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    tz = ev.groupBy("user_id").agg(F.max("ts").alias("tz"))
+    subj = (
+        s0.join(tp, "user_id", "left")
+        .join(tz, "user_id")
+        .select(
+            (F.col("user_id") % 4).alias("cohort"),
+            F.datediff(
+                F.coalesce(F.col("tp"), F.col("tz")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    return km_survival(subj, keys=["cohort"], dur_col="dur", observed_col="obs")

@@ -1710,3 +1710,32 @@ def test_rake_keywords_known_doc(spark):
         ("deep learning", 2, 4_000_000),
         ("deep networks", 2, 4_000_000),
     ]
+
+
+def test_km_survival_textbook_example(spark):
+    """Hand-computed product-limit curve with censoring interleaved:
+    subjects exit at t=1 (event), 2 (censor), 3 (event x2), 4
+    (censor). S = .8, .8, .8*(1/3), unchanged."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.survival import km_survival
+
+    subj = spark.createDataFrame(
+        [
+            Row(g=1, dur=1, obs=1),
+            Row(g=1, dur=2, obs=0),
+            Row(g=1, dur=3, obs=1),
+            Row(g=1, dur=3, obs=1),
+            Row(g=1, dur=4, obs=0),
+        ]
+    )
+    got = {
+        r["dur"]: (r["n_risk"], r["n_event"], r["n_censor"], r["surv_micro"])
+        for r in km_survival(subj, ["g"], "dur", "obs").collect()
+    }
+    assert got == {
+        1: (5, 1, 0, 800000),
+        2: (4, 0, 1, 800000),
+        3: (3, 2, 0, 266666),
+        4: (1, 0, 1, 266666),
+    }
