@@ -227,3 +227,49 @@ def lower_clamped_running_sum(
         )
         .drop("__p")
     )
+
+
+def ewma_scan(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma_micro",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average
+    ``s_1 = x_1; s_i = alpha*x_i + (1-alpha)*s_{i-1}`` — the linear
+    sibling of the clamp scan. The closed form
+    ``sum(beta^(i-j) * x_j)`` IS window-expressible via pow(), but
+    pow is libm (cross-engine-unstable, the repo's determinism rules),
+    so the recurrence runs as a stateful scan in pinned IEEE order —
+    exactly two multiplies and one add per step, replayable by a
+    recursive-CTE oracle bit-for-bit. Pass an ``alpha`` exactly
+    representable in binary (0.25, 0.5, 0.125...) so the literal
+    parses to the same double in both engines. Emits
+    ``floor(s * 1e6)`` as int64 plus the per-key row number."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    beta = 1.0 - alpha  # exact for representable alpha
+    base = df.select(*keys, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `{out_col}` bigint"
+
+    import math
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        xs = pdf[value_col].to_numpy()
+        out = [0] * len(xs)
+        s = 0.0
+        for i, x in enumerate(xs):
+            x = float(x)
+            s = x if i == 0 else alpha * x + beta * s
+            out[i] = math.floor(s * 1_000_000.0)
+        pdf[rn_col] = pd.RangeIndex(1, len(xs) + 1)
+        pdf[out_col] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(scan, out_schema)

@@ -411,6 +411,10 @@ _TIMEGRID_MEMBERS = {
         "stateful-capped-sum-global",
         [("day", "s"), ("rn", "s"), ("delta", "s"), ("bal", "s")],
     ),
+    "ewma": (
+        "timeseries-ewma",
+        [("user_id", "s"), ("rn", "s"), ("x", "s"), ("ewma_micro", "s")],
+    ),
     "kaplanmeier": (
         "survival-kaplan-meier",
         [
@@ -787,6 +791,7 @@ timegrid_suite = _register(
     "recursive-CTE oracle) ∪ stateful-capped-sum-global (the keyless "
     "monoid-composed parallel chunk scan) ∪ survival-kaplan-meier "
     "(product-limit estimator, pinned-IEEE float scan) ∪ "
+    "timeseries-ewma (linear scan member, binary-exact alpha) ∪ "
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
     "rollup-twap ∪ session-paths ∪ event-transition-matrix — the "

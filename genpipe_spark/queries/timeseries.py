@@ -1240,3 +1240,50 @@ def survival_kaplan_meier(spark, sf):
         )
     )
     return km_survival(subj, keys=["cohort"], dur_col="dur", observed_col="obs")
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, rn, x, CAST(x AS DOUBLE) AS s FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, v.x,
+         0.25 * CAST(v.x AS DOUBLE) + 0.75 * rec.s
+  FROM rec JOIN v ON v.user_id = rec.user_id AND v.rn = rec.rn + 1
+)
+SELECT user_id, rn, x, CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_micro
+FROM rec
+"""
+
+
+@query("timeseries-ewma", _EWMA_ORACLE)
+def timeseries_ewma(spark, sf):
+    """Per-user exponentially weighted moving average of event value
+    cents, alpha = 0.25 (operators/statescan.ewma_scan — the LINEAR
+    member of the stateful-scan class). The pow()-based closed form
+    is window-expressible but libm-unstable across engines; the scan
+    evaluates s = 0.25*x + 0.75*s in pinned IEEE order with
+    binary-exact coefficient literals, so the recursive-CTE oracle
+    matches ewma_micro bit-for-bit. Same single grouped-agg shuffle
+    as any per-key scan; keys are the parallelism."""
+    from genpipe_spark.operators.statescan import ewma_scan
+
+    ev = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    out = ewma_scan(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"],
+        value_col="x", alpha=0.25,
+    )
+    return out.select("user_id", "rn", "x", "ewma_micro")
