@@ -285,3 +285,91 @@ def incremental_export(
         "changed_rows": changed_rows,
         "partitions_rewritten": len(dirty),
     }
+
+
+def compact_mirror(
+    spark: SparkSession,
+    dest: str,
+    partition_col: str,
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """OPTIMIZE for the incremental-export mirror: rewrite only the
+    partition directories whose small-file count exceeds ``max_files``,
+    through the SAME stage + manifest commit protocol as
+    :func:`incremental_export` — so a crash at any point leaves every
+    partition either fully-old or fully-compacted, and
+    :func:`recover_export` (run first, shared state) heals an
+    interrupted pass. Rows are untouched — only the file layout
+    changes; non-candidate partitions are never read or written.
+
+    Candidate selection and sizing come from the filesystem listing
+    (nothing is read to decide): each candidate is coalesced to
+    ``ceil(partition_bytes / target_file_bytes)`` files in a
+    per-candidate staged write — the loop is candidate-bounded
+    (compaction passes are maintenance; candidate counts are small by
+    construction, and each iteration is one shuffle-free job).
+
+    Composition: ``incremental_export(...); compact_mirror(...)`` is
+    the plain-parquet MERGE + OPTIMIZE maintenance cycle; the two
+    share one recovery protocol, so a crash between them is healed by
+    whichever runs next.
+
+    Returns {"partitions_compacted": k, "files_before": b,
+    "files_after": a} over the candidate partitions only.
+    """
+    base = dest.rstrip("/")
+    stage, manifest = base + "__stage", base + "__commit.json"
+    recover_export(spark, dest)
+    mkpath, fs = _hadoop(spark, dest)
+
+    def _data_files(dir_path) -> list:
+        out = []
+        for st in fs.listStatus(dir_path):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st)
+        return out
+
+    candidates = []  # (dirname, n_files, bytes)
+    for st in fs.listStatus(mkpath(base)):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(f"{partition_col}="):
+            continue
+        files = _data_files(st.getPath())
+        if len(files) > max_files:
+            candidates.append(
+                (name, len(files), sum(f.getLen() for f in files))
+            )
+    if not candidates:
+        return {
+            "partitions_compacted": 0, "files_before": 0, "files_after": 0
+        }
+
+    files_before = sum(n for _, n, _ in candidates)
+    files_after = 0
+    # 1. stage compacted copies (candidate-bounded loop, live mirror
+    #    untouched). Each partition DIRECTORY is read directly with its
+    #    self-describing file schema — no partition-column inference is
+    #    in play (that hazard is the mirror-ROOT read in
+    #    incremental_export), and no partition column is ever
+    #    materialized into the staged files.
+    for dirname, _, nbytes in candidates:
+        n_out = max(1, -(-nbytes // target_file_bytes))
+        part_df = spark.read.parquet(f"{base}/{dirname}")
+        part_df.coalesce(n_out).write.mode("overwrite").parquet(
+            f"{stage}/{dirname}"
+        )
+        files_after += len(_data_files(mkpath(f"{stage}/{dirname}")))
+    # 2. publish the manifest — the commit point (shared protocol)
+    payload = {"rewrite": [d for d, _, _ in candidates], "dead": []}
+    _write_manifest(spark, manifest, payload)
+    # 3. apply + 4. cleanup — identical to incremental_export
+    _apply_commit(spark, base, stage, payload)
+    fs.delete(mkpath(manifest), False)
+    fs.delete(mkpath(stage), True)
+    return {
+        "partitions_compacted": len(candidates),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -343,3 +343,91 @@ def test_incremental_export_crash_between_apply_and_cleanup(
     # and a subsequent refresh is a clean no-op
     r = export.incremental_export(spark, snap2, dest, ["k"], "p")
     assert r == {"changed_rows": 0, "partitions_rewritten": 0}
+
+
+def test_compact_mirror_merges_only_oversized_partitions(spark, tmp_path):
+    """plans/export.compact_mirror: partitions over the small-file
+    budget are rewritten to ceil(bytes/target) files; partitions within
+    budget keep their files byte-identical; rows never change; a second
+    pass is a no-op; a subsequent incremental refresh still works."""
+    import os
+
+    from genpipe_spark.plans.export import compact_mirror, incremental_export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    rows = [(i, f"v{i}", "x") for i in range(13)] + [(99, "solo", "y")]
+    snap = spark.createDataFrame(rows, schema).repartition(12)
+    incremental_export(spark, snap, dest, ["k"], "p")
+
+    def files(part):
+        d = f"{dest}/p={part}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    assert len(files("x")) > 4  # the fixture really is fragmented
+    y_before = files("y")
+    before = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    r = compact_mirror(spark, dest, "p", max_files=4)
+    assert r["partitions_compacted"] == 1
+    assert r["files_before"] > 4 and r["files_after"] == 1
+    assert len(files("x")) == 1
+    assert files("y") == y_before  # within budget: untouched
+    after = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert after == before  # layout-only operation
+    # idempotent second pass
+    assert compact_mirror(spark, dest, "p", max_files=4) == {
+        "partitions_compacted": 0, "files_before": 0, "files_after": 0
+    }
+    # the MERGE + OPTIMIZE cycle composes: refresh over the compacted
+    # mirror still diffs/rewrites correctly
+    snap2 = spark.createDataFrame(
+        [(0, "CHANGED", "x"), (99, "solo", "y")]
+        + [(i, f"v{i}", "x") for i in range(1, 13)],
+        schema,
+    )
+    r2 = incremental_export(spark, snap2, dest, ["k"], "p")
+    assert r2["changed_rows"] == 1 and r2["partitions_rewritten"] == 1
+    got = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert got == {tuple(r) for r in snap2.collect()}
+
+
+def test_compact_mirror_crash_mid_apply_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Crash in compact_mirror's worst window (live dir deleted, staged
+    rename pending): the shared recover_export heals to the compacted
+    layout with zero row loss."""
+    import os
+
+    import genpipe_spark.plans.export as export
+
+    dest = str(tmp_path / "m")
+    schema = "k: long, v: string, p: string"
+    snap = spark.createDataFrame(
+        [(i, f"v{i}", "x") for i in range(13)], schema
+    ).repartition(12)
+    export.incremental_export(spark, snap, dest, ["k"], "p")
+    before = {tuple(r) for r in spark.read.parquet(dest).collect()}
+
+    real_apply = export._apply_commit
+
+    def partial_apply(spark_, base, stage, payload):
+        mkpath, fs = export._hadoop(spark_, base)
+        fs.delete(mkpath(f"{base}/{payload['rewrite'][0]}"), True)
+        raise RuntimeError("injected crash mid-compaction")
+
+    monkeypatch.setattr(export, "_apply_commit", partial_apply)
+    with pytest.raises(RuntimeError, match="mid-compaction"):
+        export.compact_mirror(spark, dest, "p", max_files=4)
+    monkeypatch.setattr(export, "_apply_commit", real_apply)
+    assert export.recover_export(spark, dest) == "rolled_forward"
+    assert {tuple(r) for r in spark.read.parquet(dest).collect()} == before
+    d = f"{dest}/p=x"
+    live = [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+    assert len(live) == 1  # healed INTO the compacted layout
+    assert not os.path.exists(dest + "__stage")
+    assert not os.path.exists(dest + "__commit.json")
