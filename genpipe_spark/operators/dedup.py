@@ -973,7 +973,17 @@ def jaccard_prefix_filter_pairs(
     the hot token. Threshold arithmetic is integer (t quantized DOWN
     to 1e-4, so prefixes only lengthen — no float-ceil false
     negatives). Reported ``jaccard`` is floor-truncated at 4 decimals,
-    matching ngram_jaccard_pairs and the SQL oracle."""
+    matching ngram_jaccard_pairs and the SQL oracle.
+
+    WHEN TO USE (measured, SCALE.md "Prefix-filter Jaccard"): choose
+    this form for heavy-tailed token frequencies with a selective
+    threshold — shared stop-phrases/boilerplate inside otherwise
+    distinct docs, where the inverted index's candidates grow as n^2
+    (27x slower at 8k docs and diverging). Choose ngram_jaccard_pairs
+    when token df is bounded (its simpler plan wins ~5x on such
+    corpora), and minhash_lsh_pairs when the corpus is near-dup-DENSE
+    (pairs genuinely near the threshold are unprunable by any
+    admissible filter, including this one)."""
     t_num = int(threshold * 10000)  # floor: t' <= t keeps the rule safe
     sh = df.select(
         F.col(id_col).alias("id"),
