@@ -3446,3 +3446,73 @@ def alloc_largest_remainder(spark, sf):
     return largest_remainder_apportion(
         w, key_cols=["k"], weight_col="w", seats=10_000
     ).select("k", "w", "base", "rem", "alloc")
+
+
+_CIDR_ORACLE = """
+WITH ips AS (
+  SELECT c_custkey,
+         (c_custkey * 2654435761) % 4294967296 AS ip
+  FROM customer
+),
+blocks AS (
+  SELECT n_nationkey, n_name,
+         CAST(n_nationkey * 2 + m AS BIGINT) AS block_id,
+         CAST(n_nationkey * 2 + m AS BIGINT) * 67108864 AS lo,
+         CAST(n_nationkey * 2 + m AS BIGINT) * 67108864 + 67108863 AS hi
+  FROM nation, (SELECT unnest([0, 1]) AS m)
+)
+SELECT c_custkey, ip,
+       concat_ws('.', ip // 16777216, (ip // 65536) % 256,
+                      (ip // 256) % 256, ip % 256) AS dotted,
+       n_nationkey, n_name, block_id
+FROM ips JOIN blocks ON ip BETWEEN lo AND hi
+"""
+
+
+@query("join-cidr-lookup", _CIDR_ORACLE)
+def join_cidr_lookup(spark, sf):
+    """IP-to-network containment join — the log-enrichment workhorse
+    (geo/ASN lookup): map each event IP into its owning CIDR block via
+    the banded interval join (operators/interval.interval_join). IPs
+    are synthesized deterministically from customer keys (Knuth
+    multiplicative hash mod 2^32 — exact int64 in both engines, the
+    redact-pii fixture-synthesis pattern); blocks are two aligned /6
+    ranges per nation. band_width equals the block size and blocks are
+    block-aligned, so every interval lands in EXACTLY ONE band — the
+    'range join' compiles to a pure shuffle equi-join with a residual,
+    zero interval replication: the plan a 100 TB IP-enrichment join
+    wants (CIDR tables are band-aligned by construction in real geo
+    feeds; unaligned feeds just replicate into the few bands each
+    block spans). Unmatched IPs (~22% of the space here) drop on the
+    inner join, matching the oracle's BETWEEN."""
+    from genpipe_spark.operators.interval import interval_join
+
+    c = t(spark, sf, "customer")
+    ips = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 4294967296).alias("ip"),
+    )
+    n = t(spark, sf, "nation")
+    blocks = (
+        n.select("n_nationkey", "n_name")
+        .withColumn("m", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(
+            "n_nationkey", "n_name",
+            (F.col("n_nationkey") * 2 + F.col("m"))
+            .cast("long").alias("block_id"),
+        )
+        .withColumn("lo", F.col("block_id") * 67108864)
+        .withColumn("hi", F.col("block_id") * 67108864 + 67108863)
+    )
+    j = interval_join(ips, blocks, "ip", "lo", "hi", band_width=67108864)
+    return j.select(
+        "c_custkey", "ip",
+        F.concat_ws(
+            ".",
+            F.expr("ip div 16777216"),
+            F.expr("(ip div 65536) % 256"),
+            F.expr("(ip div 256) % 256"),
+            F.expr("ip % 256"),
+        ).alias("dotted"),
+        "n_nationkey", "n_name", "block_id",
+    )

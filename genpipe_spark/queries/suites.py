@@ -974,16 +974,25 @@ _INTERVAL_MEMBERS = {
         "interval-reciprocal-join",
         [("user_id", "s"), ("l_event", "s"), ("r_event", "s"), ("overlap_us", "s")],
     ),
+    "cidr": (
+        "join-cidr-lookup",
+        [
+            ("c_custkey", "s"), ("ip", "s"), ("dotted", "s"),
+            ("n_nationkey", "s"), ("n_name", "s"), ("block_id", "s"),
+        ],
+    ),
 }
 
 interval_suite = _register(
     "interval-suite", _INTERVAL_MEMBERS,
     "join-interval ∪ interval-overlap-count ∪ interval-interval-join ∪ "
-    "interval-reciprocal-join — the interval family: banded "
-    "point-in-range join, exact sweep-line peak-concurrency, the "
-    "banded region×region overlap join, and its 50%-reciprocal-overlap "
-    "variant (bedtools -f -r semantics) "
-    "(r5 third rotation; regionjoin r6; reciprocal r7).",
+    "interval-reciprocal-join ∪ join-cidr-lookup — the interval "
+    "family: banded point-in-range join, exact sweep-line "
+    "peak-concurrency, the banded region×region overlap join, its "
+    "50%-reciprocal-overlap variant (bedtools -f -r semantics), and "
+    "the IP-to-CIDR enrichment join where block alignment makes the "
+    "banded form a pure equi-join "
+    "(r5 third rotation; regionjoin r6; reciprocal r7; cidr r7s4).",
 )
 
 _GRAPH_MEMBERS = {
