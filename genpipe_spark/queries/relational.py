@@ -3516,3 +3516,44 @@ def join_cidr_lookup(spark, sf):
         ).alias("dotted"),
         "n_nationkey", "n_name", "block_id",
     )
+
+
+@query(
+    "agg-grouping-sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)::BIGINT AS n,
+           sum(cast(round(o_totalprice*100) as bigint))/100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the marginals-plus-grand-total report
+    ((status), (priority), ()) that neither CUBE (would add the cross
+    product) nor ROLLUP (hierarchical only) expresses: the exact
+    shape of a dashboard's two independent breakdown panels + total,
+    in ONE pass. Catalyst plans the same Expand(x3) feeding a single
+    partially-aggregated shuffle as agg-cube — 3 replicas instead of
+    4, and at 100 TB choosing sets explicitly over cube() is the
+    difference between paying for the groupings a report uses and
+    paying for 2^k. Subtotals surface as 'ALL' (grouping columns are
+    non-null in the fixture); money via integer cents."""
+    o = t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )

@@ -656,6 +656,10 @@ _TEXT_TOKEN_MEMBERS = {
 _RESHAPE_OLAP_MEMBERS = {
     "pivot": ("pivot-unpivot", [("o_orderpriority", "s"), ("status", "s"), ("total", "f")]),
     "cube": ("agg-cube", [("status", "s"), ("priority", "s"), ("n", "s"), ("total", "f")]),
+    "gsets": (
+        "agg-grouping-sets",
+        [("status", "s"), ("priority", "s"), ("n", "s"), ("total", "f")],
+    ),
     "q1": (
         "tpch-q1-rollup",
         [
@@ -847,7 +851,8 @@ text_token_suite = _register(
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,
-    "pivot-unpivot ∪ agg-cube ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
+    "pivot-unpivot ∪ agg-cube ∪ agg-grouping-sets (explicit "
+    "marginals+total sets) ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
     "copurchase-pairs ∪ copurchase-lift ∪ tpch-q4/q13/q17/q18 ∪ "
     "tpch-q10/q14/q19/q21/q22 — reshape + grouping-sets + the TPC-H "
     "showcases: Q1/Q3/Q5 (6-way star join), the full decorrelation "
