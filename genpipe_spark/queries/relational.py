@@ -3557,3 +3557,57 @@ def agg_grouping_sets(spark, sf):
             "total",
         )
     )
+
+
+_GEO_RADIUS_ORACLE = """
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 1000000 AS px,
+         (c_custkey * 69621) % 1000000 AS py
+  FROM customer
+),
+c AS (
+  SELECT n_nationkey, n_name,
+         (CAST(n_nationkey AS BIGINT) * 16807 + 123456) % 1000000 AS cx,
+         (CAST(n_nationkey AS BIGINT) * 99991 + 654321) % 1000000 AS cy
+  FROM nation
+)
+SELECT c_custkey, px, py, n_nationkey, n_name, cx, cy,
+       (px - cx) * (px - cx) + (py - cy) * (py - cy) AS dist2
+FROM p JOIN c
+  ON (px - cx) * (px - cx) + (py - cy) * (py - cy) <= 400000000
+"""
+
+
+@query("join-geo-radius", _GEO_RADIUS_ORACLE)
+def join_geo_radius(spark, sf):
+    """Planar radius search (operators/spatial.grid_radius_join):
+    every customer point within 20,000 units of a nation center on a
+    1e6 x 1e6 integer grid (coordinates synthesized deterministically
+    from keys — the fixture-synthesis pattern). The 3x3-neighborhood
+    grid join replicates only the CENTER side (9x25 rows), equi-joins
+    on the cell key, and verifies exact integer squared distance — no
+    trig, no floats, whole-stage codegen; the oracle is the
+    brute-force cross filter. The banded interval join's trick, one
+    dimension up: ONE shuffle, candidates proportional to local
+    density."""
+    from genpipe_spark.operators.spatial import grid_radius_join
+
+    c = t(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 1000000).alias("px"),
+        ((F.col("c_custkey") * 69621) % 1000000).alias("py"),
+    )
+    n = t(spark, sf, "nation")
+    ctrs = n.select(
+        "n_nationkey", "n_name",
+        ((F.col("n_nationkey").cast("long") * 16807 + 123456) % 1000000)
+        .alias("cx"),
+        ((F.col("n_nationkey").cast("long") * 99991 + 654321) % 1000000)
+        .alias("cy"),
+    )
+    j = grid_radius_join(pts, ctrs, "px", "py", "cx", "cy", radius=20000)
+    return j.select(
+        "c_custkey", "px", "py", "n_nationkey", "n_name", "cx", "cy", "dist2"
+    )

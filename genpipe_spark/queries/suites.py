@@ -986,6 +986,14 @@ _INTERVAL_MEMBERS = {
             ("n_nationkey", "s"), ("n_name", "s"), ("block_id", "s"),
         ],
     ),
+    "georadius": (
+        "join-geo-radius",
+        [
+            ("c_custkey", "s"), ("px", "s"), ("py", "s"),
+            ("n_nationkey", "s"), ("n_name", "s"), ("cx", "s"),
+            ("cy", "s"), ("dist2", "s"),
+        ],
+    ),
 }
 
 interval_suite = _register(
@@ -996,8 +1004,10 @@ interval_suite = _register(
     "peak-concurrency, the banded region×region overlap join, its "
     "50%-reciprocal-overlap variant (bedtools -f -r semantics), and "
     "the IP-to-CIDR enrichment join where block alignment makes the "
-    "banded form a pure equi-join "
-    "(r5 third rotation; regionjoin r6; reciprocal r7; cidr r7s4).",
+    "banded form a pure equi-join ∪ join-geo-radius (the 2-D grid "
+    "sibling: 3x3-neighborhood cell join, exact integer distances) "
+    "(r5 third rotation; regionjoin r6; reciprocal r7; cidr + "
+    "georadius r7s4).",
 )
 
 _GRAPH_MEMBERS = {

@@ -830,3 +830,44 @@ def test_prefix_filter_equals_exact_jaccard(spark, texts, thr):
         for r in jaccard_prefix_filter_pairs(df, threshold=thr).collect()
     }
     assert pref == exact
+
+
+# ------------------------------------------------------ grid radius join
+
+coords = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 200)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(pts=coords, ctrs=coords, r=st.sampled_from([1, 13, 50, 300]))
+def test_grid_radius_join_matches_bruteforce(spark, pts, ctrs, r):
+    """3x3-neighborhood grid join == brute-force squared-distance
+    filter, each pair exactly once, at radii from sub-cell to
+    covers-everything."""
+    from genpipe_spark.operators.spatial import grid_radius_join
+
+    pdf = spark.createDataFrame(
+        [Row(pi=i, px=x, py=y) for i, (x, y) in enumerate(pts)],
+        schema="pi bigint, px bigint, py bigint",
+    )
+    cdf = spark.createDataFrame(
+        [Row(ci=i, cx=x, cy=y) for i, (x, y) in enumerate(ctrs)],
+        schema="ci bigint, cx bigint, cy bigint",
+    )
+    rows = grid_radius_join(pdf, cdf, "px", "py", "cx", "cy", r).collect()
+    got = [(x["pi"], x["ci"]) for x in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    expected = {
+        (i, j)
+        for i, (x1, y1) in enumerate(pts)
+        for j, (x2, y2) in enumerate(ctrs)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+    }
+    assert set(got) == expected
+    for x in rows:
+        assert x["dist2"] == (pts[x["pi"]][0] - ctrs[x["ci"]][0]) ** 2 + (
+            pts[x["pi"]][1] - ctrs[x["ci"]][1]
+        ) ** 2
