@@ -326,6 +326,13 @@ _SORT_SET_MEMBERS = {
         "sort-skyline-pareto",
         [("p_partkey", "s"), ("price_c", "s"), ("p_size", "s")],
     ),
+    "hilbert3d": (
+        "layout-hilbert-3d",
+        [
+            ("event_id", "s"), ("hx", "s"), ("hy", "s"), ("hz", "s"),
+            ("hilbert_d", "s"),
+        ],
+    ),
 }
 
 _DEDUP_MISC_MEMBERS = {
@@ -761,9 +768,11 @@ sort_set_suite = _register(
     "layout-compaction-plan — the §2.5 sort/limit/set-op family plus "
     "the layout keys (Hilbert + Morton), the zero-shuffle "
     "bucketed-layout join, and the declarative small-file compaction "
-    "planner, and the 2-D Pareto skyline (running-min formulation "
-    "proven against the NOT-EXISTS dominance spec) (r5 third "
-    "rotation; bucketed + zorder r6; compaction plan + skyline r7).",
+    "planner, the 2-D Pareto skyline (running-min formulation "
+    "proven against the NOT-EXISTS dominance spec), and the 3-D "
+    "Hilbert key (Skilling transpose, generated 18-stage SQL unroll) "
+    "(r5 third rotation; bucketed + zorder r6; compaction plan + "
+    "skyline r7; hilbert3d r7s4).",
 )
 dedup_misc_suite = _register(
     "dedup-misc-suite", _DEDUP_MISC_MEMBERS,
