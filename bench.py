@@ -140,6 +140,22 @@ HEADLINE = [
     "rollup-period-over-period",
     "udtf-python-sentences",
     "quality-winsorize",
+    # r7 session 4: the stateful-scan class (clamped balances, the
+    # monoid-parallel keyless form, EWMA, Kaplan-Meier), set-based
+    # FIFO allocation + apportionment, prefix-filtered exact Jaccard,
+    # CIDR + planar-grid enrichment joins, explicit GROUPING SETS,
+    # the 3-D Hilbert key
+    "stateful-capped-sum",
+    "stateful-capped-sum-global",
+    "timeseries-ewma",
+    "survival-kaplan-meier",
+    "alloc-fifo-lots",
+    "alloc-largest-remainder",
+    "dedup-jaccard-prefix",
+    "join-cidr-lookup",
+    "join-geo-radius",
+    "agg-grouping-sets",
+    "layout-hilbert-3d",
 ]
 
 
@@ -208,25 +224,36 @@ def main() -> None:
     )
     # self-healing length guard (review r7): ~70 chars of headroom at
     # 81 queries evaporates after a few additions or >=10 s timings, so
-    # degrade per-query precision (0.1 s -> 1 s -> whole-line without
-    # queries) until the line fits the 2000-char capture with margin
-    for ndigits in (1, 0, None):
+    # degrade until the line fits the 2000-char capture with margin:
+    # 0.1 s precision -> 1 s -> slowest-half subset (flagged) -> empty.
+    # The subset step keeps the HEAVY queries (the ones cross-round
+    # perf comparison cares about) in the parsed contract even at 90+
+    # registered headliners; the fast tail rides the detail line only.
+    by_time = sorted(timings, key=timings.get, reverse=True)
+    candidates = [
+        (1, timings),
+        (0, timings),
+        (1, {k: timings[k] for k in by_time[: len(by_time) // 2]}),
+        (1, {k: timings[k] for k in by_time[:20]}),
+        (None, {}),
+    ]
+    for ndigits, subset in candidates:
         q_out = (
             {k: round(v, ndigits) if ndigits else int(round(v))
-             for k, v in timings.items()}
+             for k, v in subset.items()}
             if ndigits is not None
             else {}
         )
-        contract = json.dumps(
-            {
-                "metric": "headline-suite-total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": q_out,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline-suite-total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": q_out,
+            "sf": sf_val,
+        }
+        if ndigits is not None and len(subset) < len(timings):
+            payload["queries_truncated"] = len(timings) - len(subset)
+        contract = json.dumps(payload, separators=(",", ":"))
         if len(contract) <= 1950:
             break
     print(contract)
