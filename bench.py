@@ -148,6 +148,7 @@ HEADLINE = [
     "stateful-capped-sum",
     "stateful-capped-sum-global",
     "timeseries-ewma",
+    "timeseries-holt",
     "survival-kaplan-meier",
     "alloc-fifo-lots",
     "alloc-largest-remainder",

@@ -273,3 +273,61 @@ def ewma_scan(
         return pdf
 
     return base.groupBy(*keys).applyInPandas(scan, out_schema)
+
+
+def holt_scan(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing — the TWO-state
+    linear scan (level + trend):
+
+        l_1 = x_1, b_1 = 0
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    demonstrating that the stateful-scan class carries arbitrary
+    state vectors, not just scalars. Same pinned-IEEE doctrine as
+    :func:`ewma_scan`: pass binary-exact ``alpha``/``beta`` (0.25,
+    0.5, ...) and the recursive-CTE oracle replays the identical op
+    sequence bit-for-bit. Emits ``level_micro``/``trend_micro``
+    (floor(v*1e6), int64 — floor, not trunc: the trend goes negative)
+    and the per-key row number."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    a, g = float(alpha), float(beta)
+    ca, cg = 1.0 - a, 1.0 - g
+    base = df.select(*keys, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `level_micro` bigint, `trend_micro` bigint"
+
+    import math
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        xs = pdf[value_col].to_numpy()
+        lv = [0] * len(xs)
+        tr = [0] * len(xs)
+        l = b = 0.0
+        for i, x in enumerate(xs):
+            x = float(x)
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                ln = a * x + ca * (l + b)
+                b = g * (ln - l) + cg * b
+                l = ln
+            lv[i] = math.floor(l * 1_000_000.0)
+            tr[i] = math.floor(b * 1_000_000.0)
+        pdf[rn_col] = pd.RangeIndex(1, len(xs) + 1)
+        pdf["level_micro"] = pd.Series(lv, dtype="int64")
+        pdf["trend_micro"] = pd.Series(tr, dtype="int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(scan, out_schema)

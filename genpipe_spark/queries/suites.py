@@ -422,6 +422,13 @@ _TIMEGRID_MEMBERS = {
         "timeseries-ewma",
         [("user_id", "s"), ("rn", "s"), ("x", "s"), ("ewma_micro", "s")],
     ),
+    "holt": (
+        "timeseries-holt",
+        [
+            ("user_id", "s"), ("rn", "s"), ("x", "s"),
+            ("level_micro", "s"), ("trend_micro", "s"),
+        ],
+    ),
     "kaplanmeier": (
         "survival-kaplan-meier",
         [
@@ -805,6 +812,7 @@ timegrid_suite = _register(
     "monoid-composed parallel chunk scan) ∪ survival-kaplan-meier "
     "(product-limit estimator, pinned-IEEE float scan) ∪ "
     "timeseries-ewma (linear scan member, binary-exact alpha) ∪ "
+    "timeseries-holt (the TWO-state level+trend member) ∪ "
     "rollup-gapfill ∪ rollup-time-hierarchy ∪ timeseries-anomaly ∪ "
     "funnel-steps ∪ funnel-steps-windowed ∪ cohort-retention ∪ "
     "rollup-twap ∪ session-paths ∪ event-transition-matrix — the "

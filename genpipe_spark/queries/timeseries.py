@@ -1287,3 +1287,58 @@ def timeseries_ewma(spark, sf):
         value_col="x", alpha=0.25,
     )
     return out.select("user_id", "rn", "x", "ewma_micro")
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, rn, x,
+         CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, v.x,
+         0.25 * CAST(v.x AS DOUBLE) + 0.75 * (rec.l + rec.b),
+         0.5 * ((0.25 * CAST(v.x AS DOUBLE) + 0.75 * (rec.l + rec.b))
+                - rec.l)
+           + 0.5 * rec.b
+  FROM rec JOIN v ON v.user_id = rec.user_id AND v.rn = rec.rn + 1
+)
+SELECT user_id, rn, x,
+       CAST(floor(l * 1000000.0) AS BIGINT) AS level_micro,
+       CAST(floor(b * 1000000.0) AS BIGINT) AS trend_micro
+FROM rec
+"""
+
+
+@query("timeseries-holt", _HOLT_ORACLE)
+def timeseries_holt(spark, sf):
+    """Holt level+trend double-exponential smoothing per user
+    (operators/statescan.holt_scan, alpha=0.25, beta=0.5 — both
+    binary-exact): the TWO-state member of the stateful-scan class,
+    forecast-ready (one-step-ahead = level + trend). The oracle
+    recursive CTE replays the identical pinned-IEEE op sequence —
+    the l_i subexpression is recomputed inside b_i's expression and
+    is bitwise-identical by determinism of IEEE ops — so
+    level_micro/trend_micro match bit-for-bit. floor (not trunc):
+    trends go negative."""
+    from genpipe_spark.operators.statescan import holt_scan
+
+    ev = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    out = holt_scan(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"],
+        value_col="x", alpha=0.25, beta=0.5,
+    )
+    return out.select("user_id", "rn", "x", "level_micro", "trend_micro")
