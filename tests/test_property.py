@@ -871,3 +871,43 @@ def test_grid_radius_join_matches_bruteforce(spark, pts, ctrs, r):
         assert x["dist2"] == (pts[x["pi"]][0] - ctrs[x["ci"]][0]) ** 2 + (
             pts[x["pi"]][1] - ctrs[x["ci"]][1]
         ) ** 2
+
+
+# --------------------------------------------- largest-remainder alloc
+
+@settings(max_examples=15, deadline=None)
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    seats=st.sampled_from([1, 7, 100, 9973]),
+)
+def test_largest_remainder_matches_model(spark, weights, seats):
+    """sum(alloc) == seats exactly whenever total weight > 0;
+    allocations match the sequential Hamilton model including
+    zero-weight groups and remainder ties broken on the key."""
+    from genpipe_spark.operators.alloc import largest_remainder_apportion
+
+    if sum(weights) == 0:
+        weights = weights + [1]
+    df = spark.createDataFrame(
+        [Row(k=i, w=w) for i, w in enumerate(weights)],
+        schema="k bigint, w bigint",
+    )
+    got = {
+        r["k"]: (r["base"], r["rem"], r["alloc"])
+        for r in largest_remainder_apportion(
+            df, key_cols=["k"], weight_col="w", seats=seats
+        ).collect()
+    }
+    tot = sum(weights)
+    base = {i: (seats * w) // tot for i, w in enumerate(weights)}
+    rem = {i: (seats * w) % tot for i, w in enumerate(weights)}
+    leftover = seats - sum(base.values())
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    alloc = {
+        i: base[i] + (1 if pos < leftover else 0)
+        for pos, i in enumerate(order)
+    }
+    assert got == {
+        i: (base[i], rem[i], alloc[i]) for i in range(len(weights))
+    }
+    assert sum(a for _, _, a in got.values()) == seats
