@@ -98,3 +98,44 @@ def k_anonymity_profile(
         ),
         F.min("n").alias("min_group_size"),
     )
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the leak k-anonymity misses: an equivalence
+    class can be huge yet expose everyone in it if all its rows share
+    ONE sensitive value (homogeneity attack; Machanavajjhala et al.'s
+    motivating case). Counts classes whose sensitive attribute takes
+    fewer than ``l`` DISTINCT values and the rows inside them.
+
+    Output (one row): l, n_groups, n_violating_groups, rows_at_risk,
+    min_distinct. Shape: one (quasi..., sensitive) pre-count collapses
+    duplicates map-side, then a quasi-keyed count — two keyed
+    aggregations, both partial-agg combinable, no distinct-on-raw-rows
+    Expand; NULL sensitive values count as a value (conservatively
+    diverse is the WRONG direction, so callers should pre-filter or
+    pre-bucket NULLs deliberately — documented, not hidden).
+    """
+    quasi = [F.col(c) for c in quasi_cols]
+    cell = df.groupBy(*quasi, F.col(sensitive_col)).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    groups = cell.groupBy(*quasi).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n_rows").alias("n"),
+    )
+    return groups.agg(
+        F.lit(l).alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n_distinct") < l, 1)).alias(
+            "n_violating_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n_distinct") < l, F.col("n"))), F.lit(0)
+        ).alias("rows_at_risk"),
+        F.min("n_distinct").alias("min_distinct"),
+    )

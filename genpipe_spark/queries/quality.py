@@ -590,3 +590,45 @@ def quality_mannwhitney(spark, sf):
         F.when((F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("long"))
         .otherwise(z).alias("z_micro"),
     )
+
+
+@query(
+    "profile-ldiversity",
+    """
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(round(c_acctbal * 100) / 100000) AS BIGINT)
+               AS sens,
+             count(*) AS n_rows
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS n_distinct,
+             CAST(sum(n_rows) AS BIGINT) AS n
+      FROM cell GROUP BY 1, 2
+    )
+    SELECT 3 AS l, count(*) AS n_groups,
+           count(*) FILTER (WHERE n_distinct < 3) AS n_violating_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n_distinct < 3), 0)
+                AS BIGINT) AS rows_at_risk,
+           min(n_distinct) AS min_distinct
+    FROM g
+    """,
+)
+def profile_ldiversity(spark, sf):
+    """l-diversity audit (operators/profile.l_diversity_profile) —
+    the homogeneity leak k-anonymity misses: per (nationkey,
+    mktsegment) class, how many DISTINCT account-balance bands
+    (1000-currency buckets of exact cents) appear; classes below l=3
+    expose their members even when large. Two map-side-combinable
+    keyed counts, no raw-row distinct Expand."""
+    from genpipe_spark.operators.profile import l_diversity_profile
+
+    c = t(spark, sf, "customer").withColumn(
+        "sens",
+        F.floor(F.round(F.col("c_acctbal") * 100) / 100000).cast("long"),
+    )
+    return l_diversity_profile(
+        c, ["c_nationkey", "c_mktsegment"], "sens", l=3
+    )

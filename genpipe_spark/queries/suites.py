@@ -555,6 +555,13 @@ _PROFILE_MEMBERS = {
             ("rows_at_risk", "s"), ("min_group_size", "s"),
         ],
     ),
+    "ldiv": (
+        "profile-ldiversity",
+        [
+            ("l", "s"), ("n_groups", "s"), ("n_violating_groups", "s"),
+            ("rows_at_risk", "s"), ("min_distinct", "s"),
+        ],
+    ),
     "ks": (
         "profile-ks-drift",
         [
@@ -833,7 +840,8 @@ timegrid_suite = _register(
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
     "profile-table ∪ profile-drift (PSI) ∪ profile-entropy "
-    "(Shannon + Jensen-Shannon divergence) ∪ profile-kanonymity — "
+    "(Shannon + Jensen-Shannon divergence) ∪ profile-kanonymity "
+    "∪ profile-ldiversity (the homogeneity-attack audit, r7s4) — "
     "∪ profile-ks-drift (exact two-sample Kolmogorov-Smirnov as an "
     "integer fraction) ∪ quality-benford (first-digit law + "
     "chi-square terms) ∪ quality-gini (exact concentration index) "
