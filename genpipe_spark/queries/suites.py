@@ -814,7 +814,7 @@ text_bm25_suite = _register(
 )
 timegrid_suite = _register(
     "timegrid-suite", _TIMEGRID_MEMBERS,
-    "stateful-capped-sum (the applyInPandas clamped-balance scan, "
+    "stateful-capped-sum (the keyed clamped-balance scan, "
     "recursive-CTE oracle) ∪ stateful-capped-sum-global (the keyless "
     "monoid-composed parallel chunk scan) ∪ survival-kaplan-meier "
     "(product-limit estimator, pinned-IEEE float scan) ∪ "

@@ -989,8 +989,8 @@ def stateful_capped_sum(spark, sf):
     signup cents) push up, debits pull down, the balance saturates in
     [0, 20000]. The clamp recurrence b_i = clamp(b_{i-1}+x_i, lo, hi)
     is NONLINEAR, hence inexpressible as any window aggregate — this
-    is the repo's showcase of the applyInPandas stateful-scan operator
-    class (operators/statescan.py, which also documents the
+    is the repo's showcase of the stateful-scan operator class
+    (boundary-reset mapInPandas over one keyed partitioning) (operators/statescan.py, which also documents the
     window-only closed form for the one-sided case and the
     saturating-affine-monoid parallel scan for a single huge key).
     The oracle replays the recurrence as a DuckDB recursive CTE
