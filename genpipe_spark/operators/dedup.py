@@ -985,12 +985,18 @@ def jaccard_prefix_filter_pairs(
     (pairs genuinely near the threshold are unprunable by any
     admissible filter, including this one)."""
     t_num = int(threshold * 10000)  # floor: t' <= t keeps the rule safe
+    # set size = array length BEFORE exploding (shingle_hashes is
+    # already distinct), and carry it on every token row — no sizes
+    # groupBy over the token table, no size joins at the end
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
+        shingle_hashes(F.col(text_col), k).alias("__arr"),
+    ).select(
+        "id",
+        F.size("__arr").alias("n_sh"),
+        F.explode("__arr").alias("sh"),
     )
     sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     # ceil(t*n) in exact integers: (n*t_num + 9999) div 10000
     plen = (
@@ -1003,7 +1009,6 @@ def jaccard_prefix_filter_pairs(
     )
     pref = (
         sh.join(dfreq, "sh")
-        .join(sizes, "id")
         .withColumn("__r", rank)
         .where(F.col("__r") <= plen)
         .select("id", "sh", "n_sh")
@@ -1020,24 +1025,24 @@ def jaccard_prefix_filter_pairs(
                 >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * t_num
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()  # (n_a, n_b) are functionally dependent on the pair
     )
     inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), "sh"), "id_a"
+        )
         .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.floor(jac * 10000) / 10000.0).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a", "id_b",
+        (F.floor(jac * 10000) / 10000.0).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
