@@ -447,6 +447,13 @@ _TIMEGRID_MEMBERS = {
             ("lag_us", "s"),
         ],
     ),
+    "attrlinear": (
+        "attribution-linear",
+        [
+            ("user_id", "s"), ("conv_id", "s"), ("touch_id", "s"),
+            ("pos", "s"), ("n_touches", "s"), ("credit_micro", "s"),
+        ],
+    ),
     "ohlc": (
         "rollup-ohlc",
         [
@@ -828,8 +835,9 @@ timegrid_suite = _register(
     "24h-conversion-window), cohort retention, time-weighted averages, "
     "session path mining "
     "plus lag-1..3 autocorrelation (grouped-corr doctrine), OHLC "
-    "candlestick compaction, and last-touch attribution (windowed "
-    "running-max, join-free) "
+    "candlestick compaction, last-touch attribution (windowed "
+    "running-max, join-free), and attribution-linear (exact integer "
+    "multi-touch credit via per-conversion largest remainder, r7s4) "
     "plus the frame-bounded exact rolling median denoiser and the "
     "seasonal-naive forecast backtest (calendar-joined lag, exact MAE) "
     "and MoM/YoY period-over-period growth (calendar self-joins, NULL "

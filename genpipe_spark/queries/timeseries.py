@@ -1342,3 +1342,75 @@ def timeseries_holt(spark, sf):
         value_col="x", alpha=0.25, beta=0.5,
     )
     return out.select("user_id", "rn", "x", "level_micro", "trend_micro")
+
+
+_LINEAR_ATTR_ORACLE = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.user_id, conv_id, touch_id,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY tts DESC, touch_id
+         ) AS pos,
+         count(*) OVER (PARTITION BY conv_id) AS n_touches
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tts <= c.cts
+   AND t.tts >= c.cts - INTERVAL 7 DAY
+)
+SELECT user_id, conv_id, touch_id, pos, n_touches,
+       1000000 // n_touches
+         + CASE WHEN pos <= 1000000 % n_touches THEN 1 ELSE 0 END
+         AS credit_micro
+FROM j
+"""
+
+
+@query("attribution-linear", _LINEAR_ATTR_ORACLE)
+def attribution_linear(spark, sf):
+    """Linear multi-touch attribution — each purchase's credit split
+    EXACTLY across every click/view in the prior 7 days: integer
+    micro-credits via per-conversion largest remainder (floor share +
+    1 extra micro-unit to the first ``1e6 mod n`` touches, recency
+    first), so sum(credit_micro) == 1,000,000 per conversion BY
+    CONSTRUCTION — no float leakage, engine-exact (the
+    alloc-largest-remainder doctrine applied per group). Complements
+    attribution-last-touch (the degenerate n=1 policy). Plan: one
+    user-keyed range join (touches per user bounded by activity, keys
+    are the parallelism) + one conversion-keyed window — two keyed
+    shuffles, no global ordering anywhere."""
+    ev = t(spark, sf, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("ts").alias("cts")
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), F.col("ts").alias("tts")
+    )
+    from pyspark.sql import Window
+
+    j = conv.join(touch, "user_id").where(
+        (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy(F.col("tts").desc(), "touch_id")
+    j = j.select(
+        "user_id", "conv_id", "touch_id",
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return j.select(
+        "user_id", "conv_id", "touch_id", "pos", "n_touches",
+        (
+            F.expr("1000000 div n_touches")
+            + F.when(
+                F.col("pos") <= F.expr("1000000 % n_touches"), 1
+            ).otherwise(0)
+        ).alias("credit_micro"),
+    )
