@@ -1739,3 +1739,32 @@ def test_km_survival_textbook_example(spark):
         3: (3, 2, 0, 266666),
         4: (1, 0, 1, 266666),
     }
+
+
+def test_keyed_scan_state_carries_across_arrow_batches(spark):
+    """The boundary-reset mapInPandas scans must CONTINUE a key whose
+    rows straddle an Arrow batch edge (state is per-partition-stream,
+    reset only on key change) — pinned by forcing 3-row batches."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.statescan import capped_running_sum
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        rows = [Row(k=1, s=i, d=5) for i in range(20)] + [
+            Row(k=2, s=i, d=-3) for i in range(20)
+        ]
+        out = {
+            (r["k"], r["s"]): (r["rn"], r["bal"])
+            for r in capped_running_sum(
+                spark.createDataFrame(rows), ["k"], ["s"], "d", lo=0, hi=30
+            ).collect()
+        }
+        assert all(
+            out[(1, i)] == (i + 1, min(30, 5 * (i + 1))) for i in range(20)
+        )
+        assert all(out[(2, i)] == (i + 1, 0) for i in range(20))
+    finally:
+        spark.conf.set(key, old)
