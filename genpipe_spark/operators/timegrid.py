@@ -160,3 +160,102 @@ def time_weighted_avg(
             ),
         ).cast("long"),
     )
+
+
+def time_bucket_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = ("user_id",),
+    bucket_s: int = 3600,
+    max_buckets_per_group: int = 10_000_000,
+) -> DataFrame:
+    """Per-group dense bucket series with LINEAR interpolation across
+    empty buckets — the third standard gapfill mode next to zero-fill
+    and LOCF (timescale's ``interpolate()``).
+
+    Output: ``*by, bucket_start_us (long), n_events,
+    cents_known (nullable long), interp_micro (nullable long)`` where
+    ``interp_micro`` is the linearly interpolated bucket value in
+    micro-dollars. Exactness: known buckets sum to integer cents; for a
+    gap bucket b between the previous known bucket pb (value p) and the
+    next known bucket nb (value q), the interpolant is the exact
+    rational (p*(nb-b) + q*(b-pb)) / (nb-pb) dollars/100, emitted as
+    ``floor`` micro-dollars — pure int64 arithmetic (|p|,|q| <= 1e12
+    micro-cents x gap length <= spine guard), identical in both
+    engines; no float ever enters. Buckets before the first / after
+    the last known bucket have no hull and stay NULL. Plan: the
+    gapfill spine (explode over per-group [lo, hi]) + ONE
+    partitionBy(by) sort shared by the four LOCF/NOCB windows."""
+    width_us = bucket_s * 1_000_000
+    keys = list(by)
+    us = f"unix_micros({ts_col})"
+    bidx = F.expr(f"({us} - pmod({us}, {width_us})) DIV {width_us}")
+    agg = (
+        df.select(*keys, bidx.alias("__b"), F.col(value_col).alias("__v"))
+        .groupBy(*keys, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("__v") * 100).cast("long")).alias("cents_known"),
+        )
+    )
+    span_ok = F.assert_true(
+        F.col("__hi") - F.col("__lo") < F.lit(max_buckets_per_group),
+        F.concat(
+            F.lit("interpolate spine exceeds max_buckets_per_group for group: "),
+            *[F.col(k).cast("string") for k in keys],
+        ),
+    )
+    guarded_lo = F.col("__lo") + F.coalesce(span_ok.cast("long"), F.lit(0))
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence(guarded_lo, F.col("__hi"))).alias("__b"),
+        )
+    )
+    dense = spine.join(agg, [*keys, "__b"], "left")
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("cents_known").isNotNull(), F.col("__b"))
+    hull = dense.select(
+        *keys,
+        "__b",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "cents_known",
+        F.last("cents_known", ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(known_b, ignorenulls=True).over(w_prev).alias("__pb"),
+        F.first("cents_known", ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(known_b, ignorenulls=True).over(w_next).alias("__nb"),
+    )
+    # exact int64 rational: micro-dollars = cents * 10_000; gap weights
+    # are bucket distances. Non-negative numerators -> DIV == floor in
+    # both engines (cents >= 0 in fixture usage; callers with negative
+    # values get floor semantics via the pmod-adjusted DIV below).
+    den = F.col("__nb") - F.col("__pb")
+    # floor division valid for negatives too: (n - pmod(n, d)) DIV d
+    n_expr = "((__pv * (__nb - __b) + __nv * (__b - __pb)) * 10000)"
+    interp = F.when(
+        F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+        F.when(den == 0, F.col("__pv") * F.lit(10_000)).otherwise(
+            F.expr(
+                f"({n_expr} - pmod({n_expr}, (__nb - __pb))) DIV (__nb - __pb)"
+            )
+        ),
+    )
+    return hull.select(
+        *keys,
+        (F.col("__b") * width_us).alias("bucket_start_us"),
+        "n_events",
+        "cents_known",
+        interp.cast("long").alias("interp_micro"),
+    )

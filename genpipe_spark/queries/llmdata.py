@@ -2722,3 +2722,94 @@ def text_rake_keywords(spark, sf):
         .where(F.col("rk") == 1)
         .select("doc_id", "phrase", "n_words", "score_micro")
     )
+
+
+_ASSORT_ORACLE = """
+WITH raw AS (
+  SELECT DISTINCT
+         CASE WHEN o_custkey % 100 < o_orderkey % 100
+              THEN o_custkey % 100 ELSE o_orderkey % 100 END AS a,
+         CASE WHEN o_custkey % 100 < o_orderkey % 100
+              THEN o_orderkey % 100 ELSE o_custkey % 100 END AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM raw UNION ALL SELECT b AS n FROM raw)
+  GROUP BY n
+),
+dir AS (
+  SELECT a AS u, b AS v FROM raw UNION ALL SELECT b AS u, a AS v FROM raw
+),
+j AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM dir JOIN deg du ON du.n = dir.u JOIN deg dv ON dv.n = dir.v
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dx*dx) AS BIGINT) AS sxx,
+         CAST(sum(dx*dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT m, sx, sxx, sxy,
+       CAST(floor(1000000.0 *
+             (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         AS assort_micro
+FROM s
+"""
+
+
+@query("graph-assortativity", _ASSORT_ORACLE)
+def graph_assortativity(spark, sf):
+    """Degree assortativity (Newman 2002) of the undirected 100-node
+    orders graph shared with pagerank/BFS/triangles — do hubs attach
+    to hubs? Pearson correlation of endpoint degrees over the
+    DIRECTED edge double-cover, which makes the x and y marginals
+    identical (sy==sx, syy==sxx), so r collapses to the one-variance
+    form (m*sxy - sx^2)/(m*sxx - sx^2) — no sqrt needed at all, ONE
+    pinned-IEEE division over exact int64 moments (degrees <= 99 x
+    edges <= 9900: every sum far below 2^53 — the no-split regime of
+    the agg-grouped-corr doctrine, justified per the 128-bit note
+    there). Plan: two grouped-size degree joins on a 100-node derived
+    graph + one scalar agg; the scan is the only SF-bound stage."""
+    o = t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 100).alias("s"),
+        (F.col("o_orderkey") % 100).alias("t"),
+    ).where(F.col("s") != F.col("t"))
+    raw = e.select(
+        F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+    ).distinct()
+    deg = (
+        raw.select(F.col("a").alias("n"))
+        .unionAll(raw.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    direct = raw.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        raw.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    j = (
+        direct.join(deg.select(F.col("n").alias("u"), F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dy")), "v")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    m_d, sx_d = F.col("m").cast("double"), F.col("sx").cast("double")
+    sxx_d, sxy_d = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        "m", "sx", "sxx", "sxy",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (m_d * sxy_d - sx_d * sx_d)
+            / (m_d * sxx_d - sx_d * sx_d)
+        ).cast("long").alias("assort_micro"),
+    )

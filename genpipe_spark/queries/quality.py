@@ -632,3 +632,52 @@ def profile_ldiversity(spark, sf):
     return l_diversity_profile(
         c, ["c_nationkey", "c_mktsegment"], "sens", l=3
     )
+
+
+_CRAMERS_ORACLE = f"""
+WITH terms AS ({_CHI2_ORACLE})
+SELECT CAST(count(DISTINCT r) AS BIGINT) AS r_levels,
+       CAST(count(DISTINCT c) AS BIGINT) AS c_levels,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(chi2_term_micro) AS BIGINT) AS chi2_sum_micro,
+       CAST(floor(1000000.0 * sqrt(
+           (CAST(sum(chi2_term_micro) AS DOUBLE) / 1000000.0)
+           / (CAST(max(n) AS DOUBLE)
+              * CAST(least(count(DISTINCT r), count(DISTINCT c)) - 1
+                     AS DOUBLE)))) AS BIGINT) AS cramers_v_micro
+FROM terms
+"""
+
+
+@query("quality-cramers-v", _CRAMERS_ORACLE)
+def quality_cramers_v(spark, sf):
+    """Cramér's V effect size for the priority x status association —
+    the normalized [0,1] companion to quality-chi2-independence
+    (chi-square grows with N; V answers 'how strong'). Determinism
+    doctrine: the chi-square statistic is summed as the EXACT int64
+    micro-quantized per-cell terms (floored before summing — integer
+    sum order-independent, unlike a float fold over cells), then
+    V = sqrt(phi2 / (min(r,c)-1)) is ONE pinned-IEEE expression whose
+    argument is fully determined by exact integers; sqrt is correctly
+    rounded, so cramers_v_micro is bit-identical across engines. The
+    oracle literally wraps the chi2 oracle — any drift in the base
+    terms fails both rows. Grouped-size (R*C cells) input; cost is the
+    chi2 scan."""
+    terms = quality_chi2_independence(spark, sf)
+    agg = terms.agg(
+        F.countDistinct("r").alias("r_levels"),
+        F.countDistinct("c").alias("c_levels"),
+        F.max("n").alias("n"),
+        F.sum("chi2_term_micro").alias("chi2_sum_micro"),
+    )
+    k = (F.least(F.col("r_levels"), F.col("c_levels")) - 1).cast("double")
+    return agg.select(
+        "r_levels", "c_levels", "n", "chi2_sum_micro",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sqrt(
+                (F.col("chi2_sum_micro").cast("double") / F.lit(1_000_000.0))
+                / (F.col("n").cast("double") * k)
+            )
+        ).cast("long").alias("cramers_v_micro"),
+    )

@@ -1414,3 +1414,353 @@ def attribution_linear(spark, sf):
             ).otherwise(0)
         ).alias("credit_micro"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'click')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events WHERE value IS NOT NULL
+),
+eq AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(delta) OVER w AS BIGINT) AS equity
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d0 AS (
+  SELECT user_id, equity,
+         CAST(max(equity) OVER w AS BIGINT) - equity AS drawdown
+  FROM eq
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (
+  SELECT user_id, equity, drawdown,
+         CAST(max(drawdown) OVER (PARTITION BY user_id) AS BIGINT) AS max_dd
+  FROM d0
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(equity + drawdown) AS BIGINT) AS peak_cents,
+       CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+       CAST(min(CASE WHEN drawdown = max_dd THEN equity END) AS BIGINT)
+         AS equity_at_max_dd
+FROM dd
+GROUP BY user_id
+"""
+
+
+@query("timeseries-drawdown", _DRAWDOWN_ORACLE)
+def timeseries_drawdown(spark, sf):
+    """Per-user running-peak / max-drawdown audit over the signed event
+    cashflow (purchases+clicks credit, everything else debits) — the
+    risk metric every portfolio/inventory monitor computes. Exact
+    int64 cents end-to-end: equity is a windowed prefix sum, the
+    running peak a max over the SAME (ts, event_id) ordering (two
+    stacked windows over one sort — the lower_clamped_running_sum
+    layout, statescan.py doctrine), drawdown = peak - equity, then one
+    map-side-combinable grouped agg. equity_at_max_dd is made
+    tie-deterministic by construction: the per-user max drawdown rides
+    a third (whole-partition, same keys → no extra shuffle) window and
+    the agg takes min(equity) over exactly the rows achieving it —
+    identical min-over-filtered-set semantics in both engines, no
+    arg_min/min_by tie ambiguity."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(
+                F.col("event_type").isin("purchase", "click"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("long"))
+            .alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = (
+        v.withColumn("equity", F.sum("delta").over(w))
+        .withColumn("drawdown", F.max("equity").over(w) - F.col("equity"))
+        .withColumn("max_dd", F.max("drawdown").over(Window.partitionBy("user_id")))
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("equity") + F.col("drawdown")).alias("peak_cents"),
+        F.max("drawdown").alias("max_drawdown_cents"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("max_dd"), F.col("equity"))
+        ).alias("equity_at_max_dd"),
+    )
+
+
+# CUSUM drift allowance and alarm threshold, in cents. Fixed literals on
+# both sides; chosen so the fixture actually fires some alarms (mean
+# event value is ~50 dollars) without firing on every row.
+_CUSUM_K = 4000
+_CUSUM_H = 25000
+
+def _cusum_oracle() -> str:
+    # the running min must follow event order; both directions share the
+    # one (ts, event_id) window
+    return f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(x - {_CUSUM_K}) OVER w AS BIGINT) AS pu,
+         CAST(sum({_CUSUM_K} - x) OVER w AS BIGINT) AS pd
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT user_id,
+         pu - least(CAST(0 AS BIGINT), CAST(min(pu) OVER w AS BIGINT)) AS su,
+         pd - least(CAST(0 AS BIGINT), CAST(min(pd) OVER w AS BIGINT)) AS sd,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(su) AS BIGINT) AS max_up,
+       CAST(max(sd) AS BIGINT) AS max_down,
+       CAST(count(*) FILTER (WHERE su > {_CUSUM_H}) AS BIGINT) AS n_alarm_up,
+       CAST(count(*) FILTER (WHERE sd > {_CUSUM_H}) AS BIGINT) AS n_alarm_down,
+       CAST(coalesce(min(CASE WHEN su > {_CUSUM_H} THEN rn END), -1) AS BIGINT)
+         AS first_alarm_up_rn
+FROM s
+GROUP BY user_id
+"""
+
+
+@query("timeseries-cusum", _cusum_oracle())
+def timeseries_cusum(spark, sf):
+    """Per-user two-sided CUSUM changepoint statistic over event value
+    cents (Page 1954): s+_i = max(0, s+_{i-1} + (x_i - k)) detects
+    upward level shifts, s-_i the mirror image, alarm when either
+    crosses h. The recurrence is the floor-at-zero clamped running
+    sum, so it stays FULLY window-expressible via the closed form
+    s_i = p_i - min(0, running_min(p_i)) over the raw prefix sum
+    (operators/statescan.lower_clamped_running_sum doctrine) — no
+    Python scan needed; both directions plus the row counter share ONE
+    (user_id, ts, event_id) sort. Exact int64 cents; per-user alarm
+    counts, extreme statistics, and first-alarm position (sentinel -1
+    when a user never alarms) come from one map-side-combinable agg."""
+    from pyspark.sql import Window
+
+    k = F.lit(_CUSUM_K)
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # windows don't nest: materialize prefix sums, then running-min them
+    # (all windows share one partitioning+ordering — ONE sort)
+    p = v.select(
+        "user_id",
+        F.sum(F.col("x") - k).over(w).alias("pu"),
+        F.sum(k - F.col("x")).over(w).alias("pd"),
+        F.row_number().over(wo).alias("rn"),
+        "ts", "event_id",
+    )
+    s = p.select(
+        "user_id", "rn",
+        (F.col("pu") - F.least(F.lit(0), F.min("pu").over(w))).alias("su"),
+        (F.col("pd") - F.least(F.lit(0), F.min("pd").over(w))).alias("sd"),
+    )
+    h = F.lit(_CUSUM_H)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("su").alias("max_up"),
+        F.max("sd").alias("max_down"),
+        F.sum(F.when(F.col("su") > h, 1).otherwise(0)).alias("n_alarm_up"),
+        F.sum(F.when(F.col("sd") > h, 1).otherwise(0)).alias("n_alarm_down"),
+        F.coalesce(
+            F.min(F.when(F.col("su") > h, F.col("rn"))), F.lit(-1)
+        ).alias("first_alarm_up_rn"),
+    )
+
+
+_INTERP_ORACLE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bidx,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents_known
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bidx
+  FROM (SELECT user_id, min(bidx) AS lo, max(bidx) AS hi
+        FROM b GROUP BY user_id)
+),
+dense AS (
+  SELECT spine.user_id, spine.bidx,
+         COALESCE(b.n_events, 0) AS n_events, b.cents_known
+  FROM spine LEFT JOIN b
+    ON spine.user_id = b.user_id AND spine.bidx = b.bidx
+),
+hull AS (
+  SELECT user_id, bidx, n_events, cents_known,
+         last_value(cents_known IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN cents_known IS NOT NULL THEN bidx END
+                    IGNORE NULLS) OVER wp AS pb,
+         first_value(cents_known IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN cents_known IS NOT NULL THEN bidx END
+                     IGNORE NULLS) OVER wn AS nb
+  FROM dense
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bidx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bidx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bidx * 3600000000 AS bucket_start_us, n_events, cents_known,
+       CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         CASE WHEN nb = pb THEN pv * 10000
+              ELSE ((pv*(nb-bidx) + nv*(bidx-pb)) * 10000) // (nb - pb) END
+       END AS interp_micro
+FROM hull
+"""
+
+
+@query("rollup-interpolate-linear", _INTERP_ORACLE)
+def rollup_interpolate_linear(spark, sf):
+    """Hourly per-user series with LINEAR interpolation across empty
+    buckets (operators/timegrid.time_bucket_interpolate) — the third
+    gapfill mode next to rollup-gapfill's zero-fill and LOCF. The
+    interpolant is the exact int64 rational
+    (p*(nb-b) + q*(b-pb)) * 10^4 / (nb-pb) micro-dollars under floor
+    division (pmod-adjusted DIV == DuckDB //); no float enters, so the
+    hash check pins the full hull semantics including the NULL edges
+    before the first / after the last known bucket."""
+    from genpipe_spark.operators.timegrid import time_bucket_interpolate
+
+    return time_bucket_interpolate(
+        t(spark, sf, "events"), ts_col="ts", value_col="value",
+        by=("user_id",), bucket_s=3600,
+    )
+
+
+_DECAY_ATTR_ORACLE = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, cts FROM (
+    SELECT user_id, event_id, ts AS cts
+    FROM events WHERE event_type = 'purchase')
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.user_id, conv_id, touch_id,
+         (epoch_us(cts) - epoch_us(tts)) // 86400000000 AS age_days,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY tts DESC, touch_id
+         ) AS pos
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tts <= c.cts
+   AND t.tts >= c.cts - INTERVAL 7 DAY
+),
+wgt AS (
+  SELECT user_id, conv_id, touch_id, age_days, pos,
+         CAST(64 // (1 << least(age_days, 6)) AS BIGINT) AS w,
+         CAST(sum(64 // (1 << least(age_days, 6)))
+              OVER (PARTITION BY conv_id) AS BIGINT) AS wtot
+  FROM j
+),
+base AS (
+  SELECT *, (1000000 * w) // wtot AS floor_credit,
+         (1000000 * w) % wtot AS rem,
+         CAST(sum((1000000 * w) // wtot) OVER (PARTITION BY conv_id)
+              AS BIGINT) AS floor_sum
+  FROM wgt
+)
+SELECT user_id, conv_id, touch_id, age_days, pos, w, wtot,
+       floor_credit
+         + CASE WHEN row_number() OVER (
+                  PARTITION BY conv_id ORDER BY rem DESC, pos
+                ) <= 1000000 - floor_sum THEN 1 ELSE 0 END
+         AS credit_micro
+FROM base
+"""
+
+
+@query("attribution-time-decay", _DECAY_ATTR_ORACLE)
+def attribution_time_decay(spark, sf):
+    """Time-decay multi-touch attribution with a one-day half-life —
+    the third attribution policy beside last-touch and linear. The
+    decay weight 2^-age_days is a DYADIC rational, so scaling by 2^6
+    makes every weight an exact integer (64, 32, ..., 1; ages beyond
+    6 days clamp to weight 1): 'exponential decay' with ZERO float —
+    the trick that keeps attribution exact where a pow()-based weight
+    would be libm-unstable. Credits then split by per-conversion
+    largest remainder over the integer weights (floor share + 1
+    micro-unit to the largest remainders, recency-first tie-break), so
+    sum(credit_micro) == 1,000,000 per conversion by construction.
+    Plan: the attribution-linear join + TWO conversion-keyed windows
+    (weight total + remainder rank) sharing one partitioning."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("ts").alias("cts")
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), F.col("ts").alias("tts")
+    )
+    j = conv.join(touch, "user_id").where(
+        (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wp = Window.partitionBy("conv_id")
+    j = j.select(
+        "user_id", "conv_id", "touch_id",
+        F.expr(
+            "(unix_micros(cts) - unix_micros(tts)) div 86400000000"
+        ).alias("age_days"),
+        F.row_number().over(wp.orderBy(F.col("tts").desc(), "touch_id")).alias("pos"),
+    )
+    w_col = F.expr("64 div (shiftleft(1, least(age_days, 6)))").cast("long")
+    wgt = j.select(
+        "user_id", "conv_id", "touch_id", "age_days", "pos",
+        w_col.alias("w"),
+    ).withColumn("wtot", F.sum("w").over(wp))
+    base = (
+        wgt.withColumn("floor_credit", F.expr("(1000000 * w) div wtot"))
+        .withColumn("rem", F.expr("(1000000 * w) % wtot"))
+        .withColumn("floor_sum", F.sum(F.expr("(1000000 * w) div wtot")).over(wp))
+    )
+    extra_rank = F.row_number().over(wp.orderBy(F.col("rem").desc(), "pos"))
+    return base.select(
+        "user_id", "conv_id", "touch_id", "age_days", "pos", "w", "wtot",
+        (
+            F.col("floor_credit")
+            + F.when(extra_rank <= F.lit(1_000_000) - F.col("floor_sum"), 1)
+            .otherwise(0)
+        ).alias("credit_micro"),
+    )
