@@ -86,3 +86,99 @@ def grid_radius_join(
             + (F.col(py) - F.col(cy)) * (F.col(py) - F.col(cy)),
         )
     )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    px: str,
+    py: str,
+    poly_id: str = "poly_id",
+    vertices: str = "vertices",
+    cell: int = 256,
+) -> DataFrame:
+    """All (point, polygon) containment pairs by exact integer ray
+    casting — the spatial enrichment join (point -> geofence/region).
+
+    ``polygons`` carries ``poly_id`` and ``vertices``: an ORDERED
+    ``array<struct<x:long, y:long>>`` tracing the boundary (closing
+    edge implied). Points strictly inside match; boundary points
+    follow the fixed crossing convention below (deterministic — the
+    same integer arithmetic everywhere, never float).
+
+    Ray cast to +x: edge (x1,y1)-(x2,y2) crosses iff
+    ``(y1 > py) != (y2 > py)`` and the signed area
+    ``s = (x1-px)*(y2-y1) + (x2-x1)*(py-y1)`` has the sign of
+    ``y2-y1``; odd crossing count = inside. Pure int64 (coords below
+    ~1.5e9 cannot overflow), no division, whole-stage codegen.
+
+    Scale shape: polygons are the DIM side. Each polygon is replicated
+    into the grid cells its bbox covers (side ``cell``) and BROADCAST;
+    points map to exactly ONE cell, so the equi-join emits each
+    candidate pair at most once — no dedup. The exact test then runs
+    on candidates x edges (edge count is a polygon property, not a
+    data property). ONE scan of the points, zero point-side shuffles
+    before the verdict agg on (point, polygon)."""
+    if cell <= 0:
+        raise ValueError(f"point_in_polygon_join: cell {cell} must be > 0")
+    c = F.lit(int(cell))
+    pt_cols = points.columns
+    pts = points.withColumn("__gx", F.floor(F.col(px) / c)).withColumn(
+        "__gy", F.floor(F.col(py) / c)
+    )
+    vx = F.col("__v").getField("x")
+    vy = F.col("__v").getField("y")
+    flat = polygons.select(
+        poly_id, F.posexplode(F.col(vertices)).alias("__pos", "__v")
+    ).select(poly_id, "__pos", vx.alias("__x"), vy.alias("__y"))
+    bbox = flat.groupBy(poly_id).agg(
+        F.min("__x").alias("__mnx"), F.max("__x").alias("__mxx"),
+        F.min("__y").alias("__mny"), F.max("__y").alias("__mxy"),
+    )
+    cells = bbox.select(
+        poly_id, "__mnx", "__mxx", "__mny", "__mxy",
+        F.explode(
+            F.sequence(F.floor(F.col("__mnx") / c), F.floor(F.col("__mxx") / c))
+        ).alias("__gx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("__mny") / c), F.floor(F.col("__mxy") / c))
+        ).alias("__gy"),
+    )
+    cand = pts.join(F.broadcast(cells), ["__gx", "__gy"]).where(
+        F.col(px).between(F.col("__mnx"), F.col("__mxx"))
+        & F.col(py).between(F.col("__mny"), F.col("__mxy"))
+    ).select(*pt_cols, poly_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(poly_id).orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    edges = flat.select(
+        poly_id,
+        F.col("__x").alias("__x1"), F.col("__y").alias("__y1"),
+        F.coalesce(F.lead("__x").over(Window.partitionBy(poly_id).orderBy("__pos")),
+                   F.first("__x").over(w)).alias("__x2"),
+        F.coalesce(F.lead("__y").over(Window.partitionBy(poly_id).orderBy("__pos")),
+                   F.first("__y").over(w)).alias("__y2"),
+    )
+    j = cand.join(F.broadcast(edges), poly_id)
+    s = (
+        (F.col("__x1") - F.col(px)) * (F.col("__y2") - F.col("__y1"))
+        + (F.col("__x2") - F.col("__x1")) * (F.col(py) - F.col("__y1"))
+    )
+    crossing = (
+        ((F.col("__y1") > F.col(py)) != (F.col("__y2") > F.col(py)))
+        & (
+            ((F.col("__y2") > F.col("__y1")) & (s > 0))
+            | ((F.col("__y2") < F.col("__y1")) & (s < 0))
+        )
+    )
+    verdict = (
+        j.groupBy(*pt_cols, poly_id)
+        .agg(F.sum(crossing.cast("int")).alias("__ncross"))
+        .where(F.col("__ncross") % 2 == 1)
+        .drop("__ncross")
+    )
+    return verdict

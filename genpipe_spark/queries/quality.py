@@ -681,3 +681,94 @@ def quality_cramers_v(spark, sf):
             )
         ).cast("long").alias("cramers_v_micro"),
     )
+
+
+_THEIL_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM v GROUP BY g
+),
+terms AS (
+  SELECT v.g, s.n, s.sx,
+         CAST(floor(round(
+             ((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(sx AS DOUBLE))
+             * ln((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(sx AS DOUBLE))
+             * 1e9) / 1000) AS BIGINT) AS t_micro,
+         CAST(floor(round(ln(CAST(x AS DOUBLE)) * 1e9) / 1000) AS BIGINT)
+           AS lnx_micro
+  FROM v JOIN s ON s.g = v.g
+),
+agg AS (
+  SELECT g, n, sx,
+         CAST(sum(t_micro) AS BIGINT) AS theil_sum_micro,
+         CAST(sum(lnx_micro) AS BIGINT) AS lnx_sum_micro
+  FROM terms GROUP BY g, n, sx
+)
+SELECT g, n, sx, theil_sum_micro,
+       (theil_sum_micro - ((theil_sum_micro % n) + n) % n) // n
+         AS theil_micro,
+       lnx_sum_micro,
+       CAST(floor(round((1.0 -
+             exp((CAST(lnx_sum_micro AS DOUBLE) / 1000000.0)
+                 / CAST(n AS DOUBLE))
+             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1e9) / 1000) AS BIGINT) AS atkinson_micro
+FROM agg
+"""
+
+
+@query("quality-theil-atkinson", _THEIL_ORACLE)
+def quality_theil_atkinson(spark, sf):
+    """Per-group Theil T and Atkinson(eps=1) inequality indices of
+    order value — the decomposable-entropy companions to quality-gini
+    (Theil splits into within/between-group terms; Atkinson is the
+    welfare-weighted view). Determinism doctrine for log-based
+    indices: each per-row ln term is nano-rounded then floored to
+    micro (the psi_drift / unigram-logprob ulp-killing quantization),
+    the per-group totals are exact int64 sums (order-independent),
+    and T = sum/n uses the pmod-adjusted floor division (sums can
+    quantize epsilon-negative when T ~ 0). Atkinson folds the exact
+    integer ln-sum through ONE pinned exp/divide expression before
+    the same final quantization. Zero/negative values are excluded by
+    contract (ln domain); one grouped agg after the scan — the
+    gini-class audit cost."""
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        )
+    )
+    s = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    j = v.join(s, "g")
+    r = (F.col("x").cast("double") * F.col("n").cast("double")) / F.col(
+        "sx"
+    ).cast("double")
+    t_micro = F.floor(F.round(r * F.log(r) * F.lit(1e9)) / 1000).cast("long")
+    lnx_micro = F.floor(
+        F.round(F.log(F.col("x").cast("double")) * F.lit(1e9)) / 1000
+    ).cast("long")
+    agg = j.groupBy("g", "n", "sx").agg(
+        F.sum(t_micro).alias("theil_sum_micro"),
+        F.sum(lnx_micro).alias("lnx_sum_micro"),
+    )
+    a = F.lit(1.0) - F.exp(
+        (F.col("lnx_sum_micro").cast("double") / F.lit(1_000_000.0))
+        / F.col("n").cast("double")
+    ) / (F.col("sx").cast("double") / F.col("n").cast("double"))
+    return agg.select(
+        "g", "n", "sx", "theil_sum_micro",
+        F.expr(
+            "(theil_sum_micro - ((theil_sum_micro % n) + n) % n) div n"
+        ).alias("theil_micro"),
+        "lnx_sum_micro",
+        F.floor(F.round(a * F.lit(1e9)) / 1000).cast("long").alias("atkinson_micro"),
+    )

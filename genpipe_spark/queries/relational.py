@@ -3715,3 +3715,143 @@ def layout_hilbert_3d(spark, sf):
     return hilbert_index_nd_pandas(ev, ["hx", "hy", "hz"], bits=7).select(
         "event_id", "hx", "hy", "hz", "hilbert_d"
     )
+
+
+# five literal geofence polygons on the 1000x1000 grid: an axis square,
+# a concave L, a triangle, a diamond, and a sliver OVERLAPPING the
+# square (points inside both emit two rows). Vertex order traces the
+# boundary; the closing edge is implied.
+_PIP_POLYGONS: list[tuple[int, list[tuple[int, int]]]] = [
+    (0, [(100, 100), (300, 100), (300, 300), (100, 300)]),
+    (1, [(500, 100), (800, 100), (800, 400), (700, 400), (700, 200), (500, 200)]),
+    (2, [(100, 600), (400, 900), (100, 900)]),
+    (3, [(600, 500), (800, 700), (600, 900), (400, 700)]),
+    (4, [(250, 50), (320, 350), (280, 350)]),
+]
+
+
+def _pip_oracle() -> str:
+    vals = ", ".join(
+        f"({pid}, {pos}, {x}, {y})"
+        for pid, vs in _PIP_POLYGONS
+        for pos, (x, y) in enumerate(vs)
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         (event_id * 2654435761) % 1000 AS px,
+         ((user_id + 1) * 2246822519 + event_id * 97) % 1000 AS py
+  FROM events WHERE event_id % 3 = 0
+),
+vert(poly_id, pos, x, y) AS (VALUES {vals}),
+edges AS (
+  SELECT poly_id, x AS x1, y AS y1,
+         coalesce(lead(x) OVER wl, first_value(x) OVER wf) AS x2,
+         coalesce(lead(y) OVER wl, first_value(y) OVER wf) AS y2
+  FROM vert
+  WINDOW wl AS (PARTITION BY poly_id ORDER BY pos),
+         wf AS (PARTITION BY poly_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+bbox AS (
+  SELECT poly_id, min(x) AS mnx, max(x) AS mxx,
+         min(y) AS mny, max(y) AS mxy
+  FROM vert GROUP BY poly_id
+),
+cand AS (
+  SELECT pid, px, py, b.poly_id
+  FROM pts, bbox b
+  WHERE px BETWEEN mnx AND mxx AND py BETWEEN mny AND mxy
+),
+cr AS (
+  SELECT pid, px, py, c.poly_id,
+         sum(CASE WHEN ((y1 > py) <> (y2 > py))
+                   AND ((y2 > y1 AND (x1-px)*(y2-y1) + (x2-x1)*(py-y1) > 0)
+                     OR (y2 < y1 AND (x1-px)*(y2-y1) + (x2-x1)*(py-y1) < 0))
+              THEN 1 ELSE 0 END) AS ncross
+  FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+  GROUP BY pid, px, py, c.poly_id
+)
+SELECT pid, px, py, poly_id FROM cr WHERE ncross % 2 = 1
+"""
+
+
+@query("join-point-in-polygon", _pip_oracle())
+def join_point_in_polygon(spark, sf):
+    """Point-in-polygon containment join
+    (operators/spatial.point_in_polygon_join): event points on the
+    1000x1000 integer grid (coordinates synthesized deterministically
+    from keys) matched to five literal geofence polygons — square,
+    CONCAVE L, triangle, diamond, and a sliver overlapping the square
+    (shared points emit one row per polygon). Exact int64 ray casting
+    (no division, no float): odd +x crossings = inside; the concave L
+    exercises the multi-crossing path the bbox test alone cannot
+    decide. Spark side buckets polygons into broadcast grid cells
+    (points map to ONE cell — no dedup); the oracle is the
+    INDEPENDENT bbox-prefilter brute force, so parity proves the grid
+    cover is lossless. ONE point scan, zero point-side shuffles before
+    the verdict agg."""
+    from genpipe_spark.operators.spatial import point_in_polygon_join
+
+    pts = t(spark, sf, "events").where(F.expr("event_id % 3 = 0")).select(
+        F.col("event_id").alias("pid"),
+        F.expr("(event_id * 2654435761) % 1000").alias("px"),
+        F.expr("((user_id + 1) * 2246822519 + event_id * 97) % 1000").alias("py"),
+    )
+    rows = [
+        (pid, [{"x": x, "y": y} for x, y in vs]) for pid, vs in _PIP_POLYGONS
+    ]
+    polys = spark.createDataFrame(
+        rows, "poly_id bigint, vertices array<struct<x:long,y:long>>"
+    )
+    return point_in_polygon_join(
+        pts, polys, px="px", py="py", poly_id="poly_id",
+        vertices="vertices", cell=256,
+    )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER w AS BIGINT) AS n_types_10,
+       CAST(count(DISTINCT event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS n_types_cum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window-rolling-distinct", _ROLLING_DISTINCT_ORACLE)
+def window_rolling_distinct(spark, sf):
+    """DISTINCT-count window aggregates — behavioral diversity ('how
+    many distinct event types in the user's last 10 actions / so
+    far'), a shape ANSI engines take for granted that Spark REJECTS
+    outright (DISTINCT is unsupported in window aggregates). The
+    engine's rewrite: collect_set over the same frame, then size() —
+    semantically exactly count(DISTINCT) because set membership
+    ignores multiplicity and frame NULL handling matches (event_type
+    is non-null here). The trailing-10 frame bounds per-row state;
+    the cumulative variant's state is the type alphabet (tiny by
+    domain). The oracle runs the REAL count(DISTINCT ...) OVER, so
+    parity proves the rewrite, not a reimplementation. One
+    user-keyed sort shared by both frames."""
+    from pyspark.sql import Window
+
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.size(F.collect_set("event_type").over(w10)).cast("long")
+        .alias("n_types_10"),
+        F.size(F.collect_set("event_type").over(wcum)).cast("long")
+        .alias("n_types_cum"),
+    )
