@@ -392,3 +392,249 @@ def holt_scan(
     return _partition_sorted(base, keys, order_cols).mapInPandas(
         run, out_schema
     )
+
+
+def holt_winters_scan(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Per-key additive Holt-Winters triple-exponential smoothing —
+    the VECTOR-state member of the stateful-scan class: beyond level
+    and trend, the state carries a circular buffer of ``period``
+    seasonal components.
+
+        l_1 = x_1, b_1 = 0, s_* = 0
+        l_i = alpha*(x_i - s_{i-m}) + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+        s_i = gamma*(x_i - l_i) + (1-gamma)*s_{i-m}
+
+    (zero-initialized seasonal slots: the standard cold-start that
+    needs no pre-pass; indices converge after the first cycle). Same
+    pinned-IEEE doctrine as :func:`holt_scan`: binary-exact
+    coefficients (0.25, 0.5, ...) make the recursive-CTE oracle — a
+    recursion whose state row carries a DuckDB LIST for the seasonal
+    ring — match level/trend/seasonal micro bit-for-bit. Emits
+    ``level_micro``/``trend_micro``/``seasonal_micro`` and the
+    per-key row number. Physical form: the shared boundary-reset
+    mapInPandas layout (_partition_sorted); per-key state is
+    2 + period floats."""
+    if period < 2:
+        raise ValueError(f"holt_winters_scan: period {period} must be >= 2")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    a, g, c = float(alpha), float(beta), float(gamma)
+    ca, cg, cc = 1.0 - a, 1.0 - g, 1.0 - c
+    m = int(period)
+    base = df.select(*keys, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + (
+        f", `{rn_col}` bigint, `level_micro` bigint, `trend_micro` bigint"
+        ", `seasonal_micro` bigint"
+    )
+
+    import math
+
+    def run(batches):
+        cur, l, b, rn = object(), 0.0, 0.0, 0
+        seas: list[float] = [0.0] * m
+        pos = 0  # index of s_{i-m} (the slot this row reads AND writes)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            kv = _key_rows(pdf, keys)
+            xs = pdf[value_col].to_numpy()
+            lv = np.empty(n, dtype=np.int64)
+            tr = np.empty(n, dtype=np.int64)
+            sv = np.empty(n, dtype=np.int64)
+            rns = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                x = float(xs[i])
+                if kv[i] != cur:
+                    cur, l, b, rn = kv[i], x, 0.0, 0
+                    seas = [0.0] * m
+                    pos = 0
+                    scur = 0.0
+                else:
+                    so = seas[pos]
+                    ln = a * (x - so) + ca * (l + b)
+                    b = g * (ln - l) + cg * b
+                    scur = c * (x - ln) + cc * so
+                    seas[pos] = scur
+                    pos = (pos + 1) % m
+                    l = ln
+                rn += 1
+                lv[i] = math.floor(l * 1_000_000.0)
+                tr[i] = math.floor(b * 1_000_000.0)
+                sv[i] = math.floor(scur * 1_000_000.0)
+                rns[i] = rn
+            pdf[rn_col] = rns
+            pdf["level_micro"] = lv
+            pdf["trend_micro"] = tr
+            pdf["seasonal_micro"] = sv
+            yield pdf
+
+    return _partition_sorted(base, keys, order_cols).mapInPandas(
+        run, out_schema
+    )
+
+
+def capped_running_sum_hybrid(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    lo: int,
+    hi: int,
+    hot_threshold: int = 1_000_000,
+    n_chunks: int = 32,
+    bal_col: str = "bal",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Keyed clamped running sum that routes OVERSIZED keys through
+    the parallel monoid form — the general answer to 'millions of
+    small keys plus a handful of whales'.
+
+    :func:`capped_running_sum` concentrates each key on one task: the
+    right plan when keys are the parallelism, a straggler when one
+    key carries a billion rows. This hybrid splits on observed group
+    size: keys with ``count <= hot_threshold`` take the boundary-reset
+    scan unchanged; hot keys range-partition on ``(keys, order)`` so
+    each partition holds contiguous per-key segments, pass 1 composes
+    ONE saturating-affine triple per (partition, key-segment), the
+    driver prefix-composes each hot key's triples in partition order
+    (O(n_chunks + n_hot_keys) driver rows — bounded by construction:
+    at most total_rows / hot_threshold hot keys), and pass 2 replays
+    each segment seeded with its entry state. Output is identical to
+    running :func:`capped_running_sum` over everything
+    (property-tested at adversarial thresholds), columns
+    ``*input, rn, bal``.
+
+    Preconditions match capped_running_sum: non-NULL integer deltas,
+    ``(keys, order_cols)`` unique per row.
+    """
+    if lo > hi:
+        raise ValueError(f"capped_running_sum_hybrid: lo {lo} > hi {hi}")
+    if hot_threshold < 1:
+        raise ValueError("capped_running_sum_hybrid: hot_threshold < 1")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    base = df.select(*keys, *order_cols, delta_col)
+    counts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    hot_keys = counts.where(F.col("__kn") > hot_threshold).drop("__kn")
+    # bounded by total_rows / hot_threshold — driver-safe by contract
+    hot_rows = [tuple(r) for r in hot_keys.collect()]
+    cold = base.join(F.broadcast(hot_keys), keys, "left_anti") if hot_rows else base
+    cold_out = capped_running_sum(
+        cold, keys, order_cols, delta_col, lo, hi, bal_col=bal_col, rn_col=rn_col
+    )
+    if not hot_rows:
+        return cold_out
+
+    hot = base.join(F.broadcast(hot_keys), keys, "left_semi")
+    chunked = (
+        hot.repartitionByRange(n_chunks, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    def clamp(v: int) -> int:
+        return lo if v < lo else (hi if v > hi else v)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+
+    # pass 1: one composed triple per (partition, key-segment); state
+    # carries across Arrow batches within the partition
+    def compose(batches):
+        pid, cur, n, d, l, h = None, object(), 0, 0, None, None
+
+        def emit():
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    **{k: [cur[j]] for j, k in enumerate(keys)},
+                    "n": [n], "d": [d], "l": [l], "h": [h],
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            deltas = pdf[delta_col].to_numpy()
+            for i in range(len(pdf)):
+                if kv[i] != cur:
+                    if n:
+                        yield emit()
+                    cur, n, d, l, h = kv[i], 0, 0, None, None
+                x = int(deltas[i])
+                n += 1
+                d += x
+                l = lo if l is None else clamp(l + x)
+                h = hi if h is None else clamp(h + x)
+        if n:
+            yield emit()
+
+    seg_rows = chunked.mapInPandas(
+        compose, f"pid int, {key_schema}, n bigint, d bigint, l bigint, h bigint"
+    ).collect()
+    # driver prefix-compose per key across partition-ordered segments
+    by_key: dict[tuple, list] = {}
+    for r in seg_rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    entry: dict[tuple, tuple[int, int]] = {}
+    for kt, segs in by_key.items():
+        segs.sort(key=lambda r: r["pid"])
+        s, off = 0, 0
+        for r in segs:
+            entry[(r["pid"], kt)] = (s, off)
+            s = min(r["h"], max(r["l"], s + r["d"]))
+            off += r["n"]
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `{bal_col}` bigint"
+
+    def replay(batches):
+        pid, cur, s, rn = None, object(), 0, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            deltas = pdf[delta_col].to_numpy()
+            bal = np.empty(n, dtype=np.int64)
+            rns = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                if kv[i] != cur:
+                    cur = kv[i]
+                    s, rn = entry[(pid, cur)]
+                s = clamp(s + int(deltas[i]))
+                rn += 1
+                bal[i] = s
+                rns[i] = rn
+            out = pdf.drop(columns=["__pid"])
+            out[rn_col] = rns
+            out[bal_col] = bal
+            yield out
+
+    hot_out = chunked.mapInPandas(replay, out_schema)
+    return cold_out.unionByName(hot_out)

@@ -772,3 +772,73 @@ def quality_theil_atkinson(spark, sf):
         "lnx_sum_micro",
         F.floor(F.round(a * F.lit(1e9)) / 1000).cast("long").alias("atkinson_micro"),
     )
+
+
+_AUC_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fa
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT g, fa,
+         2 * rank() OVER (PARTITION BY g ORDER BY x)
+           + count(*) OVER (PARTITION BY g, x) - 1 AS d
+  FROM v
+),
+s AS (
+  SELECT g,
+         CAST(sum(fa) AS BIGINT) AS n1,
+         CAST(sum(1 - fa) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN fa = 1 THEN d ELSE 0 END) AS BIGINT) AS r1d
+  FROM ranked GROUP BY g
+)
+SELECT g, n1, n2,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         (1000000 * (r1d - n1 * (n1 + 1))) // (2 * n1 * n2) END AS auc_micro
+FROM s
+"""
+
+
+@query("quality-auc", _AUC_ORACLE)
+def quality_auc(spark, sf):
+    """Grouped ROC-AUC of 'order value predicts finished status' — the
+    ranking-quality audit every label/score column pair gets before
+    training. AUC == U1/(n1*n2) (the Mann-Whitney identity), computed
+    EXACTLY: doubled average ranks d = 2*rank + ties - 1 stay int64,
+    U1_doubled = sum(d | positives) - n1*(n1+1), and auc_micro =
+    (1e6 * U1_doubled) div (2*n1*n2) — pure integer floor division,
+    no float anywhere (ties handled by the trapezoid/average-rank
+    convention by construction). NULL when a group is single-class.
+    Same one-window + one-agg plan as quality-mannwhitney; the two
+    queries cross-check each other through the shared U statistic."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fa"),
+        )
+    )
+    d = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "x"))
+        - 1
+    )
+    s = v.select("g", "fa", d.alias("d")).groupBy("g").agg(
+        F.sum("fa").alias("n1"),
+        F.sum(F.lit(1) - F.col("fa")).alias("n2"),
+        F.sum(F.when(F.col("fa") == 1, F.col("d")).otherwise(0)).alias("r1d"),
+    )
+    return s.select(
+        "g", "n1", "n2",
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("long")
+        ).otherwise(
+            F.expr("(1000000 * (r1d - n1 * (n1 + 1))) div (2 * n1 * n2)")
+        ).alias("auc_micro"),
+    )

@@ -1764,3 +1764,76 @@ def attribution_time_decay(spark, sf):
             .otherwise(0)
         ).alias("credit_micro"),
     )
+
+
+def _hw_oracle() -> str:
+    # binary-exact coefficients: a=0.25, b=0.5, g=0.25; period 7.
+    # L2 is textually repeated wherever the scan reads the new level —
+    # IEEE determinism makes the recomputation bitwise identical
+    # (the timeseries-holt doctrine, now with a LIST seasonal ring).
+    L2 = "(0.25*(CAST(r.x AS DOUBLE) - rec.seas[1]) + 0.75*(rec.l + rec.b))"
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT user_id % 10 AS k, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+  FROM v
+),
+rec AS (
+  SELECT k, rn, x,
+         CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS seas,
+         CAST(0.0 AS DOUBLE) AS scur
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.k, r.rn, r.x,
+         {L2},
+         0.5*({L2} - rec.l) + 0.5*rec.b,
+         list_concat(rec.seas[2:7],
+           [0.25*(CAST(r.x AS DOUBLE) - {L2}) + 0.75*rec.seas[1]]),
+         0.25*(CAST(r.x AS DOUBLE) - {L2}) + 0.75*rec.seas[1]
+  FROM rec JOIN r ON r.k = rec.k AND r.rn = rec.rn + 1
+)
+SELECT k, rn, x,
+       CAST(floor(l * 1000000.0) AS BIGINT) AS level_micro,
+       CAST(floor(b * 1000000.0) AS BIGINT) AS trend_micro,
+       CAST(floor(scur * 1000000.0) AS BIGINT) AS seasonal_micro
+FROM rec
+"""
+
+
+@query("timeseries-holt-winters", _hw_oracle())
+def timeseries_holt_winters(spark, sf):
+    """Additive Holt-Winters with weekly seasonality over per-cohort
+    daily revenue (operators/statescan.holt_winters_scan, alpha=0.25,
+    beta=0.5, gamma=0.25, period=7 — all binary-exact): the
+    VECTOR-state member of the stateful-scan class. The per-key state
+    is level + trend + a 7-slot seasonal ring; the DuckDB twin is a
+    recursive CTE whose state row carries a LIST column rotated with
+    list_concat(seas[2:7], [s_new]) — level/trend/seasonal micro all
+    match bit-for-bit because every coefficient is dyadic and the CTE
+    replays the identical pinned-IEEE op sequence (the new level's
+    subexpression is textually recomputed wherever read). Input is
+    the grouped-size daily reduction (the capped-sum-global rollup
+    pattern), so the recursion steps #days, not #rows."""
+    from genpipe_spark.operators.statescan import holt_winters_scan
+
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("k"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    out = holt_winters_scan(
+        v, keys=["k"], order_cols=["day"], value_col="x",
+        alpha=0.25, beta=0.5, gamma=0.25, period=7,
+    )
+    return out.select(
+        "k", "rn", "x", "level_micro", "trend_micro", "seasonal_micro"
+    )

@@ -911,3 +911,43 @@ def test_largest_remainder_matches_model(spark, weights, seats):
         i: (base[i], rem[i], alloc[i]) for i in range(len(weights))
     }
     assert sum(a for _, _, a in got.values()) == seats
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-40, 40)),
+        min_size=0, max_size=60,
+    ),
+    threshold=st.sampled_from([1, 3, 8]),
+    chunks=st.sampled_from([2, 5]),
+)
+def test_capped_hybrid_matches_sequential(spark, rows, threshold, chunks):
+    """The hot/cold hybrid router must equal the plain per-key scan for
+    every (threshold, chunk count) — adversarially small thresholds
+    force real keys down BOTH paths, including keys split across
+    range partitions mid-sequence."""
+    from genpipe_spark.operators.statescan import (
+        capped_running_sum,
+        capped_running_sum_hybrid,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, delta=d) for i, (k, d) in enumerate(rows)],
+        schema="k bigint, seq bigint, delta bigint",
+    )
+    hyb = {
+        (r["k"], r["seq"]): (r["rn"], r["bal"])
+        for r in capped_running_sum_hybrid(
+            df, keys=["k"], order_cols=["seq"], delta_col="delta",
+            lo=-15, hi=25, hot_threshold=threshold, n_chunks=chunks,
+        ).collect()
+    }
+    seq = {
+        (r["k"], r["seq"]): (r["rn"], r["bal"])
+        for r in capped_running_sum(
+            df, keys=["k"], order_cols=["seq"], delta_col="delta",
+            lo=-15, hi=25,
+        ).collect()
+    }
+    assert hyb == seq
