@@ -431,3 +431,59 @@ def test_compact_mirror_crash_mid_apply_rolls_forward(
     assert len(live) == 1  # healed INTO the compacted layout
     assert not os.path.exists(dest + "__stage")
     assert not os.path.exists(dest + "__commit.json")
+
+
+def test_maintenance_pipeline_cycle(spark, tmp_path):
+    """plans/maintenance: the MERGE + OPTIMIZE cycle as named stages —
+    refresh mirrors the snapshot (diff-driven), optimize compacts the
+    multi-file partition, stats from both stages land in ctx.conf,
+    and a second dispatch with an unchanged snapshot is a no-op
+    refresh (both stages idempotent — the re-run resumability
+    contract of a scheduled maintenance loop)."""
+    from genpipe_spark.plans.maintenance import build_maintenance_pipeline
+    from genpipe_spark.plans.pipeline import PipelineContext
+
+    dest = str(tmp_path / "mirror")
+    schema = "k: long, v: string, p: string"
+    snap = spark.createDataFrame(
+        [(i, f"v{i}", "x" if i % 2 else "y") for i in range(40)], schema
+    ).repartition(6)
+    pipe = build_maintenance_pipeline()
+    ctx = PipelineContext(
+        dest=str(tmp_path / "stages"),
+        conf={
+            "mirror_dest": dest,
+            "mirror_keys": ["k"],
+            "mirror_partition_col": "p",
+            "compact_max_files": 1,
+            "compact_target_bytes": 1 << 30,
+        },
+        tables={"snapshot": snap},
+    )
+    pipe.run(spark, ctx, ["refresh", "optimize"], collect_metrics=True)
+    stats = ctx.conf["maintenance_stats"]
+    assert stats["refresh"]["partitions_rewritten"] == 2  # bootstrap
+    assert stats["optimize"]["partitions_compacted"] == 2
+    assert stats["optimize"]["files_after"] < stats["optimize"]["files_before"]
+    got = {tuple(r) for r in spark.read.parquet(dest).select("k", "v", "p").collect()}
+    want = {(i, f"v{i}", "x" if i % 2 else "y") for i in range(40)}
+    assert got == want
+    assert [m[0] for m in ctx.metrics] == ["refresh", "optimize"]
+    # idempotent re-dispatch: no diff rows, nothing left to compact
+    ctx2 = PipelineContext(
+        dest=str(tmp_path / "stages2"),
+        conf={
+            "mirror_dest": dest,
+            "mirror_keys": ["k"],
+            "mirror_partition_col": "p",
+            "compact_max_files": 1,
+            "compact_target_bytes": 1 << 30,
+        },
+        tables={"snapshot": snap},
+    )
+    pipe.run(spark, ctx2, ["refresh", "optimize"])
+    s2 = ctx2.conf["maintenance_stats"]
+    assert s2["refresh"] == {"changed_rows": 0, "partitions_rewritten": 0}
+    assert s2["optimize"]["partitions_compacted"] == 0
+    got2 = {tuple(r) for r in spark.read.parquet(dest).select("k", "v", "p").collect()}
+    assert got2 == want
