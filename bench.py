@@ -157,6 +157,17 @@ HEADLINE = [
     "join-geo-radius",
     "agg-grouping-sets",
     "layout-hilbert-3d",
+    # r7 session 5: window-exact risk/changepoint analytics, linear
+    # gap interpolation, point-in-polygon containment, Holt-Winters
+    # seasonal scan, time-decay attribution, DISTINCT window frames
+    "timeseries-drawdown",
+    "timeseries-cusum",
+    "rollup-interpolate-linear",
+    "attribution-time-decay",
+    "timeseries-holt-winters",
+    "join-point-in-polygon",
+    "window-rolling-distinct",
+    "quality-theil-atkinson",
 ]
 
 

@@ -292,6 +292,13 @@ _WINDOW_MEMBERS = {
             ("roll7_cents", "s"),
         ],
     ),
+    "rollingdistinct": (
+        "window-rolling-distinct",
+        [
+            ("user_id", "s"), ("event_id", "s"), ("n_types_10", "s"),
+            ("n_types_cum", "s"),
+        ],
+    ),
 }
 
 _SORT_SET_MEMBERS = {
@@ -534,6 +541,43 @@ _TIMEGRID_MEMBERS = {
             ("roll_med_cents", "s"),
         ],
     ),
+    "drawdown": (
+        "timeseries-drawdown",
+        [
+            ("user_id", "s"), ("n", "s"), ("peak_cents", "s"),
+            ("max_drawdown_cents", "s"), ("equity_at_max_dd", "s"),
+        ],
+    ),
+    "cusum": (
+        "timeseries-cusum",
+        [
+            ("user_id", "s"), ("n", "s"), ("max_up", "s"), ("max_down", "s"),
+            ("n_alarm_up", "s"), ("n_alarm_down", "s"),
+            ("first_alarm_up_rn", "s"),
+        ],
+    ),
+    "interp": (
+        "rollup-interpolate-linear",
+        [
+            ("user_id", "s"), ("bucket_start_us", "s"), ("n_events", "s"),
+            ("cents_known", "s"), ("interp_micro", "s"),
+        ],
+    ),
+    "attrdecay": (
+        "attribution-time-decay",
+        [
+            ("user_id", "s"), ("conv_id", "s"), ("touch_id", "s"),
+            ("age_days", "s"), ("pos", "s"), ("w", "s"), ("wtot", "s"),
+            ("credit_micro", "s"),
+        ],
+    ),
+    "holtwinters": (
+        "timeseries-holt-winters",
+        [
+            ("k", "s"), ("rn", "s"), ("x", "s"), ("level_micro", "s"),
+            ("trend_micro", "s"), ("seasonal_micro", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -603,6 +647,25 @@ _PROFILE_MEMBERS = {
             ("g", "s"), ("n1", "s"), ("n2", "s"), ("u1_doubled", "s"),
             ("u2_doubled", "s"), ("tie_cubed_sum", "s"), ("z_micro", "s"),
         ],
+    ),
+    "cramersv": (
+        "quality-cramers-v",
+        [
+            ("r_levels", "s"), ("c_levels", "s"), ("n", "s"),
+            ("chi2_sum_micro", "s"), ("cramers_v_micro", "s"),
+        ],
+    ),
+    "theil": (
+        "quality-theil-atkinson",
+        [
+            ("g", "s"), ("n", "s"), ("sx", "s"), ("theil_sum_micro", "s"),
+            ("theil_micro", "s"), ("lnx_sum_micro", "s"),
+            ("atkinson_micro", "s"),
+        ],
+    ),
+    "auc": (
+        "quality-auc",
+        [("g", "s"), ("n1", "s"), ("n2", "s"), ("auc_micro", "s")],
     ),
 }
 
@@ -778,8 +841,11 @@ window_suite = _register(
     "window-suite", _WINDOW_MEMBERS,
     "window-rank-first-running-sum ∪ window-lag-lead-ntile ∪ "
     "global-row-number ∪ window-dist-functions ∪ window-range-frame — "
-    "the full window-function family incl. value-defined RANGE frames "
-    "(r5 third rotation; range added r6).",
+    "∪ window-rolling-distinct (count(DISTINCT) over trailing/"
+    "cumulative frames via the collect_set rewrite Spark needs, "
+    "proven against DuckDB's native DISTINCT window agg) — the full "
+    "window-function family incl. value-defined RANGE frames "
+    "(r5 third rotation; range added r6; rollingdistinct r7s5).",
 )
 sort_set_suite = _register(
     "sort-set-suite", _SORT_SET_MEMBERS,
@@ -843,7 +909,12 @@ timegrid_suite = _register(
     "and MoM/YoY period-over-period growth (calendar self-joins, NULL "
     "base periods preserved) "
     "(r5 third rotation; funnelw + twap + paths r6; acf + ohlc + "
-    "attribution + rollmed r7).",
+    "attribution + rollmed r7) plus r7s5: max-drawdown, two-sided "
+    "CUSUM changepoints (closed-form clamped prefix sums), linear "
+    "gap interpolation (exact int64 lerp), time-decay attribution "
+    "(dyadic half-life weights, largest-remainder credits), and "
+    "Holt-Winters weekly seasonality (vector-state scan, LIST-ring "
+    "recursive-CTE oracle).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -856,7 +927,8 @@ profile_suite = _register(
     "∪ quality-chi2-independence (categorical association, zero "
     "cells included) ∪ quality-mannwhitney (tie-corrected doubled-"
     "rank U + z) — data-quality + privacy profiling (r5 third "
-    "rotation; entropy + ks + benford r7; gini + chi2 + mwu r7s4).",
+    "rotation; entropy + ks + benford r7; gini + chi2 + mwu r7s4; "
+    "cramers-v + theil/atkinson + exact-integer AUC r7s5).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
@@ -1027,6 +1099,10 @@ _INTERVAL_MEMBERS = {
             ("cy", "s"), ("dist2", "s"),
         ],
     ),
+    "pip": (
+        "join-point-in-polygon",
+        [("pid", "s"), ("px", "s"), ("py", "s"), ("poly_id", "s")],
+    ),
 }
 
 interval_suite = _register(
@@ -1040,7 +1116,9 @@ interval_suite = _register(
     "banded form a pure equi-join ∪ join-geo-radius (the 2-D grid "
     "sibling: 3x3-neighborhood cell join, exact integer distances) "
     "(r5 third rotation; regionjoin r6; reciprocal r7; cidr + "
-    "georadius r7s4).",
+    "georadius r7s4) ∪ join-point-in-polygon (exact int64 ray-cast "
+    "containment against broadcast grid-bucketed polygons, concave "
+    "shapes included — bbox brute-force oracle, r7s5).",
 )
 
 _GRAPH_MEMBERS = {
@@ -1057,6 +1135,13 @@ _GRAPH_MEMBERS = {
             ("dw", "s"), ("jaccard_micro", "s"),
         ],
     ),
+    "assort": (
+        "graph-assortativity",
+        [
+            ("m", "s"), ("sx", "s"), ("sxx", "s"), ("sxy", "s"),
+            ("assort_micro", "s"),
+        ],
+    ),
 }
 
 graph_suite = _register(
@@ -1067,7 +1152,9 @@ graph_suite = _register(
     "oracle, degree-ordered wedge-join triangle counting, and "
     "fixpoint k-core peeling vs an unrolled materialized-CTE twin "
     "(r5 third rotation; triangles r6; kcore r7; dedup-components "
-    "rides dedup-misc-suite).",
+    "rides dedup-misc-suite) ∪ graph-assortativity (Newman degree "
+    "correlation over the edge double-cover, exact int64 moments, "
+    "r7s5).",
 )
 
 _MM_FULL_MEMBERS = {
