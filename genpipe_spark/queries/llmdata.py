@@ -2813,3 +2813,86 @@ def graph_assortativity(spark, sf):
             / (m_d * sxx_d - sx_d * sx_d)
         ).cast("long").alias("assort_micro"),
     )
+
+
+_CLUSTERING_ORACLE = """
+WITH raw AS (
+  SELECT DISTINCT
+         CASE WHEN o_custkey % 100 < o_orderkey % 100
+              THEN o_custkey % 100 ELSE o_orderkey % 100 END AS a,
+         CASE WHEN o_custkey % 100 < o_orderkey % 100
+              THEN o_orderkey % 100 ELSE o_custkey % 100 END AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM raw UNION ALL SELECT b AS n FROM raw)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN b ELSE a END AS v
+  FROM raw JOIN deg da ON da.n = raw.a JOIN deg db ON db.n = raw.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+  FROM o e1 JOIN o e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+tcount AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri)
+  GROUP BY node
+)
+SELECT deg.n AS node, deg.d,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d < 2 THEN 0
+            ELSE (2000000 * coalesce(n_triangles, 0))
+                 // (deg.d * (deg.d - 1)) END AS clustering_micro
+FROM deg LEFT JOIN tcount ON tcount.node = deg.n
+"""
+
+
+@query("graph-clustering-coeff", _CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark, sf):
+    """Local clustering coefficient per node — closed-wedge fraction
+    C(v) = 2*T(v) / (d(v)*(d(v)-1)), the standard 'how clique-like is
+    this neighborhood' measure (with assortativity, the second global
+    graph-structure audit). Reuses the degree-ordered wedge-join
+    triangle counts (operators/graph.triangle_count — no new join
+    shape) LEFT-joined onto the degree table so triangle-free nodes
+    emit C=0, then ONE pure integer expression:
+    clustering_micro = 2e6*T div (d*(d-1)), zero float. Cost is the
+    triangle count's; the join adds a node-sized exchange."""
+    from genpipe_spark.operators.graph import triangle_count
+
+    o = t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    raw = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        raw.select(F.col("a").alias("node"))
+        .unionAll(raw.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = triangle_count(e)
+    j = deg.join(tri, "node", "left").select(
+        "node", "d",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    return j.select(
+        "node", "d", "n_triangles",
+        F.when(F.col("d") < 2, F.lit(0))
+        .otherwise(
+            F.expr("(2000000 * n_triangles) div (d * (d - 1))")
+        ).alias("clustering_micro"),
+    )

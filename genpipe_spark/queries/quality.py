@@ -842,3 +842,73 @@ def quality_auc(spark, sf):
             F.expr("(1000000 * (r1d - n1 * (n1 + 1))) div (2 * n1 * n2)")
         ).alias("auc_micro"),
     )
+
+
+_KAPPA_ORACLE = """
+WITH v AS (
+  SELECT CASE WHEN o_totalprice >= 150000 THEN 'H' ELSE 'L' END AS r1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'H' ELSE 'L' END AS r2
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+cell AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY r1, r2),
+s AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cell
+),
+marg AS (
+  SELECT CAST(sum(a.row_tot * b.col_tot) AS BIGINT) AS chance_pairs
+  FROM (SELECT r1 AS k, CAST(sum(c) AS BIGINT) AS row_tot
+        FROM cell GROUP BY r1) a
+  JOIN (SELECT r2 AS k, CAST(sum(c) AS BIGINT) AS col_tot
+        FROM cell GROUP BY r2) b
+    ON a.k = b.k
+)
+SELECT n, agree, chance_pairs,
+       (1000000 * (n * agree - chance_pairs))
+         // (n * n - chance_pairs) AS kappa_micro
+FROM s CROSS JOIN marg
+"""
+
+
+@query("quality-cohen-kappa", _KAPPA_ORACLE)
+def quality_cohen_kappa(spark, sf):
+    """Cohen's kappa between two binary 'raters' of the same orders —
+    value-based (total >= 150k) vs priority-based (urgent/high) — the
+    chance-corrected agreement audit for labeler/heuristic pairs in a
+    curation pipeline. Kappa = (po - pe)/(1 - pe) cleared of
+    denominators into PURE integers:
+    kappa_micro = 1e6*(n*agree - sum_k(row_k*col_k)) div
+    (n^2 - sum_k(row_k*col_k)) — exact int64 (n < 3e6 at sf10 keeps
+    n^2 < 2^53... < 2^63 comfortably), no float. Plan: one grouped
+    count to a 4-cell table, margins on grouped-size data, one-row
+    output."""
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.when(F.col("o_totalprice") >= 150000, "H").otherwise("L")
+            .alias("r1"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "H"
+            ).otherwise("L").alias("r2"),
+        )
+    )
+    cell = v.groupBy("r1", "r2").agg(F.count(F.lit(1)).alias("c"))
+    s = cell.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), F.col("c")).otherwise(0))
+        .alias("agree"),
+    )
+    rt = cell.groupBy("r1").agg(F.sum("c").alias("row_tot")).withColumnRenamed("r1", "k")
+    ct = cell.groupBy("r2").agg(F.sum("c").alias("col_tot")).withColumnRenamed("r2", "k")
+    marg = rt.join(ct, "k").agg(
+        F.sum(F.col("row_tot") * F.col("col_tot")).alias("chance_pairs")
+    )
+    return s.crossJoin(F.broadcast(marg)).select(
+        "n", "agree", "chance_pairs",
+        F.expr(
+            "(1000000 * (n * agree - chance_pairs)) div (n * n - chance_pairs)"
+        ).alias("kappa_micro"),
+    )

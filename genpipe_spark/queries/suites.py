@@ -578,6 +578,13 @@ _TIMEGRID_MEMBERS = {
             ("trend_micro", "s"), ("seasonal_micro", "s"),
         ],
     ),
+    "lttb": (
+        "rollup-lttb-downsample",
+        [
+            ("user_id", "s"), ("bucket", "s"), ("rn", "s"), ("ts_us", "s"),
+            ("cents", "s"), ("area2", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -825,6 +832,26 @@ _RESHAPE_OLAP_MEMBERS = {
         "tpch-q15",
         [("s_suppkey", "s"), ("s_name", "s"), ("total_rev_c2", "s")],
     ),
+    "q2": (
+        "tpch-q2",
+        [
+            ("ps_partkey", "s"), ("ps_suppkey", "s"), ("ps_supplycost_c", "s"),
+            ("s_name", "s"), ("n_name", "s"), ("bal_c", "s"),
+        ],
+    ),
+    "q9": ("tpch-q9", [("nation", "s"), ("o_year", "s"), ("profit_c2", "s")]),
+    "q11": (
+        "tpch-q11", [("ps_partkey", "s"), ("value_c", "s"), ("total_c", "s")]
+    ),
+    "q16": (
+        "tpch-q16",
+        [("p_brand", "s"), ("p_type", "s"), ("p_size", "s"), ("supplier_cnt", "s")],
+    ),
+    "q20": ("tpch-q20", [("s_suppkey", "s"), ("s_name", "s")]),
+    "kappa": (
+        "quality-cohen-kappa",
+        [("n", "s"), ("agree", "s"), ("chance_pairs", "s"), ("kappa_micro", "s")],
+    ),
 }
 
 quantile_suite = _register(
@@ -914,7 +941,8 @@ timegrid_suite = _register(
     "gap interpolation (exact int64 lerp), time-decay attribution "
     "(dyadic half-life weights, largest-remainder credits), and "
     "Holt-Winters weekly seasonality (vector-state scan, LIST-ring "
-    "recursive-CTE oracle).",
+    "recursive-CTE oracle), and LTOB downsampling (shape-preserving "
+    "decimation, exact integer triangle areas).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -959,7 +987,11 @@ reshape_olap_suite = _register(
     "pivot-unpivot ∪ agg-cube ∪ agg-grouping-sets (explicit "
     "marginals+total sets) ∪ tpch-q1-rollup ∪ tpch-q3 ∪ tpch-q5 ∪ "
     "copurchase-pairs ∪ copurchase-lift ∪ tpch-q4/q13/q17/q18 ∪ "
-    "tpch-q10/q14/q19/q21/q22 — reshape + grouping-sets + the TPC-H "
+    "tpch-q10/q14/q19/q21/q22 ∪ tpch-q2/q9/q11/q16/q20 (the partsupp "
+    "shapes over the lineitem-derived observed-pair table — ALL 22 "
+    "TPC-H queries now represented, r7s5) ∪ quality-cohen-kappa "
+    "(chance-corrected rater agreement, pure integers, r7s5) — "
+    "reshape + grouping-sets + the TPC-H "
     "showcases: Q1/Q3/Q5 (6-way star join), the full decorrelation "
     "family (Q4 EXISTS, Q13 outer-join count-with-zeros, Q17 "
     "correlated scalar avg, Q18 HAVING-join-back, Q21 EXISTS+NOT "
@@ -1142,6 +1174,10 @@ _GRAPH_MEMBERS = {
             ("assort_micro", "s"),
         ],
     ),
+    "clustering": (
+        "graph-clustering-coeff",
+        [("node", "s"), ("d", "s"), ("n_triangles", "s"), ("clustering_micro", "s")],
+    ),
 }
 
 graph_suite = _register(
@@ -1154,7 +1190,8 @@ graph_suite = _register(
     "(r5 third rotation; triangles r6; kcore r7; dedup-components "
     "rides dedup-misc-suite) ∪ graph-assortativity (Newman degree "
     "correlation over the edge double-cover, exact int64 moments, "
-    "r7s5).",
+    "r7s5) ∪ graph-clustering-coeff (closed-wedge fraction riding "
+    "the triangle counts, r7s5).",
 )
 
 _MM_FULL_MEMBERS = {

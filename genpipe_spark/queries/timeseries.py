@@ -1837,3 +1837,99 @@ def timeseries_holt_winters(spark, sf):
     return out.select(
         "k", "rn", "x", "level_micro", "trend_micro", "seasonal_micro"
     )
+
+
+_LTOB_K = 20
+
+_LTOB_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+),
+tri AS (
+  SELECT user_id, rn, n, x, y,
+         ((rn - 1) * {_LTOB_K}) // n AS bucket,
+         CASE WHEN rn = 1 OR rn = n THEN NULL ELSE
+           abs((lag(x) OVER w - lead(x) OVER w) * (y - lag(y) OVER w)
+               - (lag(x) OVER w - x) * (lead(y) OVER w - lag(y) OVER w))
+         END AS area2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+pick AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY user_id, bucket
+           ORDER BY (area2 IS NULL) DESC, area2 DESC, rn
+         ) AS pr
+  FROM tri
+)
+SELECT user_id, bucket, rn, x AS ts_us, y AS cents,
+       CAST(coalesce(area2, -1) AS BIGINT) AS area2
+FROM pick WHERE pr = 1
+"""
+
+
+@query("rollup-lttb-downsample", _LTOB_ORACLE)
+def rollup_lttb_downsample(spark, sf):
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013) —
+    the shape-preserving decimation dashboards use: each user's series
+    shrinks to <= 20 points (_LTOB_K), keeping per bucket the point whose
+    triangle with its immediate neighbors has the largest area (the
+    visually salient extremes survive; a plain every-Nth sample would
+    erase spikes). LTOB, not LTTB: neighbor-based areas are pure
+    lag/lead expressions — fully declarative, no sequential dependence
+    on previously selected points, so the whole operator is ONE
+    user-keyed sort shared by three windows + a rank filter. Exact
+    int64 doubled-areas (timestamp deltas x cents stay < 2^62);
+    endpoints always win their buckets via the NULL-area-first rank;
+    ties break to the earliest point identically in both engines."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            "ts", "event_id",
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = v.select(
+        "user_id", "x", "y",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    xp, yp = F.lag("x").over(wr), F.lag("y").over(wr)
+    xn, yn = F.lead("x").over(wr), F.lead("y").over(wr)
+    area2 = F.when(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(None)
+    ).otherwise(
+        F.abs((xp - xn) * (F.col("y") - yp) - (xp - F.col("x")) * (yn - yp))
+    )
+    tri = v.select(
+        "user_id", "rn", "n", "x", "y",
+        F.expr(f"((rn - 1) * {_LTOB_K}) div n").alias("bucket"),
+        area2.alias("area2"),
+    )
+    pr = F.row_number().over(
+        Window.partitionBy("user_id", "bucket").orderBy(
+            F.col("area2").isNull().desc(), F.col("area2").desc(), "rn"
+        )
+    )
+    return (
+        tri.withColumn("pr", pr)
+        .where(F.col("pr") == 1)
+        .select(
+            "user_id", "bucket", "rn",
+            F.col("x").alias("ts_us"), F.col("y").alias("cents"),
+            F.coalesce("area2", F.lit(-1)).alias("area2"),
+        )
+    )
