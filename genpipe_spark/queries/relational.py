@@ -3983,7 +3983,7 @@ def tpch_q11(spark, sf):
         "s_suppkey"
     )
     scoped = ps.join(
-        F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey")
+        s, F.col("s_suppkey") == F.col("ps_suppkey")
     ).select(
         "ps_partkey",
         (F.col("ps_supplycost_c").cast("long") * F.col("ps_availqty"))
@@ -4041,8 +4041,8 @@ def tpch_q16(spark, sf):
         F.col("s_suppkey").alias("ps_suppkey")
     )
     j = ps.join(
-        F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey")
-    ).join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        p, F.col("p_partkey") == F.col("ps_partkey")
+    ).join(bad, "ps_suppkey", "left_anti")
     return j.groupBy(
         "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
     ).agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
@@ -4097,7 +4097,7 @@ def tpch_q20(spark, sf):
         "s_suppkey", "s_name"
     )
     j = (
-        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .join(
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))
@@ -4155,8 +4155,8 @@ def tpch_q2(spark, sf):
     )
     n = t(spark, sf, "nation").select("n_nationkey", "n_name")
     scoped = ps.join(
-        F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey")
-    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        s, F.col("s_suppkey") == F.col("ps_suppkey")
+    ).join(n, F.col("n_nationkey") == F.col("s_nationkey"))
     rk = F.row_number().over(
         Window.partitionBy("ps_partkey").orderBy("ps_supplycost_c", "ps_suppkey")
     )
@@ -4166,7 +4166,7 @@ def tpch_q2(spark, sf):
     return (
         scoped.withColumn("rk", rk)
         .where(F.col("rk") == 1)
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "ps_partkey", "ps_suppkey", "ps_supplycost_c", "s_name", "n_name",
             F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_c"),

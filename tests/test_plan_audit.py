@@ -67,6 +67,14 @@ BOUNDED_NLJ_OK = {
     # 1-row per-split totals crossJoined to attach JS/entropy scalars
     "profile-entropy": "1-row split-totals scalar attach",
     "profile-suite": "inherits profile-entropy's 1-row attach",
+    # the R*C grid margins crossJoin inherited from chi2 + its own
+    # 1-row total attach; all grouped-size (the chi2 whitelist rationale)
+    "quality-cramers-v": "inherits quality-chi2-independence's grid "
+    "crossJoins + 1-row total",
+    # 1-row chance-pairs margin attach
+    "quality-cohen-kappa": "1-row chance-pairs scalar attach",
+    # the Q11 HAVING-scalar: broadcast of a provably-1-row bloc total
+    "tpch-q11": "broadcast 1-row bloc-total aggregate",
     # the Q22 uncorrelated scalar subquery: a provably-1-row aggregate
     # (global avg of positive balances) crossJoined to every candidate
     "tpch-q22": "1-row global-avg scalar attach (the Q22 subquery)",
@@ -141,6 +149,15 @@ BOUNDED_BROADCAST_OK = {
     # the Q22 scalar subquery: broadcast of a provably-1-row aggregate
     "tpch-q22": "broadcast 1-row global-avg aggregate",
     "reshape-olap-suite": "inherits tpch-q22's 1-row broadcast",
+    "quality-cramers-v": "inherits quality-chi2-independence's bounded "
+    "grid/margins/total broadcasts",
+    "quality-cohen-kappa": "broadcast 1-row chance-pairs margin",
+    "tpch-q11": "broadcast 1-row bloc-total aggregate",
+    # polygons are a LITERAL fixture (5 shapes); the cell cover and the
+    # edge list are polygon properties, constant by construction
+    "join-point-in-polygon": "broadcast literal polygon cells + edges",
+    "interval-suite": "inherits join-point-in-polygon's literal-polygon "
+    "broadcasts",
     # 1-row corpus doc-count for the IDF normaliser
     "text-tfidf-topk": "broadcast 1-row corpus doc count",
     # 1-row split-totals attach for the entropy/JS normalisers
