@@ -55,13 +55,15 @@ def asof_join(
 
     ``right_cols`` must not collide with left column names.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     clash = (set(right_cols) | {right_ts}) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)}")
-    reserved = {"__ts", "__side", "__tb", "__pay", "__m"}
+    reserved = {"__ts", "__side", "__tb", "__pay", "__m", "__mb", "__mf"}
     res_clash = reserved & (set(left.columns) | set(right.columns))
     if res_clash:
         raise ValueError(
@@ -87,6 +89,50 @@ def asof_join(
     # unionByName fills the side-specific columns (left payload, right
     # tiebreak, all non-key left columns on right rows) with nulls
     u = l2.unionByName(r2, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # ONE ascending sort, TWO frames: backward = last(non-null) up
+        # to the current row (equal-ts right rows sort before left, so
+        # <= holds); forward = first(non-null) strictly after. The
+        # forward frame misses equal-ts right rows BY DESIGN — they are
+        # distance 0 and the backward leg already holds them, so the
+        # nearest pick is unaffected. Tie at equal nonzero distance
+        # prefers the backward match (deterministic, documented).
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()]
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = (
+            u.withColumn("__mb", F.last("__pay", ignorenulls=True).over(wb))
+            .withColumn("__mf", F.first("__pay", ignorenulls=True).over(wf))
+            .where(F.col("__side") == 1)
+        )
+        lts = F.unix_micros(F.col("__ts"))
+        mb: Column = F.col("__mb")
+        mf: Column = F.col("__mf")
+        if tolerance_s is not None:
+            tol = F.lit(int(round(tolerance_s * 1_000_000)))
+            mb = F.when(F.abs(lts - F.unix_micros(mb["__rts"])) <= tol, mb)
+            mf = F.when(F.abs(lts - F.unix_micros(mf["__rts"])) <= tol, mf)
+        db = lts - F.unix_micros(mb["__rts"])
+        df_ = F.unix_micros(mf["__rts"]) - lts
+        m: Column = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf)
+        )
+        out_cols = [F.col(c) for c in left.columns]
+        out_cols.append(m["__rts"].alias(right_ts))
+        out_cols.extend(m[c].alias(c) for c in right_cols)
+        return matched.select(*out_cols)
 
     if direction == "backward":
         order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()]

@@ -53,6 +53,46 @@ _TOL_CLAUSE = """
 """
 
 
+
+_ASOF_NEAREST_SQL = """
+    SELECT 'nr' AS part, event_id, user_id, ts_us,
+           COALESCE(pick.r_id, -1) AS r_id,
+           COALESCE(epoch_us(pick.r_ts), -1) AS r_ts_us,
+           COALESCE(pick.r_value, -1.0) AS r_value
+    FROM (
+      SELECT event_id, user_id, ts_us,
+             CASE WHEN mb IS NULL THEN mf
+                  WHEN mf IS NULL THEN mb
+                  WHEN (uts_us - epoch_us(mb.r_ts))
+                       <= (epoch_us(mf.r_ts) - uts_us) THEN mb
+                  ELSE mf END AS pick
+      FROM (
+        SELECT *, epoch_us(uts) AS uts_us,
+               last_value(pay IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY uts ASC, side ASC, tb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+               first_value(pay IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY uts ASC, side ASC, tb ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mf
+        FROM (
+          SELECT user_id, ts AS uts, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+                 event_id, epoch_us(ts) AS ts_us,
+                 CAST(NULL AS STRUCT(r_ts TIMESTAMP, r_id BIGINT,
+                                     r_value DOUBLE)) AS pay
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts AS uts, 0 AS side, event_id AS tb,
+                 NULL, NULL,
+                 struct_pack(r_ts := ts, r_id := event_id, r_value := value)
+          FROM events WHERE event_type = 'view'
+        )
+      ) WHERE side = 1
+    )
+"""
+
+
 def _asof_oracle() -> str:
     bwd = _ASOF_PART_SQL.format(part="bwd", rtype="view", dir1="ASC", dir2="ASC")
     fwd = _ASOF_PART_SQL.format(part="fwd", rtype="purchase", dir1="DESC", dir2="DESC")
@@ -60,16 +100,22 @@ def _asof_oracle() -> str:
         tol_us=600 * 1_000_000,
         inner=_ASOF_PART_SQL.format(part="tol", rtype="view", dir1="ASC", dir2="ASC"),
     )
-    return f"{bwd} UNION ALL {fwd} UNION ALL {tol}"
+    return (
+        f"{bwd} UNION ALL {fwd} UNION ALL {tol} UNION ALL "
+        f"{_ASOF_NEAREST_SQL}"
+    )
 
 
 @query("join-asof", _asof_oracle())
 def join_asof(spark, sf):
-    """Covers the as-of join in all three forms (tagged union, one driver
+    """Covers the as-of join in all FOUR forms (tagged union, one driver
     slot): 'bwd' = each click matched to the user's most recent view at
     or before it; 'fwd' = to the next purchase at or after it; 'tol' =
-    'bwd' with a 600 s tolerance. Unmatched rows surface as -1 sentinels
-    (engine-independent hashing; see join-left-multikey)."""
+    'bwd' with a 600 s tolerance; 'nr' = to the NEAREST view either way
+    (one ascending sort, two frames; equal-distance ties prefer the
+    backward match — pandas merge_asof's third direction). Unmatched
+    rows surface as -1 sentinels (engine-independent hashing; see
+    join-left-multikey)."""
     ev = t(spark, sf, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -109,6 +155,7 @@ def join_asof(spark, sf):
         leg("bwd", "view", "backward", None)
         .unionByName(leg("fwd", "purchase", "forward", None))
         .unionByName(leg("tol", "view", "backward", 600.0))
+        .unionByName(leg("nr", "view", "nearest", None))
     )
 
 

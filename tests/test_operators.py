@@ -1768,3 +1768,35 @@ def test_keyed_scan_state_carries_across_arrow_batches(spark):
         assert all(out[(2, i)] == (i + 1, 0) for i in range(20))
     finally:
         spark.conf.set(key, old)
+
+
+def test_asof_join_nearest(spark):
+    """direction='nearest' (pandas merge_asof's third direction): min
+    |gap| either way; equal-ts rows resolve through the backward leg
+    (distance 0); equal nonzero distance prefers backward; tolerance
+    applies per candidate BEFORE the pick."""
+    from genpipe_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    # t=22 sits exactly between the t=20 and t=24 right rows (tie)
+    left = left.unionByName(
+        spark.createDataFrame([(1, 22, 103)], "k long, ts long, lid long")
+        .select("k", F.timestamp_seconds("ts").alias("ts"), "lid")
+    )
+
+    def run(**kw):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rid", "rv"], tiebreak="rid",
+            direction="nearest", **kw,
+        )
+        return {r["lid"]: r["rid"] for r in out.collect()}
+
+    # 100: bwd d=5 beats fwd d=10; 101: equal-ts 902 (d=0);
+    # 102: bwd 903 d=1 beats nothing-forward; 103: TIE d=2 -> backward
+    assert run() == {100: 900, 101: 902, 102: 903, 103: 902, 200: None}
+    # tolerance prunes each leg independently: at 1s, 103 loses both
+    # candidates (d=2), 102 keeps its d=1 backward match
+    assert run(tolerance_s=1.0) == {
+        100: None, 101: 902, 102: 903, 103: None, 200: None,
+    }
