@@ -592,3 +592,74 @@ def center_l2_normalize(
             ),
         ).alias("unit_micro"),
     )
+
+
+def power_iteration_top_dir(
+    flat: DataFrame,
+    iters: int = 3,
+    keep_bits: int = 21,
+) -> DataFrame:
+    """Dominant principal direction of an (uncentered) embedding
+    corpus by power iteration on the Gram operator — in PURE int64,
+    no float, no libm, so the result is bit-identical to an unrolled
+    SQL replay.
+
+    ``flat`` carries one row per (vector, dimension):
+    ``vec_id (long), j (long, 0-based), xq (long)`` — integer-quantized
+    components (callers clamp to a small range; see the query for the
+    floor(x*16) in [-8, 7] contract).
+
+    Each iteration is the matrix-free step w = X^T (X v):
+      1. dot_i = sum_j xq_ij * v_j   — one grouped agg per vector
+         (v attached as a 64-element LITERAL array, join-free);
+      2. w_j  = sum_i xq_ij * dot_i — one keyed join on vec_id + one
+         grouped agg (both map-side combinable).
+    Instead of float normalization, the vector is rescaled by a
+    power-of-two FLOOR SHIFT keeping ``keep_bits`` significant bits:
+    shift = max(0, bit_length(max_j |w_j|) - keep_bits), v = w >> shift
+    (pmod-adjusted floor division — exact for negatives in any
+    engine). Scaling never changes the eigendirection, so convergence
+    is the textbook power method's; bit_length rides length(bin(m)) —
+    identical in Spark and DuckDB.
+
+    The per-iteration driver step collects exactly 64 (j, w_j) rows
+    (the kmeans-centroid precedent: bounded by the embedding
+    dimensionality, never by the corpus). int64 headroom:
+    |w_j| <= 8 * 64*8*2^keep_bits * N — safe to N ~ 2e6 vectors at the
+    defaults; larger corpora lower keep_bits (the agg-grouped-corr
+    doctrine: document the regime, split when exceeded).
+
+    Returns 64 rows ``j, w (long), shift (long), v (long)`` for the
+    FINAL iteration — w the unscaled Gram image, v the rescaled
+    direction.
+    """
+    if iters < 1:
+        raise ValueError(f"power_iteration_top_dir: iters {iters} < 1")
+    dims = [r["j"] for r in flat.select("j").distinct().collect()]
+    d = len(dims)
+    v = {j: 1 for j in dims}
+    last = None
+    for _ in range(iters):
+        v_arr = F.array(*[F.lit(v[j]) for j in sorted(v)])
+        dots = (
+            flat.withColumn("__vj", F.element_at(v_arr, F.col("j").cast("int") + 1))
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("__vj")).alias("__dot"))
+        )
+        w_df = (
+            flat.join(dots, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("xq") * F.col("__dot")).alias("w"))
+        )
+        w = {r["j"]: r["w"] for r in w_df.collect()}  # d rows, bounded
+        m = max(abs(x) for x in w.values())
+        shift = max(0, int(m).bit_length() - keep_bits) if m else 0
+        den = 1 << shift
+        v = {j: (w[j] - ((w[j] % den) + den) % den) // den for j in w}
+        last = (w, shift)
+    w, shift = last
+    spark = flat.sparkSession
+    return spark.createDataFrame(
+        [(j, w[j], shift, v[j]) for j in sorted(w)],
+        "j long, w long, shift long, v long",
+    )

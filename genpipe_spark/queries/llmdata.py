@@ -2753,12 +2753,13 @@ s AS (
   FROM j
 )
 SELECT m, sx, sxx, sxy,
-       CAST(floor(1000000.0 *
-             (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
-         AS assort_micro
+       CASE WHEN m * sxx - sx * sx = 0 THEN NULL ELSE
+         CAST(floor(1000000.0 *
+               (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+       END AS assort_micro
 FROM s
 """
 
@@ -2805,13 +2806,21 @@ def graph_assortativity(spark, sf):
     )
     m_d, sx_d = F.col("m").cast("double"), F.col("sx").cast("double")
     sxx_d, sxy_d = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    # a degree-regular graph (e.g. the mod-100 graph gone COMPLETE at
+    # big replicas) has zero degree variance: assortativity is
+    # undefined there, surfaced as NULL — never a division error
     return s.select(
         "m", "sx", "sxx", "sxy",
-        F.floor(
-            F.lit(1_000_000.0)
-            * (m_d * sxy_d - sx_d * sx_d)
-            / (m_d * sxx_d - sx_d * sx_d)
-        ).cast("long").alias("assort_micro"),
+        F.when(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") == 0,
+            F.lit(None).cast("long"),
+        ).otherwise(
+            F.floor(
+                F.lit(1_000_000.0)
+                * (m_d * sxy_d - sx_d * sx_d)
+                / (m_d * sxx_d - sx_d * sx_d)
+            ).cast("long")
+        ).alias("assort_micro"),
     )
 
 
@@ -2895,4 +2904,125 @@ def graph_clustering_coeff(spark, sf):
         .otherwise(
             F.expr("(2000000 * n_triangles) div (d * (d - 1))")
         ).alias("clustering_micro"),
+    )
+
+
+def _powerit_oracle(iters: int = 3, keep_bits: int = 21) -> str:
+    # generated unroll (the pagerank/hilbert oracle pattern): one
+    # (dot, w, shift, v) CTE block per iteration, each replaying the
+    # operator's exact integer steps. sh* fold via length(bin(m)) ==
+    # bit_length for positive m; floor division via the pmod adjust.
+    sh_expr = "(1::BIGINT << sh)"
+    blocks = [
+        """flat AS (
+  SELECT vec_id, i - 1 AS j,
+         GREATEST(-8, LEAST(7,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 16) AS BIGINT))) AS xq
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+)""",
+        """dot1 AS (
+  SELECT vec_id, CAST(sum(xq) AS BIGINT) AS d FROM flat GROUP BY vec_id
+)""",
+    ]
+    for t in range(1, iters + 1):
+        if t > 1:
+            blocks.append(f"""dot{t} AS (
+  SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS d
+  FROM flat JOIN v{t-1} USING (j) GROUP BY vec_id
+)""")
+        blocks.append(f"""w{t} AS (
+  SELECT j, CAST(sum(xq * d) AS BIGINT) AS w
+  FROM flat JOIN dot{t} USING (vec_id) GROUP BY j
+)""")
+        blocks.append(f"""s{t} AS (
+  SELECT greatest(length(bin(CAST(max(abs(w)) AS BIGINT))) - {keep_bits}, 0)
+           AS sh
+  FROM w{t}
+)""")
+        blocks.append(f"""v{t} AS (
+  SELECT j,
+         (w - ((w % {sh_expr}) + {sh_expr}) % {sh_expr}) // {sh_expr} AS v
+  FROM w{t} CROSS JOIN s{t}
+)""")
+    n = iters
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+SELECT w{n}.j, w{n}.w, CAST(sh AS BIGINT) AS shift, v{n}.v
+FROM w{n} JOIN v{n} ON v{n}.j = w{n}.j CROSS JOIN s{n}
+"""
+    )
+
+
+@query("embedding-top-direction", _powerit_oracle())
+def embedding_top_direction(spark, sf):
+    """Dominant principal direction of the embedding corpus by THREE
+    power-method iterations on the Gram operator
+    (operators/similarity.power_iteration_top_dir) — the first PCA
+    axis every embedding-drift / anisotropy audit starts from. The
+    whole computation is PURE int64: components quantize to
+    floor(x*16) in [-8, 7] (x16 is a power of two — the float multiply
+    is exact, so the quantization is engine-identical), each iteration
+    is two map-side-combinable aggregates + one keyed join, and
+    normalization is replaced by a power-of-two floor shift keeping 21
+    significant bits (direction-preserving). The oracle is a GENERATED
+    per-iteration SQL unroll (the pagerank pattern) matching w, shift,
+    and v bit-for-bit. Driver state: 64 rows per iteration (the
+    dimensionality, never the corpus)."""
+    from genpipe_spark.operators.similarity import power_iteration_top_dir
+
+    emb = t(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.greatest(
+            F.lit(-8),
+            F.least(
+                F.lit(7),
+                F.floor(F.col("x").cast("double") * 16).cast("long"),
+            ),
+        ).alias("xq"),
+    )
+    return power_iteration_top_dir(flat, iters=3, keep_bits=21)
+
+
+_HASHFEAT_ORACLE = _WORD_FOLD_D + r"""
+, tok AS (SELECT doc_id, unnest(wh) AS h FROM d)
+SELECT doc_id, h % 32 AS bucket,
+       CAST(sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS feat,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM tok GROUP BY doc_id, h % 32
+"""
+
+
+@query("text-hash-features", _HASHFEAT_ORACLE)
+def text_hash_features(spark, sf):
+    """Feature hashing (Weinberger 2009, the 'hashing trick'): every
+    document becomes a sparse 32-bucket signed-count vector — the
+    fixed-width featurizer that needs NO vocabulary table, the reason
+    it scales to 100 TB corpora (no fit pass, no dictionary broadcast,
+    map-side-combinable counts; collisions are the accepted noise the
+    sign bit de-biases in expectation). bucket = wh % 32 and
+    sign = ±1 from the next hash bit, over the repo's portable 31-bit
+    polynomial word hash (operators/dedup._word_hash) — the oracle
+    replays hash, bucket, and sign exactly. One scan + one grouped
+    agg; output is corpus-sparse (only occupied buckets emit)."""
+    from genpipe_spark.operators.dedup import _word_hash
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    ).select("doc_id", _word_hash(F.col("w")).alias("h"))
+    return toks.groupBy(
+        "doc_id", (F.col("h") % 32).alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(F.expr("(h div 32) % 2 = 0"), 1).otherwise(-1)
+        ).alias("feat"),
+        F.count(F.lit(1)).alias("n_hits"),
     )
