@@ -585,6 +585,20 @@ _TIMEGRID_MEMBERS = {
             ("cents", "s"), ("area2", "s"),
         ],
     ),
+    "rfm": (
+        "rfm-segmentation",
+        [
+            ("user_id", "s"), ("r_days", "s"), ("f_n", "s"), ("m_cents", "s"),
+            ("r_score", "s"), ("f_score", "s"), ("m_score", "s"),
+        ],
+    ),
+    "ltv": (
+        "ltv-cohort-revenue",
+        [
+            ("cohort", "s"), ("age_w", "s"), ("rev_c", "s"), ("payers", "s"),
+            ("cohort_n", "s"), ("cum_rev_c", "s"), ("ltv_micro", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -941,8 +955,10 @@ timegrid_suite = _register(
     "gap interpolation (exact int64 lerp), time-decay attribution "
     "(dyadic half-life weights, largest-remainder credits), and "
     "Holt-Winters weekly seasonality (vector-state scan, LIST-ring "
-    "recursive-CTE oracle), and LTOB downsampling (shape-preserving "
-    "decimation, exact integer triangle areas).",
+    "recursive-CTE oracle), LTOB downsampling (shape-preserving "
+    "decimation, exact integer triangle areas), RFM quintile "
+    "segmentation, and cohort LTV curves (exact-cents cumulative "
+    "revenue per member).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

@@ -1980,3 +1980,161 @@ def rollup_lttb_downsample(spark, sf):
             F.coalesce("area2", F.lit(-1)).alias("area2"),
         )
     )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS f_n,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+           AS m_cents
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT CAST(max(last_us) AS BIGINT) AS now_us FROM base),
+rfm AS (
+  SELECT user_id,
+         (now_us - last_us) // 86400000000 AS r_days, f_n, m_cents
+  FROM base CROSS JOIN anchor
+)
+SELECT user_id, r_days, f_n, m_cents,
+       CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY f_n ASC, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY m_cents ASC, user_id) AS BIGINT)
+         AS m_score
+FROM rfm
+"""
+
+
+@query("rfm-segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark, sf):
+    """RFM customer segmentation — recency (days since last activity,
+    against the corpus max as the deterministic 'now'), frequency
+    (purchase count) and monetary (purchase cents), each scored into
+    quintiles: the standard marketing/churn segmentation grid. Exact
+    integers throughout; ntile ties are made deterministic by the
+    (metric, user_id) total order, which the oracle replays verbatim
+    (higher score = better: most recent / most frequent / highest
+    spend land in bucket 5). Plan note: ntile over an UNPARTITIONED
+    order is a single-reducer sort — fine for user-grained output
+    (users << events); at billions of users switch the scores to the
+    quantile-crossing formulation (quantile-weighted-pcts) and join
+    the 4-row bound table instead. One grouped agg + one 1-row anchor
+    attach + three shared-sort windows."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf, "events").groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("f_n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("m_cents"),
+    )
+    anchor = base.agg(F.max("last_us").alias("now_us"))
+    rfm = base.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("(now_us - last_us) div 86400000000").alias("r_days"),
+        "f_n", "m_cents",
+    )
+    return rfm.select(
+        "user_id", "r_days", "f_n", "m_cents",
+        F.ntile(5).over(
+            Window.orderBy(F.col("r_days").desc(), "user_id")
+        ).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("f_n").asc(), "user_id"))
+        .cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("m_cents").asc(), "user_id"))
+        .cast("long").alias("m_score"),
+    )
+
+
+_LTV_ORACLE = """
+WITH firstday AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS d0
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT e.user_id, f.d0,
+         CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.d0 AS age_d,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN firstday f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+),
+byage AS (
+  SELECT d0 % 7 AS cohort, age_d // 7 AS age_w,
+         CAST(sum(cents) AS BIGINT) AS rev_c,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS payers
+  FROM rev GROUP BY 1, 2
+),
+sized AS (
+  SELECT d0 % 7 AS cohort, CAST(count(*) AS BIGINT) AS cohort_n
+  FROM firstday GROUP BY 1
+)
+SELECT b.cohort, b.age_w, b.rev_c, b.payers, s.cohort_n,
+       CAST(sum(b.rev_c) OVER (PARTITION BY b.cohort ORDER BY b.age_w)
+            AS BIGINT) AS cum_rev_c,
+       (CAST(sum(b.rev_c) OVER (PARTITION BY b.cohort ORDER BY b.age_w)
+             AS BIGINT) * 1000000) // s.cohort_n AS ltv_micro
+FROM byage b JOIN sized s ON s.cohort = b.cohort
+"""
+
+
+@query("ltv-cohort-revenue", _LTV_ORACLE)
+def ltv_cohort_revenue(spark, sf):
+    """Cohort LTV curves: cumulative purchase revenue per signup
+    cohort (first-activity day mod 7 — the weekday cohort) by account
+    age in weeks, normalized per cohort member — the
+    lifetime-value-to-date curve under every retention dashboard
+    (pairs with cohort-retention's activity view). Exact integer
+    cents; the per-member LTV is cleared of float division
+    (cum_rev * 1e6 div cohort_n). Plan: one first-day agg, one keyed
+    join back to purchases, one grouped agg to (cohort, week) grain,
+    then a cohort-partitioned running sum over GROUPED-size data —
+    every stage map-side combinable or cohort-keyed."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0")
+    )
+    rev = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(firstday, "user_id")
+        .select(
+            "user_id",
+            (F.col("d0") % 7).alias("cohort"),
+            F.expr("(unix_micros(ts) div 86400000000 - d0) div 7").alias("age_w"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    byage = rev.groupBy("cohort", "age_w").agg(
+        F.sum("cents").alias("rev_c"),
+        F.countDistinct("user_id").alias("payers"),
+    )
+    sized = firstday.groupBy((F.col("d0") % 7).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = byage.join(sized, "cohort").withColumn(
+        "cum_rev_c", F.sum("rev_c").over(w)
+    )
+    return j.select(
+        "cohort", "age_w", "rev_c", "payers", "cohort_n", "cum_rev_c",
+        F.expr("(cum_rev_c * 1000000) div cohort_n").alias("ltv_micro"),
+    )
