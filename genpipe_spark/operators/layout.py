@@ -205,11 +205,12 @@ def hilbert_index_nd_pandas(
     integer mask/xor work, vectorized over Arrow batches exactly like
     the 2-D form; dims*bits must fit an int64 index (<= 62).
 
-    Note: for d=2 this yields a valid Hilbert curve that may differ in
-    ORIENTATION from the xy2d loop in :func:`hilbert_index_pandas`
-    (both are unit-step space-filling curves; the 2-D form keeps its
-    10-round unrolled SQL twin, this one is property-tested for the
-    bijection + unit-step-path invariants that define the curve).
+    Note: at d=2 this is EXACTLY :func:`hilbert_index_pandas` —
+    Skilling's transpose reduces to the classic xy2d rotation with the
+    same orientation (verified exhaustively over full grids at
+    bits=3..5, pinned by test_hilbert_nd_equals_2d_at_d2), so the 2-D
+    SQL twin transitively covers this kernel's d=2 slice; higher d
+    keeps the bijection + unit-step property tests.
 
     Same quantization contract: every coordinate in [0, 2^bits)."""
     cols = list(cols)

@@ -951,3 +951,28 @@ def test_capped_hybrid_matches_sequential(spark, rows, threshold, chunks):
         ).collect()
     }
     assert hyb == seq
+
+
+def test_hilbert_nd_equals_2d_at_d2(spark):
+    """ROADMAP r8 item: the N-D Skilling transpose at d=2 is not just
+    'a' Hilbert curve — it is the SAME curve as the classic xy2d loop,
+    same orientation, index for index (exhaustive over the full
+    bits=4 grid). The 2-D kernel's unrolled SQL twin therefore covers
+    the N-D kernel's d=2 slice transitively."""
+    from genpipe_spark.operators.layout import (
+        hilbert_index_nd_pandas,
+        hilbert_index_pandas,
+    )
+
+    bits, side = 4, 16
+    rows = [(x, y) for x in range(side) for y in range(side)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    d2 = {
+        (r["x"], r["y"]): r["hilbert_d"]
+        for r in hilbert_index_pandas(df, "x", "y", bits=bits).collect()
+    }
+    dn = {
+        (r["x"], r["y"]): r["hilbert_d"]
+        for r in hilbert_index_nd_pandas(df, ["x", "y"], bits=bits).collect()
+    }
+    assert d2 == dn
