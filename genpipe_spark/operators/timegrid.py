@@ -216,6 +216,14 @@ def time_bucket_interpolate(
         )
     )
     dense = spine.join(agg, [*keys, "__b"], "left")
+    # Both hull sides are RUNNING (unboundedPreceding..currentRow)
+    # frames — Spark evaluates those incrementally in O(n). The naive
+    # NOCB formulation (first ignorenulls over
+    # currentRow..unboundedFollowing) plans an UnboundedFollowing
+    # frame that RESCANS to partition end per row — O(n^2) per group,
+    # measured 11.9 s vs 0.8 s on a 1M-row spine — so the next-known
+    # side runs as LOCF over the DESCENDING order instead (one extra
+    # sort, same single hash partitioning).
     w_prev = (
         Window.partitionBy(*keys)
         .orderBy("__b")
@@ -223,8 +231,8 @@ def time_bucket_interpolate(
     )
     w_next = (
         Window.partitionBy(*keys)
-        .orderBy("__b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_b = F.when(F.col("cents_known").isNotNull(), F.col("__b"))
     hull = dense.select(
@@ -234,8 +242,8 @@ def time_bucket_interpolate(
         "cents_known",
         F.last("cents_known", ignorenulls=True).over(w_prev).alias("__pv"),
         F.last(known_b, ignorenulls=True).over(w_prev).alias("__pb"),
-        F.first("cents_known", ignorenulls=True).over(w_next).alias("__nv"),
-        F.first(known_b, ignorenulls=True).over(w_next).alias("__nb"),
+        F.last("cents_known", ignorenulls=True).over(w_next).alias("__nv"),
+        F.last(known_b, ignorenulls=True).over(w_next).alias("__nb"),
     )
     # exact int64 rational: micro-dollars = cents * 10_000; gap weights
     # are bucket distances. Non-negative numerators -> DIV == floor in

@@ -1800,3 +1800,69 @@ def test_asof_join_nearest(spark):
     assert run(tolerance_s=1.0) == {
         100: None, 101: 902, 102: 903, 103: None, 200: None,
     }
+
+
+def test_time_bucket_interpolate_hull_edges(spark):
+    """Linear gapfill: interior gaps lerp exactly (floor micro-dollars),
+    single-bucket hulls degenerate to the known value, and buckets
+    outside the known hull stay NULL (no extrapolation)."""
+    from genpipe_spark.operators.timegrid import time_bucket_interpolate
+
+    rows = [
+        # user 1: known at buckets 0 and 3 (values 100 and 400 cents)
+        (1, 0, 1.0), (1, 3 * 3600, 4.0),
+        # user 2: a single event — hull is one bucket
+        (2, 7200, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = time_bucket_interpolate(
+        df.select(
+            "user_id", F.timestamp_seconds("sec").alias("ts"), "value"
+        ),
+        ts_col="ts", value_col="value", by=("user_id",), bucket_s=3600,
+    )
+    got = {
+        (r["user_id"], r["bucket_start_us"] // 3_600_000_000): (
+            r["n_events"], r["cents_known"], r["interp_micro"]
+        )
+        for r in out.collect()
+    }
+    # user 1: 100 -> 400 cents over 3 buckets = +100 cents/bucket;
+    # micro-dollars = cents * 10_000
+    assert got[(1, 0)] == (1, 100, 1_000_000)
+    assert got[(1, 1)] == (0, None, 2_000_000)
+    assert got[(1, 2)] == (0, None, 3_000_000)
+    assert got[(1, 3)] == (1, 400, 4_000_000)
+    assert got[(2, 2)] == (1, 900, 9_000_000)
+    assert len(got) == 5  # dense hulls only; nothing outside
+
+
+def test_point_in_polygon_concave_and_boundary_grid(spark):
+    """Ray casting against the concave L: points in the notch are OUT,
+    points in both arms are IN, and a polygon spanning multiple grid
+    cells still emits each pair exactly once (no dedup pass)."""
+    from genpipe_spark.operators.spatial import point_in_polygon_join
+
+    # L-shape: (0,0)-(60,0)-(60,40)-(40,40)-(40,20)-(0,20)
+    polys = spark.createDataFrame(
+        [(7, [{"x": x, "y": y} for x, y in
+              [(0, 0), (60, 0), (60, 40), (40, 40), (40, 20), (0, 20)]])],
+        "poly_id bigint, vertices array<struct<x:long,y:long>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 10),   # lower arm: IN
+            (2, 50, 30),   # right arm: IN
+            (3, 10, 30),   # the notch: OUT
+            (4, 70, 10),   # right of bbox: OUT
+            (5, 41, 21),   # just inside the inner corner: IN
+        ],
+        "pid long, px long, py long",
+    )
+    # cell=16 forces the polygon across multiple grid cells
+    out = point_in_polygon_join(
+        pts, polys, px="px", py="py", cell=16
+    ).collect()
+    assert sorted(r["pid"] for r in out) == [1, 2, 5]
+    assert all(r["poly_id"] == 7 for r in out)
+    assert len(out) == len({r["pid"] for r in out})  # exactly-once
