@@ -91,27 +91,33 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
 
     if direction == "nearest":
-        # ONE ascending sort, TWO frames: backward = last(non-null) up
-        # to the current row (equal-ts right rows sort before left, so
-        # <= holds); forward = first(non-null) strictly after. The
-        # forward frame misses equal-ts right rows BY DESIGN — they are
-        # distance 0 and the backward leg already holds them, so the
-        # nearest pick is unaffected. Tie at equal nonzero distance
-        # prefers the backward match (deterministic, documented).
-        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()]
+        # TWO running (unboundedPreceding..currentRow) frames — NEVER a
+        # currentRow..unboundedFollowing frame, which Spark evaluates by
+        # rescanning to partition end per row (O(n^2) per key; the
+        # time_bucket_interpolate lesson). Backward: ascending order,
+        # right rows sort before left at equal ts, so <= holds.
+        # Forward: the SAME last(non-null) trick over the DESCENDING
+        # order with side/tiebreak reversed — at equal ts left rows sort
+        # first, so equal-ts right rows are excluded BY DESIGN (they are
+        # distance 0 and the backward leg already holds them), and
+        # tb DESC makes the running last() the min-tiebreak winner,
+        # matching direction='forward' semantics. Tie at equal nonzero
+        # distance prefers the backward match (deterministic).
         wb = (
             Window.partitionBy(*keys)
-            .orderBy(*order)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*keys)
-            .orderBy(*order)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(
+                F.col("__ts").desc(), F.col("__side").desc(), F.col("__tb").desc()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = (
             u.withColumn("__mb", F.last("__pay", ignorenulls=True).over(wb))
-            .withColumn("__mf", F.first("__pay", ignorenulls=True).over(wf))
+            .withColumn("__mf", F.last("__pay", ignorenulls=True).over(wf))
             .where(F.col("__side") == 1)
         )
         lts = F.unix_micros(F.col("__ts"))
