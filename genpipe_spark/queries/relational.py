@@ -4172,3 +4172,113 @@ def tpch_q2(spark, sf):
             F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_c"),
         )
     )
+
+
+_BITEMPORAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         o_orderkey % 10 = 0 AS corrected
+  FROM orders
+),
+hist AS (
+  -- A: the original assertion; superseded (tx_to closes) iff corrected
+  SELECT k, price_c, CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to,
+         d AS tx_from,
+         CASE WHEN corrected THEN d + 10 END AS tx_to, 'A' AS src
+  FROM base
+  UNION ALL
+  -- B: after the correction, the old price holds only before d+5
+  SELECT k, price_c, 0, d + 5, d + 10, NULL, 'B'
+  FROM base WHERE corrected
+  UNION ALL
+  -- C: the retroactive new price from valid day d+5 on
+  SELECT k, price_c + 500, d + 5, NULL, d + 10, NULL, 'C'
+  FROM base WHERE corrected
+),
+probes AS (
+  SELECT k, 'pre-tx' AS part, d + 7 AS v, d + 5 AS t FROM base
+  UNION ALL
+  SELECT k, 'post-tx', d + 7, d + 20 FROM base
+  UNION ALL
+  SELECT k, 'post-tx-old-valid', d + 2, d + 20 FROM base
+)
+SELECT p.k AS o_orderkey, p.part, h.price_c, h.src
+FROM probes p JOIN hist h
+  ON h.k = p.k
+ AND h.valid_from <= p.v AND (h.valid_to IS NULL OR p.v < h.valid_to)
+ AND h.tx_from <= p.t AND (h.tx_to IS NULL OR p.t < h.tx_to)
+"""
+
+
+@query("scd2-bitemporal", _BITEMPORAL_ORACLE)
+def scd2_bitemporal(spark, sf):
+    """Bitemporal (valid-time x transaction-time) as-of lookup — the
+    fourth temporal shape after SCD2 history / point-in-time /
+    change-feed: 'what did the system BELIEVE at tx time T about what
+    was true at valid time V'. The history is synthesized
+    deterministically from orders (every 10th order gets a retroactive
+    price correction recorded 10 days later, effective from valid day
+    d+5), giving the three canonical row kinds: the superseded
+    original assertion (tx interval CLOSED by the correction), the
+    clipped old-price belief, and the retroactive new price. Three
+    probes per key hit each belief state — pre-correction reads return
+    the original price even for corrected keys (tx dimension), and
+    post-correction reads split on the valid dimension. Exactly-one-
+    match per (key, probe) by construction; half-open [from, to)
+    containment on BOTH axes; all int64 day arithmetic. Scale: the
+    lookup is an equi-join on the entity key with residual interval
+    predicates — versions per key are bounded (the SCD contract), so
+    the residual never explodes; at 100 TB this is the same keyed
+    shuffle as any dimension join."""
+    base = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long").alias("d"),
+        (F.col("o_orderkey") % 10 == 0).alias("corrected"),
+    )
+    null_l = F.lit(None).cast("long")
+    a = base.select(
+        "k", "price_c",
+        F.lit(0).cast("long").alias("valid_from"), null_l.alias("valid_to"),
+        F.col("d").alias("tx_from"),
+        F.when(F.col("corrected"), F.col("d") + 10).alias("tx_to"),
+        F.lit("A").alias("src"),
+    )
+    corr = base.where("corrected")
+    b = corr.select(
+        "k", "price_c",
+        F.lit(0).cast("long").alias("valid_from"),
+        (F.col("d") + 5).alias("valid_to"),
+        (F.col("d") + 10).alias("tx_from"), null_l.alias("tx_to"),
+        F.lit("B").alias("src"),
+    )
+    c = corr.select(
+        "k", (F.col("price_c") + 500).alias("price_c"),
+        (F.col("d") + 5).alias("valid_from"), null_l.alias("valid_to"),
+        (F.col("d") + 10).alias("tx_from"), null_l.alias("tx_to"),
+        F.lit("C").alias("src"),
+    )
+    hist = a.unionByName(b).unionByName(c)
+    probes = (
+        base.select("k", F.lit("pre-tx").alias("part"),
+                    (F.col("d") + 7).alias("v"), (F.col("d") + 5).alias("t"))
+        .unionByName(
+            base.select("k", F.lit("post-tx").alias("part"),
+                        (F.col("d") + 7).alias("v"), (F.col("d") + 20).alias("t"))
+        )
+        .unionByName(
+            base.select("k", F.lit("post-tx-old-valid").alias("part"),
+                        (F.col("d") + 2).alias("v"), (F.col("d") + 20).alias("t"))
+        )
+    )
+    j = probes.join(hist, "k").where(
+        (F.col("valid_from") <= F.col("v"))
+        & (F.col("valid_to").isNull() | (F.col("v") < F.col("valid_to")))
+        & (F.col("tx_from") <= F.col("t"))
+        & (F.col("tx_to").isNull() | (F.col("t") < F.col("tx_to")))
+    )
+    return j.select(F.col("k").alias("o_orderkey"), "part", "price_c", "src")

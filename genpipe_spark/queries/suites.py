@@ -727,6 +727,10 @@ _CDC_MEMBERS = {
         "stream-cdc-apply",
         [("k", "s"), ("seg", "s"), ("bal", "s")],
     ),
+    "bitemporal": (
+        "scd2-bitemporal",
+        [("o_orderkey", "s"), ("part", "s"), ("price_c", "s"), ("src", "s")],
+    ),
     "bucketsum": (
         "validate-bucket-checksum",
         [
@@ -984,7 +988,10 @@ cdc_suite = _register(
     "history — the REAL streaming MERGE maintenance loop checked "
     "against batch-MERGE DuckDB semantics, plus Merkle-style bucket "
     "checksums for O(buckets) drift detection before a row-level diff "
-    "(r5 third rotation; diff + cdf r6; stream + bucketsum r7).",
+    "(r5 third rotation; diff + cdf r6; stream + bucketsum r7) ∪ "
+    "scd2-bitemporal (valid-time x transaction-time as-of lookups over "
+    "a retroactive-correction history — the fourth temporal shape, "
+    "r7s5).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
