@@ -168,6 +168,14 @@ HEADLINE = [
     "join-point-in-polygon",
     "window-rolling-distinct",
     "quality-theil-atkinson",
+    "rollup-lttb-downsample",
+    "tpch-q9",
+    "tpch-q2",
+    "embedding-top-direction",
+    "text-hash-features",
+    "rfm-segmentation",
+    "ltv-cohort-revenue",
+    "scd2-bitemporal",
 ]
 
 

@@ -305,3 +305,104 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def kendall_tau_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall tau-b over integer columns — the third member
+    of the correlation family (Pearson = agg-grouped-corr, Spearman =
+    agg-spearman-corr; Kendall is the pair-concordance view, robust to
+    monotone transforms AND, unlike Spearman, interpretable as a
+    probability of concordance).
+
+    Knight's O(n log n) algorithm per group: sort by (x, y), count
+    y-inversions S with a merge sort, then with n0 = C(n,2),
+    n1 = sum C(tx,2) (x-tie runs), n2 = sum C(ty,2) (y-tie runs),
+    n3 = sum C(txy,2) (joint-tie runs):
+
+        nc - nd = n0 - n1 - n2 + n3 - 2*S
+        tau_b   = (nc - nd) / sqrt((n0 - n1) * (n0 - n2))
+
+    All counts are exact int64; ``tau_micro`` is ONE pinned-IEEE
+    sqrt/divide expression over them (the quality-mannwhitney z
+    doctrine), NULL when a group is constant in either column.
+    Emits ``*keys, n, disc_swaps, n0, n1, n2, n3, tau_micro``.
+
+    Scale: one applyInPandas per group — groups are the parallelism
+    (the exact-grouped-order-statistics posture of
+    quantile-group-exact); the in-group cost is the sort. Inputs must
+    be non-NULL integers (callers quantize/filter first).
+    """
+    import math
+
+    import pandas as pd
+
+    keys = list(keys)
+    base = df.select(*keys, x_col, y_col)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, n bigint, disc_swaps bigint, n0 bigint, n1 bigint,"
+        " n2 bigint, n3 bigint, tau_micro bigint"
+    )
+
+    def merge_count(a: list) -> tuple[list, int]:
+        # classic merge sort counting STRICT inversions (a[i] > a[j], i<j)
+        n = len(a)
+        if n <= 1:
+            return a, 0
+        mid = n // 2
+        left, sl = merge_count(a[:mid])
+        right, sr = merge_count(a[mid:])
+        merged, s, i, j = [], sl + sr, 0, 0
+        while i < len(left) and j < len(right):
+            if left[i] <= right[j]:
+                merged.append(left[i])
+                i += 1
+            else:
+                # left[i] > right[j]: every remaining left element
+                # forms an inversion with right[j]
+                s += len(left) - i
+                merged.append(right[j])
+                j += 1
+        merged.extend(left[i:])
+        merged.extend(right[j:])
+        return merged, s
+
+    def tie_term(series) -> int:
+        return int(sum(t * (t - 1) // 2 for t in series if t > 1))
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import sys
+
+        sys.setrecursionlimit(100_000)
+        n = len(pdf)
+        srt = pdf.sort_values([x_col, y_col], kind="mergesort")
+        ys = srt[y_col].tolist()
+        _, swaps = merge_count(ys)
+        n0 = n * (n - 1) // 2
+        n1 = tie_term(pdf.groupby(x_col).size())
+        n2 = tie_term(pdf.groupby(y_col).size())
+        n3 = tie_term(pdf.groupby([x_col, y_col]).size())
+        num = n0 - n1 - n2 + n3 - 2 * swaps
+        d1, d2 = n0 - n1, n0 - n2
+        tau = (
+            None
+            if d1 == 0 or d2 == 0
+            else math.floor(1_000_000.0 * float(num)
+                            / math.sqrt(float(d1) * float(d2)))
+        )
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
+            n=[n], disc_swaps=[swaps], n0=[n0], n1=[n1], n2=[n2], n3=[n3],
+            tau_micro=pd.array([tau], dtype="Int64"),
+        )
+        return pd.DataFrame(row)
+
+    return base.groupBy(*keys).applyInPandas(one_group, out_schema)

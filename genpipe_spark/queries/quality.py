@@ -912,3 +912,74 @@ def quality_cohen_kappa(spark, sf):
             "(1000000 * (n * agree - chance_pairs)) div (n * n - chance_pairs)"
         ).alias("kappa_micro"),
     )
+
+
+_KENDALL_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderdate, o_orderkey)
+           AS rid
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+pairs AS (
+  SELECT a.g,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+              AS BIGINT) AS n3
+  FROM v a JOIN v b ON a.g = b.g AND a.rid < b.rid
+  GROUP BY a.g
+),
+agg AS (
+  SELECT s.g, s.n,
+         coalesce(nd, 0) AS disc_swaps,
+         s.n * (s.n - 1) // 2 AS n0,
+         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+         coalesce(n3, 0) AS n3
+  FROM s LEFT JOIN pairs ON pairs.g = s.g
+)
+SELECT g, n, disc_swaps, n0, n1, n2, n3,
+       CASE WHEN n0 - n1 = 0 OR n0 - n2 = 0 THEN NULL ELSE
+         CAST(floor(1000000.0
+               * CAST(n0 - n1 - n2 + n3 - 2 * disc_swaps AS DOUBLE)
+               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)))
+           AS BIGINT) END AS tau_micro
+FROM agg
+"""
+
+
+@query("agg-kendall-tau", _KENDALL_ORACLE)
+def agg_kendall_tau(spark, sf):
+    """Per-priority Kendall tau-b between order value and order date —
+    completing the correlation family (Pearson via exact moments,
+    Spearman via doubled ranks, Kendall via pair concordance: the view
+    that is robust to ANY monotone transform and reads as a
+    concordance probability). Spark side is Knight's O(n log n)
+    algorithm (operators/quantile.kendall_tau_grouped): sort by
+    (x, y), merge-sort-count strict y-inversions — which EQUALS the
+    discordant pair count, the identity the oracle certifies by
+    counting all C(n,2) pairs literally (the O(n^2) brute force stays
+    in DuckDB where the fixture makes it affordable). Tie terms are
+    exact int64; tau_b is one pinned sqrt/divide, NULL for constant
+    groups. Groups are the parallelism (the grouped-order-statistics
+    posture)."""
+    from genpipe_spark.operators.quantile import kendall_tau_grouped
+
+    v = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long").alias("y"),
+        )
+    )
+    return kendall_tau_grouped(v, keys=["g"], x_col="x", y_col="y")

@@ -1084,6 +1084,13 @@ _AGG_DISTINCT_EXTREMA_MEMBERS = {
             ("slope_micro", "s"), ("intercept_micro", "s"), ("r2_micro", "s"),
         ],
     ),
+    "kendall": (
+        "agg-kendall-tau",
+        [
+            ("g", "s"), ("n", "s"), ("disc_swaps", "s"), ("n0", "s"),
+            ("n1", "s"), ("n2", "s"), ("n3", "s"), ("tau_micro", "s"),
+        ],
+    ),
 }
 
 agg_distinct_extrema_suite = _register(
@@ -1092,7 +1099,9 @@ agg_distinct_extrema_suite = _register(
     "agg-spearman-corr — distinct-count reductions, deterministic "
     "mode/argmax/argmin, Pearson correlation from exact int64 moments, "
     "and Spearman rank correlation with exact doubled-average-rank tie "
-    "handling (r5 third rotation; spearman r7).",
+    "handling (r5 third rotation; spearman r7) ∪ agg-kendall-tau "
+    "(Knight's O(n log n) concordance, certified against the literal "
+    "pair count, r7s5) — the correlation family complete.",
 )
 
 _JOIN_FILTER_MEMBERS = {

@@ -976,3 +976,58 @@ def test_hilbert_nd_equals_2d_at_d2(spark):
         for r in hilbert_index_nd_pandas(df, ["x", "y"], bits=bits).collect()
     }
     assert d2 == dn
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 6), st.integers(0, 6)),
+        min_size=2, max_size=40,
+    )
+)
+def test_kendall_tau_matches_bruteforce(spark, rows):
+    """Knight's merge-sort formulation (swaps == discordant pairs, tie
+    terms from run lengths) must equal the O(n^2) literal pair count —
+    heavy ties on both axes by construction."""
+    import math
+
+    from genpipe_spark.operators.quantile import kendall_tau_grouped
+
+    df = spark.createDataFrame(
+        [Row(g=g, x=x, y=y) for g, x, y in rows], "g long, x long, y long"
+    )
+    got = {
+        r["g"]: (r["n"], r["disc_swaps"], r["n1"], r["n2"], r["n3"],
+                 r["tau_micro"])
+        for r in kendall_tau_grouped(df, ["g"], "x", "y").collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, x, y in rows:
+        groups[g].append((x, y))
+    for g, pts in groups.items():
+        n = len(pts)
+        nd = n1 = n2 = n3 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                (xa, ya), (xb, yb) = pts[i], pts[j]
+                if (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                    nd += 1
+                if xa == xb:
+                    n1 += 1
+                if ya == yb:
+                    n2 += 1
+                if xa == xb and ya == yb:
+                    n3 += 1
+        n0 = n * (n - 1) // 2
+        num = n0 - n1 - n2 + n3 - 2 * nd
+        tau = (
+            None
+            if n0 - n1 == 0 or n0 - n2 == 0
+            else math.floor(
+                1_000_000.0 * float(num)
+                / math.sqrt(float(n0 - n1) * float(n0 - n2))
+            )
+        )
+        assert got[g] == (n, nd, n1, n2, n3, tau), g
