@@ -176,6 +176,7 @@ HEADLINE = [
     "rfm-segmentation",
     "ltv-cohort-revenue",
     "scd2-bitemporal",
+    "agg-kendall-tau",
 ]
 
 

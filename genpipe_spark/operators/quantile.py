@@ -320,7 +320,9 @@ def kendall_tau_grouped(
     probability of concordance).
 
     Knight's O(n log n) algorithm per group: sort by (x, y), count
-    y-inversions S with a merge sort, then with n0 = C(n,2),
+    y-inversions S with a vectorized bottom-up merge (numpy
+    searchsorted cross counts — ~n/32 interpreter steps), then with
+    n0 = C(n,2),
     n1 = sum C(tx,2) (x-tie runs), n2 = sum C(ty,2) (y-tie runs),
     n3 = sum C(txy,2) (joint-tie runs):
 
@@ -352,40 +354,53 @@ def kendall_tau_grouped(
         " n2 bigint, n3 bigint, tau_micro bigint"
     )
 
-    def merge_count(a: list) -> tuple[list, int]:
-        # classic merge sort counting STRICT inversions (a[i] > a[j], i<j)
+    def count_inversions(y) -> int:
+        # STRICT inversions (y[i] > y[j], i < j), vectorized: 32-wide
+        # base blocks counted by one broadcast comparison, then
+        # bottom-up merging where each cross count is ONE searchsorted
+        # (#(L > r) summed over r = |L|*|R| - sum searchsorted(L, R,
+        # 'right')). ~n/32 interpreter iterations total instead of a
+        # per-element Python merge sort (review r7s5: the pure-Python
+        # version was interpreter-bound on million-row groups).
+        import numpy as np
+
+        a = np.asarray(y, dtype=np.int64)
         n = len(a)
-        if n <= 1:
-            return a, 0
-        mid = n // 2
-        left, sl = merge_count(a[:mid])
-        right, sr = merge_count(a[mid:])
-        merged, s, i, j = [], sl + sr, 0, 0
-        while i < len(left) and j < len(right):
-            if left[i] <= right[j]:
-                merged.append(left[i])
-                i += 1
-            else:
-                # left[i] > right[j]: every remaining left element
-                # forms an inversion with right[j]
-                s += len(left) - i
-                merged.append(right[j])
-                j += 1
-        merged.extend(left[i:])
-        merged.extend(right[j:])
-        return merged, s
+        if n < 2:
+            return 0
+        w = 32
+        m = -(-n // w)
+        big = np.iinfo(np.int64).max
+        b = np.concatenate([a, np.full(m * w - n, big, np.int64)])
+        b = b.reshape(m, w)
+        iu, ju = np.triu_indices(w, k=1)
+        # padding sits at the highest j positions of the last block:
+        # big > big and real > big are both False, so pads never count
+        total = int((b[:, iu] > b[:, ju]).sum())
+        b = np.sort(b, axis=1)
+        blocks = [row for row in b]
+        blocks[-1] = blocks[-1][blocks[-1] < big]  # strip pads
+        while len(blocks) > 1:
+            nxt = []
+            for i in range(0, len(blocks) - 1, 2):
+                left, right = blocks[i], blocks[i + 1]
+                total += int(
+                    len(left) * len(right)
+                    - int(np.searchsorted(left, right, side="right").sum())
+                )
+                nxt.append(np.sort(np.concatenate([left, right])))
+            if len(blocks) % 2:
+                nxt.append(blocks[-1])
+            blocks = nxt
+        return total
 
     def tie_term(series) -> int:
         return int(sum(t * (t - 1) // 2 for t in series if t > 1))
 
     def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import sys
-
-        sys.setrecursionlimit(100_000)
         n = len(pdf)
         srt = pdf.sort_values([x_col, y_col], kind="mergesort")
-        ys = srt[y_col].tolist()
-        _, swaps = merge_count(ys)
+        swaps = count_inversions(srt[y_col].to_numpy())
         n0 = n * (n - 1) // 2
         n1 = tie_term(pdf.groupby(x_col).size())
         n2 = tie_term(pdf.groupby(y_col).size())

@@ -635,8 +635,18 @@ def power_iteration_top_dir(
     """
     if iters < 1:
         raise ValueError(f"power_iteration_top_dir: iters {iters} < 1")
+    # every iteration reads flat twice (dot pass + Gram pass) and the
+    # dim discovery once more — persist the exploded corpus so the
+    # 2*iters + 1 consumers share ONE materialization instead of
+    # re-running the explode per pass (review r7s5)
+    flat = flat.persist()
     dims = [r["j"] for r in flat.select("j").distinct().collect()]
-    d = len(dims)
+    if sorted(dims) != list(range(len(dims))):
+        flat.unpersist()
+        raise ValueError(
+            "power_iteration_top_dir: dimension indexes must be exactly "
+            f"0..d-1 (element_at contract); got {sorted(dims)[:8]}..."
+        )
     v = {j: 1 for j in dims}
     last = None
     for _ in range(iters):
@@ -657,6 +667,7 @@ def power_iteration_top_dir(
         den = 1 << shift
         v = {j: (w[j] - ((w[j] % den) + den) % den) // den for j in w}
         last = (w, shift)
+    flat.unpersist()
     w, shift = last
     spark = flat.sparkSession
     return spark.createDataFrame(

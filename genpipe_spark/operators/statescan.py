@@ -530,13 +530,15 @@ def capped_running_sum_hybrid(
     base = df.select(*keys, *order_cols, delta_col)
     counts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
     hot_keys = counts.where(F.col("__kn") > hot_threshold).drop("__kn")
-    # bounded by total_rows / hot_threshold — driver-safe by contract
-    hot_rows = [tuple(r) for r in hot_keys.collect()]
-    cold = base.join(F.broadcast(hot_keys), keys, "left_anti") if hot_rows else base
+    # existence probe only — never materialize the hot-key set on the
+    # driver (at an adversarially small threshold it is nearly every
+    # key; the joins below use the DataFrame, not the rows)
+    has_hot = bool(hot_keys.head(1))
+    cold = base.join(F.broadcast(hot_keys), keys, "left_anti") if has_hot else base
     cold_out = capped_running_sum(
         cold, keys, order_cols, delta_col, lo, hi, bal_col=bal_col, rn_col=rn_col
     )
-    if not hot_rows:
+    if not has_hot:
         return cold_out
 
     hot = base.join(F.broadcast(hot_keys), keys, "left_semi")

@@ -866,8 +866,12 @@ marg AS (
     ON a.k = b.k
 )
 SELECT n, agree, chance_pairs,
-       (1000000 * (n * agree - chance_pairs))
-         // (n * n - chance_pairs) AS kappa_micro
+       ((n * agree - chance_pairs) // (n * n - chance_pairs)) * 1000000
+         + ((((n * agree - chance_pairs) % (n * n - chance_pairs)) * 1000)
+            // (n * n - chance_pairs)) * 1000
+         + ((((n * agree - chance_pairs) % (n * n - chance_pairs)) * 1000)
+             % (n * n - chance_pairs)) * 1000
+           // (n * n - chance_pairs) AS kappa_micro
 FROM s CROSS JOIN marg
 """
 
@@ -909,7 +913,12 @@ def quality_cohen_kappa(spark, sf):
     return s.crossJoin(F.broadcast(marg)).select(
         "n", "agree", "chance_pairs",
         F.expr(
-            "(1000000 * (n * agree - chance_pairs)) div (n * n - chance_pairs)"
+            "((n * agree - chance_pairs) div (n * n - chance_pairs)) * 1000000"
+            " + ((((n * agree - chance_pairs) % (n * n - chance_pairs))"
+            "     * 1000) div (n * n - chance_pairs)) * 1000"
+            " + ((((n * agree - chance_pairs) % (n * n - chance_pairs))"
+            "     * 1000) % (n * n - chance_pairs)) * 1000"
+            "   div (n * n - chance_pairs)"
         ).alias("kappa_micro"),
     )
 

@@ -112,7 +112,8 @@ def join_asof(spark, sf):
     slot): 'bwd' = each click matched to the user's most recent view at
     or before it; 'fwd' = to the next purchase at or after it; 'tol' =
     'bwd' with a 600 s tolerance; 'nr' = to the NEAREST view either way
-    (one ascending sort, two frames; equal-distance ties prefer the
+    (two running-frame window sorts, ascending + descending — never a
+    quadratic following frame; equal-distance ties prefer the
     backward match — pandas merge_asof's third direction). Unmatched
     rows surface as -1 sentinels (engine-independent hashing; see
     join-left-multikey)."""

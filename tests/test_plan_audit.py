@@ -75,6 +75,9 @@ BOUNDED_NLJ_OK = {
     "quality-cohen-kappa": "1-row chance-pairs scalar attach",
     # the Q11 HAVING-scalar: broadcast of a provably-1-row bloc total
     "tpch-q11": "broadcast 1-row bloc-total aggregate",
+    # 1-row corpus-max anchor for recency days
+    "rfm-segmentation": "1-row now_us anchor attach",
+    "timegrid-suite": "inherits rfm-segmentation's 1-row anchor",
     # the Q22 uncorrelated scalar subquery: a provably-1-row aggregate
     # (global avg of positive balances) crossJoined to every candidate
     "tpch-q22": "1-row global-avg scalar attach (the Q22 subquery)",
@@ -153,6 +156,8 @@ BOUNDED_BROADCAST_OK = {
     "grid/margins/total broadcasts",
     "quality-cohen-kappa": "broadcast 1-row chance-pairs margin",
     "tpch-q11": "broadcast 1-row bloc-total aggregate",
+    "rfm-segmentation": "broadcast 1-row now_us anchor",
+    "timegrid-suite": "inherits rfm-segmentation's 1-row anchor",
     # polygons are a LITERAL fixture (5 shapes); the cell cover and the
     # edge list are polygon properties, constant by construction
     "join-point-in-polygon": "broadcast literal polygon cells + edges",
