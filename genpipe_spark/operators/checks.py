@@ -12,6 +12,8 @@ the three copies flagged in the round-6 review).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,3 +33,48 @@ def assert_rows(df: DataFrame, valid: Column, *msg_parts: Column) -> DataFrame:
             F.lit(True),
         )
     )
+
+
+# NOTE: a literal ", " (not \s*) before the lookahead — an optional
+# whitespace token lets the regex backtrack to zero-width and sneak the
+# lookahead past "unboundedpreceding" (caught by the unit test's
+# full-frame negative)
+_QUAD_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, "
+    r"(?!unboundedpreceding\$)[^,]+, unboundedfollowing\$\(\)\)"
+)
+
+
+def plan_lint(df: DataFrame) -> list[str]:
+    """Static anti-pattern scan of a DataFrame's physical plan — the
+    checks the fleet-wide plan audit enforces, packaged for ad-hoc use
+    on any plan during development:
+
+      - ``cartesian``: a CartesianProduct (usually a missing join key);
+      - ``bnlj``: BroadcastNestedLoopJoin (a non-equi join that will
+        not survive a big build side);
+      - ``row-python``: BatchEvalPython — row-at-a-time Python UDF in
+        the plan (Arrow/pandas forms show as ArrowEvalPython /
+        MapInPandas instead);
+      - ``quadratic-frame``: a window frame with upper bound UNBOUNDED
+        FOLLOWING and a non-unbounded lower bound. Spark evaluates
+        these by RESCANNING from the current row to the partition end
+        for every row — O(n^2) per partition (measured 8x on a 1M-row
+        spine, SCALE.md r7s5). Full both-unbounded frames and running
+        frames are fine; rewrite growing-forward hulls as LOCF over
+        the DESCENDING order.
+
+    Returns a list of finding strings (empty = clean). Findings are
+    heuristics over the executed-plan text; whitelisting judgment
+    stays with the caller (tests/test_plan_audit.py)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    if "CartesianProduct" in plan:
+        out.append("cartesian: CartesianProduct in physical plan")
+    if "BroadcastNestedLoopJoin" in plan:
+        out.append("bnlj: BroadcastNestedLoopJoin in physical plan")
+    if "BatchEvalPython" in plan:
+        out.append("row-python: BatchEvalPython (row-at-a-time UDF)")
+    for m in _QUAD_FRAME.finditer(plan):
+        out.append(f"quadratic-frame: {m.group(0)}")
+    return out

@@ -266,3 +266,60 @@ def test_runtime_bloom_filter_on_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_lint_detects_each_class(spark):
+    """operators/checks.plan_lint: one positive probe per finding class
+    plus clean-plan negatives (running and both-unbounded frames must
+    NOT flag — only the growing-forward rescan class does)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.checks import plan_lint
+
+    df = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    quad = df.withColumn(
+        "x",
+        F.first("v").over(
+            Window.partitionBy("k").orderBy("v")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    )
+    assert any(f.startswith("quadratic-frame") for f in plan_lint(quad))
+    run = df.withColumn(
+        "x",
+        F.sum("v").over(
+            Window.partitionBy("k").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    full = df.withColumn(
+        "x",
+        F.max("v").over(
+            Window.partitionBy("k")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    assert plan_lint(run) == []
+    assert plan_lint(full) == []
+    cart = df.crossJoin(df.selectExpr("k AS k2", "v AS v2"))
+    assert any("cartesian" in f or "bnlj" in f for f in plan_lint(cart))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [q for q in registry.QUERIES if q not in SKIP],
+)
+def test_no_quadratic_window_frames(spark, name):
+    """Fleet-wide: no registered query may carry a growing-forward
+    window frame (upper UNBOUNDED FOLLOWING, lower not unbounded) —
+    Spark rescans to partition end per row there, O(n^2) per group
+    (the r7s5 interpolation/asof-nearest lesson, now enforced)."""
+    from genpipe_spark.operators.checks import plan_lint
+
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    quad = [f for f in plan_lint(df) if f.startswith("quadratic-frame")]
+    assert not quad, f"{name}: {quad}"
