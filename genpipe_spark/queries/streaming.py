@@ -483,3 +483,51 @@ def stream_interval_left_join_query(spark, sf):
         "conv_id",
         F.date_format("ts_conv", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_conv"),
     )
+
+
+@query(
+    "stream-trending-topk",
+    """
+    WITH expanded AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300
+               - k.k*300) AS ws,
+             event_type
+      FROM events, unnest(range(0, 2)) k(k)
+      WHERE ts IS NOT NULL
+    ),
+    counts AS (
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+             count(*)::BIGINT AS n_events
+      FROM expanded GROUP BY ws, event_type
+    ),
+    ranked AS (
+      SELECT win_start, event_type, n_events,
+             CAST(row_number() OVER (
+               PARTITION BY win_start
+               ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+      FROM counts
+    )
+    SELECT win_start, event_type, n_events, rnk FROM ranked WHERE rnk <= 2
+    """,
+)
+def stream_trending_topk(spark, sf):
+    """Trending top-2 event types per sliding 10-min window — the
+    serving view of a streaming trending dashboard
+    (streaming/ingest.trending_topk over stream_sliding_event_counts):
+    the stream maintains watermark-closed additive counts in append
+    mode; the rank runs over the sink per refresh (a rank INSIDE an
+    append stream would need the window's final state — exactly what
+    the watermark close already guarantees for the counts, so the
+    composition is the correct streaming decomposition, e2e-proven
+    equal to this batch twin under a sentinel-flush drain in
+    tests/test_pipeline_streaming.py). Ties break on event_type —
+    total order, engine-deterministic."""
+    from genpipe_spark.streaming.ingest import (
+        stream_sliding_event_counts,
+        trending_topk,
+    )
+
+    counts = stream_sliding_event_counts(t(spark, sf, "events")).drop(
+        "value_sum"
+    )
+    return trending_topk(counts, k=2)

@@ -136,6 +136,10 @@ _STREAM_MEMBERS = {
             ("conv_id", "s"), ("ts_conv", "s"),
         ],
     ),
+    "trending": (
+        "stream-trending-topk",
+        [("win_start", "s"), ("event_type", "s"), ("n_events", "s"), ("rnk", "s")],
+    ),
 }
 
 _SCAN_MEMBERS = {
@@ -213,7 +217,9 @@ stream_agg_suite = _register(
     "stream-dedup (a REAL availableNow dropDuplicatesWithinWatermark "
     "stream with cross-batch duplicates) ∪ stream-interval-left-join "
     "(the watermarked LEFT OUTER stream-stream join's batch twin, "
-    "NULL outer rows checked), packed (r5 window rotation; dedup + "
+    "NULL outer rows checked) ∪ stream-trending-topk (the serving-layer "
+    "rank over watermark-closed sliding counts, sentinel-flush "
+    "e2e-proven, r7s5), packed (r5 window rotation; dedup + "
     "left-join r7).",
 )
 scan_source_suite = _register(

@@ -537,3 +537,28 @@ def stream_interval_left_join(
         & (F.col("ts_conv") <= F.col("ts_click") + F.expr(f"INTERVAL {horizon}")),
         "left_outer",
     ).select("user_id", "click_id", "ts_click", "conv_id", "ts_conv")
+
+
+def trending_topk(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Trending view over sliding-window counts: the top-``k`` event
+    types per window by count (ties broken by event_type — total order,
+    deterministic). This is the SERVING-layer step of a streaming
+    trending dashboard: the stream maintains the additive counts
+    (stream_sliding_event_counts — append mode, watermark-closed
+    windows only), and the rank runs over the SINK table per refresh,
+    because a rank inside an append-mode stream would need the whole
+    window's final state before emitting (exactly what the watermark
+    close already guarantees for the counts). Works identically on the
+    batch twin, which is what the oracle checks."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"trending_topk: k {k} must be >= 1")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("win_start", "event_type", "n_events", "rnk")
+    )

@@ -1376,3 +1376,63 @@ def test_stream_interval_left_join_outer_rows_emit(spark, tmp_path):
         if r["click_id"] != SENTINEL
     }
     assert got == batch
+
+
+def test_stream_trending_topk_matches_batch(spark, tmp_path):
+    """trending_topk over a REAL availableNow sliding-count stream must
+    equal the batch twin exactly once every window is closed: a
+    sentinel event far past the last real one flushes the watermark
+    (the stream-interval-left-join drain pattern), sentinel windows
+    are filtered from both sides, and the serving-layer rank runs over
+    the sink table."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.streaming.ingest import (
+        stream_sliding_event_counts,
+        trending_topk,
+    )
+
+    rows = [
+        (i, f"2024-01-01 10:{m:02d}:00", t, 1.0)
+        for i, (m, t) in enumerate(
+            [(1, "click"), (2, "view"), (3, "click"), (6, "view"),
+             (7, "view"), (8, "click"), (12, "buy"), (13, "buy"),
+             (14, "view")]
+        )
+    ]
+    sentinel = [(99, "2024-01-02 00:00:00", "sentinel", 0.0)]
+    schema = "event_id bigint, ts_s string, event_type string, value double"
+
+    def df_of(r):
+        return spark.createDataFrame(r, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        )
+
+    batch, flushed = df_of(rows), df_of(rows + sentinel)
+    src = str(tmp_path / "src")
+    flushed.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        stream_sliding_event_counts(stream, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.read.parquet(out).where(F.col("event_type") != "sentinel")
+    got = {
+        tuple(r)
+        for r in trending_topk(sink.drop("value_sum"), k=2).collect()
+    }
+    want = {
+        tuple(r)
+        for r in trending_topk(
+            stream_sliding_event_counts(batch).drop("value_sum"), k=2
+        ).collect()
+    }
+    assert got == want and got
