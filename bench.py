@@ -177,6 +177,7 @@ HEADLINE = [
     "ltv-cohort-revenue",
     "scd2-bitemporal",
     "agg-kendall-tau",
+    "stream-trending-topk",
 ]
 
 
