@@ -520,6 +520,18 @@ def capped_running_sum_hybrid(
 
     Preconditions match capped_running_sum: non-NULL integer deltas,
     ``(keys, order_cols)`` unique per row.
+
+    Why only the INTEGER scan gets this router: the float members
+    (ewma_scan / holt_scan / holt_winters_scan) are also
+    composition-closed (affine maps), but a chunked composition
+    evaluates DIFFERENT IEEE operations than the sequential recurrence
+    (0.75^len accumulated per chunk vs one multiply per row), so the
+    parallel form would not be bit-identical to the sequential scan —
+    and bit-exactness against the recursive-CTE oracles is the
+    contract. Integer saturating-affine maps compose EXACTLY, so the
+    hybrid preserves the sequential result to the bit. A float hybrid
+    would need an epsilon-tolerance contract instead (out of scope by
+    doctrine; revisit only with a documented tolerance).
     """
     if lo > hi:
         raise ValueError(f"capped_running_sum_hybrid: lo {lo} > hi {hi}")
