@@ -3026,3 +3026,86 @@ def text_hash_features(spark, sf):
         ).alias("feat"),
         F.count(F.lit(1)).alias("n_hits"),
     )
+
+
+def _profile_diff_side_sql(cols: tuple, where: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM lineitem WHERE {where}
+    """
+        for c in cols
+    )
+
+
+_PROFILE_DIFF_OLD_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+_PROFILE_DIFF_NEW_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_discount")
+
+
+_PROFILE_DIFF_ORACLE = f"""
+WITH old AS ({_profile_diff_side_sql(_PROFILE_DIFF_OLD_COLS, "l_orderkey % 50 <> 0")}),
+new AS ({_profile_diff_side_sql(_PROFILE_DIFF_NEW_COLS, "TRUE")})
+SELECT coalesce(old.column, new.column) AS column,
+       CASE WHEN old.column IS NULL THEN 'added'
+            WHEN new.column IS NULL THEN 'dropped'
+            ELSE 'common' END AS status,
+       old.n_rows AS n_rows_old, new.n_rows AS n_rows_new,
+       old.n_nulls AS n_nulls_old, new.n_nulls AS n_nulls_new,
+       old.n_distinct AS n_distinct_old, new.n_distinct AS n_distinct_new,
+       new.n_distinct - old.n_distinct AS distinct_delta,
+       CASE WHEN old.column IS NULL OR new.column IS NULL THEN 'n/a'
+            WHEN old.min_str <> new.min_str OR old.max_str <> new.max_str
+            THEN 'yes' ELSE 'no' END AS range_changed
+FROM old FULL OUTER JOIN new ON old.column = new.column
+"""
+
+
+@query("profile-diff", _PROFILE_DIFF_ORACLE)
+def profile_diff(spark, sf):
+    """Snapshot-to-snapshot profile DIFF — the schema/stats drift
+    report a scheduled pipeline runs between corpus versions: two
+    one-scan profiles (operators/profile.profile_table, exact-distinct
+    mode for the oracle) full-outer-joined on column name, surfacing
+    added/dropped columns (the new snapshot trades l_shipdate for
+    l_discount) and per-column null/distinct/range deltas (the old
+    snapshot drops every 50th order, so counts and extrema move).
+    Complements profile-drift (distribution shift on ONE column): this
+    is the STRUCTURAL drift view. Cost: two scans reduced map-side to
+    #columns rows each; the join is column-count-sized."""
+    from genpipe_spark.operators.profile import profile_table
+
+    li = t(spark, sf, "lineitem")
+    old = profile_table(
+        li.where(F.expr("l_orderkey % 50 != 0")),
+        _PROFILE_DIFF_OLD_COLS, approx_distinct=False,
+    )
+    new = profile_table(li, _PROFILE_DIFF_NEW_COLS, approx_distinct=False)
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(n, o["o_column"] == n["n_column"], "full_outer")
+    return j.select(
+        F.coalesce("o_column", "n_column").alias("column"),
+        F.when(F.col("o_column").isNull(), "added")
+        .when(F.col("n_column").isNull(), "dropped")
+        .otherwise("common").alias("status"),
+        F.col("o_n_rows").alias("n_rows_old"),
+        F.col("n_n_rows").alias("n_rows_new"),
+        F.col("o_n_nulls").alias("n_nulls_old"),
+        F.col("n_n_nulls").alias("n_nulls_new"),
+        F.col("o_n_distinct").alias("n_distinct_old"),
+        F.col("n_n_distinct").alias("n_distinct_new"),
+        (F.col("n_n_distinct") - F.col("o_n_distinct")).alias("distinct_delta"),
+        # string verdict, not nullable boolean: NULL booleans render
+        # differently through the two engines' pandas paths
+        F.when(
+            F.col("o_column").isNull() | F.col("n_column").isNull(), "n/a"
+        ).when(
+            (F.col("o_min_str") != F.col("n_min_str"))
+            | (F.col("o_max_str") != F.col("n_max_str")),
+            "yes",
+        ).otherwise("no").alias("range_changed"),
+    )

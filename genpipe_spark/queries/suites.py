@@ -694,6 +694,15 @@ _PROFILE_MEMBERS = {
         "quality-auc",
         [("g", "s"), ("n1", "s"), ("n2", "s"), ("auc_micro", "s")],
     ),
+    "profdiff": (
+        "profile-diff",
+        [
+            ("column", "s"), ("status", "s"), ("n_rows_old", "s"),
+            ("n_rows_new", "s"), ("n_nulls_old", "s"), ("n_nulls_new", "s"),
+            ("n_distinct_old", "s"), ("n_distinct_new", "s"),
+            ("distinct_delta", "s"), ("range_changed", "s"),
+        ],
+    ),
 }
 
 _CDC_MEMBERS = {
@@ -982,7 +991,9 @@ profile_suite = _register(
     "cells included) ∪ quality-mannwhitney (tie-corrected doubled-"
     "rank U + z) — data-quality + privacy profiling (r5 third "
     "rotation; entropy + ks + benford r7; gini + chi2 + mwu r7s4; "
-    "cramers-v + theil/atkinson + exact-integer AUC r7s5).",
+    "cramers-v + theil/atkinson + exact-integer AUC + profile-diff "
+    "(the STRUCTURAL drift view: snapshot profiles full-outer-joined, "
+    "added/dropped columns + stat deltas) r7s5).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
