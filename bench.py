@@ -178,6 +178,7 @@ HEADLINE = [
     "scd2-bitemporal",
     "agg-kendall-tau",
     "stream-trending-topk",
+    "profile-diff",
 ]
 
 
