@@ -44,6 +44,33 @@ _QUAD_FRAME = re.compile(
     r"(?!unboundedpreceding\$)[^,]+, unboundedfollowing\$\(\)\)"
 )
 
+# a Window/WindowInPandas PHYSICAL node (not WindowGroupLimit, which is
+# the pushed-down rank-limit companion of a Window that is also present)
+_WINDOW_NODE = re.compile(r"(?:^|\s)(Window(?:InPandas)? \[.*)$")
+_SORT_DIR = re.compile(r" (?:ASC|DESC)\b")
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of one plan line (nested
+    brackets stay inside their group)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth > 0:
+            cur.append(ch)
+    return groups
+
 
 def plan_lint(df: DataFrame) -> list[str]:
     """Static anti-pattern scan of a DataFrame's physical plan — the
@@ -63,6 +90,18 @@ def plan_lint(df: DataFrame) -> list[str]:
         spine, SCALE.md r7s5). Full both-unbounded frames and running
         frames are fine; rewrite growing-forward hulls as LOCF over
         the DESCENDING order.
+      - ``single-reducer-window``: a Window node with an EMPTY
+        partition spec — ``row_number()/ntile() OVER (ORDER BY …)``
+        and friends. The whole input flows through ONE task whatever
+        the cluster size (the round-7 rfm-segmentation `weak`).
+        Acceptable only over provably BOUNDED input (a grouped /
+        distinct-domain / driver-row table); over data-sized input use
+        operators/relational.global_row_number (range shuffle +
+        broadcast offsets) or a quantile-crossing formulation.
+        Detection: the physical node prints
+        ``Window [exprs], [partSpec], [orderSpec]`` — two bracket
+        groups (or one) instead of three means no partition columns
+        (the order spec is recognized by its ASC/DESC markers).
 
     Returns a list of finding strings (empty = clean). Findings are
     heuristics over the executed-plan text; whitelisting judgment
@@ -77,4 +116,19 @@ def plan_lint(df: DataFrame) -> list[str]:
         out.append("row-python: BatchEvalPython (row-at-a-time UDF)")
     for m in _QUAD_FRAME.finditer(plan):
         out.append(f"quadratic-frame: {m.group(0)}")
+    for line in plan.splitlines():
+        node = _WINDOW_NODE.search(line)
+        if not node:
+            continue
+        groups = _top_level_bracket_groups(node.group(1))
+        # 3 groups = [exprs], [partSpec], [orderSpec] — partitioned, OK.
+        # 2 groups with sort markers in the 2nd = unpartitioned ordered;
+        # 2 groups without = partition-only (OK); 1 group = neither.
+        unpart = len(groups) == 1 or (
+            len(groups) == 2 and bool(_SORT_DIR.search(groups[1]))
+        )
+        if unpart:
+            out.append(
+                "single-reducer-window: " + node.group(1)[:160]
+            )
     return out

@@ -379,7 +379,14 @@ def kendall_tau_grouped(
         total = int((b[:, iu] > b[:, ju]).sum())
         b = np.sort(b, axis=1)
         blocks = [row for row in b]
-        blocks[-1] = blocks[-1][blocks[-1] < big]  # strip pads
+        # strip pads from the last block BY COUNT, not by value: data
+        # equal to INT64_MAX is indistinguishable from a pad, and a
+        # value filter would drop it (round-7 advisory). Sorted pads
+        # occupy the tail; keeping the first (n mod w) elements keeps
+        # exactly the data multiset (any retained MAX compares
+        # identically whether it was data or pad).
+        n_last = n - (m - 1) * w
+        blocks[-1] = blocks[-1][:n_last]
         while len(blocks) > 1:
             nxt = []
             for i in range(0, len(blocks) - 1, 2):

@@ -611,7 +611,7 @@ def power_iteration_top_dir(
 
     Each iteration is the matrix-free step w = X^T (X v):
       1. dot_i = sum_j xq_ij * v_j   — one grouped agg per vector
-         (v attached as a 64-element LITERAL array, join-free);
+         (v attached as a d-element LITERAL array, join-free);
       2. w_j  = sum_i xq_ij * dot_i — one keyed join on vec_id + one
          grouped agg (both map-side combinable).
     Instead of float normalization, the vector is rescaled by a
@@ -622,14 +622,16 @@ def power_iteration_top_dir(
     is the textbook power method's; bit_length rides length(bin(m)) —
     identical in Spark and DuckDB.
 
-    The per-iteration driver step collects exactly 64 (j, w_j) rows
-    (the kmeans-centroid precedent: bounded by the embedding
-    dimensionality, never by the corpus). int64 headroom:
-    |w_j| <= 8 * 64*8*2^keep_bits * N — safe to N ~ 2e6 vectors at the
-    defaults; larger corpora lower keep_bits (the agg-grouped-corr
-    doctrine: document the regime, split when exceeded).
+    The per-iteration driver step collects exactly d (j, w_j) rows,
+    d = the embedding dimensionality discovered from the data (the
+    kmeans-centroid precedent: bounded by dimensionality, never by
+    the corpus). int64 headroom at component bound B and dimension d:
+    |w_j| <= B * d*B*2^keep_bits * N — at the defaults (B=8, d=64)
+    safe to N ~ 2e6 vectors; larger corpora or dimensions lower
+    keep_bits (the agg-grouped-corr doctrine: document the regime,
+    split when exceeded).
 
-    Returns 64 rows ``j, w (long), shift (long), v (long)`` for the
+    Returns d rows ``j, w (long), shift (long), v (long)`` for the
     FINAL iteration — w the unscaled Gram image, v the rescaled
     direction.
     """

@@ -118,13 +118,24 @@ def point_in_polygon_join(
     candidate pair at most once — no dedup. The exact test then runs
     on candidates x edges (edge count is a polygon property, not a
     data property). ONE scan of the points, zero point-side shuffles
-    before the verdict agg on (point, polygon)."""
+    before the verdict agg on (point, polygon).
+
+    Duplicate input rows are safe: each point row gets an internal
+    unique id before the edge join, so the crossing counts of two
+    identical points never merge (merging would double the parity and
+    silently drop genuinely-inside points — round-7 advisory). Fully
+    duplicated rows therefore also yield duplicated OUTPUT rows, one
+    verdict per input row."""
     if cell <= 0:
         raise ValueError(f"point_in_polygon_join: cell {cell} must be > 0")
     c = F.lit(int(cell))
     pt_cols = points.columns
-    pts = points.withColumn("__gx", F.floor(F.col(px) / c)).withColumn(
-        "__gy", F.floor(F.col(py) / c)
+    # per-row id: the verdict agg groups on it, not on the point
+    # columns, so duplicate points keep independent crossing parities
+    pts = (
+        points.withColumn("__pid", F.monotonically_increasing_id())
+        .withColumn("__gx", F.floor(F.col(px) / c))
+        .withColumn("__gy", F.floor(F.col(py) / c))
     )
     vx = F.col("__v").getField("x")
     vy = F.col("__v").getField("y")
@@ -149,7 +160,7 @@ def point_in_polygon_join(
     cand = pts.join(F.broadcast(cells), ["__gx", "__gy"]).where(
         F.col(px).between(F.col("__mnx"), F.col("__mxx"))
         & F.col(py).between(F.col("__mny"), F.col("__mxy"))
-    ).select(*pt_cols, poly_id)
+    ).select("__pid", *pt_cols, poly_id)
     from pyspark.sql import Window
 
     w = Window.partitionBy(poly_id).orderBy("__pos").rowsBetween(
@@ -176,9 +187,12 @@ def point_in_polygon_join(
         )
     )
     verdict = (
-        j.groupBy(*pt_cols, poly_id)
-        .agg(F.sum(crossing.cast("int")).alias("__ncross"))
+        j.groupBy("__pid", poly_id)
+        .agg(
+            *[F.first(pc).alias(pc) for pc in pt_cols],
+            F.sum(crossing.cast("int")).alias("__ncross"),
+        )
         .where(F.col("__ncross") % 2 == 1)
-        .drop("__ncross")
+        .select(*pt_cols, poly_id)
     )
     return verdict

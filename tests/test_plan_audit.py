@@ -307,6 +307,66 @@ def test_plan_lint_detects_each_class(spark):
     assert plan_lint(full) == []
     cart = df.crossJoin(df.selectExpr("k AS k2", "v AS v2"))
     assert any("cartesian" in f or "bnlj" in f for f in plan_lint(cart))
+    # unpartitioned ordered window = the single-reducer class; the
+    # partitioned probes above double as its negatives
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("v")))
+    assert any(
+        f.startswith("single-reducer-window") for f in plan_lint(glob)
+    )
+    # partition-only window (no order) must NOT flag: two bracket
+    # groups but the second is a partition spec, not an order spec
+    part_only = df.withColumn("s", F.sum("v").over(Window.partitionBy("k")))
+    assert plan_lint(part_only) == []
+
+
+# query -> why a Window with an EMPTY partition spec is acceptable THERE.
+# The rule (plan_lint "single-reducer-window", added r8 after the
+# rfm-segmentation weak): an unpartitioned Window funnels its whole input
+# through ONE task, so it is only allowed over input that is provably
+# BOUNDED by construction — a grouped/distinct-domain table, a file list,
+# a dimensionality-sized frame, or driver rows — never over scan-sized
+# data. Scan-sized global numbering goes through
+# operators/relational.global_row_number instead (rfm-segmentation does).
+BOUNDED_GLOBAL_WINDOW_OK = {
+    # exclusive running min over the DISTINCT-x frontier table —
+    # domain-bounded (skyline_2d docstring: quantize x if unbounded)
+    "sort-skyline-pareto": "window over the distinct-x reduced table",
+    "sort-set-suite": "inherits sort-skyline-pareto / compaction members",
+    # bin-packing scan order over the FILE list — #files rows, a layout
+    # property, not data-sized
+    "layout-compaction-plan": "window over the file-manifest table",
+    # max(n) over the d-row per-dimension sums (embedding dimensionality)
+    "embedding-center-l2": "window over dim-sized per-dimension sums",
+    "embedding-suite": "inherits embedding-center-l2's dim-sized window",
+    # PSI term total over the #bins-row term table
+    "profile-drift": "window over the histogram-bin term table",
+    "profile-suite": "inherits profile-drift's bin-table window",
+    # CDF running sums over the REDUCED distinct-value table (the
+    # ks_two_sample quantize-first doctrine)
+    "profile-ks-drift": "window over the distinct-value CDF table",
+    # largest-remainder ranking over the driver-supplied quota rows
+    "alloc-largest-remainder": "window over driver-row quota table",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [q for q in registry.QUERIES if q not in SKIP],
+)
+def test_no_single_reducer_windows(spark, name):
+    """Fleet-wide: no registered query may plan an unpartitioned Window
+    over unverified input — the whole-input-through-one-task shape that
+    made rfm-segmentation the round-7 weak. Whitelisted windows name
+    their bounded input above."""
+    from genpipe_spark.operators.checks import plan_lint
+
+    if name in BOUNDED_GLOBAL_WINDOW_OK:
+        pytest.skip(BOUNDED_GLOBAL_WINDOW_OK[name])
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    hits = [
+        f for f in plan_lint(df) if f.startswith("single-reducer-window")
+    ]
+    assert not hits, f"{name}: {hits}"
 
 
 @pytest.mark.parametrize(
