@@ -3064,26 +3064,21 @@ FROM old FULL OUTER JOIN new ON old.column = new.column
 """
 
 
-@query("profile-diff", _PROFILE_DIFF_ORACLE)
-def profile_diff(spark, sf):
-    """Snapshot-to-snapshot profile DIFF — the schema/stats drift
-    report a scheduled pipeline runs between corpus versions: two
-    one-scan profiles (operators/profile.profile_table, exact-distinct
-    mode for the oracle) full-outer-joined on column name, surfacing
-    added/dropped columns (the new snapshot trades l_shipdate for
-    l_discount) and per-column null/distinct/range deltas (the old
-    snapshot drops every 50th order, so counts and extrema move).
-    Complements profile-drift (distribution shift on ONE column): this
-    is the STRUCTURAL drift view. Cost: two scans reduced map-side to
-    #columns rows each; the join is column-count-sized."""
+def _profile_diff_frame(spark, sf, approx_distinct: bool):
+    """Shared body of profile-diff (exact-distinct, oracle-paired) and
+    profile-diff-approx (HLL default — the mode a user actually runs,
+    benched as the headliner per the round-7 verdict; HLL internals are
+    not oracle-reproducible, so that entry is rows-only)."""
     from genpipe_spark.operators.profile import profile_table
 
     li = t(spark, sf, "lineitem")
     old = profile_table(
         li.where(F.expr("l_orderkey % 50 != 0")),
-        _PROFILE_DIFF_OLD_COLS, approx_distinct=False,
+        _PROFILE_DIFF_OLD_COLS, approx_distinct=approx_distinct,
     )
-    new = profile_table(li, _PROFILE_DIFF_NEW_COLS, approx_distinct=False)
+    new = profile_table(
+        li, _PROFILE_DIFF_NEW_COLS, approx_distinct=approx_distinct
+    )
     o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
     n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
     j = o.join(n, o["o_column"] == n["n_column"], "full_outer")
@@ -3109,3 +3104,31 @@ def profile_diff(spark, sf):
             "yes",
         ).otherwise("no").alias("range_changed"),
     )
+
+
+@query("profile-diff", _PROFILE_DIFF_ORACLE)
+def profile_diff(spark, sf):
+    """Snapshot-to-snapshot profile DIFF — the schema/stats drift
+    report a scheduled pipeline runs between corpus versions: two
+    one-scan profiles (operators/profile.profile_table, exact-distinct
+    mode so the oracle can replay n_distinct) full-outer-joined on
+    column name, surfacing added/dropped columns (the new snapshot
+    trades l_shipdate for l_discount) and per-column
+    null/distinct/range deltas (the old snapshot drops every 50th
+    order, so counts and extrema move). Complements profile-drift
+    (distribution shift on ONE column): this is the STRUCTURAL drift
+    view. Cost: two scans reduced map-side to #columns rows each; the
+    join is column-count-sized. The HEADLINE bench entry is
+    profile-diff-approx (the HLL default a user runs); this exact
+    form exists for the parity gate."""
+    return _profile_diff_frame(spark, sf, approx_distinct=False)
+
+
+@query("profile-diff-approx")
+def profile_diff_approx(spark, sf):
+    """profile-diff in the operator's DEFAULT approx-distinct mode
+    (HLL++ via approx_count_distinct — single-pass, mergeable, the
+    100 TB path). Rows-only check: sketch estimates are not
+    engine-reproducible; every other column is pinned by the exact
+    sibling's oracle."""
+    return _profile_diff_frame(spark, sf, approx_distinct=True)

@@ -2043,13 +2043,19 @@ def rfm_segmentation(spark, sf):
 
     Scale shape (r8 — replaces three unpartitioned ntile windows that
     each forced the whole user table through ONE reducer, the round-7
-    `weak`): each score is a global rank from
-    operators/relational.global_row_number (range shuffle +
-    per-partition numbering + broadcast offset table — no
-    single-reducer Window) fed through the exact integer ntile-layout
-    inverse ``_ntile_from_rank``. Result is bit-identical to the
-    oracle's ntile — same bucket boundaries, same (metric, user_id)
-    tie order — but every sort is partition-parallel."""
+    `weak`): the three metrics are STACKED long-format
+    (user_id, metric_id, value — 3n narrow rows) so ONE
+    operators/relational.global_row_number pass over the total order
+    (metric_id, value, user_id) numbers all three sorts together
+    (range shuffle + per-partition numbering + broadcast offset table
+    — no single-reducer Window); per-metric rank = global_rn −
+    (metric_id−1)·n, pivoted back with one grouped agg. Result is
+    bit-identical to the oracle's ntile — same bucket boundaries, same
+    (metric, user_id) tie order — but every sort is
+    partition-parallel, and the whole query costs one extra shuffle of
+    a 3-long-column user-grained table instead of three chained
+    numbering passes (first r8 form: 3 chains = 2.5 s at sf0.1; this
+    form ~1 s)."""
     from genpipe_spark.operators.relational import global_row_number
 
     base = t(spark, sf, "events").groupBy("user_id").agg(
@@ -2079,14 +2085,26 @@ def rfm_segmentation(spark, sf):
         # exact; r_days >= 0 so no MIN_LONG edge)
         F.expr("-((now_us - last_us) div 86400000000)").alias("__negr"),
     )
-    ranked = global_row_number(rfm, ["__negr", "user_id"], alias="__rn_r")
-    ranked = global_row_number(ranked, ["f_n", "user_id"], alias="__rn_f")
-    ranked = global_row_number(ranked, ["m_cents", "user_id"], alias="__rn_m")
-    return ranked.select(
+    # the union branches and the final join share one materialization
+    rfm = rfm.localCheckpoint(eager=False)
+    long = (
+        rfm.select("user_id", F.lit(1).alias("__mid"),
+                   F.col("__negr").alias("__v"))
+        .unionAll(rfm.select("user_id", F.lit(2), "f_n"))
+        .unionAll(rfm.select("user_id", F.lit(3), "m_cents"))
+    )
+    ranked = global_row_number(long, ["__mid", "__v", "user_id"],
+                               alias="__grn")
+    ranks = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("__mid") == 1, F.col("__grn"))).alias("__g_r"),
+        F.max(F.when(F.col("__mid") == 2, F.col("__grn"))).alias("__g_f"),
+        F.max(F.when(F.col("__mid") == 3, F.col("__grn"))).alias("__g_m"),
+    )
+    return rfm.join(ranks, "user_id").select(
         "user_id", "r_days", "f_n", "m_cents",
-        _ntile_from_rank("__rn_r", "__n", 5).alias("r_score"),
-        _ntile_from_rank("__rn_f", "__n", 5).alias("f_score"),
-        _ntile_from_rank("__rn_m", "__n", 5).alias("m_score"),
+        _ntile_from_rank("__g_r", "__n", 5).alias("r_score"),
+        _ntile_from_rank("(__g_f - __n)", "__n", 5).alias("f_score"),
+        _ntile_from_rank("(__g_m - 2 * __n)", "__n", 5).alias("m_score"),
     )
 
 
