@@ -521,17 +521,14 @@ def capped_running_sum_hybrid(
     Preconditions match capped_running_sum: non-NULL integer deltas,
     ``(keys, order_cols)`` unique per row.
 
-    Why only the INTEGER scan gets this router: the float members
-    (ewma_scan / holt_scan / holt_winters_scan) are also
-    composition-closed (affine maps), but a chunked composition
-    evaluates DIFFERENT IEEE operations than the sequential recurrence
-    (0.75^len accumulated per chunk vs one multiply per row), so the
-    parallel form would not be bit-identical to the sequential scan —
-    and bit-exactness against the recursive-CTE oracles is the
-    contract. Integer saturating-affine maps compose EXACTLY, so the
-    hybrid preserves the sequential result to the bit. A float hybrid
-    would need an epsilon-tolerance contract instead (out of scope by
-    doctrine; revisit only with a documented tolerance).
+    Exactness: integer saturating-affine maps compose EXACTLY, so this
+    router preserves the sequential result to the bit. The float
+    members get the same router with a DOCUMENTED tolerance contract
+    instead (r8, VERDICT r7 item 5): see :func:`ewma_scan_hybrid` /
+    :func:`holt_scan_hybrid` — a chunked float composition evaluates
+    different IEEE roundings than the sequential recurrence, so their
+    hot-key handoffs carry ulp-level drift that the smoothing
+    contracts; their oracle-paired queries keep the sequential scans.
     """
     if lo > hi:
         raise ValueError(f"capped_running_sum_hybrid: lo {lo} > hi {hi}")
@@ -540,20 +537,13 @@ def capped_running_sum_hybrid(
     keys = list(keys)
     order_cols = list(order_cols)
     base = df.select(*keys, *order_cols, delta_col)
-    counts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
-    hot_keys = counts.where(F.col("__kn") > hot_threshold).drop("__kn")
-    # existence probe only — never materialize the hot-key set on the
-    # driver (at an adversarially small threshold it is nearly every
-    # key; the joins below use the DataFrame, not the rows)
-    has_hot = bool(hot_keys.head(1))
-    cold = base.join(F.broadcast(hot_keys), keys, "left_anti") if has_hot else base
+    cold, hot = _route_hot_keys(base, keys, hot_threshold)
     cold_out = capped_running_sum(
         cold, keys, order_cols, delta_col, lo, hi, bal_col=bal_col, rn_col=rn_col
     )
-    if not has_hot:
+    if hot is None:
         return cold_out
 
-    hot = base.join(F.broadcast(hot_keys), keys, "left_semi")
     chunked = (
         hot.repartitionByRange(n_chunks, *keys, *order_cols)
         .sortWithinPartitions(*keys, *order_cols)
@@ -649,6 +639,362 @@ def capped_running_sum_hybrid(
             out[rn_col] = rns
             out[bal_col] = bal
             yield out
+
+    hot_out = chunked.mapInPandas(replay, out_schema)
+    return cold_out.unionByName(hot_out)
+
+
+def _route_hot_keys(
+    base: DataFrame, keys: list, hot_threshold: int
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared hot/cold key split of every hybrid router: one grouped
+    count, keys above the threshold routed to the parallel form. The
+    hot-key set is only ever used as a (broadcast) join side — never
+    materialized on the driver (adversarially small thresholds make it
+    nearly every key). Returns (cold, hot); hot is None when no key
+    crosses the threshold."""
+    counts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    hot_keys = counts.where(F.col("__kn") > hot_threshold).drop("__kn")
+    if not hot_keys.head(1):
+        return base, None
+    cold = base.join(F.broadcast(hot_keys), keys, "left_anti")
+    hot = base.join(F.broadcast(hot_keys), keys, "left_semi")
+    return cold, hot
+
+
+def ewma_scan_hybrid(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    hot_threshold: int = 1_000_000,
+    n_chunks: int = 32,
+    out_col: str = "ewma_micro",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """:func:`ewma_scan` with the hot-key router of
+    :func:`capped_running_sum_hybrid` — one whale key can no longer
+    serialize a partition (VERDICT r7 item 5). Keys with
+    ``count <= hot_threshold`` take the boundary-reset scan UNCHANGED
+    (bit-exact, oracle-replayable). Hot keys range-partition on
+    ``(keys, order)``; pass 1 composes per (partition, key-segment)
+    the exact affine form of the chunk — EWMA is linear, so a chunk
+    maps entry state e to ``A*e + B`` with ``A = (1-alpha)^n`` (built
+    by per-row multiplies) and ``B`` the recurrence from 0 — plus the
+    CONCRETE exit state ``C`` for a segment that starts its key (whose
+    first row resets ``s = x``, not an affine step). The driver
+    prefix-composes each hot key's segments in partition order
+    (bounded rows: n_chunks segments x n_hot_keys), and pass 2 replays
+    each segment's rows SEQUENTIALLY from its entry state.
+
+    EXACTNESS CONTRACT (the documented tolerance the integer-only
+    doctrine reserved this for): hot keys contained in one chunk and
+    every key's FIRST chunk replay the identical IEEE op sequence —
+    bit-exact. Rows in a hot key's LATER chunks start from the
+    composed handoff ``A*e + B``, which rounds differently from the
+    sequential interleaving by a few ulps of ``|s|``; the EWMA
+    recurrence then CONTRACTS that difference by ``(1-alpha)`` per
+    row, so drift never accumulates. In the floor(s*1e6) integer
+    output this is invisible except when the true value sits within
+    ~1e-9 relative of a micro boundary — the property suite asserts
+    ``|hybrid - sequential| <= 1`` micro on adversarial splits (and
+    exact equality of ``rn`` and of all cold keys). Queries keep the
+    sequential :func:`ewma_scan` for oracle parity; this router is the
+    scale path."""
+    if hot_threshold < 1:
+        raise ValueError("ewma_scan_hybrid: hot_threshold < 1")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    a = float(alpha)
+    b = 1.0 - a
+    base = df.select(*keys, *order_cols, value_col)
+    cold, hot = _route_hot_keys(base, keys, hot_threshold)
+    cold_out = ewma_scan(
+        cold, keys, order_cols, value_col, alpha,
+        out_col=out_col, rn_col=rn_col,
+    )
+    if hot is None:
+        return cold_out
+
+    chunked = (
+        hot.repartitionByRange(n_chunks, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+
+    def compose(batches):
+        pid, cur, n = None, object(), 0
+        A, B, C = 1.0, 0.0, 0.0
+
+        def emit():
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    **{k: [cur[j]] for j, k in enumerate(keys)},
+                    "n": [n], "A": [A], "B": [B], "C": [C],
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            xs = pdf[value_col].to_numpy()
+            for i in range(len(pdf)):
+                if kv[i] != cur:
+                    if n:
+                        yield emit()
+                    cur, n, A, B, C = kv[i], 0, 1.0, 0.0, 0.0
+                x = float(xs[i])
+                if n == 0:
+                    C = x          # key-fresh first row: s = x
+                else:
+                    C = a * x + b * C
+                A = b * A
+                B = a * x + b * B
+                n += 1
+        if n:
+            yield emit()
+
+    seg_rows = chunked.mapInPandas(
+        compose,
+        f"pid int, {key_schema}, n bigint, A double, B double, C double",
+    ).collect()
+    by_key: dict[tuple, list] = {}
+    for r in seg_rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    # entry: (pid, key) -> (fresh, s_entry, rn_offset)
+    entry: dict[tuple, tuple[bool, float, int]] = {}
+    for kt, segs in by_key.items():
+        segs.sort(key=lambda r: r["pid"])
+        s, off = 0.0, 0
+        for j, r in enumerate(segs):
+            entry[(r["pid"], kt)] = (j == 0, s, off)
+            s = r["C"] if j == 0 else r["A"] * s + r["B"]
+            off += r["n"]
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `{out_col}` bigint"
+
+    import math
+
+    def replay(batches):
+        pid, cur, fresh, s, rn = None, object(), False, 0.0, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            xs = pdf[value_col].to_numpy()
+            out = np.empty(n, dtype=np.int64)
+            rns = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                x = float(xs[i])
+                if kv[i] != cur:
+                    cur = kv[i]
+                    fresh, s, rn = entry[(pid, cur)]
+                if fresh:
+                    s, fresh = x, False
+                else:
+                    s = a * x + b * s
+                rn += 1
+                out[i] = math.floor(s * 1_000_000.0)
+                rns[i] = rn
+            res = pdf.drop(columns=["__pid"])
+            res[rn_col] = rns
+            res[out_col] = out
+            yield res
+
+    hot_out = chunked.mapInPandas(replay, out_schema)
+    return cold_out.unionByName(hot_out)
+
+
+def holt_scan_hybrid(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    hot_threshold: int = 1_000_000,
+    n_chunks: int = 32,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """:func:`holt_scan` with the hot-key router — the 2-state
+    (level, trend) sibling of :func:`ewma_scan_hybrid`. Holt's update
+    is linear in the state vector, so a chunk composes to the exact
+    affine map ``v -> M@v + c`` (M a 2x2 matrix built by per-row
+    multiplies, c the recurrence from the zero state), plus the
+    concrete exit ``C`` for key-fresh segments (first row resets to
+    ``(x, 0)``). Same exactness contract as ewma_scan_hybrid:
+    bit-exact for cold keys, one-chunk hot keys and first chunks;
+    later chunks start from the composed handoff and drift by ulps
+    that the smoothing contracts — property-asserted within 1 micro
+    of the sequential scan. Spectral note: Holt's update matrix has
+    eigenvalues inside the unit circle for 0 < alpha < 1,
+    0 < beta < 1 (standard Holt stability region), so the handoff
+    perturbation decays rather than amplifies."""
+    if hot_threshold < 1:
+        raise ValueError("holt_scan_hybrid: hot_threshold < 1")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    a, g = float(alpha), float(beta)
+    ca, cg = 1.0 - a, 1.0 - g
+    base = df.select(*keys, *order_cols, value_col)
+    cold, hot = _route_hot_keys(base, keys, hot_threshold)
+    cold_out = holt_scan(
+        cold, keys, order_cols, value_col, alpha, beta, rn_col=rn_col
+    )
+    if hot is None:
+        return cold_out
+
+    chunked = (
+        hot.repartitionByRange(n_chunks, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+
+    def step(l, b, x):
+        ln = a * x + ca * (l + b)
+        bn = g * (ln - l) + cg * b
+        return ln, bn
+
+    def compose(batches):
+        pid, cur, n = None, object(), 0
+        # columns of M tracked as the images of (1,0) and (0,1);
+        # c = image of the zero state; C = concrete key-fresh exit
+        m00 = m10 = m01 = m11 = 0.0
+        c0 = c1 = 0.0
+        C0 = C1 = 0.0
+
+        def emit():
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    **{k: [cur[j]] for j, k in enumerate(keys)},
+                    "n": [n],
+                    "m00": [m00], "m01": [m01],
+                    "m10": [m10], "m11": [m11],
+                    "c0": [c0], "c1": [c1],
+                    "C0": [C0], "C1": [C1],
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            xs = pdf[value_col].to_numpy()
+            for i in range(len(pdf)):
+                if kv[i] != cur:
+                    if n:
+                        yield emit()
+                    cur, n = kv[i], 0
+                    m00, m10, m01, m11 = 1.0, 0.0, 0.0, 1.0
+                    c0 = c1 = C0 = C1 = 0.0
+                x = float(xs[i])
+                if n == 0:
+                    C0, C1 = x, 0.0   # key-fresh first row: (l, b) = (x, 0)
+                else:
+                    C0, C1 = step(C0, C1, x)
+                # affine columns advance by the x=0 linear part; the
+                # inhomogeneous term rides c (x applied once)
+                m00, m10 = (
+                    ca * (m00 + m10),
+                    g * (ca * (m00 + m10) - m00) + cg * m10,
+                )
+                m01, m11 = (
+                    ca * (m01 + m11),
+                    g * (ca * (m01 + m11) - m01) + cg * m11,
+                )
+                c0, c1 = step(c0, c1, x)
+                n += 1
+        if n:
+            yield emit()
+
+    seg_rows = chunked.mapInPandas(
+        compose,
+        f"pid int, {key_schema}, n bigint, m00 double, m01 double,"
+        " m10 double, m11 double, c0 double, c1 double,"
+        " C0 double, C1 double",
+    ).collect()
+    by_key: dict[tuple, list] = {}
+    for r in seg_rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    entry: dict[tuple, tuple[bool, float, float, int]] = {}
+    for kt, segs in by_key.items():
+        segs.sort(key=lambda r: r["pid"])
+        l, b, off = 0.0, 0.0, 0
+        for j, r in enumerate(segs):
+            entry[(r["pid"], kt)] = (j == 0, l, b, off)
+            if j == 0:
+                l, b = r["C0"], r["C1"]
+            else:
+                l, b = (
+                    r["m00"] * l + r["m01"] * b + r["c0"],
+                    r["m10"] * l + r["m11"] * b + r["c1"],
+                )
+            off += r["n"]
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `level_micro` bigint, `trend_micro` bigint"
+
+    import math
+
+    def replay(batches):
+        pid, cur, fresh, l, b, rn = None, object(), False, 0.0, 0.0, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            kv = _key_rows(pdf, keys)
+            if len(keys) == 1:
+                kv = [(v,) for v in kv.tolist()]
+            xs = pdf[value_col].to_numpy()
+            lv = np.empty(n, dtype=np.int64)
+            tr = np.empty(n, dtype=np.int64)
+            rns = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                x = float(xs[i])
+                if kv[i] != cur:
+                    cur = kv[i]
+                    fresh, l, b, rn = entry[(pid, cur)]
+                if fresh:
+                    l, b, fresh = x, 0.0, False
+                else:
+                    l, b = step(l, b, x)
+                rn += 1
+                lv[i] = math.floor(l * 1_000_000.0)
+                tr[i] = math.floor(b * 1_000_000.0)
+                rns[i] = rn
+            res = pdf.drop(columns=["__pid"])
+            res[rn_col] = rns
+            res["level_micro"] = lv
+            res["trend_micro"] = tr
+            yield res
 
     hot_out = chunked.mapInPandas(replay, out_schema)
     return cold_out.unionByName(hot_out)

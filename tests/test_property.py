@@ -1031,3 +1031,104 @@ def test_kendall_tau_matches_bruteforce(spark, rows):
             )
         )
         assert got[g] == (n, nd, n1, n2, n3, tau), g
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-500, 500)),
+        min_size=0, max_size=60,
+    ),
+    threshold=st.sampled_from([1, 3, 8]),
+    chunks=st.sampled_from([2, 5]),
+)
+def test_ewma_hybrid_matches_sequential(spark, rows, threshold, chunks):
+    """The float hot-key router (r8, VERDICT r7 item 5) vs the
+    sequential scan under adversarial splits: rn must be EXACT
+    everywhere; ewma_micro exact on cold keys and within the
+    documented 1-micro tolerance where a hot key is split across
+    range partitions (the composed-handoff ulp drift)."""
+    from genpipe_spark.operators.statescan import ewma_scan, ewma_scan_hybrid
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, v=float(v) / 4.0) for i, (k, v) in enumerate(rows)],
+        schema="k bigint, seq bigint, v double",
+    )
+    hyb = {
+        (r["k"], r["seq"]): (r["rn"], r["ewma_micro"])
+        for r in ewma_scan_hybrid(
+            df, keys=["k"], order_cols=["seq"], value_col="v", alpha=0.25,
+            hot_threshold=threshold, n_chunks=chunks,
+        ).collect()
+    }
+    seq = {
+        (r["k"], r["seq"]): (r["rn"], r["ewma_micro"])
+        for r in ewma_scan(
+            df, keys=["k"], order_cols=["seq"], value_col="v", alpha=0.25,
+        ).collect()
+    }
+    assert hyb.keys() == seq.keys()
+    for key in seq:
+        assert hyb[key][0] == seq[key][0], f"rn mismatch at {key}"
+        assert abs(hyb[key][1] - seq[key][1]) <= 1, (
+            f"ewma beyond tolerance at {key}: {hyb[key]} vs {seq[key]}"
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-500, 500)),
+        min_size=0, max_size=50,
+    ),
+    threshold=st.sampled_from([1, 4]),
+    chunks=st.sampled_from([2, 5]),
+)
+def test_holt_hybrid_matches_sequential(spark, rows, threshold, chunks):
+    """holt_scan_hybrid vs holt_scan: exact rn, level/trend within the
+    1-micro handoff tolerance (2-state affine composition)."""
+    from genpipe_spark.operators.statescan import holt_scan, holt_scan_hybrid
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, v=float(v) / 4.0) for i, (k, v) in enumerate(rows)],
+        schema="k bigint, seq bigint, v double",
+    )
+    kw = dict(keys=["k"], order_cols=["seq"], value_col="v",
+              alpha=0.5, beta=0.25)
+    hyb = {
+        (r["k"], r["seq"]): (r["rn"], r["level_micro"], r["trend_micro"])
+        for r in holt_scan_hybrid(
+            df, hot_threshold=threshold, n_chunks=chunks, **kw
+        ).collect()
+    }
+    seq = {
+        (r["k"], r["seq"]): (r["rn"], r["level_micro"], r["trend_micro"])
+        for r in holt_scan(df, **kw).collect()
+    }
+    assert hyb.keys() == seq.keys()
+    for key in seq:
+        assert hyb[key][0] == seq[key][0], f"rn mismatch at {key}"
+        assert abs(hyb[key][1] - seq[key][1]) <= 1, f"level at {key}"
+        assert abs(hyb[key][2] - seq[key][2]) <= 1, f"trend at {key}"
+
+
+def test_ewma_hybrid_single_chunk_hot_key_bitexact(spark):
+    """A hot key fully contained in ONE chunk replays the identical
+    IEEE op sequence — bit-exact, not just within tolerance (the
+    exactness contract's strong case)."""
+    from genpipe_spark.operators.statescan import ewma_scan, ewma_scan_hybrid
+
+    rows = [Row(k=1, seq=i, v=(-1.0) ** i * (i + 0.1)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="k bigint, seq bigint, v double")
+    hyb = {
+        r["seq"]: r["ewma_micro"]
+        for r in ewma_scan_hybrid(
+            df, ["k"], ["seq"], "v", alpha=0.25,
+            hot_threshold=5, n_chunks=1,
+        ).collect()
+    }
+    seq = {
+        r["seq"]: r["ewma_micro"]
+        for r in ewma_scan(df, ["k"], ["seq"], "v", alpha=0.25).collect()
+    }
+    assert hyb == seq
