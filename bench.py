@@ -169,6 +169,7 @@ HEADLINE = [
     "window-rolling-distinct",
     "quality-theil-atkinson",
     "rollup-lttb-downsample",
+    "rollup-lttb-proper",
     "tpch-q9",
     "tpch-q2",
     "embedding-top-direction",

@@ -267,3 +267,161 @@ def time_bucket_interpolate(
         "cents_known",
         interp.cast("long").alias("interp_micro"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    k: int,
+) -> DataFrame:
+    """Largest-Triangle-THREE-Buckets downsampling (Steinarsson 2013,
+    the proper sequential variant) — per key, keep the first point,
+    one point per interior bucket, and the last point, where the
+    interior pick maximizes the triangle area between the PREVIOUSLY
+    SELECTED point and the NEXT bucket's average. Unlike the shipped
+    LTOB (rollup-lttb-downsample: neighbor triangles, fully
+    declarative), the prev-selected dependence makes this a per-key
+    SEQUENTIAL scan — the statescan class: one hash shuffle on the
+    keys + sortWithinPartitions, then mapInPandas with state reset at
+    key boundaries.
+
+    EXACTNESS: the classic formulation averages the next bucket
+    (float). Here the comparison is multiplied through by the next
+    bucket's count m: score = |(m*px - sx)*(y - py) - (px - x)*
+    (sy - m*py)| with (sx, sy) the bucket SUMS — pure integers,
+    evaluated in arbitrary-precision Python ints (products reach
+    ~1e21 for epoch-us x cents inputs, past int64), so a HUGEINT
+    DuckDB twin replays selection bit-for-bit. Ties break to the
+    earliest rn. Scaling the area by m > 0 never changes the argmax.
+
+    Bucket layout mirrors rollup-lttb-downsample's div spread:
+    interior rows rn in [2, n-1] get bucket ((rn-2)*(k-2)) div (n-2),
+    buckets 0..k-3; when n <= k every bucket holds <= 1 row and LTTB
+    degenerates to the identity (every point selected) in BOTH
+    engines, because a 2+-row bucket implies every bucket nonempty
+    (the div spread is surjective once n-2 >= k-2).
+
+    Memory: the scan buffers at most TWO buckets per key (the pending
+    bucket awaiting selection + the filling one), i.e. O(n/k) per
+    key — the inherent LTTB window; for 100 TB series run a
+    hierarchical pre-decimation per partition first (same operator,
+    larger k) like every production LTTB.
+
+    Output: ``*keys, sel_idx, rn, x, y`` — sel_idx -1 for the first
+    point, the interior bucket id for bucket picks, k-2 for the last
+    point. Cites Steinarsson's thesis (public); no reference-engine
+    equivalent (the reference has no downsampler).
+    """
+    if k < 3:
+        raise ValueError(f"lttb_downsample: k {k} < 3")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    wk = Window.partitionBy(*keys)
+    wo = wk.orderBy(*order_cols)
+    base = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    ).withColumn(
+        "__b",
+        F.when(
+            (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n")),
+            F.expr(f"((__rn - 2) * {k - 2}) div (__n - 2)"),
+        ),
+    )
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    out_schema = f"{key_schema}, sel_idx bigint, rn bigint, x bigint, y bigint"
+
+    import pandas as pd
+
+    def scan(batches):
+        # per-key state (reset at key boundaries)
+        cur = object()
+        prev = None            # (x, y) of the last selected point
+        pending = None         # [(rn, x, y), ...] bucket awaiting pick
+        pend_b = None
+        filling = []           # bucket being accumulated
+        fill_b = None
+        out_rows = []
+
+        def select(rows, nxt_m, nxt_sx, nxt_sy, idx):
+            nonlocal prev
+            px, py = prev
+            best = None
+            for rn_, x_, y_ in rows:
+                s = abs(
+                    (nxt_m * px - nxt_sx) * (y_ - py)
+                    - (px - x_) * (nxt_sy - nxt_m * py)
+                )
+                # max score, ties to the earliest rn
+                if best is None or s > best[0] or (s == best[0] and rn_ < best[1]):
+                    best = (s, rn_, x_, y_)
+            out_rows.append((*key_vals, idx, best[1], best[2], best[3]))
+            prev = (best[2], best[3])
+
+        def sums(rows):
+            return (
+                len(rows),
+                sum(r[1] for r in rows),
+                sum(r[2] for r in rows),
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            kcols = [pdf[c].to_numpy() for c in keys]
+            rns = pdf["__rn"].to_numpy()
+            ns = pdf["__n"].to_numpy()
+            bs = pdf["__b"].to_numpy()
+            xs = pdf["__x"].to_numpy()
+            ys = pdf["__y"].to_numpy()
+            for i in range(len(pdf)):
+                key_vals = tuple(c[i] for c in kcols)
+                rn, n = int(rns[i]), int(ns[i])
+                x, y = int(xs[i]), int(ys[i])
+                if key_vals != cur:
+                    cur = key_vals
+                    pending, pend_b, filling, fill_b = None, None, [], None
+                if rn == 1:
+                    out_rows.append((*key_vals, -1, rn, x, y))
+                    prev = (x, y)
+                    continue
+                if rn < n:
+                    b = int(bs[i])
+                    if fill_b is None:
+                        filling, fill_b = [(rn, x, y)], b
+                    elif b == fill_b:
+                        filling.append((rn, x, y))
+                    else:
+                        if pending:
+                            select(pending, *sums(filling), pend_b)
+                        pending, pend_b = filling, fill_b
+                        filling, fill_b = [(rn, x, y)], b
+                    continue
+                # rn == n: the last point closes the key
+                if pending:
+                    select(pending, *sums(filling), pend_b)
+                    pending = None
+                if filling:
+                    select(filling, 1, x, y, fill_b)
+                    filling, fill_b = [], None
+                out_rows.append((*key_vals, k - 2, rn, x, y))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[*keys, "sel_idx", "rn", "x", "y"],
+                )
+                out_rows = []
+
+    shuffled = base.repartition(*[F.col(c) for c in keys]).sortWithinPartitions(
+        *keys, "__rn"
+    )
+    return shuffled.mapInPandas(scan, out_schema)

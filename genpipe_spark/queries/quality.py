@@ -934,25 +934,57 @@ WITH v AS (
   FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 ),
 s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
-pairs AS (
-  SELECT a.g,
-         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
-                         OR (a.x > b.x AND a.y < b.y)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
-              AS BIGINT) AS n3
-  FROM v a JOIN v b ON a.g = b.g AND a.rid < b.rid
-  GROUP BY a.g
+-- O(n log n) discordant count, no pair explosion (r8, VERDICT r7
+-- item 8): after the (x, y) sort, disc = # strict y-inversions. Every
+-- inversion pair (i < j, y_i > y_j) is counted at EXACTLY ONE level L:
+-- the one where i and j sit in different halves of the same
+-- 2^(L+1)-block — so the total is a sum of INDEPENDENT per-level
+-- window passes, n rows x log2(n) levels. Within each (level, block),
+-- ordering by (y, half) puts left-half rows before right-half rows on
+-- equal y, so a running left-count at a right row counts lefts with
+-- y_l <= y_r; lefts strictly greater = n_left - that (strict-ties
+-- excluded, the tau-b convention).
+lvl AS (SELECT range AS L FROM range(0, 40)),
+e AS (
+  SELECT v.g, v.y, lvl.L,
+         (v.rid - 1) // (2 * (1 << lvl.L)) AS blk,
+         ((v.rid - 1) // (1 << lvl.L)) % 2 AS half
+  FROM v JOIN s USING (g)
+  JOIN lvl ON (1 << lvl.L) < s.n
 ),
+w AS (
+  SELECT g, L, blk, half,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g, L, blk ORDER BY y, half
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_left_le,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g, L, blk) AS n_left
+  FROM e
+),
+d AS (
+  SELECT g,
+         CAST(sum(CASE WHEN half = 1 THEN n_left - cum_left_le
+                  ELSE 0 END) AS BIGINT) AS nd
+  FROM w GROUP BY g
+),
+t1 AS (SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n1
+       FROM (SELECT g, x, count(*) AS c FROM v GROUP BY g, x) GROUP BY g),
+t2 AS (SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n2
+       FROM (SELECT g, y, count(*) AS c FROM v GROUP BY g, y) GROUP BY g),
+t3 AS (SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n3
+       FROM (SELECT g, x, y, count(*) AS c FROM v GROUP BY g, x, y)
+       GROUP BY g),
 agg AS (
   SELECT s.g, s.n,
          coalesce(nd, 0) AS disc_swaps,
          s.n * (s.n - 1) // 2 AS n0,
-         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
-         coalesce(n3, 0) AS n3
-  FROM s LEFT JOIN pairs ON pairs.g = s.g
+         coalesce(t1.n1, 0) AS n1, coalesce(t2.n2, 0) AS n2,
+         coalesce(t3.n3, 0) AS n3
+  FROM s LEFT JOIN d ON d.g = s.g
+  LEFT JOIN t1 ON t1.g = s.g
+  LEFT JOIN t2 ON t2.g = s.g
+  LEFT JOIN t3 ON t3.g = s.g
 )
 SELECT g, n, disc_swaps, n0, n1, n2, n3,
        CASE WHEN n0 - n1 = 0 OR n0 - n2 = 0 THEN NULL ELSE
@@ -973,10 +1005,14 @@ def agg_kendall_tau(spark, sf):
     concordance probability). Spark side is Knight's O(n log n)
     algorithm (operators/quantile.kendall_tau_grouped): sort by
     (x, y), merge-sort-count strict y-inversions — which EQUALS the
-    discordant pair count, the identity the oracle certifies by
-    counting all C(n,2) pairs literally (the O(n^2) brute force stays
-    in DuckDB where the fixture makes it affordable). Tie terms are
-    exact int64; tau_b is one pinned sqrt/divide, NULL for constant
+    discordant pair count. The oracle (r8) certifies that identity in
+    O(n log n) too: each inversion pair belongs to exactly one
+    merge level (different halves of the same block), so the count is
+    a sum of independent per-level window passes — n x log2(n) rows,
+    no pair explosion, which is what lets agg-kendall-tau join the
+    sf10 (100x) parity set (the old literal-C(n,2) oracle was the
+    blocker, VERDICT r7 item 8). Tie terms are exact int64 grouped
+    counts; tau_b is one pinned sqrt/divide, NULL for constant
     groups. Groups are the parallelism (the grouped-order-statistics
     posture)."""
     from genpipe_spark.operators.quantile import kendall_tau_grouped

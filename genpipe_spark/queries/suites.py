@@ -605,6 +605,13 @@ _TIMEGRID_MEMBERS = {
             ("cohort_n", "s"), ("cum_rev_c", "s"), ("ltv_micro", "s"),
         ],
     ),
+    "lttbproper": (
+        "rollup-lttb-proper",
+        [
+            ("g", "s"), ("sel_idx", "s"), ("rn", "s"), ("x", "s"),
+            ("y", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -977,7 +984,8 @@ timegrid_suite = _register(
     "recursive-CTE oracle), LTOB downsampling (shape-preserving "
     "decimation, exact integer triangle areas), RFM quintile "
     "segmentation, and cohort LTV curves (exact-cents cumulative "
-    "revenue per member).",
+    "revenue per member); r8: LTTB proper (sequential three-bucket "
+    "selection, unrolled-CTE HUGEINT oracle).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -1117,8 +1125,9 @@ agg_distinct_extrema_suite = _register(
     "mode/argmax/argmin, Pearson correlation from exact int64 moments, "
     "and Spearman rank correlation with exact doubled-average-rank tie "
     "handling (r5 third rotation; spearman r7) ∪ agg-kendall-tau "
-    "(Knight's O(n log n) concordance, certified against the literal "
-    "pair count, r7s5) — the correlation family complete.",
+    "(Knight's O(n log n) concordance; since r8 the oracle counts "
+    "inversions per merge level in O(n log n) too, unlocking sf10 "
+    "parity) — the correlation family complete.",
 )
 
 _JOIN_FILTER_MEMBERS = {

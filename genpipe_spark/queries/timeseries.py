@@ -1987,6 +1987,114 @@ def rollup_lttb_downsample(spark, sf):
     )
 
 
+_LTTB_K = 8
+
+
+def _lttb_oracle(k: int) -> str:
+    """Generated DuckDB twin of operators/timegrid.lttb_downsample —
+    the SEQUENTIAL selection unrolled into k-2 chained CTEs (each
+    bucket's argmax joins the previous selection), which resolves the
+    recursive-CTE question from VERDICT r7 item 6 without recursion:
+    k is a fixed query constant, so the recurrence depth is static.
+    Scores in HUGEINT (the multiplied-through integer area reaches
+    ~1e21); deterministic argmax via lexicographic struct max
+    (score, -rn). Empty buckets (series shorter than k) carry the
+    previous selection forward un-emitted (`fresh`); a 2+-row bucket
+    implies no empty buckets (div-spread surjectivity), so the NULL
+    next-average never decides between candidates."""
+    parts = [f"""
+WITH base AS (
+  SELECT user_id % 37 AS g, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id % 37
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id % 37) AS n
+  FROM events WHERE value IS NOT NULL
+),
+v AS (
+  SELECT g, rn, n, x, y,
+         CASE WHEN rn > 1 AND rn < n
+              THEN ((rn - 2) * {k - 2}) // (n - 2) END AS b
+  FROM base
+),
+fst AS (SELECT g, rn, x, y FROM v WHERE rn = 1),
+lst AS (SELECT g, rn, x, y FROM v WHERE rn = n AND n >= 2)"""]
+    for i in range(1, k - 2):
+        parts.append(f""",
+nb_{i} AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy
+  FROM v WHERE b = {i} GROUP BY g
+)""")
+    for i in range(0, k - 2):
+        prev = "fst" if i == 0 else f"sel_{i - 1}"
+        if i < k - 3:
+            nxt_join = f"LEFT JOIN nb_{i + 1} nx ON nx.g = c.g"
+            m_e, sx_e, sy_e = "nx.m", "nx.sx", "nx.sy"
+        else:
+            nxt_join = "JOIN lst nx ON nx.g = c.g"
+            m_e = "CAST(1 AS HUGEINT)"
+            sx_e, sy_e = "CAST(nx.x AS HUGEINT)", "CAST(nx.y AS HUGEINT)"
+        pick = (
+            f"max(struct_pack("
+            f"s := abs(({m_e} * p2.x - {sx_e}) * (c.y - p2.y)"
+            f" - (p2.x - c.x) * ({sy_e} - {m_e} * p2.y)),"
+            f" nr := -c.rn, rn := c.rn, x := c.x, y := c.y))"
+        )
+        parts.append(f""",
+sel_{i} AS (
+  SELECT p.g,
+         coalesce(w.rn, p.rn) AS rn,
+         coalesce(w.x, p.x) AS x,
+         coalesce(w.y, p.y) AS y,
+         w.rn IS NOT NULL AS fresh
+  FROM {prev} p LEFT JOIN (
+    SELECT c.g, ({pick}).rn AS rn, ({pick}).x AS x, ({pick}).y AS y
+    FROM v c JOIN {prev} p2 ON p2.g = c.g {nxt_join}
+    WHERE c.b = {i}
+    GROUP BY c.g
+  ) w ON w.g = p.g
+)""")
+    union = ["SELECT g, CAST(-1 AS BIGINT) AS sel_idx, rn, x, y FROM fst"]
+    for i in range(0, k - 2):
+        union.append(f"SELECT g, {i}, rn, x, y FROM sel_{i} WHERE fresh")
+    union.append(f"SELECT g, {k - 2}, rn, x, y FROM lst")
+    parts.append("\n" + "\nUNION ALL ".join(union))
+    return "".join(parts)
+
+
+@query("rollup-lttb-proper", _lttb_oracle(_LTTB_K))
+def rollup_lttb_proper(spark, sf):
+    """LTTB proper (Largest-Triangle-THREE-Buckets, Steinarsson 2013)
+    — the sequential downsampler next to rollup-lttb-downsample's
+    declarative LTOB: each interior bucket keeps the point maximizing
+    the triangle against the PREVIOUSLY SELECTED point and the next
+    bucket's average, so spikes survive relative to what the eye has
+    already been shown. operators/timegrid.lttb_downsample runs it as
+    a statescan-class per-key scan (hash shuffle + boundary-reset
+    mapInPandas, two-bucket buffer) with the comparison multiplied
+    through by the next bucket's count — exact arbitrary-precision
+    integers, which is what makes the unrolled k-2-stage DuckDB twin
+    (HUGEINT) replay the selection bit-for-bit. Series key
+    user_id % 37 gives ~e3-row series per key at bench SFs."""
+    from genpipe_spark.operators.timegrid import lttb_downsample
+
+    ev = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 37).alias("g"),
+            F.unix_micros("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            "ts", "event_id",
+        )
+    )
+    return lttb_downsample(
+        ev, keys=["g"], order_cols=["ts", "event_id"],
+        x_col="x", y_col="y", k=_LTTB_K,
+    )
+
+
 _RFM_ORACLE = """
 WITH base AS (
   SELECT user_id,

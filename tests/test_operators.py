@@ -1866,3 +1866,36 @@ def test_point_in_polygon_concave_and_boundary_grid(spark):
     assert sorted(r["pid"] for r in out) == [1, 2, 5]
     assert all(r["poly_id"] == 7 for r in out)
     assert len(out) == len({r["pid"] for r in out})  # exactly-once
+
+
+def test_lttb_proper_short_series_identity_and_spike(spark):
+    """lttb_downsample edge semantics: a series shorter than k keeps
+    EVERY point (degenerate buckets); n=1 and n=2 keys emit exactly
+    their endpoints; and on a flat series with one spike the spike's
+    bucket pick IS the spike (the LTTB shape-preservation property)."""
+    from genpipe_spark.operators.timegrid import lttb_downsample
+
+    rows = []
+    # key 1: n=1; key 2: n=2; key 3: n=5 < k=5? use k=5, n=4 (< k)
+    rows.append((1, 10, 100))
+    rows.extend([(2, 10, 100), (2, 20, 200)])
+    rows.extend([(3, i * 10, i * 7) for i in range(1, 5)])
+    # key 4: flat 50-point series with a spike at position 25
+    rows.extend(
+        [(4, i, 1000 if i != 25 else 99999) for i in range(1, 51)]
+    )
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    out = lttb_downsample(
+        df, keys=["k"], order_cols=["x"], x_col="x", y_col="y", k=5
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append((r["sel_idx"], r["rn"], r["x"], r["y"]))
+    assert by_key[1] == [(-1, 1, 10, 100)]
+    assert sorted(by_key[2]) == [(-1, 1, 10, 100), (3, 2, 20, 200)]
+    # n=4 < k=5: every point survives (identity decimation)
+    assert sorted(r[1] for r in by_key[3]) == [1, 2, 3, 4]
+    # the spike at x=25 must be selected by its bucket
+    assert any(r[2] == 25 and r[3] == 99999 for r in by_key[4])
+    # exactly k points for the long series
+    assert len(by_key[4]) == 5
