@@ -332,3 +332,109 @@ def stream_group_sample(docs: DataFrame, group_col: str, quota: int) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------- streaming Holt-Winters (seasonal scan leg) ----------
+
+HW_OUT_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("day", LongType()),
+        StructField("x", LongType()),
+        StructField("rn", LongType()),
+        StructField("level_micro", LongType()),
+        StructField("trend_micro", LongType()),
+        StructField("seasonal_micro", LongType()),
+    ]
+)
+
+# level, trend, rn, the period-slot seasonal ring, and the ring cursor
+HW_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("rn", LongType()),
+        StructField("seas", ArrayType(DoubleType())),
+        StructField("pos", LongType()),
+    ]
+)
+
+
+def _holt_winters_fn(alpha: float, beta: float, gamma: float, period: int):
+    """Incremental twin of operators/statescan.holt_winters_scan
+    (VERDICT r7 item 7): the state is exactly the batch scan's per-key
+    state — level + trend + the m-slot seasonal ring + cursor — and
+    every micro-batch applies the IDENTICAL pinned-IEEE op sequence,
+    so the stream over time-ordered batches equals the batch scan
+    bit-for-bit (test_stream_holt_winters_matches_batch, >= 3
+    micro-batches). Ordered arrival across batches is the ingest
+    contract (as for stream_zscore / CDC sequences); rows are sorted
+    within each batch."""
+    import math
+
+    a, g, c = float(alpha), float(beta), float(gamma)
+    ca, cg, cc = 1.0 - a, 1.0 - g, 1.0 - c
+    m = int(period)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            l, b, rn, seas, pos = state.get
+            seas = list(seas)
+        else:
+            l, b, rn, seas, pos = 0.0, 0.0, 0, [0.0] * m, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day")
+            for day, x in zip(pdf["day"], pdf["x"]):
+                xf = float(x)
+                if rn == 0:
+                    l, b = xf, 0.0
+                    scur = 0.0
+                else:
+                    so = seas[pos]
+                    ln = a * (xf - so) + ca * (l + b)
+                    b = g * (ln - l) + cg * b
+                    scur = c * (xf - ln) + cc * so
+                    seas[pos] = scur
+                    pos = (pos + 1) % m
+                    l = ln
+                rn += 1
+                rows.append(
+                    (
+                        k, int(day), int(x), rn,
+                        math.floor(l * 1_000_000.0),
+                        math.floor(b * 1_000_000.0),
+                        math.floor(scur * 1_000_000.0),
+                    )
+                )
+        state.update((l, b, rn, seas, pos))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HW_OUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def stream_holt_winters(
+    daily: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.5,
+    gamma: float = 0.25,
+    period: int = 7,
+) -> DataFrame:
+    """Streaming additive Holt-Winters over a pre-aggregated daily
+    stream (columns: k long, day long, x long) — the seasonal member
+    of the streaming scan family next to stream_zscore. Keyed state is
+    2 + period floats + a counter (constant by construction — no
+    timeout needed); output appends one smoothed row per input row."""
+    return daily.groupBy("k").applyInPandasWithState(
+        _holt_winters_fn(alpha, beta, gamma, period),
+        outputStructType=HW_OUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
