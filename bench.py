@@ -183,6 +183,12 @@ HEADLINE = [
     # the exact-distinct sibling profile-diff exists for the oracle
     # (VERDICT r7 item 4)
     "profile-diff-approx",
+    # r8 additions: classical seasonal decomposition, key-skew
+    # diagnostic, incremental MV refresh, label-propagation communities
+    "rollup-seasonal-decompose",
+    "profile-skew",
+    "cdc-mv-refresh",
+    "graph-label-propagation",
 ]
 
 

@@ -338,3 +338,60 @@ def bucket_checksum(
             F.expr("bit_xor(__sig)").alias("xor_sig"),
         )
     )
+
+
+def incremental_agg_refresh(
+    mv: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    n_col: str = "n",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for SUM/COUNT views —
+    refresh a grouped aggregate from a CDC delta WITHOUT rescanning the
+    base table (the self-maintainable-view class: SUM and COUNT are
+    abelian-group aggregates, so deletes are just negated inserts).
+
+    ``mv`` is the current view: ``*keys, n_col, *sum_cols``. ``delta``
+    carries full row images with ``op_col`` in ('I', 'D') — the
+    scd2_change_feed shape; an UPDATE travels as its D+I pair. The
+    refresh is ONE map-side-combinable signed aggregation of the delta
+    (count and sums multiplied by +-1) full-outer-merged with the view
+    on the keys; groups whose refreshed count reaches 0 disappear
+    (their sums are identically 0 by construction — every delete
+    matched an insert-time image). Cost is delta-sized + view-sized:
+    at 100 TB base with a 0.1% daily delta this replaces a full rescan
+    with a scan of 0.1% plus the grouped view.
+
+    Correctness contract (the classic IVM precondition): delete images
+    must carry the SAME values their inserts carried — verified
+    end-to-end by the query twin, whose oracle RECOMPUTES the view
+    from the post-delta base. MIN/MAX are deliberately out: they are
+    not self-maintainable under deletes (a deleted max needs the base
+    to find the runner-up)."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign).alias("__dn"),
+        *[
+            F.sum(sign * F.col(c)).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    merged = mv.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(n_col), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias(n_col),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return merged.where(F.col(n_col) > 0)

@@ -433,3 +433,59 @@ def common_neighbors(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection) with a
+    deterministic tiebreak — the classic Raghavan et al. 2007
+    algorithm made cross-engine-replayable: labels start as node ids;
+    each round every node adopts the most frequent label among its
+    NEIGHBORS (not itself — pure propagation), ties to the SMALLEST
+    label; a FIXED iteration count replaces the usual
+    convergence-check + random order (async order-dependence is what
+    makes textbook LPA non-deterministic; the synchronous min-tiebreak
+    variant is a pure function of the graph).
+
+    Edges are symmetrized and deduplicated; self-loops dropped. One
+    round = one keyed join (labels onto the neighbor lists) + one
+    (node, label) count + one per-node lexicographic struct argmax
+    (count desc, label asc) — the pagerank_micro two-shuffle round
+    shape, localCheckpoint per round to cut lineage. Nodes are the
+    parallelism; no step is degree-quadratic.
+
+    Returns ``node, label`` after ``iters`` rounds."""
+    if iters < 1:
+        raise ValueError(f"label_propagation: iters {iters} < 1")
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        neigh = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        best = counts.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("c"),
+                    (-F.col("label")).alias("nl"),
+                    F.col("label").alias("l"),
+                )
+            ).alias("__b")
+        )
+        labels = best.select(
+            "node", F.col("__b.l").alias("label")
+        ).localCheckpoint(eager=False)
+    return labels

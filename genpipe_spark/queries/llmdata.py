@@ -3132,3 +3132,61 @@ def profile_diff_approx(spark, sf):
     engine-reproducible; every other column is pinned by the exact
     sibling's oracle."""
     return _profile_diff_frame(spark, sf, approx_distinct=True)
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Generated DuckDB twin of operators/graph.label_propagation —
+    the synchronous rounds unrolled (fixed iteration count, so the
+    recursion depth is static — the lttb-proper/pagerank precedent).
+    Per round: neighbor-label counts + lexicographic struct argmax
+    (count desc, label asc)."""
+    head = """
+WITH fwd AS (
+  SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b FROM fwd
+  )
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+l{i} AS (
+  SELECT c.node,
+         (max(struct_pack(c := c.c, nl := -c.label, l := c.label))).l
+           AS label
+  FROM (
+    SELECT u.a AS node, p.label, count(*) AS c
+    FROM und u JOIN l{i - 1} p ON p.node = u.b
+    GROUP BY u.a, p.label
+  ) c
+  GROUP BY c.node
+)""")
+    parts.append(f"\nSELECT node, label FROM l{iters}")
+    return "".join(parts)
+
+
+_LPA_ITERS = 4
+
+
+@query("graph-label-propagation", _lpa_oracle(_LPA_ITERS))
+def graph_label_propagation(spark, sf):
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation, 4 rounds, min-label ties)
+    over the symmetrized 100-node order graph — completing the graph
+    family (components/pagerank/triangles/kcore/link-predict) with
+    the community view. Sync + deterministic tiebreak + fixed rounds
+    turn the usually-order-dependent LPA into a pure function of the
+    graph, so the unrolled DuckDB twin matches label for label."""
+    from genpipe_spark.operators.graph import label_propagation
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return label_propagation(edges, iters=_LPA_ITERS)

@@ -1028,3 +1028,106 @@ def agg_kendall_tau(spark, sf):
         )
     )
     return kendall_tau_grouped(v, keys=["g"], x_col="x", y_col="y")
+
+
+_SKEW_ORACLE = """
+WITH kc AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+cc AS (
+  SELECT c AS v, CAST(count(*) AS BIGINT) AS m FROM kc GROUP BY c
+),
+w AS (
+  SELECT v, m,
+         CAST(sum(m) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(m) OVER () AS BIGINT) AS kk,
+         CAST(sum(v * m) OVER () AS BIGINT) AS tot
+  FROM cc
+),
+s1 AS (
+  -- sum over sorted counts of rank*value: a tie-run of value v over
+  -- ranks (cum-m, cum] contributes v * (m*(cum-m) + m*(m+1)/2)
+  SELECT CAST(sum(v * (m * (cum - m) + m * (m + 1) // 2)) AS BIGINT) AS s1,
+         max(kk) AS kk, max(tot) AS tot
+  FROM w
+),
+pcts AS (
+  SELECT max(kk) AS kk,
+         min(CASE WHEN cum * 100 >= 50 * kk THEN v END) AS p50_c,
+         min(CASE WHEN cum * 100 >= 99 * kk THEN v END) AS p99_c,
+         max(v) AS max_c
+  FROM w
+)
+SELECT p.kk AS n_keys, s.tot AS n_rows, p.max_c, p.p50_c, p.p99_c,
+       CASE WHEN s.kk > 0 AND s.tot > 0 THEN
+         ((2 * s.s1 - (s.kk + 1) * s.tot) * 1000000) // (s.kk * s.tot)
+       END AS gini_micro
+FROM s1 s CROSS JOIN pcts p
+"""
+
+
+@query("profile-skew", _SKEW_ORACLE)
+def profile_skew(spark, sf):
+    """Key-distribution skew diagnostic — the report you run BEFORE
+    shuffling 100 TB on a key: per-key row counts reduced to
+    n_keys / n_rows / max / exact nearest-rank p50+p99 (the
+    quantile-crossing form over the counts-of-counts table) and the
+    exact Gini coefficient of key mass (0 = uniform, ->1 = one whale
+    key; the salting/AQE-skew-join decision number). Everything after
+    the first grouped count is COUNTS-OF-COUNTS grain: the count
+    distribution is grouped by VALUE (domain-bounded, the
+    ks_two_sample doctrine), so the ordered window runs over distinct
+    count values, not keys, and the Gini's sorted rank-weighted sum
+    uses the closed-form tie-run formula v*(m*(cum-m) + m(m+1)/2) —
+    no per-key sort anywhere. Gini in exact micro: the numerator
+    2*S1 - (K+1)*T is non-negative (Chebyshev sum inequality), so
+    plain integer div == floor."""
+    from pyspark.sql import Window
+
+    kc = t(spark, sf, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cc = kc.groupBy(F.col("c").alias("v")).agg(F.count(F.lit(1)).alias("m"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    w = cc.select(
+        "v", "m",
+        F.sum("m").over(wv).alias("cum"),
+        F.sum("m").over(wall).alias("kk"),
+        F.sum(F.col("v") * F.col("m")).over(wall).alias("tot"),
+    )
+    s1 = w.agg(
+        F.sum(
+            F.col("v")
+            * (
+                F.col("m") * (F.col("cum") - F.col("m"))
+                + F.col("m") * (F.col("m") + 1) / 2
+            )
+        ).cast("long").alias("s1"),
+        F.max("kk").alias("kk"),
+        F.max("tot").alias("tot"),
+    )
+    pcts = w.agg(
+        F.max("kk").alias("kk2"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 50 * F.col("kk"), F.col("v"))
+        ).alias("p50_c"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 99 * F.col("kk"), F.col("v"))
+        ).alias("p99_c"),
+        F.max("v").alias("max_c"),
+    )
+    return s1.crossJoin(F.broadcast(pcts)).select(
+        F.col("kk2").alias("n_keys"),
+        F.col("tot").alias("n_rows"),
+        "max_c", "p50_c", "p99_c",
+        F.when(
+            (F.col("kk") > 0) & (F.col("tot") > 0),
+            F.expr(
+                "((2 * s1 - (kk + 1) * tot) * 1000000) div (kk * tot)"
+            ),
+        ).alias("gini_micro"),
+    )

@@ -4282,3 +4282,50 @@ def scd2_bitemporal(spark, sf):
         & (F.col("tx_to").isNull() | (F.col("t") < F.col("tx_to")))
     )
     return j.select(F.col("k").alias("o_orderkey"), "part", "price_c", "src")
+
+
+_MV_REFRESH_ORACLE = """
+SELECT o_custkey % 100 AS g,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderkey % 50 = 0
+   OR (o_orderkey % 50 <> 0 AND o_orderkey % 7 <> 0)
+GROUP BY 1
+"""
+
+
+@query("cdc-mv-refresh", _MV_REFRESH_ORACLE)
+def cdc_mv_refresh(spark, sf):
+    """Incremental materialized-view refresh
+    (operators/cdc.incremental_agg_refresh): a per-customer-bucket
+    revenue view built from a base snapshot (orders minus every 50th
+    key) is brought up to date by a CDC delta — the 50th keys arrive
+    as inserts, every 7th base key leaves as a delete (full row
+    images, the scd2_change_feed shape) — via ONE signed delta
+    aggregation merged into the view. The oracle RECOMPUTES the view
+    from the post-delta base, certifying the incremental path equals
+    recompute (the self-maintainable-view contract for abelian-group
+    aggregates). Cost: delta-sized + view-sized; the base is never
+    rescanned."""
+    from genpipe_spark.operators.cdc import incremental_agg_refresh
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.where(F.expr("o_orderkey % 50 != 0"))
+    mv = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    delta = (
+        o.where(F.expr("o_orderkey % 50 = 0"))
+        .select("g", "cents", F.lit("I").alias("op"))
+        .unionByName(
+            base.where(F.expr("o_orderkey % 7 = 0"))
+            .select("g", "cents", F.lit("D").alias("op"))
+        )
+    )
+    return incremental_agg_refresh(mv, delta, ["g"], ["cents"])

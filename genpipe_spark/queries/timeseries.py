@@ -1998,7 +1998,11 @@ def _lttb_oracle(k: int) -> str:
     k is a fixed query constant, so the recurrence depth is static.
     Scores in HUGEINT (the multiplied-through integer area reaches
     ~1e21); deterministic argmax via lexicographic struct max
-    (score, -rn). Empty buckets (series shorter than k) carry the
+    (score, -rn). Chained CTEs are AS MATERIALIZED: each sel_i is
+    referenced twice by sel_{i+1} (prev row + candidate join), and
+    DuckDB inlines plain CTEs — un-materialized, the chain
+    re-evaluates 2^(k-2)-fold (found at sf10: 45 GB of spill before
+    ENOSPC; materialized it runs in seconds). Empty buckets (series shorter than k) carry the
     previous selection forward un-emitted (`fresh`); a 2+-row bucket
     implies no empty buckets (div-spread surjectivity), so the NULL
     next-average never decides between candidates."""
@@ -2011,17 +2015,17 @@ WITH base AS (
          count(*) OVER (PARTITION BY user_id % 37) AS n
   FROM events WHERE value IS NOT NULL
 ),
-v AS (
+v AS MATERIALIZED (
   SELECT g, rn, n, x, y,
          CASE WHEN rn > 1 AND rn < n
               THEN ((rn - 2) * {k - 2}) // (n - 2) END AS b
   FROM base
 ),
-fst AS (SELECT g, rn, x, y FROM v WHERE rn = 1),
-lst AS (SELECT g, rn, x, y FROM v WHERE rn = n AND n >= 2)"""]
+fst AS MATERIALIZED (SELECT g, rn, x, y FROM v WHERE rn = 1),
+lst AS MATERIALIZED (SELECT g, rn, x, y FROM v WHERE rn = n AND n >= 2)"""]
     for i in range(1, k - 2):
         parts.append(f""",
-nb_{i} AS (
+nb_{i} AS MATERIALIZED (
   SELECT g, CAST(count(*) AS HUGEINT) AS m,
          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy
   FROM v WHERE b = {i} GROUP BY g
@@ -2042,7 +2046,7 @@ nb_{i} AS (
             f" nr := -c.rn, rn := c.rn, x := c.x, y := c.y))"
         )
         parts.append(f""",
-sel_{i} AS (
+sel_{i} AS MATERIALIZED (
   SELECT p.g,
          coalesce(w.rn, p.rn) AS rn,
          coalesce(w.x, p.x) AS x,
@@ -2294,4 +2298,113 @@ def ltv_cohort_revenue(spark, sf):
     return j.select(
         "cohort", "age_w", "rev_c", "payers", "cohort_n", "cum_rev_c",
         F.expr("(cum_rev_c * 1000000) div cohort_n").alias("ltv_micro"),
+    )
+
+
+_SEASDEC_ORACLE = """
+WITH daily AS (
+  SELECT user_id % 10 AS k, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tr AS (
+  SELECT k, day, x,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(x) OVER w7 AS BIGINT) END AS trend_sum7
+  FROM daily
+  WINDOW w7 AS (PARTITION BY k ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT *, ((day % 7) + 7) % 7 AS dow,
+         CASE WHEN trend_sum7 IS NOT NULL
+              THEN 7 * x - trend_sum7 END AS c7
+  FROM tr
+),
+seas AS (
+  SELECT k, dow,
+         CAST(sum(c7) AS BIGINT) AS s_num,
+         CAST(count(c7) AS BIGINT) AS s_cnt
+  FROM detr WHERE c7 IS NOT NULL GROUP BY k, dow
+),
+j AS (
+  SELECT d.k, d.day, d.x, d.trend_sum7, d.c7, d.dow,
+         CASE WHEN s.s_cnt > 0 THEN
+           (s_num * 1000000
+              - ((s_num * 1000000 % s_cnt) + s_cnt) % s_cnt) // s_cnt
+         END AS seasonal_c7_micro
+  FROM detr d LEFT JOIN seas s ON s.k = d.k AND s.dow = d.dow
+)
+SELECT k, day, x, trend_sum7, dow, seasonal_c7_micro,
+       CASE WHEN c7 IS NOT NULL AND seasonal_c7_micro IS NOT NULL
+            THEN c7 * 1000000 - seasonal_c7_micro END AS remainder_micro
+FROM j
+"""
+
+
+@query("rollup-seasonal-decompose", _SEASDEC_ORACLE)
+def rollup_seasonal_decompose(spark, sf):
+    """Classical additive seasonal decomposition (the moving-average
+    method every STL tutorial starts from) over per-cohort daily
+    revenue, weekly period: trend = centered 7-row moving window
+    (NULL at series edges where the window is short), detrended =
+    x - trend, seasonal index = per-(cohort, day-of-week) mean of the
+    detrended series, remainder = detrended - seasonal. Exact
+    integers throughout the declarative plan: the trend rides as the
+    un-divided 7-day SUM, detrended as c7 = 7*x - trend_sum7 (cents*7
+    units — multiply through instead of dividing), and the seasonal
+    mean as a pmod-floor micro division (negative-safe, the
+    interpolate-linear rule). Shape: one map-side daily reduction,
+    one partitioned centered frame, one grouped-size seasonal agg
+    joined back on (k, dow) — every stage keyed, nothing
+    single-reducer. Complements timeseries-holt-winters (recursive
+    smoothing) with the closed-form decomposition view."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("k"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    w7 = Window.partitionBy("k").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "k", "day", "x",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.sum("x").over(w7)
+        ).alias("trend_sum7"),
+    )
+    detr = tr.select(
+        "*",
+        F.expr("pmod(day, 7)").cast("long").alias("dow"),
+        F.when(
+            F.col("trend_sum7").isNotNull(),
+            7 * F.col("x") - F.col("trend_sum7"),
+        ).alias("c7"),
+    )
+    seas = (
+        detr.where(F.col("c7").isNotNull())
+        .groupBy("k", "dow")
+        .agg(
+            F.sum("c7").alias("s_num"),
+            F.count("c7").alias("s_cnt"),
+        )
+        .select(
+            "k", "dow",
+            F.expr(
+                "(s_num * 1000000"
+                " - ((s_num * 1000000 % s_cnt) + s_cnt) % s_cnt) div s_cnt"
+            ).alias("seasonal_c7_micro"),
+        )
+    )
+    j = detr.join(seas, ["k", "dow"], "left")
+    return j.select(
+        "k", "day", "x", "trend_sum7", "dow", "seasonal_c7_micro",
+        F.when(
+            F.col("c7").isNotNull() & F.col("seasonal_c7_micro").isNotNull(),
+            F.col("c7") * 1_000_000 - F.col("seasonal_c7_micro"),
+        ).alias("remainder_micro"),
     )

@@ -97,6 +97,9 @@ BOUNDED_NLJ_OK = {
     "alloc-largest-remainder": "1-row total-weight scalar attach",
     # 1-row (n1, n2) totals crossJoined to the reduced value table
     "profile-ks-drift": "1-row sample-totals scalar attach",
+    # two 1-row reductions (rank-weighted sum + percentile crossings)
+    # crossJoined into the single output row
+    "profile-skew": "1-row skew-stats scalar attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -182,6 +185,8 @@ BOUNDED_BROADCAST_OK = {
     "1-row grand total",
     # 1-row total-weight attach; ranking window is group-count-sized
     "alloc-largest-remainder": "broadcast 1-row total-weight aggregate",
+    # 1-row percentile-crossing reduction attached to the 1-row Gini
+    "profile-skew": "broadcast 1-row percentile-stats aggregate",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
@@ -346,6 +351,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "profile-ks-drift": "window over the distinct-value CDF table",
     # largest-remainder ranking over the driver-supplied quota rows
     "alloc-largest-remainder": "window over driver-row quota table",
+    # cumulative key-mass over the COUNTS-OF-COUNTS table — grouped by
+    # count VALUE, domain-bounded (the ks_two_sample doctrine); the
+    # whole point of the query is that no per-key sort exists
+    "profile-skew": "window over the counts-of-counts value table",
 }
 
 
