@@ -438,3 +438,95 @@ def stream_holt_winters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------- streaming histogram quantiles -----------------------
+
+HISTQ_OUT_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("pct", LongType()),
+        StructField("q_est", DoubleType()),
+    ]
+)
+
+HISTQ_STATE_SCHEMA = StructType(
+    [StructField("bins", ArrayType(LongType()))]
+)
+
+
+def _hist_quantile_fn(lo: float, hi: float, nbins: int, pcts: tuple):
+    """Incremental twin of operators/quantile.histogram_group_quantiles:
+    keyed state is the fixed-bin count vector (nbins longs — constant,
+    no timeout needed), and the per-batch estimates replay the batch
+    operator's EXACT IEEE op sequence (r = pct*total/100.0; first bin
+    with cum >= r; lo + (bin + frac)*width; floor to 4 dp), so the
+    final emission equals the batch operator over everything seen.
+    Histogram counts are commutative, so unlike stream_zscore this
+    needs NO ordered-arrival contract — any batch split converges to
+    the same snapshot (asserted over arbitrary thirds in the e2e
+    test)."""
+    import math
+
+    width = (hi - lo) / nbins
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        bins = list(state.get[0]) if state.exists else [0] * nbins
+        for pdf in pdfs:
+            for x in pdf["x"]:
+                x = float(x)
+                if math.isnan(x):
+                    continue
+                b = int(math.floor((x - lo) / width))
+                b = min(nbins - 1, max(0, b))
+                bins[b] += 1
+        state.update((bins,))
+        total = sum(bins)
+        if total == 0:
+            return
+        rows = []
+        for pct in pcts:
+            r = (pct * total) / 100.0
+            cum = 0
+            for b, n in enumerate(bins):
+                cum += n
+                if n > 0 and cum >= r and (cum - n) < r:
+                    frac = (r - (cum - n)) / n
+                    q = lo + (b + frac) * width
+                    rows.append(
+                        (g, total, pct, math.floor(q * 10000) / 10000.0)
+                    )
+                    break
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in HISTQ_OUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_histogram_quantile(
+    values: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    pcts: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Streaming per-group quantile estimates over a value stream
+    (columns: g long, x double) — the mergeable-sketch answer to
+    'p99 per group, continuously': bounded per-group state (nbins
+    counters), bin-width-bounded error, engine-replayable arithmetic
+    (the histogram_group_quantiles doctrine). Each micro-batch appends
+    a snapshot per group tagged with n_seen; read each group's
+    max-n_seen rows for the current estimate (file sinks reject
+    update mode — the stream_group_sample convention)."""
+    return values.groupBy("g").applyInPandasWithState(
+        _hist_quantile_fn(float(lo), float(hi), int(nbins), tuple(pcts)),
+        outputStructType=HISTQ_OUT_SCHEMA,
+        stateStructType=HISTQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

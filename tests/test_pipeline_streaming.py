@@ -1511,3 +1511,65 @@ def test_stream_holt_winters_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert len(got) == len(want) and got == want
+
+
+def test_stream_histogram_quantile_matches_batch(spark, tmp_path):
+    """Streaming histogram quantiles (state = nbins counters per group)
+    over three ARBITRARY thirds — histogram counts are commutative, so
+    no ordered-arrival contract — must converge to the batch
+    histogram_group_quantiles over everything, bit for bit (same IEEE
+    interpolation sequence)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.quantile import histogram_group_quantiles
+    from genpipe_spark.streaming.stateful import stream_histogram_quantile
+    from genpipe_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    vals = (
+        load(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 10).alias("g"),
+            F.col("value").cast("double").alias("x"),
+            "event_id",
+        )
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        vals.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(vals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    dest = str(tmp_path / "hq")
+    q = (
+        stream_histogram_quantile(stream, lo=0.0, hi=300.0, nbins=64)
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snaps = spark.read.parquet(dest).collect()
+    latest_n = {}
+    for r in snaps:
+        latest_n[r["g"]] = max(latest_n.get(r["g"], 0), r["n_seen"])
+    got = {
+        (r["g"], r["pct"]): r["q_est"]
+        for r in snaps
+        if r["n_seen"] == latest_n[r["g"]]
+    }
+    want = {
+        (r["g"], r["pct"]): r["q_est"]
+        for r in histogram_group_quantiles(
+            vals, "x", ["g"], lo=0.0, hi=300.0, nbins=64, pcts=(50, 90, 99)
+        ).collect()
+    }
+    assert got == want
