@@ -531,3 +531,91 @@ def stream_trending_topk(spark, sf):
         "value_sum"
     )
     return trending_topk(counts, k=2)
+
+
+@query(
+    "stream-histogram-quantile",
+    """
+    WITH v AS (
+      SELECT user_id % 10 AS g, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    h AS (
+      SELECT g,
+             least(63, greatest(0,
+               CAST(floor((x - 0.0) / 4.6875) AS INTEGER))) AS bin,
+             count(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    cumt AS (
+      SELECT g, bin, n,
+             sum(n) OVER (PARTITION BY g ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY g) AS total
+      FROM h
+    ),
+    ex AS (
+      SELECT g, bin, n, cum, total, p.pct
+      FROM cumt, unnest([50, 90, 99]) p(pct)
+    )
+    SELECT g, CAST(total AS BIGINT) AS n_seen, CAST(pct AS BIGINT) AS pct,
+           floor((0.0 + (bin + ((pct * total / 100.0) - (cum - n)) / n)
+                  * 4.6875) * 10000) / 10000.0 AS q_est
+    FROM ex
+    WHERE cum >= pct * total / 100.0 AND (cum - n) < pct * total / 100.0
+    """,
+)
+def stream_histogram_quantile_query(spark, sf):
+    """REAL streaming quantile maintenance, oracle-checked end to end
+    (the source-filestream pattern): events split into three parquet
+    micro-batches, drained availableNow through
+    streaming/stateful.stream_histogram_quantile (state = 64 bin
+    counters per group), and the FINAL snapshot per group (max n_seen)
+    returned. Histogram counts are commutative, so the snapshot is
+    split-independent, and the estimates replay
+    histogram_group_quantiles' exact IEEE interpolation — which is
+    what lets a plain SQL oracle value-hash a live stateful stream.
+    Bin width 300/64 = 4.6875 (exactly representable) over value's
+    [0, 300) fixture domain."""
+    from pyspark.sql import Window
+
+    from genpipe_spark.streaming.stateful import stream_histogram_quantile
+    from genpipe_spark.tables import load
+
+    vals = (
+        load(spark, sf, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            (F.col("user_id") % 10).alias("g"),
+            F.col("value").cast("double").alias("x"),
+            "event_id",
+        )
+    )
+    src = tempfile.mkdtemp(prefix="genpipe_histq_src_")
+    for i in range(3):
+        vals.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(vals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out_dir = tempfile.mkdtemp(prefix="genpipe_histq_out_")
+    q = (
+        stream_histogram_quantile(stream, lo=0.0, hi=300.0, nbins=64)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snaps = spark.read.parquet(f"{out_dir}/data")
+    latest = snaps.withColumn(
+        "__mx", F.max("n_seen").over(Window.partitionBy("g"))
+    )
+    return latest.where(F.col("n_seen") == F.col("__mx")).select(
+        "g", "n_seen", "pct", "q_est"
+    )

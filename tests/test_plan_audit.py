@@ -111,7 +111,9 @@ SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-ses
         # suites whose members are SKIP fixture/stream queries
         "scan-source-suite", "stream-agg-suite", "scan-jsonl",
         # temp-dir write side-effect at construction (like sink-parquet)
-        "sink-orc-roundtrip"}
+        "sink-orc-roundtrip",
+        # real stream drain + temp-dir writes at construction (r8)
+        "stream-histogram-quantile"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
