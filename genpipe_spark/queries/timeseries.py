@@ -2408,3 +2408,63 @@ def rollup_seasonal_decompose(spark, sf):
             F.col("c7") * 1_000_000 - F.col("seasonal_c7_micro"),
         ).alias("remainder_micro"),
     )
+
+
+@query("stream-holt-winters", _hw_oracle())
+def stream_holt_winters_query(spark, sf):
+    """The REAL streaming Holt-Winters, oracle-checked end to end
+    against the SAME recursive-CTE twin as the batch scan
+    (timeseries-holt-winters): daily cohort revenue split into three
+    day-ordered parquet micro-batches, drained availableNow through
+    streaming/stateful.stream_holt_winters (state = level + trend +
+    7-slot seasonal ring, carried across batches), output projected to
+    the batch query's columns. Works because the stream replays the
+    batch scan's exact pinned-IEEE op sequence and arrival is
+    day-ordered by construction (the stream_zscore ingest contract) —
+    a live stateful stream value-hashing against plain SQL."""
+    import tempfile
+
+    from genpipe_spark.streaming.stateful import stream_holt_winters
+
+    daily = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("k"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    lo, hi = daily.agg(
+        F.expr("percentile_approx(day, array(0.33, 0.66), 1000)")
+    ).first()[0]
+    src = tempfile.mkdtemp(prefix="genpipe_hw_src_")
+    for i, cond in enumerate(
+        [
+            F.col("day") <= lo,
+            (F.col("day") > lo) & (F.col("day") <= hi),
+            F.col("day") > hi,
+        ]
+    ):
+        daily.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out_dir = tempfile.mkdtemp(prefix="genpipe_hw_out_")
+    q = (
+        stream_holt_winters(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data").select(
+        "k", "rn", "x", "level_micro", "trend_micro", "seasonal_micro"
+    )

@@ -113,7 +113,7 @@ SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-ses
         # temp-dir write side-effect at construction (like sink-parquet)
         "sink-orc-roundtrip",
         # real stream drain + temp-dir writes at construction (r8)
-        "stream-histogram-quantile"}
+        "stream-histogram-quantile", "stream-holt-winters"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
