@@ -189,6 +189,7 @@ HEADLINE = [
     "profile-skew",
     "cdc-mv-refresh",
     "graph-label-propagation",
+    "attribution-markov-removal",
 ]
 
 

@@ -234,3 +234,109 @@ def transition_matrix(
         .withColumn("p_micro", F.expr("__n6 div __tot"))
         .select("state_from", "state_to", "n", "p_micro")
     )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    channel_col: str,
+    conv_value: str,
+    iters: int = 40,
+) -> DataFrame:
+    """First-order Markov-chain attribution by REMOVAL EFFECT — the
+    data-driven multi-touch model (Anderl et al. 2014's framing of
+    Shapley-lite channel credit): build the journey transition chain
+    (START -> touches -> CONV | NULL, journeys split at conversions),
+    estimate the base conversion probability as absorption into CONV,
+    then for each channel re-solve with that channel FAILED (its state
+    value pinned to 0 — visiting it ends the journey unconverted);
+    removal effect = base - removed.
+
+    Everything is deterministic EXACT INTEGER arithmetic so a
+    generated SQL twin replays it bit-for-bit:
+      - transition probabilities in micro units, truncating div
+        (count * 1e6 div out_total) — the pagerank_micro doctrine;
+      - absorption solved by ``iters`` synchronous value-iteration
+        steps, each term (p_edge * p_state) div 1e6 summed per source
+        (int64-safe: <= 1e12 per term x #states terms);
+      - CONV pinned 1e6, NULL pinned 0, the removed channel pinned 0.
+    Value iteration on an absorbing chain converges geometrically;
+    truncation makes the fixed iteration count exactly reproducible.
+
+    Scale shape: the DISTRIBUTED work is the transition extraction
+    (two window expressions over one user-keyed sort) and the grouped
+    count; the solve runs driver-side over the collected
+    (#states+2)^2-row transition table — bounded by the CHANNEL
+    DOMAIN, not the data (the kmeans-centroid / capped-sum
+    prefix-compose precedent). Returns one row per non-conversion
+    channel: ``channel, base_micro, removed_micro, removal_micro``.
+    """
+    if iters < 1:
+        raise ValueError(f"markov_removal_attribution: iters {iters} < 1")
+    keys = [user_col]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    ch = F.col(channel_col)
+    ord_df = df.select(
+        ch.alias("__ch"),
+        F.lag(ch).over(w).alias("__prev"),
+        F.lead(ch).over(w).alias("__nxt"),
+    )
+    conv = F.lit(conv_value)
+    starts = ord_df.where(
+        F.col("__prev").isNull() | (F.col("__prev") == conv)
+    ).select(
+        F.lit("__START__").alias("src"),
+        F.when(F.col("__ch") == conv, "__CONV__")
+        .otherwise(F.col("__ch")).alias("dst"),
+    )
+    steps = ord_df.where(F.col("__ch") != conv).select(
+        F.col("__ch").alias("src"),
+        F.when(F.col("__nxt").isNull(), "__NULL__")
+        .when(F.col("__nxt") == conv, "__CONV__")
+        .otherwise(F.col("__nxt")).alias("dst"),
+    )
+    cnt = (
+        starts.unionByName(steps)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = cnt.collect()  # bounded: (#channels + 2)^2
+    out_tot: dict[str, int] = {}
+    for r in rows:
+        out_tot[r["src"]] = out_tot.get(r["src"], 0) + int(r["c"])
+    trans = [
+        (r["src"], r["dst"], (int(r["c"]) * 1_000_000) // out_tot[r["src"]])
+        for r in rows
+    ]
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    channels = sorted(
+        s for s in states if s not in ("__START__", "__CONV__", "__NULL__")
+    )
+
+    def solve(removed: str | None) -> int:
+        p = {s: 1_000_000 if s == "__CONV__" else 0 for s in states}
+        for _ in range(iters):
+            nxt = {}
+            for s in states:
+                if s == "__CONV__":
+                    nxt[s] = 1_000_000
+                elif s == "__NULL__" or s == removed:
+                    nxt[s] = 0
+                else:
+                    nxt[s] = sum(
+                        (pm * p[d]) // 1_000_000
+                        for src, d, pm in trans
+                        if src == s
+                    )
+            p = nxt
+        return p.get("__START__", 0)
+
+    base = solve(None)
+    removed = {c: solve(c) for c in channels}
+    out = [(c, base, removed[c], base - removed[c]) for c in channels]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "channel string, base_micro long, removed_micro long,"
+        " removal_micro long",
+    )

@@ -2468,3 +2468,104 @@ def stream_holt_winters_query(spark, sf):
     return spark.read.parquet(f"{out_dir}/data").select(
         "k", "rn", "x", "level_micro", "trend_micro", "seasonal_micro"
     )
+
+
+_MARKOV_ITERS = 40
+
+
+def _markov_oracle(iters: int) -> str:
+    """Generated DuckDB twin of
+    operators/eventflow.markov_removal_attribution: transition
+    extraction mirrors the two window selects; the value iteration is
+    UNROLLED (fixed count — the pagerank/lttb precedent) over the
+    variants x states grid, each stage MATERIALIZED (each it_i is
+    read by it_{i+1}'s agg AND carried rows — the 2^k inlining
+    lesson). All integer micro arithmetic."""
+    head = """
+WITH ev AS (
+  SELECT user_id, event_type AS ch,
+         lag(event_type) OVER w AS prev,
+         lead(event_type) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+e AS (
+  SELECT '__START__' AS src,
+         CASE WHEN ch = 'purchase' THEN '__CONV__' ELSE ch END AS dst
+  FROM ev WHERE prev IS NULL OR prev = 'purchase'
+  UNION ALL
+  SELECT ch,
+         CASE WHEN nxt IS NULL THEN '__NULL__'
+              WHEN nxt = 'purchase' THEN '__CONV__' ELSE nxt END
+  FROM ev WHERE ch <> 'purchase'
+),
+cnt AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+),
+tt AS MATERIALIZED (
+  SELECT cnt.src, cnt.dst, (cnt.c * 1000000) // t.t AS p
+  FROM cnt JOIN (SELECT src, sum(c) AS t FROM cnt GROUP BY src) t
+    ON t.src = cnt.src
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (
+    SELECT src AS s FROM cnt UNION SELECT dst FROM cnt
+  )
+),
+variants(v) AS (
+  SELECT s FROM states WHERE s NOT IN ('__START__', '__CONV__', '__NULL__')
+  UNION ALL SELECT '__BASE__'
+),
+vs AS MATERIALIZED (SELECT v, s FROM variants CROSS JOIN states),
+it_0 AS MATERIALIZED (
+  SELECT v, s, CASE WHEN s = '__CONV__' THEN 1000000 ELSE 0 END AS p
+  FROM vs
+)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+it_{i} AS MATERIALIZED (
+  SELECT vs.v, vs.s,
+         CASE WHEN vs.s = '__CONV__' THEN 1000000
+              WHEN vs.s = '__NULL__' OR vs.s = vs.v THEN 0
+              ELSE coalesce(a.val, 0) END AS p
+  FROM vs LEFT JOIN (
+    SELECT p0.v, tt.src AS s, sum((tt.p * p0.p) // 1000000) AS val
+    FROM tt JOIN it_{i - 1} p0 ON p0.s = tt.dst
+    GROUP BY p0.v, tt.src
+  ) a ON a.v = vs.v AND a.s = vs.s
+)""")
+    parts.append(f"""
+SELECT r.v AS channel,
+       CAST(b.p AS BIGINT) AS base_micro,
+       CAST(r.p AS BIGINT) AS removed_micro,
+       CAST(b.p - r.p AS BIGINT) AS removal_micro
+FROM it_{iters} r
+JOIN it_{iters} b ON b.v = '__BASE__' AND b.s = '__START__'
+WHERE r.s = '__START__' AND r.v <> '__BASE__'""")
+    return "".join(parts)
+
+
+@query("attribution-markov-removal", _markov_oracle(_MARKOV_ITERS))
+def attribution_markov_removal(spark, sf):
+    """Data-driven multi-touch attribution by Markov removal effect
+    (operators/eventflow.markov_removal_attribution) — the third
+    attribution model next to last-touch and time-decay: journeys
+    split at purchases, first-order transition chain in exact micro
+    probabilities, absorption into CONV solved by 40 integer
+    value-iteration steps, each channel's credit = how much the base
+    conversion probability drops when that channel is failed. The
+    distributed work is the windowed transition extraction + grouped
+    count; the solve is channel-domain-bounded driver math (the
+    prefix-compose precedent); the oracle unrolls the identical 40
+    iterations over the variants x states grid."""
+    from genpipe_spark.operators.eventflow import markov_removal_attribution
+
+    return markov_removal_attribution(
+        t(spark, sf, "events"),
+        user_col="user_id",
+        order_cols=["ts", "event_id"],
+        channel_col="event_type",
+        conv_value="purchase",
+        iters=_MARKOV_ITERS,
+    )

@@ -1899,3 +1899,26 @@ def test_lttb_proper_short_series_identity_and_spike(spark):
     assert any(r[2] == 25 and r[3] == 99999 for r in by_key[4])
     # exactly k points for the long series
     assert len(by_key[4]) == 5
+
+
+def test_markov_removal_known_chain(spark):
+    """Hand-checked removal effects: users who click always convert,
+    users who view never do — removing 'click' kills all conversion
+    (removal = base), removing 'view' changes nothing (removal = 0)."""
+    from genpipe_spark.operators.eventflow import markov_removal_attribution
+
+    rows = []
+    for u in range(4):  # click -> purchase
+        rows += [(u, 1, "click"), (u, 2, "purchase")]
+    for u in range(4, 8):  # view -> end (no conversion)
+        rows += [(u, 1, "view")]
+    df = spark.createDataFrame(rows, "user_id long, seq long, ch string")
+    out = {
+        r["channel"]: (r["base_micro"], r["removed_micro"], r["removal_micro"])
+        for r in markov_removal_attribution(
+            df, "user_id", ["seq"], "ch", conv_value="purchase", iters=10
+        ).collect()
+    }
+    # START -> click 0.5 -> CONV 1.0; START -> view 0.5 -> NULL
+    assert out["click"] == (500_000, 0, 500_000)
+    assert out["view"] == (500_000, 500_000, 0)
