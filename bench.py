@@ -190,6 +190,7 @@ HEADLINE = [
     "cdc-mv-refresh",
     "graph-label-propagation",
     "attribution-markov-removal",
+    "ml-isotonic-calibration",
 ]
 
 

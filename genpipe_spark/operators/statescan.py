@@ -998,3 +998,101 @@ def holt_scan_hybrid(
 
     hot_out = chunked.mapInPandas(replay, out_schema)
     return cold_out.unionByName(hot_out)
+
+
+def isotonic_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    rn_col: str = "rn",
+    out_col: str = "fitted_micro",
+) -> DataFrame:
+    """Per-key isotonic (non-decreasing L2) regression by PAVA — the
+    pool-adjacent-violators scan behind every probability-calibration
+    step (Zadrozny & Elkan 2002; Robertson/Wright/Dykstra's minimax
+    characterization): fitted_i = max_{j<=i} min_{k>=i} avg(x_j..x_k),
+    computed in O(n) per key with the classic block stack (merge while
+    the previous pooled mean exceeds the current one).
+
+    Exactness: block merging compares pooled means by INTEGER
+    cross-multiplication (s1*c2 > s2*c1 — no division inside the
+    algorithm); the fitted value is emitted as
+    floor((sum/cnt) * 1e6) with ONE double division per block. The
+    minimax oracle evaluates avg(j..k) as the same exact-int-operand
+    double division, and mathematically-equal rationals round to the
+    SAME double (exact int64 operands < 2^53, correctly-rounded IEEE
+    divide), so min/max selection is engine-stable and the outputs
+    match bit-for-bit.
+
+    Physical form: the shared boundary-reset mapInPandas layout
+    (_partition_sorted); per-key state is the block stack — O(#blocks)
+    <= series length, in practice tiny. Emits ``*input, rn,
+    fitted_micro``."""
+    import math
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    base = df.select(*keys, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{rn_col}` bigint, `{out_col}` bigint"
+
+    def run(batches):
+        cur = object()
+        blocks: list[list[int]] = []  # [sum, cnt] with increasing means
+        # rows of the CURRENT key seen so far, pending emission: PAVA
+        # can revise EARLIER fitted values when a later violator pools
+        # backwards, so emission happens at key end (O(series) buffer
+        # per key — the lttb two-bucket caveat's big sibling; series
+        # here are per-user, i.e. small by the fixture scaling model).
+        pend: list[tuple] = []
+
+        def flush():
+            nonlocal blocks, pend
+            if not pend:
+                return None
+            fits = []
+            for s, c in blocks:
+                v = math.floor((s / c) * 1_000_000.0)
+                fits.extend([v] * c)
+            out = pd.DataFrame(pend, columns=cols)
+            out[rn_col] = range(1, len(pend) + 1)
+            out[out_col] = fits
+            blocks, pend = [], []
+            return out
+
+        cols = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if cols is None:
+                cols = list(pdf.columns)
+            kv = _key_rows(pdf, keys)
+            xs = pdf[value_col].to_numpy()
+            tuples = list(pdf.itertuples(index=False, name=None))
+            outs = []
+            for i in range(n):
+                if kv[i] != cur:
+                    out = flush()
+                    if out is not None:
+                        outs.append(out)
+                    cur = kv[i]
+                x = int(xs[i])
+                s, c = x, 1
+                # pool while the previous block's mean >= this one's
+                while blocks and blocks[-1][0] * c >= s * blocks[-1][1]:
+                    ps, pc = blocks.pop()
+                    s, c = s + ps, c + pc
+                blocks.append([s, c])
+                pend.append(tuples[i])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        out = flush()
+        if out is not None:
+            yield out
+
+    return _partition_sorted(base, keys, order_cols).mapInPandas(
+        run, out_schema
+    )

@@ -612,6 +612,28 @@ _TIMEGRID_MEMBERS = {
             ("y", "s"),
         ],
     ),
+    "seasdec": (
+        "rollup-seasonal-decompose",
+        [
+            ("k", "s"), ("day", "s"), ("x", "s"), ("trend_sum7", "s"),
+            ("dow", "s"), ("seasonal_c7_micro", "s"),
+            ("remainder_micro", "s"),
+        ],
+    ),
+    "isotonic": (
+        "ml-isotonic-calibration",
+        [
+            ("user_id", "s"), ("rn", "s"), ("event_id", "s"), ("x", "s"),
+            ("fitted_micro", "s"),
+        ],
+    ),
+    "markov": (
+        "attribution-markov-removal",
+        [
+            ("channel", "s"), ("base_micro", "s"), ("removed_micro", "s"),
+            ("removal_micro", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -710,6 +732,13 @@ _PROFILE_MEMBERS = {
             ("distinct_delta", "s"), ("range_changed", "s"),
         ],
     ),
+    "skew": (
+        "profile-skew",
+        [
+            ("n_keys", "s"), ("n_rows", "s"), ("max_c", "s"),
+            ("p50_c", "s"), ("p99_c", "s"), ("gini_micro", "s"),
+        ],
+    ),
 }
 
 _CDC_MEMBERS = {
@@ -760,6 +789,10 @@ _CDC_MEMBERS = {
             ("sum_old", "s"), ("sum_new", "s"),
             ("xor_old", "s"), ("xor_new", "s"),
         ],
+    ),
+    "mvrefresh": (
+        "cdc-mv-refresh",
+        [("g", "s"), ("n", "s"), ("cents", "s")],
     ),
 }
 
@@ -985,7 +1018,11 @@ timegrid_suite = _register(
     "decimation, exact integer triangle areas), RFM quintile "
     "segmentation, and cohort LTV curves (exact-cents cumulative "
     "revenue per member); r8: LTTB proper (sequential three-bucket "
-    "selection, unrolled-CTE HUGEINT oracle).",
+    "selection, unrolled-CTE HUGEINT oracle), classical seasonal "
+    "decomposition (centered 7-sum trend, multiplied-through "
+    "detrending), Markov removal-effect attribution (exact-integer "
+    "absorbing-chain value iteration, 40-stage unrolled twin), and "
+    "isotonic calibration (PAVA scan vs the minimax oracle).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,
@@ -1001,7 +1038,9 @@ profile_suite = _register(
     "rotation; entropy + ks + benford r7; gini + chi2 + mwu r7s4; "
     "cramers-v + theil/atkinson + exact-integer AUC + profile-diff "
     "(the STRUCTURAL drift view: snapshot profiles full-outer-joined, "
-    "added/dropped columns + stat deltas) r7s5).",
+    "added/dropped columns + stat deltas) r7s5) ∪ profile-skew "
+    "(the pre-shuffle key-skew report: exact Gini + p50/p99 key "
+    "counts at counts-of-counts grain, r8).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
@@ -1016,7 +1055,8 @@ cdc_suite = _register(
     "(r5 third rotation; diff + cdf r6; stream + bucketsum r7) ∪ "
     "scd2-bitemporal (valid-time x transaction-time as-of lookups over "
     "a retroactive-correction history — the fourth temporal shape, "
-    "r7s5).",
+    "r7s5) ∪ cdc-mv-refresh (incremental SUM/COUNT view maintenance "
+    "certified equal to recompute, r8).",
 )
 fn_struct_parse_suite = _register(
     "fn-struct-parse-suite", _FN_STRUCT_MEMBERS,
@@ -1236,6 +1276,10 @@ _GRAPH_MEMBERS = {
         "graph-clustering-coeff",
         [("node", "s"), ("d", "s"), ("n_triangles", "s"), ("clustering_micro", "s")],
     ),
+    "lpa": (
+        "graph-label-propagation",
+        [("node", "s"), ("label", "s")],
+    ),
 }
 
 graph_suite = _register(
@@ -1249,7 +1293,8 @@ graph_suite = _register(
     "rides dedup-misc-suite) ∪ graph-assortativity (Newman degree "
     "correlation over the edge double-cover, exact int64 moments, "
     "r7s5) ∪ graph-clustering-coeff (closed-wedge fraction riding "
-    "the triangle counts, r7s5).",
+    "the triangle counts, r7s5) ∪ graph-label-propagation "
+    "(synchronous min-tiebreak LPA communities, unrolled twin, r8).",
 )
 
 _MM_FULL_MEMBERS = {

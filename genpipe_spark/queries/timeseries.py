@@ -2569,3 +2569,76 @@ def attribution_markov_removal(spark, sf):
         conv_value="purchase",
         iters=_MARKOV_ITERS,
     )
+
+
+_ISOTONIC_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+ps AS (
+  SELECT user_id, rn, event_id, x,
+         sum(x) OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM v
+),
+-- minimax characterization (Robertson/Wright/Dykstra):
+-- fitted_i = max_{j<=i} min_{k>=i} avg(x_j..x_k). O(n^2) pairs per
+-- user — affordable because series are PER-USER (bounded by the
+-- activity model, not the SF); the Spark side is the O(n) PAVA scan.
+pairs AS (
+  SELECT a.user_id, a.rn AS j, b.rn AS k,
+         CAST(b.s - a.s + a.x AS DOUBLE)
+           / CAST(b.rn - a.rn + 1 AS DOUBLE) AS av
+  FROM ps a JOIN ps b
+    ON b.user_id = a.user_id AND b.rn >= a.rn
+),
+minq AS (
+  SELECT user_id, j, k AS i,
+         min(av) OVER (PARTITION BY user_id, j ORDER BY k DESC
+                       ROWS UNBOUNDED PRECEDING) AS mn
+  FROM pairs
+),
+fit AS (
+  SELECT user_id, i, j,
+         max(mn) OVER (PARTITION BY user_id, i ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) AS mx
+  FROM minq
+)
+SELECT p.user_id, p.rn, p.event_id, p.x,
+       CAST(floor(f.mx * 1000000) AS BIGINT) AS fitted_micro
+FROM fit f JOIN ps p ON p.user_id = f.user_id AND p.rn = f.i
+WHERE f.j = f.i
+"""
+
+
+@query("ml-isotonic-calibration", _ISOTONIC_ORACLE)
+def ml_isotonic_calibration(spark, sf):
+    """Per-user isotonic (non-decreasing L2) regression of event value
+    over time — the PAVA scan behind probability calibration
+    (operators/statescan.isotonic_fit). Spark runs the O(n) block
+    stack with exact integer cross-multiplied mean comparisons and one
+    double division per pooled block; the oracle certifies it against
+    the minimax characterization fitted_i = max_{j<=i} min_{k>=i}
+    avg(j..k) — a genuinely different O(n^2) formulation whose selected
+    value is the pooled block's own sum/cnt, so the correctly-rounded
+    double agrees bit-for-bit. The scan is the statescan class (one
+    keyed shuffle, boundary-reset mapInPandas); users are the
+    parallelism."""
+    from genpipe_spark.operators.statescan import isotonic_fit
+
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    out = isotonic_fit(
+        v, keys=["user_id"], order_cols=["ts", "event_id"], value_col="x"
+    )
+    return out.select("user_id", "rn", "event_id", "x", "fitted_micro")

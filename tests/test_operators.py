@@ -1922,3 +1922,28 @@ def test_markov_removal_known_chain(spark):
     # START -> click 0.5 -> CONV 1.0; START -> view 0.5 -> NULL
     assert out["click"] == (500_000, 0, 500_000)
     assert out["view"] == (500_000, 500_000, 0)
+
+
+def test_isotonic_fit_textbook_and_minimax(spark):
+    """PAVA vs the minimax definition on a hand-checked sequence:
+    [1, 3, 2, 4] pools (3,2) -> 2.5; [5, 4, 3] pools everything -> 4;
+    an already-sorted series is its own fit."""
+    from genpipe_spark.operators.statescan import isotonic_fit
+
+    rows = (
+        [(1, i + 1, x) for i, x in enumerate([1, 3, 2, 4])]
+        + [(2, i + 1, x) for i, x in enumerate([5, 4, 3])]
+        + [(3, i + 1, x) for i, x in enumerate([1, 2, 3])]
+    )
+    df = spark.createDataFrame(rows, "k long, seq long, x long")
+    got = {
+        (r["k"], r["rn"]): r["fitted_micro"]
+        for r in isotonic_fit(df, ["k"], ["seq"], "x").collect()
+    }
+    assert [got[(1, i)] for i in range(1, 5)] == [
+        1_000_000, 2_500_000, 2_500_000, 4_000_000
+    ]
+    assert [got[(2, i)] for i in range(1, 4)] == [4_000_000] * 3
+    assert [got[(3, i)] for i in range(1, 4)] == [
+        1_000_000, 2_000_000, 3_000_000
+    ]
