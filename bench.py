@@ -191,6 +191,7 @@ HEADLINE = [
     "graph-label-propagation",
     "attribution-markov-removal",
     "ml-isotonic-calibration",
+    "agg-mann-kendall-theil-sen",
 ]
 
 

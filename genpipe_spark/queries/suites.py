@@ -620,6 +620,13 @@ _TIMEGRID_MEMBERS = {
             ("remainder_micro", "s"),
         ],
     ),
+    "mktheil": (
+        "agg-mann-kendall-theil-sen",
+        [
+            ("user_id", "s"), ("n", "s"), ("m_pairs", "s"), ("s_stat", "s"),
+            ("var18", "s"), ("theil_slope_micro", "s"), ("z_micro", "s"),
+        ],
+    ),
     "isotonic": (
         "ml-isotonic-calibration",
         [
@@ -1021,8 +1028,9 @@ timegrid_suite = _register(
     "selection, unrolled-CTE HUGEINT oracle), classical seasonal "
     "decomposition (centered 7-sum trend, multiplied-through "
     "detrending), Markov removal-effect attribution (exact-integer "
-    "absorbing-chain value iteration, 40-stage unrolled twin), and "
-    "isotonic calibration (PAVA scan vs the minimax oracle).",
+    "absorbing-chain value iteration, 40-stage unrolled twin), "
+    "isotonic calibration (PAVA scan vs the minimax oracle), and the "
+    "Mann-Kendall + Theil-Sen robust trend pair.",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

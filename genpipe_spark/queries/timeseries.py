@@ -2642,3 +2642,154 @@ def ml_isotonic_calibration(spark, sf):
         v, keys=["user_id"], order_cols=["ts", "event_id"], value_col="x"
     )
     return out.select("user_id", "rn", "event_id", "x", "fitted_micro")
+
+
+_MK_THEIL_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+pairs AS (
+  SELECT a.user_id,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+  FROM v a JOIN v b ON b.user_id = a.user_id AND b.rn > a.rn
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS m_pairs,
+         CAST(sum(sg) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY 1
+),
+med AS (
+  SELECT user_id, slope FROM (
+    SELECT user_id, slope,
+           row_number() OVER (PARTITION BY user_id ORDER BY slope) AS r,
+           count(*) OVER (PARTITION BY user_id) AS m
+    FROM pairs
+  ) WHERE r = (m + 1) // 2
+),
+ties AS (
+  SELECT user_id,
+         CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie18
+  FROM (SELECT user_id, y, count(*) AS c FROM v GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT n.user_id, n.n, a.m_pairs, a.s_stat,
+       n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS var18,
+       CAST(floor(med.slope * 1000000) AS BIGINT) AS theil_slope_micro,
+       CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 = 0 THEN NULL
+            WHEN a.s_stat > 0 THEN CAST(floor(
+              (CAST(a.s_stat - 1 AS DOUBLE)
+               / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18
+                           AS DOUBLE) / 18.0)) * 1000000) AS BIGINT)
+            WHEN a.s_stat < 0 THEN CAST(floor(
+              (CAST(a.s_stat + 1 AS DOUBLE)
+               / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18
+                           AS DOUBLE) / 18.0)) * 1000000) AS BIGINT)
+            ELSE 0 END AS z_micro
+FROM n
+JOIN agg a ON a.user_id = n.user_id
+JOIN med ON med.user_id = n.user_id
+JOIN ties t ON t.user_id = n.user_id
+WHERE n.n >= 2
+"""
+
+
+@query("agg-mann-kendall-theil-sen", _MK_THEIL_ORACLE)
+def agg_mann_kendall_theil_sen(spark, sf):
+    """Per-user Mann-Kendall trend test + Theil-Sen robust slope —
+    the nonparametric is-this-series-trending pair (Mann 1945,
+    Kendall 1975; Sen 1968): S = sum of pairwise value signs, the
+    tie-corrected variance numerator var18 = n(n-1)(2n+5) - sum
+    t(t-1)(2t+5) as an exact int, the continuity-corrected z in
+    floored micro (the tau doctrine: one pinned sqrt/divide), and the
+    Theil-Sen slope as the LOWER-median pairwise slope — an actual
+    data-derived double both engines produce from identical exact
+    integer operands, selected by nearest rank. Fully declarative:
+    the pairwise form is a per-user self-join — quadratic in GROUP
+    size, which the fixture scaling model keeps constant (more users,
+    same per-user rate); for long series use timeseries-cusum /
+    agg-kendall-tau's merge-level machinery instead (documented
+    trade-off, the old-kendall-oracle precedent)."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("rn"),
+        )
+    )
+    n = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select("user_id", F.col("y").alias("ya"), F.col("rn").alias("ra"))
+    b = v.select("user_id", F.col("y").alias("yb"), F.col("rn").alias("rb"))
+    pairs = a.join(b, "user_id").where(F.col("rb") > F.col("ra")).select(
+        "user_id",
+        F.signum(F.col("yb") - F.col("ya")).cast("long").alias("sg"),
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("rb") - F.col("ra")).cast("double")
+        ).alias("slope"),
+    )
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m_pairs"), F.sum("sg").alias("s_stat")
+    )
+    wm = Window.partitionBy("user_id").orderBy("slope")
+    med = (
+        pairs.select(
+            "user_id", "slope",
+            F.row_number().over(wm).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("m"),
+        )
+        .where(F.col("r") == F.expr("(m + 1) div 2"))
+        .select("user_id", "slope")
+    )
+    ties = (
+        v.groupBy("user_id", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie18")
+        )
+    )
+    j = (
+        n.where(F.col("n") >= 2)
+        .join(agg, "user_id")
+        .join(med, "user_id")
+        .join(ties, "user_id")
+    )
+    var18 = F.expr("n * (n - 1) * (2 * n + 5) - tie18")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(var18 == 0, F.lit(None))
+        .when(
+            F.col("s_stat") > 0,
+            F.floor(
+                (F.col("s_stat") - 1).cast("double") / sd * 1_000_000
+            ).cast("long"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.floor(
+                (F.col("s_stat") + 1).cast("double") / sd * 1_000_000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return j.select(
+        "user_id", "n", "m_pairs", "s_stat",
+        var18.alias("var18"),
+        F.floor(F.col("slope") * 1_000_000).cast("long")
+        .alias("theil_slope_micro"),
+        z.alias("z_micro"),
+    )
