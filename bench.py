@@ -320,7 +320,7 @@ def _write_local_provenance(timings, medians, sf_val) -> None:
         commit = subprocess.run(
             ["git", "rev-parse", "HEAD"],
             cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
+        ).stdout.strip() or "unknown"  # nonzero git exit -> empty stdout
     except Exception:  # noqa: BLE001 — provenance must never fail the bench
         commit = "unknown"
     out = {

@@ -544,12 +544,7 @@ def capped_running_sum_hybrid(
     if hot is None:
         return cold_out
 
-    chunked = (
-        hot.repartitionByRange(n_chunks, *keys, *order_cols)
-        .sortWithinPartitions(*keys, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    chunked, key_schema = _range_chunked(hot, keys, order_cols, n_chunks)
 
     def clamp(v: int) -> int:
         return lo if v < lo else (hi if v > hi else v)
@@ -662,6 +657,47 @@ def _route_hot_keys(
     return cold, hot
 
 
+def _range_chunked(base, keys, order_cols, n_chunks):
+    """Shared hot-path layout of every hybrid router: range-partition
+    on (keys, order) so each partition holds contiguous per-key
+    segments, tag rows with their partition id, and localCheckpoint so
+    the compose and replay passes cannot see different chunk
+    membership. Returns (chunked_df, key_schema_ddl)."""
+    chunked = (
+        base.repartitionByRange(n_chunks, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    return chunked, key_schema
+
+
+def _float_hybrid_entries(seg_rows, keys, fresh_exit, affine_exit):
+    """Shared driver prefix-composition of the float hybrids
+    (ewma/holt): group composed segments per key, walk them in
+    partition order, and record each segment's entry
+    ``(is_key_fresh, state, rn_offset)``. ``fresh_exit(row)`` gives a
+    key-opening segment's concrete exit state; ``affine_exit(row,
+    state)`` applies a continuation segment's composed affine map.
+    State is whatever tuple/scalar the caller's callbacks use."""
+    by_key = {}
+    for r in seg_rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    entry = {}
+    for kt, segs in by_key.items():
+        segs.sort(key=lambda r: r["pid"])
+        state, off = None, 0
+        for j, r in enumerate(segs):
+            entry[(r["pid"], kt)] = (j == 0, state, off)
+            state = fresh_exit(r) if j == 0 else affine_exit(r, state)
+            off += r["n"]
+    return entry
+
+
 def ewma_scan_hybrid(
     df: DataFrame,
     keys: Sequence[str],
@@ -717,16 +753,7 @@ def ewma_scan_hybrid(
     if hot is None:
         return cold_out
 
-    chunked = (
-        hot.repartitionByRange(n_chunks, *keys, *order_cols)
-        .sortWithinPartitions(*keys, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in base.select(*keys).schema.fields
-    )
+    chunked, key_schema = _range_chunked(hot, keys, order_cols, n_chunks)
 
     def compose(batches):
         pid, cur, n = None, object(), 0
@@ -769,18 +796,13 @@ def ewma_scan_hybrid(
         compose,
         f"pid int, {key_schema}, n bigint, A double, B double, C double",
     ).collect()
-    by_key: dict[tuple, list] = {}
-    for r in seg_rows:
-        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
-    # entry: (pid, key) -> (fresh, s_entry, rn_offset)
-    entry: dict[tuple, tuple[bool, float, int]] = {}
-    for kt, segs in by_key.items():
-        segs.sort(key=lambda r: r["pid"])
-        s, off = 0.0, 0
-        for j, r in enumerate(segs):
-            entry[(r["pid"], kt)] = (j == 0, s, off)
-            s = r["C"] if j == 0 else r["A"] * s + r["B"]
-            off += r["n"]
+    # entry: (pid, key) -> (fresh, s_entry, rn_offset); a fresh
+    # segment's entry state is unused (replay resets to s = x)
+    entry = _float_hybrid_entries(
+        seg_rows, keys,
+        fresh_exit=lambda r: r["C"],
+        affine_exit=lambda r, s: r["A"] * s + r["B"],
+    )
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
@@ -805,7 +827,8 @@ def ewma_scan_hybrid(
                 x = float(xs[i])
                 if kv[i] != cur:
                     cur = kv[i]
-                    fresh, s, rn = entry[(pid, cur)]
+                    fresh, st, rn = entry[(pid, cur)]
+                    s = 0.0 if st is None else st
                 if fresh:
                     s, fresh = x, False
                 else:
@@ -861,16 +884,7 @@ def holt_scan_hybrid(
     if hot is None:
         return cold_out
 
-    chunked = (
-        hot.repartitionByRange(n_chunks, *keys, *order_cols)
-        .sortWithinPartitions(*keys, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in base.select(*keys).schema.fields
-    )
+    chunked, key_schema = _range_chunked(hot, keys, order_cols, n_chunks)
 
     def step(l, b, x):
         ln = a * x + ca * (l + b)
@@ -939,23 +953,14 @@ def holt_scan_hybrid(
         " m10 double, m11 double, c0 double, c1 double,"
         " C0 double, C1 double",
     ).collect()
-    by_key: dict[tuple, list] = {}
-    for r in seg_rows:
-        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
-    entry: dict[tuple, tuple[bool, float, float, int]] = {}
-    for kt, segs in by_key.items():
-        segs.sort(key=lambda r: r["pid"])
-        l, b, off = 0.0, 0.0, 0
-        for j, r in enumerate(segs):
-            entry[(r["pid"], kt)] = (j == 0, l, b, off)
-            if j == 0:
-                l, b = r["C0"], r["C1"]
-            else:
-                l, b = (
-                    r["m00"] * l + r["m01"] * b + r["c0"],
-                    r["m10"] * l + r["m11"] * b + r["c1"],
-                )
-            off += r["n"]
+    entry = _float_hybrid_entries(
+        seg_rows, keys,
+        fresh_exit=lambda r: (r["C0"], r["C1"]),
+        affine_exit=lambda r, lb: (
+            r["m00"] * lb[0] + r["m01"] * lb[1] + r["c0"],
+            r["m10"] * lb[0] + r["m11"] * lb[1] + r["c1"],
+        ),
+    )
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
@@ -981,7 +986,8 @@ def holt_scan_hybrid(
                 x = float(xs[i])
                 if kv[i] != cur:
                     cur = kv[i]
-                    fresh, l, b, rn = entry[(pid, cur)]
+                    fresh, st, rn = entry[(pid, cur)]
+                    l, b = (0.0, 0.0) if st is None else st
                 if fresh:
                     l, b, fresh = x, 0.0, False
                 else:

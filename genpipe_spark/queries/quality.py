@@ -1099,14 +1099,13 @@ def profile_skew(spark, sf):
         F.sum("m").over(wall).alias("kk"),
         F.sum(F.col("v") * F.col("m")).over(wall).alias("tot"),
     )
+    # integer div throughout: a Python `/ 2` would make the term (and
+    # the running sum) DOUBLE, silently losing exactness past 2^53 —
+    # the oracle's `//` stays BIGINT (round-8 self-review)
     s1 = w.agg(
         F.sum(
-            F.col("v")
-            * (
-                F.col("m") * (F.col("cum") - F.col("m"))
-                + F.col("m") * (F.col("m") + 1) / 2
-            )
-        ).cast("long").alias("s1"),
+            F.expr("v * (m * (cum - m) + (m * (m + 1)) div 2)")
+        ).alias("s1"),
         F.max("kk").alias("kk"),
         F.max("tot").alias("tot"),
     )

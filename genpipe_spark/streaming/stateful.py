@@ -386,9 +386,15 @@ def _holt_winters_fn(alpha: float, beta: float, gamma: float, period: int):
         else:
             l, b, rn, seas, pos = 0.0, 0.0, 0, [0.0] * m, 0
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("day")
-            for day, x in zip(pdf["day"], pdf["x"]):
+        # concat BEFORE sorting: a group's micro-batch arrives as an
+        # iterator of Arrow chunks (split at maxRecordsPerBatch), and a
+        # chunk-local sort would interleave days across chunks for
+        # >10k-row groups (round-8 self-review; the sessionize fn's
+        # pattern)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("day")
+            for day, x in zip(allpdf["day"], allpdf["x"]):
                 xf = float(x)
                 if rn == 0:
                     l, b = xf, 0.0
