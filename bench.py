@@ -192,6 +192,7 @@ HEADLINE = [
     "attribution-markov-removal",
     "ml-isotonic-calibration",
     "agg-mann-kendall-theil-sen",
+    "ab-test-proportions",
 ]
 
 

@@ -1130,3 +1130,84 @@ def profile_skew(spark, sf):
             ),
         ).alias("gini_micro"),
     )
+
+
+_ABTEST_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM u
+)
+SELECT n_a, n_b, x_a, x_b,
+       CAST(floor((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  * 1000000) AS BIGINT) AS lift_micro,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+            ELSE CAST(floor(
+              ((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))))
+              * 1000000) AS BIGINT) END AS z_micro
+FROM c WHERE n_a > 0 AND n_b > 0
+"""
+
+
+@query("ab-test-proportions", _ABTEST_ORACLE)
+def ab_test_proportions(spark, sf):
+    """Two-proportion pooled z-test — the A/B-test readout: users split
+    by id parity into arms, converted = any purchase, exact integer
+    counts reduced in ONE grouped pass + one 1-row conditional agg,
+    then the pooled-variance z statistic in floored micro (the tau/
+    mann-kendall doctrine: the float tail is one textually-pinned
+    sqrt/divide chain over exact integer operands, identical in both
+    engines). z is NULL when pooled variance is 0 (no or all
+    conversions). Completes the experiment-stats set next to
+    quality-chi2-independence and quality-mannwhitney."""
+    u = t(spark, sf, "events").groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return c.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_a", "n_b", "x_a", "x_b",
+        F.floor((pa - pb) * 1_000_000).cast("long").alias("lift_micro"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") == 0)
+            | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None),
+        ).otherwise(
+            F.floor((pa - pb) / se * 1_000_000).cast("long")
+        ).alias("z_micro"),
+    )

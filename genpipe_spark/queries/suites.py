@@ -739,6 +739,13 @@ _PROFILE_MEMBERS = {
             ("distinct_delta", "s"), ("range_changed", "s"),
         ],
     ),
+    "abtest": (
+        "ab-test-proportions",
+        [
+            ("n_a", "s"), ("n_b", "s"), ("x_a", "s"), ("x_b", "s"),
+            ("lift_micro", "s"), ("z_micro", "s"),
+        ],
+    ),
     "skew": (
         "profile-skew",
         [
@@ -1048,7 +1055,8 @@ profile_suite = _register(
     "(the STRUCTURAL drift view: snapshot profiles full-outer-joined, "
     "added/dropped columns + stat deltas) r7s5) ∪ profile-skew "
     "(the pre-shuffle key-skew report: exact Gini + p50/p99 key "
-    "counts at counts-of-counts grain, r8).",
+    "counts at counts-of-counts grain, r8) ∪ ab-test-proportions "
+    "(pooled two-proportion z, r8).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
