@@ -11,6 +11,7 @@ Round-8 use: alternate runs against HEAD and the .ab_r6 worktree
 vs host drift — same box, interleaved A/B/A/B so slow-host windows hit
 both arms equally."""
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,7 +25,7 @@ from genpipe_spark.session import get_spark  # noqa: E402
 registry.load_all_query_modules()
 spark = get_spark("ab-bench")
 spark.sparkContext.setLogLevel("ERROR")
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def mat(df):
     df.write.format("noop").mode("overwrite").save()
