@@ -193,6 +193,7 @@ HEADLINE = [
     "ml-isotonic-calibration",
     "agg-mann-kendall-theil-sen",
     "ab-test-proportions",
+    "ab-test-cuped",
 ]
 
 

@@ -1211,3 +1211,151 @@ def ab_test_proportions(spark, sf):
             F.floor((pa - pb) / se * 1_000_000).cast("long")
         ).alias("z_micro"),
     )
+
+
+_CUPED_ORACLE = """
+WITH mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+),
+u AS (
+  SELECT user_id % 2 AS arm,
+         CAST(coalesce(sum(CASE WHEN epoch_us(ts) < m
+               THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+           AS x,
+         CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= m
+               THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+           AS y
+  FROM events CROSS JOIN mid
+  WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM u
+)
+SELECT n, n_a, n_b,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+            THEN NULL ELSE CAST(floor(
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000)
+         AS BIGINT) END AS theta_micro,
+       CAST(floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 100)
+            AS BIGINT) AS lift_centicents,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+            THEN NULL ELSE CAST(floor(
+         ((CAST(sy_a AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
+          - (CAST(sy_b AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * CAST(sx_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) * 100)
+         AS BIGINT) END AS adj_lift_centicents
+FROM mo WHERE n_a > 0 AND n_b > 0
+"""
+
+
+@query("ab-test-cuped", _CUPED_ORACLE)
+def ab_test_cuped(spark, sf):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    per-user pre-period spend X (events before the corpus time
+    midpoint) as the covariate for post-period spend Y; theta =
+    cov(X,Y)/var(X) POOLED across arms, adjusted lift =
+    mean_A(Y - theta*X) - mean_B(Y - theta*X) — the industry-standard
+    sensitivity booster next to ab-test-proportions' raw z. All
+    moments are EXACT int64 sums (products <= 4e10 per user, 5.6e16
+    summed — in range); theta and the adjusted means then ride ONE
+    textually-pinned double chain over those integers (n*sxx - sx^2
+    exceeds int64 at ~1e6 users, so the combination is evaluated in
+    doubles — deterministic to the bit given identical integer
+    operands, the cov/var doctrine of agg-grouped-corr). Outputs in
+    floored centi-cents; NULL when var(X) = 0. Plan: one grouped
+    per-user reduction + one 1-row moment agg."""
+    ev = t(spark, sf, "events").where(F.col("value").isNotNull())
+    mid = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("m")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts) < m"),
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts) >= m"),
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("y"),
+            F.first(F.col("user_id") % 2).alias("arm"),
+        )
+    )
+    mo = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sy_b"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    var = f"({nd} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    cov = f"({nd} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    theta = f"({cov} / {var})"
+    adj = (
+        f"((CAST(sy_a AS DOUBLE) - {theta} * CAST(sx_a AS DOUBLE))"
+        f" / CAST(n_a AS DOUBLE)"
+        f" - (CAST(sy_b AS DOUBLE) - {theta} * CAST(sx_b AS DOUBLE))"
+        f" / CAST(n_b AS DOUBLE))"
+    )
+    return mo.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n", "n_a", "n_b",
+        F.expr(
+            f"CASE WHEN {var} = 0.0 THEN NULL ELSE"
+            f" CAST(floor({theta} * 1000000) AS BIGINT) END"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST(floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 100)"
+            " AS BIGINT)"
+        ).alias("lift_centicents"),
+        F.expr(
+            f"CASE WHEN {var} = 0.0 THEN NULL ELSE"
+            f" CAST(floor({adj} * 100) AS BIGINT) END"
+        ).alias("adj_lift_centicents"),
+    )

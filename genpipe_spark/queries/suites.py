@@ -739,6 +739,13 @@ _PROFILE_MEMBERS = {
             ("distinct_delta", "s"), ("range_changed", "s"),
         ],
     ),
+    "cuped": (
+        "ab-test-cuped",
+        [
+            ("n", "s"), ("n_a", "s"), ("n_b", "s"), ("theta_micro", "s"),
+            ("lift_centicents", "s"), ("adj_lift_centicents", "s"),
+        ],
+    ),
     "abtest": (
         "ab-test-proportions",
         [
@@ -1056,7 +1063,8 @@ profile_suite = _register(
     "added/dropped columns + stat deltas) r7s5) ∪ profile-skew "
     "(the pre-shuffle key-skew report: exact Gini + p50/p99 key "
     "counts at counts-of-counts grain, r8) ∪ ab-test-proportions "
-    "(pooled two-proportion z, r8).",
+    "(pooled two-proportion z, r8) ∪ ab-test-cuped (CUPED "
+    "variance-reduced lift, pooled theta from exact moments, r8).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,

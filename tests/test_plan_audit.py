@@ -66,7 +66,6 @@ BOUNDED_NLJ_OK = {
     "text-tfidf-topk": "1-row corpus doc-count scalar attach",
     # 1-row per-split totals crossJoined to attach JS/entropy scalars
     "profile-entropy": "1-row split-totals scalar attach",
-    "profile-suite": "inherits profile-entropy's 1-row attach",
     # the R*C grid margins crossJoin inherited from chi2 + its own
     # 1-row total attach; all grouped-size (the chi2 whitelist rationale)
     "quality-cramers-v": "inherits quality-chi2-independence's grid "
@@ -100,6 +99,10 @@ BOUNDED_NLJ_OK = {
     # two 1-row reductions (rank-weighted sum + percentile crossings)
     # crossJoined into the single output row
     "profile-skew": "1-row skew-stats scalar attach",
+    # 1-row corpus time-midpoint anchor (the rfm now_us pattern)
+    "ab-test-cuped": "1-row time-midpoint anchor attach",
+    "profile-suite": "inherits profile-entropy's and ab-test-cuped's "
+    "1-row attaches",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -189,6 +192,7 @@ BOUNDED_BROADCAST_OK = {
     "alloc-largest-remainder": "broadcast 1-row total-weight aggregate",
     # 1-row percentile-crossing reduction attached to the 1-row Gini
     "profile-skew": "broadcast 1-row percentile-stats aggregate",
+    "ab-test-cuped": "broadcast 1-row time-midpoint anchor",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
