@@ -549,11 +549,6 @@ def capped_running_sum_hybrid(
     def clamp(v: int) -> int:
         return lo if v < lo else (hi if v > hi else v)
 
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in base.select(*keys).schema.fields
-    )
-
     # pass 1: one composed triple per (partition, key-segment); state
     # carries across Arrow batches within the partition
     def compose(batches):

@@ -1290,8 +1290,12 @@ def ab_test_cuped(spark, sf):
     operands, the cov/var doctrine of agg-grouped-corr). Outputs in
     floored centi-cents; NULL when var(X) = 0. Plan: one grouped
     per-user reduction + one 1-row moment agg."""
-    ev = t(spark, sf, "events").where(F.col("value").isNotNull())
-    mid = ev.agg(
+    # midpoint anchored over ALL events, matching the oracle's mid CTE:
+    # a NULL-valued earliest/latest event must still anchor the split
+    # (round-8 second self-review)
+    all_ev = t(spark, sf, "events")
+    ev = all_ev.where(F.col("value").isNotNull())
+    mid = all_ev.agg(
         F.expr(
             "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
         ).alias("m")
