@@ -1132,3 +1132,108 @@ def test_ewma_hybrid_single_chunk_hot_key_bitexact(spark):
         for r in ewma_scan(df, ["k"], ["seq"], "v", alpha=0.25).collect()
     }
     assert hyb == seq
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    series=st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=1, max_size=25),
+        min_size=1, max_size=4,
+    )
+)
+def test_isotonic_fit_matches_minimax_bruteforce(spark, series):
+    """PAVA (the operator) vs the minimax definition
+    fitted_i = max_{j<=i} min_{k>=i} avg(j..k), evaluated brute-force
+    in exact Fractions — independent of both the operator's block
+    stack AND the SQL oracle's double path."""
+    from fractions import Fraction
+    import math
+
+    from genpipe_spark.operators.statescan import isotonic_fit
+
+    rows = [
+        (k, i + 1, x)
+        for k, xs in enumerate(series)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, x long")
+    got = {
+        (r["k"], r["rn"]): r["fitted_micro"]
+        for r in isotonic_fit(df, ["k"], ["seq"], "x").collect()
+    }
+    for k, xs in enumerate(series):
+        n = len(xs)
+        pre = [0]
+        for x in xs:
+            pre.append(pre[-1] + x)
+        for i in range(1, n + 1):
+            best = None
+            for j in range(1, i + 1):
+                mn = min(
+                    Fraction(pre[kk] - pre[j - 1], kk - j + 1)
+                    for kk in range(i, n + 1)
+                )
+                best = mn if best is None else max(best, mn)
+            want = math.floor(float(best) * 1_000_000.0)
+            # the operator divides the POOLED block's sum/cnt; the
+            # Fraction->float here may round the same rational through
+            # a different path only when the fraction is not exactly
+            # representable — allow 1 micro of slack at the boundary
+            assert abs(got[(k, i)] - want) <= 1, (k, i, got[(k, i)], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-10**4, 10**4)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([3, 5, 8]),
+)
+def test_lttb_matches_python_reference(spark, series, k):
+    """lttb_downsample vs an independent pure-Python LTTB (exact-int
+    scoring, same bucket layout) on random (x, y) series — pins the
+    sequential selection beyond the fixture-shaped oracle check."""
+    from genpipe_spark.operators.timegrid import lttb_downsample
+
+    pts = sorted(series)
+    rows = [(1, x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = sorted(
+        (r["sel_idx"], r["rn"], r["x"], r["y"])
+        for r in lttb_downsample(
+            df, ["g"], ["x"], x_col="x", y_col="y", k=k
+        ).collect()
+    )
+
+    n = len(pts)
+    want = [(-1, 1, *pts[0])]
+    if n >= 2:
+        buckets: dict[int, list] = {}
+        for i in range(1, n - 1):
+            b = ((i - 1) * (k - 2)) // (n - 2)
+            buckets.setdefault(b, []).append((i + 1, *pts[i]))
+        prev = pts[0]
+        bids = sorted(buckets)
+        for idx, b in enumerate(bids):
+            if b == k - 3:
+                m, sx, sy = 1, pts[-1][0], pts[-1][1]
+            elif (b + 1) in buckets:
+                nxt = buckets[b + 1]
+                m = len(nxt)
+                sx = sum(p[1] for p in nxt)
+                sy = sum(p[2] for p in nxt)
+            else:
+                # empty next bucket => this bucket is a singleton
+                # (div-spread property); score irrelevant
+                m, sx, sy = 1, 0, 0
+            px, py = prev
+            best = None
+            for rn, x, y in buckets[b]:
+                s = abs((m * px - sx) * (y - py) - (px - x) * (sy - m * py))
+                if best is None or s > best[0] or (s == best[0] and rn < best[1]):
+                    best = (s, rn, x, y)
+            want.append((b, best[1], best[2], best[3]))
+            prev = (best[2], best[3])
+        want.append((k - 2, n, *pts[-1]))
+    assert got == sorted(want)
