@@ -194,6 +194,7 @@ HEADLINE = [
     "agg-mann-kendall-theil-sen",
     "ab-test-proportions",
     "ab-test-cuped",
+    "ab-test-srm",
 ]
 
 

@@ -1363,3 +1363,51 @@ def ab_test_cuped(spark, sf):
             f" CAST(floor({adj} * 100) AS BIGINT) END"
         ).alias("adj_lift_centicents"),
     )
+
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ((n_a - n_b) * (n_a - n_b) * 1000000
+          - (((n_a - n_b) * (n_a - n_b) * 1000000) % (n_a + n_b)))
+         // (n_a + n_b) AS chi2_micro,
+       (n_a - n_b) * (n_a - n_b) * 1000000 >= 3841459 * (n_a + n_b)
+         AS srm_flag
+FROM c WHERE n_a + n_b > 0
+"""
+
+
+@query("ab-test-srm", _SRM_ORACLE)
+def ab_test_srm(spark, sf):
+    """Sample-ratio-mismatch guardrail — the FIRST check any A/B
+    readout must pass: chi-square of the observed arm split against
+    the designed 50/50, df=1. Under equal expected counts the
+    statistic collapses to (n_a - n_b)^2 / (n_a + n_b) — computed as
+    an EXACT integer micro value (numerator < 2^63 to ~3e6 users of
+    imbalance; the subtraction-of-mod form keeps the division exact
+    floor), and the flag compares against the alpha=0.05 critical
+    value 3.841459 held as the exact integer cross-multiplication
+    (chi2 * 1e6 >= 3841459 * n) — no float anywhere. One grouped
+    dedup + one 1-row agg."""
+    u = t(spark, sf, "events").groupBy("user_id").agg(
+        F.first(F.col("user_id") % 2).alias("arm")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d2 = "((n_a - n_b) * (n_a - n_b) * 1000000)"
+    return c.where(F.col("n_a") + F.col("n_b") > 0).select(
+        "n_a", "n_b",
+        F.expr(
+            f"({d2} - ({d2} % (n_a + n_b))) div (n_a + n_b)"
+        ).alias("chi2_micro"),
+        F.expr(f"{d2} >= 3841459 * (n_a + n_b)").alias("srm_flag"),
+    )

@@ -739,6 +739,13 @@ _PROFILE_MEMBERS = {
             ("distinct_delta", "s"), ("range_changed", "s"),
         ],
     ),
+    "srm": (
+        "ab-test-srm",
+        [
+            ("n_a", "s"), ("n_b", "s"), ("chi2_micro", "s"),
+            ("srm_flag", "s"),
+        ],
+    ),
     "cuped": (
         "ab-test-cuped",
         [
@@ -1064,7 +1071,9 @@ profile_suite = _register(
     "(the pre-shuffle key-skew report: exact Gini + p50/p99 key "
     "counts at counts-of-counts grain, r8) ∪ ab-test-proportions "
     "(pooled two-proportion z, r8) ∪ ab-test-cuped (CUPED "
-    "variance-reduced lift, pooled theta from exact moments, r8).",
+    "variance-reduced lift, pooled theta from exact moments, r8) ∪ "
+    "ab-test-srm (the sample-ratio-mismatch guardrail, exact-integer "
+    "chi2 vs the 3.841459 critical value, r8).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,
