@@ -27,6 +27,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def count_strict_inversions(y) -> int:
+    """STRICT inversions (y[i] > y[j], i < j) in O(n log n), vectorized:
+    32-wide base blocks counted by one broadcast comparison, then
+    bottom-up merging where each cross count is ONE searchsorted
+    (#(L > r) summed over r = |L|*|R| - sum searchsorted(L, R,
+    'right')). ~n/32 interpreter iterations total instead of a
+    per-element Python merge sort (review r7s5: the pure-Python
+    version was interpreter-bound on million-row groups).
+
+    Module-level so both Kendall tau-b and Mann-Kendall ride the same
+    machinery (S over time order = n0 - y-tie pairs - 2*inversions).
+    """
+    import numpy as np
+
+    a = np.asarray(y, dtype=np.int64)
+    n = len(a)
+    if n < 2:
+        return 0
+    w = 32
+    m = -(-n // w)
+    big = np.iinfo(np.int64).max
+    b = np.concatenate([a, np.full(m * w - n, big, np.int64)])
+    b = b.reshape(m, w)
+    iu, ju = np.triu_indices(w, k=1)
+    # padding sits at the highest j positions of the last block:
+    # big > big and real > big are both False, so pads never count
+    total = int((b[:, iu] > b[:, ju]).sum())
+    b = np.sort(b, axis=1)
+    blocks = [row for row in b]
+    # strip pads from the last block BY COUNT, not by value: data
+    # equal to INT64_MAX is indistinguishable from a pad, and a
+    # value filter would drop it (round-7 advisory). Sorted pads
+    # occupy the tail; keeping the first (n mod w) elements keeps
+    # exactly the data multiset (any retained MAX compares
+    # identically whether it was data or pad).
+    n_last = n - (m - 1) * w
+    blocks[-1] = blocks[-1][:n_last]
+    while len(blocks) > 1:
+        nxt = []
+        for i in range(0, len(blocks) - 1, 2):
+            left, right = blocks[i], blocks[i + 1]
+            total += int(
+                len(left) * len(right)
+                - int(np.searchsorted(left, right, side="right").sum())
+            )
+            nxt.append(np.sort(np.concatenate([left, right])))
+        if len(blocks) % 2:
+            nxt.append(blocks[-1])
+        blocks = nxt
+    return total
+
+
 def group_quantiles(
     df: DataFrame,
     value_col: str,
@@ -354,52 +406,7 @@ def kendall_tau_grouped(
         " n2 bigint, n3 bigint, tau_micro bigint"
     )
 
-    def count_inversions(y) -> int:
-        # STRICT inversions (y[i] > y[j], i < j), vectorized: 32-wide
-        # base blocks counted by one broadcast comparison, then
-        # bottom-up merging where each cross count is ONE searchsorted
-        # (#(L > r) summed over r = |L|*|R| - sum searchsorted(L, R,
-        # 'right')). ~n/32 interpreter iterations total instead of a
-        # per-element Python merge sort (review r7s5: the pure-Python
-        # version was interpreter-bound on million-row groups).
-        import numpy as np
-
-        a = np.asarray(y, dtype=np.int64)
-        n = len(a)
-        if n < 2:
-            return 0
-        w = 32
-        m = -(-n // w)
-        big = np.iinfo(np.int64).max
-        b = np.concatenate([a, np.full(m * w - n, big, np.int64)])
-        b = b.reshape(m, w)
-        iu, ju = np.triu_indices(w, k=1)
-        # padding sits at the highest j positions of the last block:
-        # big > big and real > big are both False, so pads never count
-        total = int((b[:, iu] > b[:, ju]).sum())
-        b = np.sort(b, axis=1)
-        blocks = [row for row in b]
-        # strip pads from the last block BY COUNT, not by value: data
-        # equal to INT64_MAX is indistinguishable from a pad, and a
-        # value filter would drop it (round-7 advisory). Sorted pads
-        # occupy the tail; keeping the first (n mod w) elements keeps
-        # exactly the data multiset (any retained MAX compares
-        # identically whether it was data or pad).
-        n_last = n - (m - 1) * w
-        blocks[-1] = blocks[-1][:n_last]
-        while len(blocks) > 1:
-            nxt = []
-            for i in range(0, len(blocks) - 1, 2):
-                left, right = blocks[i], blocks[i + 1]
-                total += int(
-                    len(left) * len(right)
-                    - int(np.searchsorted(left, right, side="right").sum())
-                )
-                nxt.append(np.sort(np.concatenate([left, right])))
-            if len(blocks) % 2:
-                nxt.append(blocks[-1])
-            blocks = nxt
-        return total
+    count_inversions = count_strict_inversions
 
     def tie_term(series) -> int:
         return int(sum(t * (t - 1) // 2 for t in series if t > 1))
@@ -424,6 +431,134 @@ def kendall_tau_grouped(
         row.update(
             n=[n], disc_swaps=[swaps], n0=[n0], n1=[n1], n2=[n2], n3=[n3],
             tau_micro=pd.array([tau], dtype="Int64"),
+        )
+        return pd.DataFrame(row)
+
+    return base.groupBy(*keys).applyInPandas(one_group, out_schema)
+
+
+def mann_kendall_theil_sen_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    y_col: str,
+    exact_pair_n: int = 3000,
+    whale_sample_pairs: int = 200_000,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test + Theil-Sen slope, whale-safe.
+
+    Replaces the pairwise self-join formulation (round-8 ``weak``: an
+    unguarded per-key O(n^2) join — one bot user with 10^6 events costs
+    5*10^11 pairs in a single task). Here each group is ONE Arrow batch
+    through ``applyInPandas`` and the statistic rides the existing
+    O(n log n) inversion machinery (``count_strict_inversions``, the
+    agg-kendall-tau precedent):
+
+      S     = n0 - yties - 2*inversions(y in time order)
+              (n0 = C(n,2); yties = sum C(t,2) over equal-y runs;
+               inversions = #{i<j : y_i > y_j})
+      var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)     (exact int64)
+      z     = floor((S -/+ 1) / sqrt(var18/18) * 1e6)  (continuity-
+              corrected, one pinned IEEE sqrt/divide — the tau doctrine)
+
+    Theil-Sen slope (lower-median pairwise slope, Sen 1968) is the one
+    genuinely pairwise quantity. Gate per the hot-key doctrine
+    (statescan._route_hot_keys): groups with n <= ``exact_pair_n``
+    compute the EXACT lower median over all C(n,2) IEEE-double slopes
+    (vectorized numpy, <= ~4.5M pairs / ~110 MB transient at the
+    default gate); whale groups fall back to the lower median of
+    ``whale_sample_pairs`` deterministically-sampled pairs (RNG seeded
+    from the group key, so reruns are bit-stable). The fallback is a
+    DOCUMENTED approximation — S/var18/z stay exact for whales; only
+    the slope is sampled (median-of-pairwise-slopes concentrates at
+    O(1/sqrt(m)) so 2*10^5 pairs pins the micro-floored slope for all
+    but adversarial distributions).
+
+    Emits ``*keys, n, m_pairs, s_stat, var18, theil_slope_micro,
+    z_micro`` — m_pairs = C(n,2) (the pair population, also under the
+    sampled fallback, where it reports the population not the sample).
+    Groups with n < 2 are dropped (no pairs), matching the join
+    formulation.
+
+    Scale: one shuffle on the keys; per-group cost O(n log n) +
+    min(C(n,2), whale_sample_pairs) with O(n) + O(sample) memory.
+    Groups are the parallelism — the quantile-group-exact posture.
+    """
+    import math
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    base = df.select(*keys, *order_cols, y_col)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, n bigint, m_pairs bigint, s_stat bigint,"
+        " var18 bigint, theil_slope_micro bigint, z_micro bigint"
+    )
+    out_cols = keys + [
+        "n", "m_pairs", "s_stat", "var18", "theil_slope_micro", "z_micro",
+    ]
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in out_cols})
+        srt = pdf.sort_values(order_cols, kind="mergesort")
+        y = srt[y_col].to_numpy(dtype=np.int64)
+        n0 = n * (n - 1) // 2
+        inv = count_strict_inversions(y)
+        _, cnt = np.unique(y, return_counts=True)
+        yties = int((cnt * (cnt - 1) // 2).sum())
+        s = n0 - yties - 2 * inv
+        tie18 = int(
+            sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                for c in cnt if c > 1)
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        if var18 == 0:
+            z = None
+        elif s > 0:
+            z = math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1000000)
+        elif s < 0:
+            z = math.floor((s + 1) / math.sqrt(var18 / 18.0) * 1000000)
+        else:
+            z = 0
+        if n <= exact_pair_n:
+            iu, ju = np.triu_indices(n, k=1)
+            slopes = (y[ju] - y[iu]).astype(np.float64) / (
+                (ju - iu).astype(np.float64)
+            )
+            k = (n0 + 1) // 2
+        else:
+            # Whale route: deterministic sampled-pair lower median.
+            # min/max of two independent uniform draws is uniform over
+            # unordered distinct pairs (conditioned on a != b).
+            seed = zlib.crc32(
+                repr(tuple(pdf[c].iloc[0] for c in keys)).encode()
+            )
+            rng = np.random.RandomState(seed)
+            a = rng.randint(0, n, size=whale_sample_pairs)
+            b = rng.randint(0, n, size=whale_sample_pairs)
+            mask = a != b
+            iu = np.minimum(a[mask], b[mask])
+            ju = np.maximum(a[mask], b[mask])
+            slopes = (y[ju] - y[iu]).astype(np.float64) / (
+                (ju - iu).astype(np.float64)
+            )
+            k = (len(slopes) + 1) // 2
+        kth = float(np.partition(slopes, k - 1)[k - 1])
+        sl_micro = math.floor(kth * 1000000)
+        row = {c: [pdf[c].iloc[0]] for c in keys}
+        row.update(
+            n=[n], m_pairs=[n0], s_stat=[s], var18=[var18],
+            theil_slope_micro=[sl_micro],
+            z_micro=pd.array([z], dtype="Int64"),
         )
         return pd.DataFrame(row)
 

@@ -2709,87 +2709,28 @@ def agg_mann_kendall_theil_sen(spark, sf):
     floored micro (the tau doctrine: one pinned sqrt/divide), and the
     Theil-Sen slope as the LOWER-median pairwise slope — an actual
     data-derived double both engines produce from identical exact
-    integer operands, selected by nearest rank. Fully declarative:
-    the pairwise form is a per-user self-join — quadratic in GROUP
-    size, which the fixture scaling model keeps constant (more users,
-    same per-user rate); for long series use timeseries-cusum /
-    agg-kendall-tau's merge-level machinery instead (documented
-    trade-off, the old-kendall-oracle precedent)."""
-    from pyspark.sql import Window
+    integer operands, selected by nearest rank.
+
+    Whale-safe as of r9 (the r8 ``weak`` discharged): the pairwise
+    self-join is gone — each group is one Arrow batch through
+    mann_kendall_theil_sen_grouped (operators/quantile.py), S/var18/z
+    ride the O(n log n) count_strict_inversions machinery (exact for
+    ANY group size, including a 10^6-event bot user), and only the
+    Theil-Sen slope gates exact-pairwise behind a per-key length
+    threshold with a deterministic sampled-pair fallback for whales
+    (the statescan _route_hot_keys doctrine). At sf0.01/sf1 every
+    group is far below the gate, so the oracle's pairwise formulation
+    stays bit-identical."""
+    from ..operators.quantile import mann_kendall_theil_sen_grouped
 
     v = (
         t(spark, sf, "events")
         .where(F.col("value").isNotNull())
         .select(
-            "user_id",
+            "user_id", "ts", "event_id",
             F.round(F.col("value") * 100).cast("long").alias("y"),
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ).alias("rn"),
         )
     )
-    n = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    a = v.select("user_id", F.col("y").alias("ya"), F.col("rn").alias("ra"))
-    b = v.select("user_id", F.col("y").alias("yb"), F.col("rn").alias("rb"))
-    pairs = a.join(b, "user_id").where(F.col("rb") > F.col("ra")).select(
-        "user_id",
-        F.signum(F.col("yb") - F.col("ya")).cast("long").alias("sg"),
-        (
-            (F.col("yb") - F.col("ya")).cast("double")
-            / (F.col("rb") - F.col("ra")).cast("double")
-        ).alias("slope"),
-    )
-    agg = pairs.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("m_pairs"), F.sum("sg").alias("s_stat")
-    )
-    wm = Window.partitionBy("user_id").orderBy("slope")
-    med = (
-        pairs.select(
-            "user_id", "slope",
-            F.row_number().over(wm).alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("m"),
-        )
-        .where(F.col("r") == F.expr("(m + 1) div 2"))
-        .select("user_id", "slope")
-    )
-    ties = (
-        v.groupBy("user_id", "y")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
-            ).alias("tie18")
-        )
-    )
-    j = (
-        n.where(F.col("n") >= 2)
-        .join(agg, "user_id")
-        .join(med, "user_id")
-        .join(ties, "user_id")
-    )
-    var18 = F.expr("n * (n - 1) * (2 * n + 5) - tie18")
-    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
-    z = (
-        F.when(var18 == 0, F.lit(None))
-        .when(
-            F.col("s_stat") > 0,
-            F.floor(
-                (F.col("s_stat") - 1).cast("double") / sd * 1_000_000
-            ).cast("long"),
-        )
-        .when(
-            F.col("s_stat") < 0,
-            F.floor(
-                (F.col("s_stat") + 1).cast("double") / sd * 1_000_000
-            ).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-    )
-    return j.select(
-        "user_id", "n", "m_pairs", "s_stat",
-        var18.alias("var18"),
-        F.floor(F.col("slope") * 1_000_000).cast("long")
-        .alias("theil_slope_micro"),
-        z.alias("z_micro"),
+    return mann_kendall_theil_sen_grouped(
+        v, keys=["user_id"], order_cols=["ts", "event_id"], y_col="y"
     )

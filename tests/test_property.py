@@ -1237,3 +1237,117 @@ def test_lttb_matches_python_reference(spark, series, k):
             prev = (best[2], best[3])
         want.append((k - 2, n, *pts[-1]))
     assert got == sorted(want)
+
+
+# ------------------------------------------- Mann-Kendall + Theil-Sen
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-8, 8)),
+        min_size=2, max_size=30,
+    )
+)
+def test_mann_kendall_matches_bruteforce(spark, rows):
+    """The inversion-machinery formulation (S = n0 - yties - 2*inv)
+    and the gated exact-pairwise Theil-Sen median must equal the
+    literal O(n^2) pair enumeration — heavy value ties by
+    construction (r9: the per-key self-join rewrite)."""
+    import math
+
+    from genpipe_spark.operators.quantile import (
+        mann_kendall_theil_sen_grouped,
+    )
+
+    data = [Row(g=g, o=i, y=y) for i, (g, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, o long, y long")
+    got = {
+        r["g"]: (r["n"], r["m_pairs"], r["s_stat"], r["var18"],
+                 r["theil_slope_micro"], r["z_micro"])
+        for r in mann_kendall_theil_sen_grouped(
+            df, ["g"], ["o"], "y"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, y in rows:
+        groups[g].append(y)
+    for g, ys in groups.items():
+        n = len(ys)
+        if n < 2:
+            assert g not in got
+            continue
+        s = 0
+        slopes = []
+        tie = defaultdict(int)
+        for i in range(n):
+            tie[ys[i]] += 1
+            for j in range(i + 1, n):
+                s += (ys[j] > ys[i]) - (ys[j] < ys[i])
+                slopes.append((ys[j] - ys[i]) / (j - i))
+        n0 = n * (n - 1) // 2
+        tie18 = sum(c * (c - 1) * (2 * c + 5) for c in tie.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        kth = sorted(slopes)[(n0 + 1) // 2 - 1]
+        if var18 == 0:
+            z = None
+        elif s > 0:
+            z = math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1000000)
+        elif s < 0:
+            z = math.floor((s + 1) / math.sqrt(var18 / 18.0) * 1000000)
+        else:
+            z = 0
+        assert got[g] == (
+            n, n0, s, var18, math.floor(kth * 1000000), z
+        ), g
+
+
+def test_mann_kendall_whale_key_completes(spark):
+    """One 100k-event whale group (the r8 `weak` scenario: a bot user)
+    must complete in seconds — S/var18/z stay EXACT via the O(n log n)
+    inversion path; the Theil-Sen slope routes to the deterministic
+    sampled-pair fallback (bit-stable across reruns). Under the old
+    self-join formulation this group alone was ~5e9 pairs."""
+    import time
+
+    import numpy as np
+
+    from genpipe_spark.operators.quantile import (
+        mann_kendall_theil_sen_grouped,
+    )
+
+    n = 100_000
+    # y = i // 2: monotone with every value tied exactly twice, so all
+    # the closed forms are known: inversions = 0, yties = n/2,
+    # tie18 = (n/2) * 2*1*(2*2+5) = 9n, slopes concentrate at 1/2.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"g": np.int64(7), "o": np.arange(n, dtype=np.int64),
+         "y": np.arange(n, dtype=np.int64) // 2}
+    )
+    df = spark.createDataFrame(pdf)
+    t0 = time.monotonic()
+    rows = mann_kendall_theil_sen_grouped(df, ["g"], ["o"], "y").collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"whale group took {elapsed:.1f}s"
+    assert len(rows) == 1
+    r = rows[0]
+    n0 = n * (n - 1) // 2
+    yties = n // 2
+    s = n0 - yties
+    var18 = n * (n - 1) * (2 * n + 5) - 9 * n
+    import math
+
+    z = math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1000000)
+    assert (r["n"], r["m_pairs"], r["s_stat"], r["var18"], r["z_micro"]) \
+        == (n, n0, s, var18, z)
+    # sampled-median slope: true pairwise slopes are (j//2 - i//2)/(j-i)
+    # in [0, 1] with median 1/2 — the 200k-pair sample pins micro to a
+    # tight band around 500000
+    assert 480_000 <= r["theil_slope_micro"] <= 520_000
+    # deterministic fallback: a second evaluation is bit-identical
+    r2 = mann_kendall_theil_sen_grouped(df, ["g"], ["o"], "y").collect()[0]
+    assert r2["theil_slope_micro"] == r["theil_slope_micro"]
