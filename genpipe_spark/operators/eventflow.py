@@ -314,6 +314,13 @@ def markov_removal_attribution(
         s for s in states if s not in ("__START__", "__CONV__", "__NULL__")
     )
 
+    # pre-bucket transitions by source once: the inner loop was
+    # rescanning the full transition list per state, an avoidable
+    # O(iters * n_states * n_trans) factor (r8 advisory)
+    out_edges: dict[str, list[tuple[str, int]]] = {}
+    for src, d, pm in trans:
+        out_edges.setdefault(src, []).append((d, pm))
+
     def solve(removed: str | None) -> int:
         p = {s: 1_000_000 if s == "__CONV__" else 0 for s in states}
         for _ in range(iters):
@@ -326,8 +333,7 @@ def markov_removal_attribution(
                 else:
                     nxt[s] = sum(
                         (pm * p[d]) // 1_000_000
-                        for src, d, pm in trans
-                        if src == s
+                        for d, pm in out_edges.get(s, ())
                     )
             p = nxt
         return p.get("__START__", 0)

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -453,8 +453,9 @@ def label_propagation(
 
     Edges are symmetrized and deduplicated; self-loops dropped. One
     round = one keyed join (labels onto the neighbor lists) + one
-    (node, label) count + one per-node lexicographic struct argmax
-    (count desc, label asc) — the pagerank_micro two-shuffle round
+    (node, label) count + one per-node rank-1 window (count desc,
+    label asc — order-agnostic, so node ids may be any orderable
+    type including strings) — the pagerank_micro two-shuffle round
     shape, localCheckpoint per round to cut lineage. Nodes are the
     parallelism; no step is degree-quadratic.
 
@@ -476,16 +477,18 @@ def label_propagation(
         counts = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
-        best = counts.groupBy("node").agg(
-            F.max(
-                F.struct(
-                    F.col("c"),
-                    (-F.col("label")).alias("nl"),
-                    F.col("label").alias("l"),
-                )
-            ).alias("__b")
+        # order-agnostic tiebreak (count desc, label asc): row_number
+        # over a per-node window instead of the old max(struct(c,
+        # -label)) negation trick, which silently required numeric
+        # node ids (string ids broke; LONG_MIN overflowed — r8
+        # advisory). The window partitions on node, so parallelism is
+        # nodes and the per-partition sort is bounded by distinct
+        # neighbor labels (<= degree).
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
         )
-        labels = best.select(
-            "node", F.col("__b.l").alias("label")
-        ).localCheckpoint(eager=False)
+        best = counts.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") == 1
+        )
+        labels = best.select("node", "label").localCheckpoint(eager=False)
     return labels

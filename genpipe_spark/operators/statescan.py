@@ -727,9 +727,11 @@ def ewma_scan_hybrid(
     sequential interleaving by a few ulps of ``|s|``; the EWMA
     recurrence then CONTRACTS that difference by ``(1-alpha)`` per
     row, so drift never accumulates. In the floor(s*1e6) integer
-    output this is invisible except when the true value sits within
-    ~1e-9 relative of a micro boundary — the property suite asserts
-    ``|hybrid - sequential| <= 1`` micro on adversarial splits (and
+    output the bound is MAGNITUDE-DEPENDENT (r8 advisory: the drift
+    is relative, ~|s| * 2^-52, i.e. ~|s| * 2.2e-10 micro — an
+    absolute 1-micro claim would be wrong once |s| exceeds ~4e9):
+    the property suite asserts ``|hybrid - sequential| <=
+    max(1, |s_micro| * 1e-9)`` micro on adversarial splits (and
     exact equality of ``rn`` and of all cold keys). Queries keep the
     sequential :func:`ewma_scan` for oracle parity; this router is the
     scale path."""
@@ -860,8 +862,10 @@ def holt_scan_hybrid(
     ``(x, 0)``). Same exactness contract as ewma_scan_hybrid:
     bit-exact for cold keys, one-chunk hot keys and first chunks;
     later chunks start from the composed handoff and drift by ulps
-    that the smoothing contracts — property-asserted within 1 micro
-    of the sequential scan. Spectral note: Holt's update matrix has
+    that the smoothing contracts — property-asserted within the
+    magnitude-dependent ``max(1, |state_micro| * 1e-9)`` micro of the
+    sequential scan (the drift is relative; see ewma_scan_hybrid's
+    contract, r8 advisory). Spectral note: Holt's update matrix has
     eigenvalues inside the unit circle for 0 < alpha < 1,
     0 < beta < 1 (standard Holt stability region), so the handoff
     perturbation decays rather than amplifies."""

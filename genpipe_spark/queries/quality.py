@@ -1375,10 +1375,12 @@ c AS (
   FROM u
 )
 SELECT n_a, n_b,
-       ((n_a - n_b) * (n_a - n_b) * 1000000
-          - (((n_a - n_b) * (n_a - n_b) * 1000000) % (n_a + n_b)))
-         // (n_a + n_b) AS chi2_micro,
-       (n_a - n_b) * (n_a - n_b) * 1000000 >= 3841459 * (n_a + n_b)
+       CAST((CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+          - ((CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000)
+             % (n_a + n_b)))
+         // (n_a + n_b) AS BIGINT) AS chi2_micro,
+       CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+         >= CAST(3841459 AS HUGEINT) * (n_a + n_b)
          AS srm_flag
 FROM c WHERE n_a + n_b > 0
 """
@@ -1390,10 +1392,15 @@ def ab_test_srm(spark, sf):
     readout must pass: chi-square of the observed arm split against
     the designed 50/50, df=1. Under equal expected counts the
     statistic collapses to (n_a - n_b)^2 / (n_a + n_b) — computed as
-    an EXACT integer micro value (numerator < 2^63 to ~3e6 users of
-    imbalance; the subtraction-of-mod form keeps the division exact
-    floor), and the flag compares against the alpha=0.05 critical
-    value 3.841459 held as the exact integer cross-multiplication
+    an EXACT integer micro value in 128-bit arithmetic
+    (DECIMAL(38,0) Spark-side, HUGEINT in the oracle — r8 advisory:
+    the old int64 numerator silently wrapped past ~3e6 users of
+    imbalance in Spark while DuckDB raised; the widened form is
+    exact to |n_a - n_b| ~ 3e15, beyond any physical user count, and
+    the quotient fits BIGINT whenever n_a + n_b <= ~9e12 since chi2
+    <= n). The subtraction-of-mod form keeps the division exact
+    floor, and the flag compares against the alpha=0.05 critical
+    value 3.841459 as an exact 128-bit cross-multiplication
     (chi2 * 1e6 >= 3841459 * n) — no float anywhere. One grouped
     dedup + one 1-row agg."""
     u = t(spark, sf, "events").groupBy("user_id").agg(
@@ -1403,11 +1410,17 @@ def ab_test_srm(spark, sf):
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
     )
-    d2 = "((n_a - n_b) * (n_a - n_b) * 1000000)"
+    d2 = (
+        "(CAST(n_a - n_b AS DECIMAL(38,0))"
+        " * CAST(n_a - n_b AS DECIMAL(38,0)) * 1000000)"
+    )
+    nn = "CAST(n_a + n_b AS DECIMAL(38,0))"
     return c.where(F.col("n_a") + F.col("n_b") > 0).select(
         "n_a", "n_b",
         F.expr(
-            f"({d2} - ({d2} % (n_a + n_b))) div (n_a + n_b)"
+            f"CAST(({d2} - ({d2} % {nn})) div {nn} AS BIGINT)"
         ).alias("chi2_micro"),
-        F.expr(f"{d2} >= 3841459 * (n_a + n_b)").alias("srm_flag"),
+        F.expr(
+            f"{d2} >= CAST(3841459 AS DECIMAL(38,0)) * {nn}"
+        ).alias("srm_flag"),
     )

@@ -1046,8 +1046,10 @@ def test_ewma_hybrid_matches_sequential(spark, rows, threshold, chunks):
     """The float hot-key router (r8, VERDICT r7 item 5) vs the
     sequential scan under adversarial splits: rn must be EXACT
     everywhere; ewma_micro exact on cold keys and within the
-    documented 1-micro tolerance where a hot key is split across
-    range partitions (the composed-handoff ulp drift)."""
+    documented magnitude-dependent tolerance max(1, |s|*1e-9) micro
+    where a hot key is split across range partitions (the
+    composed-handoff drift is RELATIVE, ~|s|*2^-52 — r8 advisory:
+    an absolute 1-micro claim fails past |s| ~ 4e9 micro)."""
     from genpipe_spark.operators.statescan import ewma_scan, ewma_scan_hybrid
 
     df = spark.createDataFrame(
@@ -1070,7 +1072,8 @@ def test_ewma_hybrid_matches_sequential(spark, rows, threshold, chunks):
     assert hyb.keys() == seq.keys()
     for key in seq:
         assert hyb[key][0] == seq[key][0], f"rn mismatch at {key}"
-        assert abs(hyb[key][1] - seq[key][1]) <= 1, (
+        tol = max(1, abs(seq[key][1]) * 1e-9)
+        assert abs(hyb[key][1] - seq[key][1]) <= tol, (
             f"ewma beyond tolerance at {key}: {hyb[key]} vs {seq[key]}"
         )
 
@@ -1086,7 +1089,8 @@ def test_ewma_hybrid_matches_sequential(spark, rows, threshold, chunks):
 )
 def test_holt_hybrid_matches_sequential(spark, rows, threshold, chunks):
     """holt_scan_hybrid vs holt_scan: exact rn, level/trend within the
-    1-micro handoff tolerance (2-state affine composition)."""
+    magnitude-dependent max(1, |s|*1e-9)-micro handoff tolerance
+    (2-state affine composition; relative drift — r8 advisory)."""
     from genpipe_spark.operators.statescan import holt_scan, holt_scan_hybrid
 
     df = spark.createDataFrame(
@@ -1108,8 +1112,10 @@ def test_holt_hybrid_matches_sequential(spark, rows, threshold, chunks):
     assert hyb.keys() == seq.keys()
     for key in seq:
         assert hyb[key][0] == seq[key][0], f"rn mismatch at {key}"
-        assert abs(hyb[key][1] - seq[key][1]) <= 1, f"level at {key}"
-        assert abs(hyb[key][2] - seq[key][2]) <= 1, f"trend at {key}"
+        assert abs(hyb[key][1] - seq[key][1]) \
+            <= max(1, abs(seq[key][1]) * 1e-9), f"level at {key}"
+        assert abs(hyb[key][2] - seq[key][2]) \
+            <= max(1, abs(seq[key][2]) * 1e-9), f"trend at {key}"
 
 
 def test_ewma_hybrid_single_chunk_hot_key_bitexact(spark):
@@ -1351,3 +1357,30 @@ def test_mann_kendall_whale_key_completes(spark):
     # deterministic fallback: a second evaluation is bit-identical
     r2 = mann_kendall_theil_sen_grouped(df, ["g"], ["o"], "y").collect()[0]
     assert r2["theil_slope_micro"] == r["theil_slope_micro"]
+
+
+def test_ewma_hybrid_large_magnitude_relative_tolerance(spark):
+    """The handoff drift regime the r8 advisory named: smoothed state
+    ~1e10 (micro ~1e16), where an absolute 1-micro bound is
+    unattainable and the contract is the relative one. One hot key
+    forced across chunks, large cent magnitudes."""
+    from genpipe_spark.operators.statescan import ewma_scan, ewma_scan_hybrid
+
+    n = 400
+    rows = [
+        Row(k=1, seq=i, v=1.0e10 + (i * 7919 % 1000) * 1.0e6)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, seq bigint, v double")
+    kw = dict(keys=["k"], order_cols=["seq"], value_col="v", alpha=0.25)
+    hyb = {
+        r["seq"]: r["ewma_micro"]
+        for r in ewma_scan_hybrid(
+            df, hot_threshold=1, n_chunks=8, **kw
+        ).collect()
+    }
+    seq = {r["seq"]: r["ewma_micro"] for r in ewma_scan(df, **kw).collect()}
+    assert hyb.keys() == seq.keys()
+    for s in seq:
+        tol = max(1, abs(seq[s]) * 1e-9)
+        assert abs(hyb[s] - seq[s]) <= tol, (s, hyb[s], seq[s])
