@@ -3065,10 +3065,11 @@ FROM old FULL OUTER JOIN new ON old.column = new.column
 
 
 def _profile_diff_frame(spark, sf, approx_distinct: bool):
-    """Shared body of profile-diff (exact-distinct, oracle-paired) and
-    profile-diff-approx (HLL default — the mode a user actually runs,
-    benched as the headliner per the round-7 verdict; HLL internals are
-    not oracle-reproducible, so that entry is rows-only)."""
+    """Body of profile-diff (exact-distinct, oracle-paired). Its
+    approx sibling no longer shares this frame: as of r9 it runs
+    profile_table in "both" mode and value-hashes error-bound
+    verdicts instead of raw sketch estimates (certified, not
+    rows-only — see profile_diff_approx)."""
     from genpipe_spark.operators.profile import profile_table
 
     li = t(spark, sf, "lineitem")
@@ -3124,14 +3125,83 @@ def profile_diff(spark, sf):
     return _profile_diff_frame(spark, sf, approx_distinct=False)
 
 
-@query("profile-diff-approx")
+_PROFILE_DIFF_APPROX_ORACLE = f"""
+WITH old AS ({_profile_diff_side_sql(_PROFILE_DIFF_OLD_COLS, "l_orderkey % 50 <> 0")}),
+new AS ({_profile_diff_side_sql(_PROFILE_DIFF_NEW_COLS, "TRUE")})
+SELECT coalesce(old.column, new.column) AS column,
+       CASE WHEN old.column IS NULL THEN 'added'
+            WHEN new.column IS NULL THEN 'dropped'
+            ELSE 'common' END AS status,
+       old.n_rows AS n_rows_old, new.n_rows AS n_rows_new,
+       old.n_nulls AS n_nulls_old, new.n_nulls AS n_nulls_new,
+       CASE WHEN old.column IS NULL THEN 'n/a' ELSE 'yes' END
+         AS distinct_ok_old,
+       CASE WHEN new.column IS NULL THEN 'n/a' ELSE 'yes' END
+         AS distinct_ok_new,
+       CASE WHEN old.column IS NULL OR new.column IS NULL THEN 'n/a'
+            WHEN old.min_str <> new.min_str OR old.max_str <> new.max_str
+            THEN 'yes' ELSE 'no' END AS range_changed
+FROM old FULL OUTER JOIN new ON old.column = new.column
+"""
+
+
+@query("profile-diff-approx", _PROFILE_DIFF_APPROX_ORACLE)
 def profile_diff_approx(spark, sf):
-    """profile-diff in the operator's DEFAULT approx-distinct mode
-    (HLL++ via approx_count_distinct — single-pass, mergeable, the
-    100 TB path). Rows-only check: sketch estimates are not
-    engine-reproducible; every other column is pinned by the exact
-    sibling's oracle."""
-    return _profile_diff_frame(spark, sf, approx_distinct=True)
+    """profile-diff in the operator's approx-distinct mode, CERTIFIED
+    (r8 verdict item 2 — this entry used to be rows-only): the HLL
+    estimate itself is not engine-reproducible, so the value-hashed
+    payload is the ERROR-BOUND VERDICT instead — per column and side,
+    ``distinct_ok_* = 'yes'`` iff |approx - exact| * 10 <= exact
+    (eps = 10%, i.e. 5 sigma at the operator's rsd 2% — an exact
+    integer comparison, no floats), which the DuckDB twin pins as the
+    literal 'yes' over its exact counts. A sketch outside its bound
+    flips the verdict to 'no' and FAILS parity — the certification.
+    One profile_table scan per side in "both" mode (HLL + exact in a
+    single agg; the exact Expand is the certification surcharge —
+    production runs keep the pure-HLL mode). Every other column is
+    the exact sibling's oracle-pinned payload."""
+    from genpipe_spark.operators.profile import profile_table
+
+    li = t(spark, sf, "lineitem")
+    old = profile_table(
+        li.where(F.expr("l_orderkey % 50 != 0")),
+        _PROFILE_DIFF_OLD_COLS, approx_distinct="both",
+    )
+    new = profile_table(
+        li, _PROFILE_DIFF_NEW_COLS, approx_distinct="both"
+    )
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(n, o["o_column"] == n["n_column"], "full_outer")
+
+    def ok(approx, exact):
+        return (
+            F.when(approx.isNull() | exact.isNull(), "n/a")
+            .when(F.abs(approx - exact) * 10 <= exact, "yes")
+            .otherwise("no")
+        )
+
+    return j.select(
+        F.coalesce("o_column", "n_column").alias("column"),
+        F.when(F.col("o_column").isNull(), "added")
+        .when(F.col("n_column").isNull(), "dropped")
+        .otherwise("common").alias("status"),
+        F.col("o_n_rows").alias("n_rows_old"),
+        F.col("n_n_rows").alias("n_rows_new"),
+        F.col("o_n_nulls").alias("n_nulls_old"),
+        F.col("n_n_nulls").alias("n_nulls_new"),
+        ok(F.col("o_n_distinct"), F.col("o_n_distinct_exact"))
+        .alias("distinct_ok_old"),
+        ok(F.col("n_n_distinct"), F.col("n_n_distinct_exact"))
+        .alias("distinct_ok_new"),
+        F.when(
+            F.col("o_column").isNull() | F.col("n_column").isNull(), "n/a"
+        ).when(
+            (F.col("o_min_str") != F.col("n_min_str"))
+            | (F.col("o_max_str") != F.col("n_max_str")),
+            "yes",
+        ).otherwise("no").alias("range_changed"),
+    )
 
 
 def _lpa_oracle(iters: int) -> str:

@@ -77,7 +77,49 @@ def stream_sessionize_batch(spark, sf):
     ).drop("session_id")
 
 
-@query("stream-sessionize")  # real stateful streaming op → rows-only check
+# The LIVE stateful stream, value-hash-oracled (r9, the
+# stream-holt-winters precedent): the emission rule of the
+# availableNow drain is itself deterministic SQL —
+#   * every NON-final session of a user closes when its successor
+#     event arrives in the same batch (the `closed` list), and
+#   * each user's FINAL session closes iff its event-time timeout
+#     (end_ms + gap_ms) fell strictly below the final watermark
+#     (global max ts, ms-truncated, minus the 1 h delay) — fired by
+#     the post-drain no-data batch.
+# Validated set-exact against the stream at sf0.001 AND sf0.01 before
+# registering. value_sum is deliberately NOT in the hashed payload:
+# the operator accumulates raw doubles in arrival order (sequential
+# IEEE sum), which no engine-independent SQL replays bit-for-bit; the
+# pytest subset proof still covers it.
+_SESSIONIZE_STREAM_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1, TIMESTAMP '1970-01-01')
+                OVER (PARTITION BY user_id ORDER BY ts)) > 600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), s AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       n AS n_events
+FROM s
+WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.user_id = s.user_id)
+   OR epoch_us(en) // 1000 + 600000
+      < (SELECT max(epoch_us(ts)) // 1000 FROM events) - 3600000
+"""
+
+
+@query("stream-sessionize", _SESSIONIZE_STREAM_ORACLE)
 def stream_sessionize(spark, sf):
     from genpipe_spark.streaming.stateful import sessionize
     from genpipe_spark.tables import load
@@ -97,7 +139,14 @@ def stream_sessionize(spark, sf):
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(f"{out_dir}/data")
+    return spark.read.parquet(f"{out_dir}/data").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        "n_events",
+    )
 
 
 @query(
@@ -132,7 +181,12 @@ def stream_stream_interval_join(spark, sf):
     )
 
 
-@query("pipeline-parse-bulk")  # rows-only: genomics parse throughput probe
+@query("pipeline-parse-bulk")  # rows-only BY NATURE: the input is a
+# generated gzip VCF fixture, not one of the driver's pre-registered
+# parquet views, so no DuckDB twin can see the same bytes; the parse
+# layer itself is oracle-paired via fn-parse/fn-snpeff suites and
+# unit-fixtured (tests/test_genomics.py) — this entry exists as the
+# end-to-end throughput probe the bench tracks
 def pipeline_parse_bulk(spark, sf):
     # the parser stage (scan → sample_parse → quality gate) over a
     # generated 50k-row cohort — the genomics hot path the bench tracks
@@ -200,9 +254,54 @@ def stream_sliding_window_agg(spark, sf):
     return stream_sliding_event_counts(t(spark, sf, "events"))
 
 
-@query("stream-zscore")  # real stateful streaming op → rows-only check;
-# the exact batch-equality proof is test_stream_zscore_matches_batch and
-# the batch twin (timeseries-anomaly) is the oracle-checked form
+def _zscore_stream_oracle() -> str:
+    """Exact SQL twin of streaming/stateful._zscore_fn (r9 — this
+    entry used to be rows-only): the stateful op is pure integer
+    arithmetic over the per-user (ts, event_id)-ordered tail, so with
+    the single-batch availableNow drain (one coalesced source file,
+    within-batch sort = the window order) every output column replays
+    in ANSI SQL. z stats come from the trailing <=50 cents EXCLUDING
+    the current row (ROWS 50 PRECEDING AND 1 PRECEDING); the EWMA is
+    the 17-term dyadic-weight fold (weight 2^(16-d) at distance d),
+    unrolled as 17 lag terms, with the pmod-floor division idiom for
+    the micro quotient (negative-sum safe on both engines)."""
+    ew = " + ".join(
+        f"COALESCE(lag(xc, {d}) OVER w * {1 << (16 - d)}, 0)"
+        for d in range(17)
+    )
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS xc
+  FROM events
+), st AS (
+  SELECT user_id, event_id, xc,
+         row_number() OVER w AS rn,
+         CAST(COALESCE(sum(xc) OVER wtail, 0) AS BIGINT) AS s,
+         CAST(COALESCE(sum(xc * xc) OVER wtail, 0) AS BIGINT) AS q,
+         CAST(count(xc) OVER wtail AS BIGINT) AS n,
+         ({ew}) AS num
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wtail AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+), d AS (
+  SELECT *,
+         num * 1000000 AS nm,
+         131072 - (1 << (17 - LEAST(rn, 17))) AS den
+  FROM st
+)
+SELECT user_id, event_id, n AS n_win, s AS s_cents, q AS q_cents2,
+       CASE WHEN n < 5 THEN 'warmup'
+            WHEN (n * xc - s) * (n * xc - s) * (n - 1)
+                 > 9 * n * (n * q - s * s) THEN 'anomaly'
+            ELSE 'normal' END AS verdict,
+       (nm - (((nm % den) + den) % den)) // den AS ewma_micro_cents
+FROM d
+"""
+
+
+@query("stream-zscore", _zscore_stream_oracle())
 def stream_zscore_query(spark, sf):
     from genpipe_spark.streaming.stateful import stream_zscore
     from genpipe_spark.tables import load
@@ -228,8 +327,32 @@ def stream_zscore_query(spark, sf):
     return spark.read.parquet(f"{out_dir}/data")
 
 
-@query("stream-group-sample")  # real stateful streaming op → rows-only;
-# batch-equality proof: test_stream_group_sample_matches_batch_quota
+# Value-hash oracle (r9 — was rows-only): the stateful sample is a
+# deterministic bottom-k by the portable id-hash (did * A mod M31,
+# A = 2654435761 mod 2147483647 = 506952114), so membership is a pure
+# function of the SET of ids, not arrival order (the KMV argument in
+# the operator's docstring) — and with the single-batch availableNow
+# drain there is exactly one snapshot emission per group, tagged with
+# n_seen = the group count. HUGEINT guards the hash product (doc_id is
+# non-negative by the ingest contract, so %'s sign convention agrees
+# with Python's).
+_GROUP_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT CAST(source AS VARCHAR) AS group_key, doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 506952114) % 2147483647
+              AS BIGINT) AS hh,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_seen
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY group_key
+                               ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT group_key, doc_id, n_seen FROM r WHERE rk <= 10
+"""
+
+
+@query("stream-group-sample", _GROUP_SAMPLE_ORACLE)
 def stream_group_sample_query(spark, sf):
     from genpipe_spark.streaming.stateful import stream_group_sample
     from genpipe_spark.tables import load
