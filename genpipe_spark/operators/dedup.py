@@ -1046,3 +1046,96 @@ def jaccard_prefix_filter_pairs(
         "id_a", "id_b",
         (F.floor(jac * 10000) / 10000.0).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    hash_prefilter: bool = True,
+) -> DataFrame:
+    """Corpus-level EXACT duplicated-substring spans — the Lee et al.
+    2022 ExactSubstr dedup signal ("Deduplicating Training Data Makes
+    Language Models Better"): mark, per document, every maximal
+    character range covered by a substring of length >= ``min_len``
+    that occurs at least twice in the corpus (any second occurrence
+    counts, including a repeat within the SAME document — the paper's
+    semantics). The reference method builds one giant suffix array;
+    the Spark-native equivalent is sorted k-mer anchoring: a length-L
+    substring is duplicated iff its length-L anchor gram occurs >= 2
+    times, so grouping the (gram -> count) relation finds exactly the
+    duplicated anchors, and merging overlapping anchors
+    (gaps-and-islands per doc: break when pos - prev > L) yields the
+    maximal spans a removal pass would cut.
+
+    Output: ``id_col, span_start, span_end, span_len, n_anchors`` —
+    1-based inclusive character positions, one row per maximal span.
+
+    Scale: the only heavy step is the anchor-frequency count — a
+    map-side-combinable groupBy. With ``hash_prefilter`` (default) the
+    wide shuffle carries an 8-byte ``xxhash64`` of each gram instead
+    of L characters (the sorted-k-mer trick at 100 TB: ~L x smaller
+    shuffle); survivors of the hash-count >= 2 filter (true duplicates
+    + rare collisions) are then re-grouped on the EXACT gram, so the
+    result stays exact — a collision can only ADD candidates to the
+    small second pass, never drop one, because equal grams always
+    share a hash. No doc-pair join anywhere, so boilerplate shared by
+    a million documents costs one hot COUNT (combinable), not 10^12
+    pairs. The islands window partitions per doc.
+    """
+    if min_len < 2:
+        raise ValueError(f"exact_substring_spans: min_len {min_len} < 2")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    g = (
+        base.where(F.length("t") >= min_len)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (min_len - 1))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "id", "pos",
+            F.expr(f"substring(t, pos, {min_len})").alias("gram"),
+        )
+    )
+    if hash_prefilter:
+        gh = g.select("id", "pos", F.xxhash64("gram").alias("hh"), "gram")
+        dup_h = (
+            gh.groupBy("hh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("hh")
+        )
+        g = gh.join(dup_h, "hh", "left_semi").drop("hh")
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    marked = g.join(dup, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = marked.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > min_len, 1
+        ).otherwise(0)
+        + F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(w))
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (min_len - 1)).alias("span_end"),
+            (F.max("pos") + (min_len - 1) - F.min("pos") + 1)
+            .alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start", "span_end", "span_len", "n_anchors",
+        )
+    )

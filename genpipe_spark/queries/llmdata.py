@@ -1982,6 +1982,59 @@ def dedup_duplicated_spans(spark, sf):
 
 
 @query(
+    "dedup-exact-substr",
+    """
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 18, 1))) AS ti(i)
+      WHERE length(text) >= 20
+    ),
+    dup AS MATERIALIZED (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    m AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN dup USING (gram)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 20
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 19 AS BIGINT) AS span_end,
+           CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_exact_substr(spark, sf):
+    """Lee et al. 2022 ExactSubstr corpus dedup
+    (operators/dedup.exact_substring_spans, r8 verdict item 4 — the
+    exact-substring method beyond shipped span/line dedup): per doc,
+    the maximal character ranges covered by ANY >= 20-char substring
+    occurring twice anywhere in the corpus — the byte ranges the
+    paper's removal pass cuts. Suffix-array semantics via sorted
+    k-mer anchoring: duplicated-anchor grams found by one combinable
+    groupBy (xxhash64 prefilter carries 8-byte keys through the wide
+    shuffle; exact-gram regroup of the tiny survivor set keeps it
+    EXACT), islands merged per doc. No pair join — hot boilerplate is
+    one hot count, not a pair blowup."""
+    from genpipe_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        widen(t(spark, sf, "documents")), min_len=20
+    )
+
+
+@query(
     "text-bigram-pmi",
     r"""
     WITH w AS (

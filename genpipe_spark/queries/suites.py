@@ -377,6 +377,13 @@ _DEDUP_MISC_MEMBERS = {
             ("max_span_tokens", "s"), ("dup_tokens_a", "s"), ("longest_start_a", "s"),
         ],
     ),
+    "exactsubstr": (
+        "dedup-exact-substr",
+        [
+            ("doc_id", "s"), ("span_start", "s"), ("span_end", "s"),
+            ("span_len", "s"), ("n_anchors", "s"),
+        ],
+    ),
 }
 
 _EMBEDDING_MEMBERS = {
@@ -994,7 +1001,9 @@ dedup_misc_suite = _register(
     "dedup-simhash ∪ dedup-contamination ∪ dedup-components ∪ "
     "text-line-dedup ∪ dedup-duplicated-spans ∪ dedup-containment "
     "(asymmetric shingle containment — the short-doc-inside-long-doc "
-    "class Jaccard misses) (r5 third rotation; containment r7).",
+    "class Jaccard misses) ∪ dedup-exact-substr (Lee et al. "
+    "ExactSubstr corpus spans via sorted k-mer anchoring, r9) "
+    "(r5 third rotation; containment r7).",
 )
 embedding_suite = _register(
     "embedding-suite", _EMBEDDING_MEMBERS,

@@ -1384,3 +1384,58 @@ def test_ewma_hybrid_large_magnitude_relative_tolerance(spark):
     for s in seq:
         tol = max(1, abs(seq[s]) * 1e-9)
         assert abs(hyb[s] - seq[s]) <= tol, (s, hyb[s], seq[s])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    min_len=st.sampled_from([3, 5]),
+    prefilter=st.booleans(),
+)
+def test_exact_substring_spans_matches_model(spark, docs, min_len, prefilter):
+    """Sorted k-mer anchoring == the literal model: count every
+    L-gram corpus-wide, mark positions whose gram repeats (>= 2
+    occurrences anywhere, same-doc repeats included — Lee et al.
+    semantics), merge overlapping/adjacent covers into maximal spans.
+    Tiny alphabet forces heavy duplication and self-overlap; the
+    hash-prefilter path must be indistinguishable from the direct
+    path (exactness claim)."""
+    from collections import Counter, defaultdict
+
+    from genpipe_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"],
+         r["n_anchors"])
+        for r in exact_substring_spans(
+            df, min_len=min_len, hash_prefilter=prefilter
+        ).collect()
+    }
+    cnt = Counter()
+    pos = defaultdict(list)
+    for i, txt in enumerate(docs):
+        for p in range(len(txt) - min_len + 1):
+            gram = txt[p:p + min_len]
+            cnt[gram] += 1
+            pos[i].append((p + 1, gram))  # 1-based
+    want = set()
+    for i, plist in pos.items():
+        marked = [p for p, gm in plist if cnt[gm] >= 2]
+        run: list[int] = []
+        for p in marked:
+            if run and p - run[-1] > min_len:
+                want.add((i, run[0], run[-1] + min_len - 1,
+                          run[-1] + min_len - run[0], len(run)))
+                run = []
+            run.append(p)
+        if run:
+            want.add((i, run[0], run[-1] + min_len - 1,
+                      run[-1] + min_len - run[0], len(run)))
+    assert got == want
