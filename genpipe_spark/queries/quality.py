@@ -1424,3 +1424,180 @@ def ab_test_srm(spark, sf):
             f"{d2} >= CAST(3841459 AS DECIMAL(38,0)) * {nn}"
         ).alias("srm_flag"),
     )
+
+
+# floor(1e6 * Phi^-1(1 - 0.05*r/(2m))) for every (rank r, family size m)
+# the event-type metric domain can produce (m <= 5 — the fixture's five
+# event types; extend the table to raise the cap). Pinned irrational
+# constants as micro integers — the 3841459 chi2-critical-value doctrine.
+_BH_THR = [
+    (1, 1, 1959963),
+    (1, 2, 2241402), (2, 2, 1959963),
+    (1, 3, 2393979), (2, 3, 2128045), (3, 3, 1959963),
+    (1, 4, 2497705), (2, 4, 2241402), (3, 4, 2080278), (4, 4, 1959963),
+    (1, 5, 2575829), (2, 5, 2326347), (3, 5, 2170090), (4, 5, 2053748),
+    (5, 5, 1959963),
+]
+
+_BH_ORACLE = f"""
+WITH thr(r, m, tmu) AS (
+  VALUES {", ".join(f"({r}, {m}, {t})" for r, m, t in _BH_THR)}
+),
+u AS (SELECT DISTINCT user_id FROM events),
+c AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM u
+),
+x AS (
+  SELECT event_type AS metric,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+              AS BIGINT) AS x_a,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+              AS BIGINT) AS x_b
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT metric, n_a, n_b, x_a, x_b,
+         CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+              ELSE CAST(floor(
+           ((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))))
+           * 1000000) AS BIGINT) END AS z_micro
+  FROM x, c WHERE n_a > 0 AND n_b > 0
+),
+rk AS (
+  SELECT *,
+         CASE WHEN z_micro >= 0 THEN z_micro ELSE -z_micro END AS az,
+         row_number() OVER (
+           ORDER BY (CASE WHEN z_micro >= 0 THEN z_micro
+                          ELSE -z_micro END) DESC, metric) AS bh_rank
+  FROM z WHERE z_micro IS NOT NULL
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM rk),
+j AS (
+  SELECT rk.*, mm.m_tests, CAST(t.tmu AS BIGINT) AS thr_micro
+  FROM rk, mm JOIN thr t ON t.r = rk.bh_rank AND t.m = mm.m_tests
+),
+rm AS (
+  SELECT max(CASE WHEN az >= thr_micro THEN bh_rank END) AS rmax FROM j
+)
+SELECT metric, n_a, n_b, x_a, x_b, z_micro, m_tests,
+       CAST(bh_rank AS BIGINT) AS bh_rank, thr_micro,
+       CASE WHEN bh_rank <= coalesce(rmax, 0) THEN 'yes' ELSE 'no' END
+         AS rejected
+FROM j, rm
+"""
+
+
+@query("ab-test-bh-fdr", _BH_ORACLE)
+def ab_test_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR control over the per-metric experiment
+    readout (Benjamini & Hochberg 1995) — the multiple-comparisons
+    step a many-metric A/B dashboard must run before declaring
+    winners: one pooled two-proportion z-test PER METRIC (each event
+    type = 'converted at least once on that metric'), then the BH
+    step-up rule at alpha = 0.05. BH is pure rank arithmetic: order
+    metrics by p ascending == |z| descending (p is monotone in |z|),
+    reject ranks 1..r* where r* = max{{r : p_(r) <= alpha*r/m}} ==
+    max{{r : |z|_(r) >= Phi^-1(1 - alpha*r/(2m))}} — so the whole
+    procedure is integer comparisons of the floored-micro z against
+    the PINNED inverse-normal micro table _BH_THR keyed by (rank, m),
+    with m discovered from the data (metrics with computable z;
+    decisions are exact to 1 micro of the BH boundary, the floored-z
+    convention both engines share). Plan: two grouped dedups + one
+    1-row arm count (broadcast), a 5-row ordered window (event-type
+    domain — whitelisted bounded global window), a broadcast literal
+    threshold join, and a 1-row r* reduction. Degenerate metrics
+    (zero or all conversions: no test) are excluded, shrinking m —
+    the standard applies-to-computed-p-values reading."""
+    ev = t(spark, sf, "events")
+    c = ev.select("user_id").distinct().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .alias("n_b"),
+    )
+    x = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("x_a"),
+            F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("x_b"),
+        )
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = (
+        x.crossJoin(F.broadcast(c))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "metric", "n_a", "n_b", "x_a", "x_b",
+            F.when(
+                (F.col("x_a") + F.col("x_b") == 0)
+                | (
+                    F.col("x_a") + F.col("x_b")
+                    == F.col("n_a") + F.col("n_b")
+                ),
+                F.lit(None),
+            ).otherwise(
+                F.floor((pa - pb) / se * 1_000_000).cast("long")
+            ).alias("z_micro"),
+        )
+        .where(F.col("z_micro").isNotNull())
+    )
+    az = F.when(F.col("z_micro") >= 0, F.col("z_micro")).otherwise(
+        -F.col("z_micro")
+    )
+    from pyspark.sql import Window
+
+    rk = z.select(
+        "*", az.alias("az"),
+        F.row_number()
+        .over(Window.orderBy(az.desc(), F.col("metric").asc()))
+        .alias("bh_rank"),
+    )
+    mm = rk.agg(F.count(F.lit(1)).alias("m_tests"))
+    thr = spark.createDataFrame(_BH_THR, "r int, m int, tmu long")
+    j = (
+        rk.crossJoin(F.broadcast(mm))
+        .join(
+            F.broadcast(thr),
+            (F.col("r") == F.col("bh_rank"))
+            & (F.col("m") == F.col("m_tests")),
+        )
+        .select(
+            "metric", "n_a", "n_b", "x_a", "x_b", "z_micro", "az",
+            "m_tests", "bh_rank", F.col("tmu").alias("thr_micro"),
+        )
+    )
+    rm = j.agg(
+        F.max(
+            F.when(F.col("az") >= F.col("thr_micro"), F.col("bh_rank"))
+        ).alias("rmax")
+    )
+    return j.crossJoin(F.broadcast(rm)).select(
+        "metric", "n_a", "n_b", "x_a", "x_b", "z_micro", "m_tests",
+        F.col("bh_rank").cast("long").alias("bh_rank"), "thr_micro",
+        F.when(
+            F.col("bh_rank") <= F.coalesce(F.col("rmax"), F.lit(0)), "yes"
+        ).otherwise("no").alias("rejected"),
+    )

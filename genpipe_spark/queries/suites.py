@@ -753,6 +753,14 @@ _PROFILE_MEMBERS = {
             ("srm_flag", "s"),
         ],
     ),
+    "bhfdr": (
+        "ab-test-bh-fdr",
+        [
+            ("metric", "s"), ("n_a", "s"), ("n_b", "s"), ("x_a", "s"),
+            ("x_b", "s"), ("z_micro", "s"), ("m_tests", "s"),
+            ("bh_rank", "s"), ("thr_micro", "s"), ("rejected", "s"),
+        ],
+    ),
     "cuped": (
         "ab-test-cuped",
         [
@@ -1082,7 +1090,9 @@ profile_suite = _register(
     "(pooled two-proportion z, r8) ∪ ab-test-cuped (CUPED "
     "variance-reduced lift, pooled theta from exact moments, r8) ∪ "
     "ab-test-srm (the sample-ratio-mismatch guardrail, exact-integer "
-    "chi2 vs the 3.841459 critical value, r8).",
+    "chi2 vs the 3.841459 critical value, r8) ∪ ab-test-bh-fdr "
+    "(Benjamini-Hochberg FDR over the per-metric z family — rank "
+    "arithmetic vs a pinned inverse-normal micro table, r9).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,

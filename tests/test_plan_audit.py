@@ -101,8 +101,11 @@ BOUNDED_NLJ_OK = {
     "profile-skew": "1-row skew-stats scalar attach",
     # 1-row corpus time-midpoint anchor (the rfm now_us pattern)
     "ab-test-cuped": "1-row time-midpoint anchor attach",
-    "profile-suite": "inherits profile-entropy's and ab-test-cuped's "
-    "1-row attaches",
+    # 1-row arm counts + 1-row m_tests + 1-row BH r* reduction, all
+    # crossJoined into the <= 5-row metric table
+    "ab-test-bh-fdr": "1-row arm-count / m / r* scalar attaches",
+    "profile-suite": "inherits profile-entropy's, ab-test-cuped's and "
+    "ab-test-bh-fdr's 1-row attaches",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -193,6 +196,8 @@ BOUNDED_BROADCAST_OK = {
     # 1-row percentile-crossing reduction attached to the 1-row Gini
     "profile-skew": "broadcast 1-row percentile-stats aggregate",
     "ab-test-cuped": "broadcast 1-row time-midpoint anchor",
+    # 1-row scalar attaches + the 15-row pinned BH threshold literal
+    "ab-test-bh-fdr": "broadcast 1-row scalars + 15-row threshold table",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
@@ -361,6 +366,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # count VALUE, domain-bounded (the ks_two_sample doctrine); the
     # whole point of the query is that no per-key sort exists
     "profile-skew": "window over the counts-of-counts value table",
+    # BH rank over the per-metric z table — event-type-domain rows
+    # (<= 5), already reduced by a grouped dedup
+    "ab-test-bh-fdr": "window over the per-metric z table",
 }
 
 
