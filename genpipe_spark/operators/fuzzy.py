@@ -40,7 +40,15 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with levenshtein(text_a, text_b) <= max_dist:
     ``id_a, id_b, dist``. Exact (length-band replication, see module
-    docstring) unless ``blocking_col`` narrows candidates."""
+    docstring) unless ``blocking_col`` narrows candidates.
+
+    PRECONDITION (r9 doctrine audit): ``id_col`` is the pair identity
+    and must be unique per logical entity — duplicated input rows emit
+    the pair once per copy-combination (join multiplicity, k*m rows),
+    and one id carrying two different texts is ambiguous by
+    construction. Callers wanting set semantics ``distinct()`` first.
+    The band join itself cannot duplicate a pair: each (a, b) meets in
+    exactly one band, b's replicated cell equal to a's own band."""
     if max_dist < 1:
         raise ValueError("edit_distance_pairs: max_dist must be >= 1")
     w = max_dist + 1

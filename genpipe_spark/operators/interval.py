@@ -164,6 +164,12 @@ def interval_overlap_stats(
     per-row with a declarative ``assert_true`` riding the scan instead
     of a separate validation job (ADVICE r5).
 
+    Duplicate-row semantics (r9 doctrine audit): duplicated intervals
+    are distinct occupancy — the same [s, e) twice contributes two +1
+    events, so n_intervals and max_concurrent both count it twice.
+    The sweep never needs row identity (events, not rows, are the
+    unit), so no __pid is required.
+
     Output: key_cols..., n_intervals, max_concurrent.
     """
     from pyspark.sql import Window

@@ -44,6 +44,13 @@ def grid_radius_join(
     Output: all point columns + all center columns + ``dist2``
     (callers pre-rename collisions). Coordinates must be int64-safe
     integers; ``radius`` a positive integer.
+
+    Duplicate-row semantics (r9 doctrine audit): relational join
+    multiplicity — k copies of a point x m copies of a center emit
+    k*m rows. No groupBy collapses caller rows (each pair matches in
+    exactly ONE cell, the point's own, so the 9-cell center
+    replication cannot duplicate a pair either); no per-row id is
+    needed, unlike point_in_polygon_join's __pid.
     """
     if radius <= 0:
         raise ValueError(f"grid_radius_join: radius {radius} must be > 0")

@@ -1947,3 +1947,59 @@ def test_isotonic_fit_textbook_and_minimax(spark):
     assert [got[(3, i)] for i in range(1, 4)] == [
         1_000_000, 2_000_000, 3_000_000
     ]
+
+
+# ---- duplicate-input doctrine (r8 verdict item 7: the point-in-polygon
+# __pid fix generalized — every operator grouping/joining on
+# caller-supplied columns must have PINNED duplicate-row semantics)
+
+
+def test_grid_radius_join_duplicate_rows_multiply(spark):
+    """grid_radius_join emits pair MULTIPLICITY: k copies of a point x
+    m copies of a center -> k*m matched rows (relational join
+    semantics; no hidden dedup, no __pid needed because no groupBy
+    collapses caller rows)."""
+    from genpipe_spark.operators.spatial import grid_radius_join
+
+    pts = spark.createDataFrame(
+        [Row(pid=1, px=0, py=0)] * 2, "pid long, px long, py long"
+    )
+    ctr = spark.createDataFrame(
+        [Row(cid=9, cx=3, cy=4)] * 3, "cid long, cx long, cy long"
+    )
+    out = grid_radius_join(pts, ctr, "px", "py", "cx", "cy", 5).collect()
+    assert len(out) == 6  # 2 x 3
+    assert all(r["dist2"] == 25 for r in out)
+
+
+def test_interval_overlap_stats_duplicate_intervals_count(spark):
+    """interval_overlap_stats treats duplicated intervals as distinct
+    occupancy: the same [10, 20) twice -> n_intervals 2,
+    max_concurrent 2 (the sweep needs no row identity at all)."""
+    from genpipe_spark.operators.interval import interval_overlap_stats
+
+    df = spark.createDataFrame(
+        [Row(k=1, s=10, e=20)] * 2 + [Row(k=2, s=10, e=20)],
+        "k long, s long, e long",
+    )
+    got = {
+        r["k"]: (r["n_intervals"], r["max_concurrent"])
+        for r in interval_overlap_stats(df, ["k"], "s", "e").collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1)}
+
+
+def test_edit_distance_pairs_duplicate_rows_multiply(spark):
+    """edit_distance_pairs under duplicated input rows: ids are the
+    pair identity, so k copies of id_a x m copies of id_b emit the
+    pair k*m times (documented precondition: ids unique per logical
+    entity; callers wanting set semantics distinct() first)."""
+    from genpipe_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [Row(id=1, t="kitten")] * 2 + [Row(id=2, t="sitten")],
+        "id long, t string",
+    )
+    out = edit_distance_pairs(df, "id", "t", max_dist=2).collect()
+    assert len(out) == 2  # (1,2) twice — multiplicity, never dropped
+    assert all((r["id_a"], r["id_b"], r["dist"]) == (1, 2, 1) for r in out)
