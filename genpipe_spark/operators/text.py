@@ -507,3 +507,84 @@ def rake_keywords(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("w_score_micro").alias("score_micro"),
     ).drop("island")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    group's documents by language-model score and split into
+    head / middle / tail tertiles — the curation move that keeps the
+    fluent third, samples the middle, and drops the tail. CCNet ranks
+    by KenLM perplexity per language; here the LM is the corpus's own
+    unigram model (the :func:`unigram_logprob_score` stand-in) and the
+    groups are ``group_col``.
+
+    Exactness: perplexity is a MONOTONE transform of mean logprob, so
+    the ranking — the only thing the buckets depend on — never needs
+    exp/pow: per-token log10 probabilities are quantized to exact
+    integer micro units (the nano-round ulp-kill rule of
+    unigram_logprob_score), summed as int64, and the sort key is the
+    floor-divided centi-micro mean computed with the pmod-floor idiom
+    (sum can be negative; Spark's `div` truncates while DuckDB's `//`
+    floors — the subtraction-of-mod form agrees everywhere). Ties
+    break on the doc id, so bucket assignment is a pure function of
+    the corpus in both engines.
+
+    Shape at scale: the unigram-score joins (word-keyed, combinable)
+    plus ONE per-group ranking window — groups are the parallelism.
+    Docs with zero words have no score and are excluded (CCNet skips
+    empty lines the same way).
+
+    Output: ``id_col, group_col, n_words, sum_lp_micro, mean_centilp,
+    rk, n_group, bucket``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = freq.agg(F.sum("wc").alias("n_total"))
+    lp_micro = F.floor(
+        F.round(F.log10(F.col("wc") / F.col("n_total")) * 1e9) / 1000
+    ).cast("long")
+    sc = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("__id", "__g", lp_micro.alias("lp_u"))
+        .groupBy("__id", "__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lp_u").alias("sum_lp_micro"),
+        )
+    )
+    mean_centilp = F.expr(
+        "(sum_lp_micro * 100"
+        " - (((sum_lp_micro * 100 % n_words) + n_words) % n_words))"
+        " div n_words"
+    )
+    m = sc.select("*", mean_centilp.alias("mean_centilp"))
+    wr = Window.partitionBy("__g").orderBy(
+        F.col("mean_centilp").desc(), F.col("__id").asc()
+    )
+    r = m.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("n_group"),
+    )
+    return r.select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        "n_words", "sum_lp_micro", "mean_centilp",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n_group").cast("long").alias("n_group"),
+        F.when(F.col("rk") * 3 <= F.col("n_group"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n_group"), "middle")
+        .otherwise("tail").alias("bucket"),
+    )

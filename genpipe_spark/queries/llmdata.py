@@ -1186,6 +1186,62 @@ def text_unigram_logprob(spark, sf):
 
 
 @query(
+    "text-perplexity-buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    total AS (SELECT sum(wc) AS n_total FROM freq),
+    sc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CAST(floor(round(log10(wc * 1.0 / n_total) * 1e9)
+                                 / 1000) AS BIGINT)) AS BIGINT)
+               AS sum_lp_micro
+      FROM toks JOIN freq USING (w) CROSS JOIN total
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT *,
+             (sum_lp_micro * 100
+              - (((sum_lp_micro * 100 % n_words) + n_words) % n_words))
+               // n_words AS mean_centilp
+      FROM sc
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY mean_centilp DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM m
+    )
+    SELECT doc_id, source, n_words, sum_lp_micro,
+           CAST(mean_centilp AS BIGINT) AS mean_centilp,
+           CAST(rk AS BIGINT) AS rk, CAST(ng AS BIGINT) AS n_group,
+           CASE WHEN rk * 3 <= ng THEN 'head'
+                WHEN rk * 3 <= 2 * ng THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def text_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity bucketing per source
+    (operators/text.perplexity_buckets; Wenzek et al. 2020): rank each
+    source's docs by the corpus-unigram LM score and cut into exact
+    integer tertiles (rk*3 vs n). Perplexity is monotone in mean
+    logprob, so the buckets need NO exp/pow — quantized-micro logprob
+    sums, a pmod-floor centi-mean sort key, and doc-id tiebreaks make
+    the assignment a pure function of the corpus in both engines."""
+    from genpipe_spark.operators.text import perplexity_buckets
+
+    return perplexity_buckets(widen(t(spark, sf, "documents")))
+
+
+@query(
     "dedup-incremental",
     _SHINGLES_CTE
     + """

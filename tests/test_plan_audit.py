@@ -46,6 +46,7 @@ BOUNDED_NLJ_OK = {
     "text-bm25": "1-row corpus-stats scalar attach",
     "text-bm25-topk": "1-row corpus-stats scalar attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
+    "text-perplexity-buckets": "1-row corpus-total scalar attach",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
     # two 1-row half-sketch frames crossJoined for the merge + 1-row total
     "sketch-cms-heavy": "1-row corpus-total scalar attach",
@@ -139,6 +140,7 @@ BOUNDED_BROADCAST_OK = {
     # corpus stats — bounded by the query, not the corpus
     "text-bm25": "broadcast |query|-row dfreq + 1-row stats",
     "text-bm25-topk": "broadcast 1-row stats",
+    "text-perplexity-buckets": "broadcast 1-row corpus total",
     "text-unigram-logprob": "broadcast 1-row corpus total",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row broadcast",
     "sketch-cms-heavy": "broadcast 1-row corpus total",
