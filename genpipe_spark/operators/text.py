@@ -588,3 +588,131 @@ def perplexity_buckets(
         .when(F.col("rk") * 3 <= 2 * F.col("n_group"), "middle")
         .otherwise("tail").alias("bucket"),
     )
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Table A1 —
+    the published heuristic battery RedPajama/Dolma reimplement), each
+    rule an EXACT cross-multiplied integer comparison so no float ratio
+    ever exists to diverge between engines:
+
+      r1  50 <= n_words <= 100000
+      r2  mean word length in [3, 10]        (3n <= total_len <= 10n)
+      r3  symbol-to-word ratio <= 0.1        ('#' + '...' occurrences)
+      r4  lines starting with a bullet <= 90%
+      r5  lines ending in an ellipsis <= 30%
+      r6  words containing an alphabetic char >= 80%
+      r7  >= 2 distinct required stop words present
+      r8  duplicate-line fraction <= 30%     (1 - distinct/total lines)
+      r9  most-common word 2-gram char fraction <= 20%
+
+    Deviations, documented: words are whitespace tokens (repo
+    convention); line stats use non-empty lines; r9's most-common
+    2-gram breaks count ties toward the larger char product (the rule
+    is ambiguous on ties; max(struct(c, c*len)) is deterministic in
+    both engines and never misses a violation, since it maximizes the
+    compared quantity among the tied grams). Zero denominators pass
+    vacuously through the cross-multiplied form (0 <= 0), except r1/r7
+    which genuinely fail on empty docs.
+
+    Shape at scale: r1-r8 are pure per-row HOF expressions (no
+    shuffle); r9 is one explode + combinable (doc, gram) count + a
+    per-doc max-struct agg joined back on the doc id — the bigram
+    volume is corpus-linear and the join doc-keyed. Output: id_col,
+    n_words, n_lines, r1..r9 ('yes'/'no'), keep ('yes' iff all)."""
+    text = F.col(text_col)
+    ws = words(text)
+    n = F.size(ws)
+    total_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    lines = F.filter(F.split(text, r"\n"), lambda s: s != "")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda s: s.rlike(r"^\s*[-*•]")))
+    ellip = F.size(F.filter(lines, lambda s: s.rlike(r"\.\.\.\s*$")))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike(r"[A-Za-z]")))
+    symbols = (
+        F.regexp_count(text, F.lit(r"#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+    )
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    req_arr = F.array(*[F.lit(s) for s in req])
+    stops_present = F.size(
+        F.filter(
+            req_arr,
+            lambda s: F.exists(ws, lambda w: F.lower(w) == s),
+        )
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    def yn(cond):
+        return F.when(cond, "yes").otherwise("no")
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        n.alias("n_words"),
+        n_lines.alias("n_lines"),
+        yn((n >= 50) & (n <= 100_000)).alias("r1_wordcount"),
+        yn((3 * n <= total_len) & (total_len <= 10 * n))
+        .alias("r2_meanwordlen"),
+        yn(10 * symbols <= n).alias("r3_symbolratio"),
+        yn(10 * bullet <= 9 * n_lines).alias("r4_bulletlines"),
+        yn(10 * ellip <= 3 * n_lines).alias("r5_ellipsislines"),
+        yn(5 * alpha >= 4 * n).alias("r6_alphawords"),
+        yn(stops_present >= 2).alias("r7_stopwords"),
+        yn(10 * dup_lines <= 3 * n_lines).alias("r8_duplines"),
+        F.length(text).cast("long").alias("__chars"),
+        ws.alias("__ws"),
+    )
+    grams = base.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__ws"), i),
+                        F.element_at(F.col("__ws"), i + F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c"),
+                    (F.col("c") * F.length("g")).alias("prod"),
+                )
+            )["prod"].alias("top2_chars")
+        )
+    )
+    j = base.join(top, "__id", "left")
+    r9 = yn(5 * F.coalesce(F.col("top2_chars"), F.lit(0)) <= F.col("__chars"))
+    rule_cols = [
+        "r1_wordcount", "r2_meanwordlen", "r3_symbolratio",
+        "r4_bulletlines", "r5_ellipsislines", "r6_alphawords",
+        "r7_stopwords", "r8_duplines",
+    ]
+    all_yes = F.lit(True)
+    for rc in rule_cols:
+        all_yes = all_yes & (F.col(rc) == "yes")
+    return j.select(
+        F.col("__id").alias(id_col),
+        "n_words", "n_lines", *rule_cols,
+        r9.alias("r9_top2gram"),
+        F.when(
+            all_yes
+            & (5 * F.coalesce(F.col("top2_chars"), F.lit(0))
+               <= F.col("__chars")),
+            "yes",
+        ).otherwise("no").alias("keep"),
+    )

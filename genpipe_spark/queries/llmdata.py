@@ -1186,6 +1186,98 @@ def text_unigram_logprob(spark, sf):
 
 
 @query(
+    "text-gopher-rules",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '')
+               AS ws,
+             list_filter(string_split(text, chr(10)), s -> s <> '')
+               AS lines
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, text, ws, lines,
+             len(ws) AS n,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               AS total_len,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                 s -> regexp_matches(s, '^\s*[-*•]'))) AS bullet,
+             len(list_filter(lines,
+                 s -> regexp_matches(s, '\.\.\.\s*$'))) AS ellip,
+             len(list_filter(ws,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+             len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> len(list_filter(ws, w -> lower(w) = s)) > 0))
+               AS stops_present,
+             len(lines) - len(list_distinct(lines)) AS dup_lines
+      FROM d
+    ),
+    grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      FROM d, unnest(range(1, greatest(len(ws), 1))) AS ti(i)
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id,
+             (max(struct_pack(c := c, prod := c * length(g)))).prod
+               AS top2_chars
+      FROM gc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CASE WHEN n >= 50 AND n <= 100000 THEN 'yes' ELSE 'no' END
+             AS r1_wordcount,
+           CASE WHEN 3*n <= total_len AND total_len <= 10*n
+                THEN 'yes' ELSE 'no' END AS r2_meanwordlen,
+           CASE WHEN 10*symbols <= n THEN 'yes' ELSE 'no' END
+             AS r3_symbolratio,
+           CASE WHEN 10*bullet <= 9*n_lines THEN 'yes' ELSE 'no' END
+             AS r4_bulletlines,
+           CASE WHEN 10*ellip <= 3*n_lines THEN 'yes' ELSE 'no' END
+             AS r5_ellipsislines,
+           CASE WHEN 5*alpha >= 4*n THEN 'yes' ELSE 'no' END
+             AS r6_alphawords,
+           CASE WHEN stops_present >= 2 THEN 'yes' ELSE 'no' END
+             AS r7_stopwords,
+           CASE WHEN 10*dup_lines <= 3*n_lines THEN 'yes' ELSE 'no' END
+             AS r8_duplines,
+           CASE WHEN 5*coalesce(top2_chars, 0) <= length(text)
+                THEN 'yes' ELSE 'no' END AS r9_top2gram,
+           CASE WHEN n >= 50 AND n <= 100000
+                 AND 3*n <= total_len AND total_len <= 10*n
+                 AND 10*symbols <= n
+                 AND 10*bullet <= 9*n_lines
+                 AND 10*ellip <= 3*n_lines
+                 AND 5*alpha >= 4*n
+                 AND stops_present >= 2
+                 AND 10*dup_lines <= 3*n_lines
+                 AND 5*coalesce(top2_chars, 0) <= length(text)
+                THEN 'yes' ELSE 'no' END AS keep
+    FROM b LEFT JOIN top ON top.doc_id = b.doc_id
+    """,
+)
+def text_gopher_rules(spark, sf):
+    """The Gopher quality-filter battery (Rae et al. 2021 Table A1;
+    operators/text.gopher_quality_rules): nine published heuristics —
+    word count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, required stop words,
+    duplicate-line fraction, most-common-2-gram char fraction — each
+    as an exact cross-multiplied integer comparison (no float ratio
+    anywhere), plus the composite keep verdict. r1-r8 are pure per-row
+    HOF expressions; r9 is one combinable bigram count + per-doc
+    struct-max joined back on the doc id."""
+    from genpipe_spark.operators.text import gopher_quality_rules
+
+    return gopher_quality_rules(widen(t(spark, sf, "documents")))
+
+
+@query(
     "text-perplexity-buckets",
     r"""
     WITH toks AS (
