@@ -1601,3 +1601,116 @@ def ab_test_bh_fdr(spark, sf):
             F.col("bh_rank") <= F.coalesce(F.col("rmax"), F.lit(0)), "yes"
         ).otherwise("no").alias("rejected"),
     )
+
+
+_MSPRT_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM u
+),
+x AS (
+  SELECT event_type AS metric,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+              AS BIGINT) AS x_a,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+              AS BIGINT) AS x_b
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT metric, n_a, n_b, x_a, x_b,
+         (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS vn,
+         (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS del
+  FROM x, c WHERE n_a > 0 AND n_b > 0
+)
+SELECT metric, n_a, n_b, x_a, x_b,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+            ELSE CAST(floor(round(
+              (0.5 * ln(vn / (vn + 0.0001))
+               + (del * del * 0.0001) / (2.0 * vn * (vn + 0.0001)))
+              * 1e9) / 1000) AS BIGINT) END AS ln_lambda_micro,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 'n/a'
+            WHEN CAST(floor(round(
+              (0.5 * ln(vn / (vn + 0.0001))
+               + (del * del * 0.0001) / (2.0 * vn * (vn + 0.0001)))
+              * 1e9) / 1000) AS BIGINT) >= 2995733 THEN 'yes'
+            ELSE 'no' END AS msprt_reject
+FROM v
+"""
+
+
+@query("ab-test-msprt", _MSPRT_ORACLE)
+def ab_test_msprt(spark, sf):
+    """Mixture sequential probability ratio test — ALWAYS-VALID
+    inference for the A/B readout (Johari, Pekelis & Walsh 2017: peek
+    at any time without inflating false positives), per metric like
+    ab-test-bh-fdr. Under the normal approximation with mixture
+    variance tau^2 = 1e-4, the log mixture likelihood ratio at the
+    current sample is
+
+        ln(Lambda) = 0.5*ln(Vn/(Vn+tau^2))
+                     + delta^2*tau^2 / (2*Vn*(Vn+tau^2))
+
+    (Vn = pooled-variance of the lift estimate, delta = observed
+    lift); reject when Lambda >= 1/alpha, i.e. ln(Lambda)-micro >
+    floor(ln(20)*1e6) = 2995732. Determinism: Vn and delta are pinned
+    IEEE doubles from exact integer counts (bit-identical across
+    engines, the z doctrine); the single libm ln() is killed by the
+    theil nano-round before the micro floor; the second term is pure
+    arithmetic — so the verdict is engine-exact to 1 micro of the
+    boundary. No exp anywhere (decisions live in log space).
+    Degenerate metrics (no or all conversions): NULL / 'n/a'."""
+    ev = t(spark, sf, "events")
+    c = ev.select("user_id").distinct().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .alias("n_b"),
+    )
+    x = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("x_a"),
+            F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("x_b"),
+        )
+    )
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    vn = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    dl = (
+        F.col("x_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    )
+    tau2 = F.lit(0.0001)
+    lnl = (
+        F.lit(0.5) * F.log(vn / (vn + tau2))
+        + (dl * dl * tau2) / (F.lit(2.0) * vn * (vn + tau2))
+    )
+    lnl_micro = F.floor(F.round(lnl * 1e9) / 1000).cast("long")
+    degen = (F.col("x_a") + F.col("x_b") == 0) | (
+        F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")
+    )
+    return (
+        x.crossJoin(F.broadcast(c))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "metric", "n_a", "n_b", "x_a", "x_b",
+            F.when(degen, F.lit(None)).otherwise(lnl_micro)
+            .alias("ln_lambda_micro"),
+            F.when(degen, "n/a")
+            .when(lnl_micro >= 2995733, "yes")
+            .otherwise("no").alias("msprt_reject"),
+        )
+    )

@@ -753,6 +753,13 @@ _PROFILE_MEMBERS = {
             ("srm_flag", "s"),
         ],
     ),
+    "msprt": (
+        "ab-test-msprt",
+        [
+            ("metric", "s"), ("n_a", "s"), ("n_b", "s"), ("x_a", "s"),
+            ("x_b", "s"), ("ln_lambda_micro", "s"), ("msprt_reject", "s"),
+        ],
+    ),
     "bhfdr": (
         "ab-test-bh-fdr",
         [
@@ -1092,7 +1099,9 @@ profile_suite = _register(
     "ab-test-srm (the sample-ratio-mismatch guardrail, exact-integer "
     "chi2 vs the 3.841459 critical value, r8) ∪ ab-test-bh-fdr "
     "(Benjamini-Hochberg FDR over the per-metric z family — rank "
-    "arithmetic vs a pinned inverse-normal micro table, r9).",
+    "arithmetic vs a pinned inverse-normal micro table, r9) ∪ "
+    "ab-test-msprt (always-valid mixture SPRT in log space — "
+    "nano-rounded single ln, no exp, r9).",
 )
 cdc_suite = _register(
     "cdc-suite", _CDC_MEMBERS,

@@ -105,6 +105,7 @@ BOUNDED_NLJ_OK = {
     # 1-row arm counts + 1-row m_tests + 1-row BH r* reduction, all
     # crossJoined into the <= 5-row metric table
     "ab-test-bh-fdr": "1-row arm-count / m / r* scalar attaches",
+    "ab-test-msprt": "1-row arm-count scalar attach",
     "profile-suite": "inherits profile-entropy's, ab-test-cuped's and "
     "ab-test-bh-fdr's 1-row attaches",
 }
@@ -200,6 +201,7 @@ BOUNDED_BROADCAST_OK = {
     "ab-test-cuped": "broadcast 1-row time-midpoint anchor",
     # 1-row scalar attaches + the 15-row pinned BH threshold literal
     "ab-test-bh-fdr": "broadcast 1-row scalars + 15-row threshold table",
+    "ab-test-msprt": "broadcast 1-row arm counts",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
