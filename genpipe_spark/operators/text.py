@@ -716,3 +716,100 @@ def gopher_quality_rules(
             "yes",
         ).otherwise("no").alias("keep"),
     )
+
+
+def tf_overlap_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Plain term-frequency retrieval: per (query, doc), hits = total
+    occurrences of the query's distinct terms in the doc, ranked
+    (hits desc, doc id asc), top-k. The deliberately-simple lexical
+    second opinion :func:`rrf_fuse` pairs with BM25 — exact integer
+    counts end to end, the same inverted-index join shape as
+    bm25_topk (one corpus tokenization, vocab equi-join, no per-query
+    scans). Output: ``query_id, doc_id, hits, rank``."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(words(F.lower(F.col(query_text_col)))).alias("w"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.join(
+        qterms.select("w").distinct(), "w"
+    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    hits = (
+        tf.join(qterms, "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("hits"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("hits").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "hits", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner (lexical BM25 + dense ANN in
+    every modern RAG stack): fused score = sum over input rankings of
+    1/(k + rank), with k = 60 the published default. Computed as EXACT
+    integers — each contribution is ``1000000 div (k + rank)`` (ranks
+    positive, so truncating and floor division agree in both engines)
+    and the fused order is (score desc, doc id asc), making the output
+    a pure function of the input rank lists.
+
+    ``rankings`` maps a ranker name to a DataFrame with columns
+    ``query_id, doc_id, rank``; per-ranker ranks are carried through
+    as ``rank_<name>`` (0 when the ranker did not retrieve the doc).
+    One union + one grouped agg + one per-query window; candidate
+    volume is bounded by sum of list sizes, never the corpus.
+
+    Output: ``query_id, doc_id, rrf_micro, rank_<name>..., fused_rank``
+    (fused_rank <= topk)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        rdf.select(
+            "query_id", "doc_id",
+            F.lit(name).alias("__src"), F.col("rank").alias("__r"),
+        )
+        for name, rdf in rankings.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"1000000 div ({k} + __r)")).alias("rrf_micro"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__src") == name, F.col("__r"))),
+                F.lit(0),
+            ).cast("long").alias(f"rank_{name}")
+            for name in rankings
+        ],
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn(
+            "fused_rank", F.row_number().over(wf).cast("long")
+        )
+        .where(F.col("fused_rank") <= topk)
+    )

@@ -1118,6 +1118,89 @@ def text_bm25_topk(spark, sf):
     return bm25_topk(t(spark, sf, "documents"), queries, k=10)
 
 
+_RRF_ORACLE = f"""
+WITH bm AS MATERIALIZED ({_BM25_TOPK_SQL}),
+q2 AS (SELECT * FROM (VALUES
+    {", ".join(f"({i}, {s!r})" for i, s in _BM25_QUERY_TABLE)})
+    AS q2(query_id, qtext)),
+qt AS MATERIALIZED (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '\\s+'),
+                            w -> w <> '')) AS w
+  FROM q2
+),
+toks2 AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+tf2 AS MATERIALIZED (
+  SELECT doc_id, toks2.w, count(*) AS tf
+  FROM toks2 JOIN (SELECT DISTINCT w FROM qt) vw ON toks2.w = vw.w
+  GROUP BY doc_id, toks2.w
+),
+hits AS (
+  SELECT qt.query_id, tf2.doc_id, CAST(sum(tf) AS BIGINT) AS hits
+  FROM tf2 JOIN qt ON tf2.w = qt.w
+  GROUP BY 1, 2
+),
+tfr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hits DESC, doc_id) AS rank
+    FROM hits)
+  WHERE rank <= 10
+),
+u AS (
+  SELECT query_id, doc_id, 'bm25' AS src, rank FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 'tf' AS src, rank FROM tfr
+),
+ag AS (
+  SELECT query_id, doc_id,
+         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+         CAST(coalesce(max(CASE WHEN src = 'bm25' THEN rank END), 0)
+              AS BIGINT) AS rank_bm25,
+         CAST(coalesce(max(CASE WHEN src = 'tf' THEN rank END), 0)
+              AS BIGINT) AS rank_tf
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_micro, rank_bm25, rank_tf,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id)
+         AS fused_rank
+  FROM ag)
+WHERE fused_rank <= 10
+"""
+
+
+@query("search-rrf-fusion", _RRF_ORACLE)
+def search_rrf_fusion(spark, sf):
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009;
+    operators/text.rrf_fuse) — the combiner every BM25+dense RAG stack
+    runs: fuse the BM25 top-10 (text-bm25-topk's ranker) with a plain
+    term-frequency top-10 second opinion (tf_overlap_topk) over the
+    same 3-query table, score = sum 1000000 div (60 + rank) in exact
+    integers, fused order (score desc, doc_id asc). Candidate volume
+    is the union of the rank lists — never the corpus."""
+    from genpipe_spark.operators.text import (
+        bm25_topk, rrf_fuse, tf_overlap_topk,
+    )
+
+    docs = t(spark, sf, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERY_TABLE), "query_id long, qtext string"
+    )
+    bm = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    tfx = tf_overlap_topk(docs, queries, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    return rrf_fuse({"bm25": bm, "tf": tfx}, k=60, topk=10)
+
+
 @query(
     "text-repetition",
     r"""

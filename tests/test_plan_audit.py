@@ -45,6 +45,7 @@ BOUNDED_NLJ_OK = {
     # 1-row corpus-stats (N, avgdl) crossJoined to attach scalars
     "text-bm25": "1-row corpus-stats scalar attach",
     "text-bm25-topk": "1-row corpus-stats scalar attach",
+    "search-rrf-fusion": "inherits bm25_topk's 1-row stats attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
     "text-perplexity-buckets": "1-row corpus-total scalar attach",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
@@ -202,6 +203,7 @@ BOUNDED_BROADCAST_OK = {
     # 1-row scalar attaches + the 15-row pinned BH threshold literal
     "ab-test-bh-fdr": "broadcast 1-row scalars + 15-row threshold table",
     "ab-test-msprt": "broadcast 1-row arm counts",
+    "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
