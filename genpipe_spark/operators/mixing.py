@@ -281,3 +281,48 @@ def balance_classes(
         .where(F.col("__rn") <= F.col("__nmin"))
         .drop("__rn", "__nmin")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the per-epoch
+    corpus permutation a training job needs (each epoch visits every
+    document once, in a different pseudo-random order, reproducible
+    from (id, epoch) alone — no RNG state, so a preempted job resumes
+    to the identical order).
+
+    Order key = the portable affine hash of (id, epoch); documents are
+    sharded by ``h mod n_shards`` (the shard is the loader's file/unit
+    of parallel read) and positioned WITHIN their shard by a
+    shard-partitioned rank on (h, id) — no global sort, no
+    single-reducer window: the only shuffle is the shard partitioning,
+    and n_shards is the parallelism (set it to the target file count
+    at 100 TB; cross-shard interleave is the loader's round-robin).
+
+    Ids must be non-negative (the %'s sign convention must agree with
+    the SQL twin); ``epoch`` shifts the hash so each epoch is a fresh
+    permutation. Output: ``id_col, epoch, h, shard, pos`` (pos is
+    1-based within the shard)."""
+    if n_shards < 1:
+        raise ValueError(f"epoch_shuffle: n_shards {n_shards} < 1")
+    # reduce the id mod M31 BEFORE the multiply: (M31-1)*A ~ 1.1e18
+    # stays inside int64, so no engine needs 128-bit arithmetic and
+    # ids up to int64 max are safe (a raw id*A would wrap past ~1.8e10)
+    h = (
+        (F.col(id_col) % F.lit(M31)) * F.lit(_A)
+        + F.lit((int(epoch) + 1) * 1000003)
+    ) % F.lit(M31)
+    base = df.select(
+        F.col(id_col),
+        F.lit(int(epoch)).cast("long").alias("epoch"),
+        h.cast("long").alias("h"),
+        (h % F.lit(int(n_shards))).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return base.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )

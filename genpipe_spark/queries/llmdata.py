@@ -881,6 +881,42 @@ def dedup_components(spark, sf):
 _MIX_HASH = "(doc_id * 506952114) % 2147483647"
 
 
+def _epoch_shuffle_sql(epoch: int, n_shards: int) -> str:
+    h = (
+        f"((doc_id % 2147483647) * 506952114"
+        f" + {(epoch + 1) * 1000003}) % 2147483647"
+    )
+    return f"""
+    SELECT doc_id, CAST({epoch} AS BIGINT) AS epoch,
+           CAST({h} AS BIGINT) AS h,
+           CAST(({h}) % {n_shards} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY ({h}) % {n_shards}
+                                   ORDER BY {h}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """
+
+
+@query(
+    "mix-epoch-shuffle",
+    _epoch_shuffle_sql(0, 8) + "\nUNION ALL\n" + _epoch_shuffle_sql(1, 8),
+)
+def mix_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training-order shuffle
+    (operators/mixing.epoch_shuffle): every doc gets a shard and an
+    in-shard position from the portable affine hash of (id, epoch) —
+    reproducible with no RNG state (a preempted trainer resumes to the
+    identical order), a fresh permutation per epoch. Two epochs
+    emitted to pin that the permutations differ. No global sort: the
+    only shuffle is the shard partitioning and shards are the
+    parallelism (set n_shards to the target file count at 100 TB)."""
+    from genpipe_spark.operators.mixing import epoch_shuffle
+
+    d = t(spark, sf, "documents").select("doc_id")
+    return epoch_shuffle(d, epoch=0, n_shards=8).unionByName(
+        epoch_shuffle(d, epoch=1, n_shards=8)
+    )
+
+
 @query(
     "mix-quota-source",
     f"""

@@ -1168,6 +1168,11 @@ _MIX_FULL_MEMBERS = {
         "mix-reservoir-replacement",
         [("source", "s"), ("draw", "s"), ("doc_id", "s"), ("key_nano", "s")],
     ),
+    "epochshuffle": (
+        "mix-epoch-shuffle",
+        [("doc_id", "s"), ("epoch", "s"), ("h", "s"), ("shard", "s"),
+         ("pos", "s")],
+    ),
 }
 
 mix_full_suite = _register(
@@ -1176,8 +1181,9 @@ mix_full_suite = _register(
     "(Efraimidis-Spirakis) ∪ mix-balance-temperature (alpha=0.5 "
     "temperature rates + exact class balancing) ∪ "
     "mix-reservoir-replacement (k independent with-replacement draws) "
-    "— the full source-mixing family (r5 third rotation; reservoir "
-    "added r6).",
+    "∪ mix-epoch-shuffle (deterministic per-epoch training-order "
+    "permutation, shard-parallel, r9) — the full source-mixing family "
+    "(r5 third rotation; reservoir added r6).",
 )
 
 _AGG_DISTINCT_EXTREMA_MEMBERS = {
