@@ -813,3 +813,109 @@ def rrf_fuse(
         )
         .where(F.col("fused_rank") <= topk)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    top_words: int = 50,
+) -> DataFrame:
+    """Actual BPE TRAINING (Sennrich et al. 2016), ``iters`` merge
+    rounds unrolled declaratively — beyond the shipped pair-count
+    statistics (text-bpe-pairs), this learns the merges: per round,
+    count adjacent symbol pairs over the word-frequency table
+    (weighted by word count, every occurrence counted — the reference
+    get_stats), pick the top pair with the deterministic
+    (count desc, pair lexicographic asc) tiebreak as a min-struct over
+    (-count, a, b), and apply the merge to every word.
+
+    The merge step is pure ``replace()`` in BOTH engines via the
+    DOUBLE-SPACE symbol encoding: symbols are joined with two spaces
+    and the string padded ('  a  b  c  '), so the pattern '  a  b' ->
+    '  ab' never shares characters between adjacent occurrences —
+    plain left-to-right non-overlapping replace() then EQUALS the
+    reference's greedy tuple merge (a single-space encoding would skip
+    alternating overlaps because the shared delimiter gets consumed).
+
+    Scale: the corpus is reduced ONCE to (word, count) — everything
+    after is vocabulary-sized (combinable pair counts, 1-row top-pair
+    attaches, word-table rewrites); merges never touch the corpus
+    again. Output rows:
+      part='merge': k=round, a, b, s=merged token, cnt=pair count;
+      part='word':  k=rank (top ``top_words`` by count), a=word,
+                    s=final single-space symbolization, cnt.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cur = wf.select(
+        "w", "cnt",
+        F.concat(
+            F.lit("  "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                ),
+                "  ",
+            ),
+            F.lit("  "),
+        ).alias("s"),
+    )
+    merges = []
+    for it in range(1, iters + 1):
+        pairs = w_cur.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), '  ')) - 1),"
+                    " i -> struct(split(trim(s), '  ')[i - 1] AS a,"
+                    "             split(trim(s), '  ')[i] AS b))"
+                )
+            ).alias("p"),
+        ).where(F.expr("size(split(trim(s), '  '))") >= 2)
+        pc = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("cnt").alias("c"))
+        top = pc.agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), "a", "b")).alias("t")
+        ).select(
+            F.col("t.a").alias("ma"), F.col("t.b").alias("mb"),
+            (-F.col("t.nc")).alias("mc"),
+        )
+        merges.append(
+            top.select(
+                F.lit("merge").alias("part"),
+                F.lit(it).cast("long").alias("k"),
+                F.col("ma").alias("a"), F.col("mb").alias("b"),
+                F.concat("ma", "mb").alias("s"),
+                F.col("mc").alias("cnt"),
+            )
+        )
+        w_cur = w_cur.crossJoin(F.broadcast(top)).select(
+            "w", "cnt",
+            F.expr(
+                "replace(s, concat('  ', ma, '  ', mb),"
+                " concat('  ', ma, mb))"
+            ).alias("s"),
+        )
+    topw = (
+        w_cur.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(top_words)
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    word_rows = topw.select(
+        F.lit("word").alias("part"),
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.col("w").alias("a"), F.lit("").alias("b"),
+        F.regexp_replace(F.trim(F.col("s")), "  ", " ").alias("s"),
+        F.col("cnt"),
+    )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.unionByName(word_rows)

@@ -1154,6 +1154,84 @@ def text_bm25_topk(spark, sf):
     return bm25_topk(t(spark, sf, "documents"), queries, k=10)
 
 
+def _bpe_train_oracle(iters: int, top_words: int) -> str:
+    """Generated DuckDB twin of operators/text.bpe_train — the merge
+    rounds unrolled (fixed iteration count, the lpa/markov precedent);
+    MATERIALIZED on every doubly-referenced word table (FIXTURES r8:
+    chained-CTE inlining blowup)."""
+    parts = [r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT w, cnt,
+         '  ' || array_to_string(
+            list_transform(range(1, length(w) + 1),
+                           i -> substr(w, i, 1)), '  ') || '  ' AS s
+  FROM wf
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w{k - 1}) q,
+       unnest(range(1, greatest(len(sy), 1))) AS ti(i)
+  GROUP BY 1, 2
+),
+t{k} AS MATERIALIZED (
+  SELECT (min(struct_pack(nc := -c, a := a, b := b))).a AS ma,
+         (min(struct_pack(nc := -c, a := a, b := b))).b AS mb,
+         -(min(struct_pack(nc := -c, a := a, b := b))).nc AS mc
+  FROM p{k}
+),
+w{k} AS MATERIALIZED (
+  SELECT w, cnt,
+         replace(s, '  ' || ma || '  ' || mb, '  ' || ma || mb) AS s
+  FROM w{k - 1}, t{k}
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS part, CAST({k} AS BIGINT) AS k, ma AS a,"
+        f" mb AS b, ma || mb AS s, CAST(mc AS BIGINT) AS cnt FROM t{k}"
+        for k in range(1, iters + 1)
+    )
+    parts.append(f"""
+{merge_rows}
+UNION ALL
+SELECT part, k, a, b, s, cnt FROM (
+  SELECT 'word' AS part,
+         CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS k,
+         w AS a, '' AS b,
+         replace(trim(s), '  ', ' ') AS s, cnt
+  FROM w{iters}
+) WHERE k <= {top_words}
+""")
+    return "".join(parts)
+
+
+@query("text-bpe-train", _bpe_train_oracle(3, 50))
+def text_bpe_train(spark, sf):
+    """BPE TRAINING, three merge rounds (Sennrich et al. 2016;
+    operators/text.bpe_train) — learns the merges, not just the pair
+    stats: weighted adjacent-pair counts over the (word, count)
+    table, deterministic (count desc, pair asc) top pair as a
+    min-struct over (-count, a, b), and the merge applied by plain
+    replace() via the double-space symbol encoding (adjacent
+    occurrences share no characters, so non-overlapping left-to-right
+    replace EQUALS the reference's greedy tuple merge — verified
+    against a literal Python BPE in the smoke test). Emits the merge
+    rules and the top-50 words' final symbolizations. Everything
+    after the one corpus reduction is vocabulary-sized."""
+    from genpipe_spark.operators.text import bpe_train
+
+    return bpe_train(widen(t(spark, sf, "documents")), iters=3,
+                     top_words=50)
+
+
 _RRF_ORACLE = f"""
 WITH bm AS MATERIALIZED ({_BM25_TOPK_SQL}),
 q2 AS (SELECT * FROM (VALUES

@@ -872,6 +872,16 @@ _TEXT_TOKEN_MEMBERS = {
         "text-tfidf-topk",
         [("doc_id", "s"), ("w", "s"), ("tf", "s"), ("score_micro", "s")],
     ),
+    "bpetrain": (
+        "text-bpe-train",
+        [("part", "s"), ("k", "s"), ("a", "s"), ("b", "s"), ("s", "s"),
+         ("cnt", "s")],
+    ),
+    "rrf": (
+        "search-rrf-fusion",
+        [("query_id", "s"), ("doc_id", "s"), ("rrf_micro", "s"),
+         ("rank_bm25", "s"), ("rank_tf", "s"), ("fused_rank", "s")],
+    ),
 }
 
 _RESHAPE_OLAP_MEMBERS = {
@@ -1129,7 +1139,10 @@ text_token_suite = _register(
     "text-vocab-topk ∪ text-bpe-pairs ∪ text-bigram-pmi ∪ "
     "text-tfidf-topk — tokenizer/phrase-induction statistics incl. "
     "PMI collocations and per-doc TF-IDF keyword extraction "
-    "(r5 third rotation; pmi r6; tfidf r7).",
+    "(r5 third rotation; pmi r6; tfidf r7) ∪ text-bpe-train (actual "
+    "3-round BPE merge learning, double-space replace encoding, r9) "
+    "∪ search-rrf-fusion (reciprocal-rank hybrid-retrieval fusion, "
+    "exact-integer scores, r9).",
 )
 reshape_olap_suite = _register(
     "reshape-olap-suite", _RESHAPE_OLAP_MEMBERS,

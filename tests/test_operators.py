@@ -2003,3 +2003,53 @@ def test_edit_distance_pairs_duplicate_rows_multiply(spark):
     out = edit_distance_pairs(df, "id", "t", max_dist=2).collect()
     assert len(out) == 2  # (1,2) twice — multiplicity, never dropped
     assert all((r["id_a"], r["id_b"], r["dist"]) == (1, 2, 1) for r in out)
+
+
+def test_bpe_train_matches_reference_bpe(spark):
+    """bpe_train == the literal Sennrich get_stats/merge loop: the
+    double-space replace() encoding must reproduce greedy
+    non-overlapping tuple merges exactly (incl. the 'a a a' self-
+    overlap and alternating 'a b a b' cases a single-space encoding
+    gets wrong)."""
+    from collections import Counter
+
+    from genpipe_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low lower lowest new newer",
+        "new new newer wider low",
+        "aaa abab abab baaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, iters=3, top_words=20).collect()
+    g_merges = {
+        r["k"]: (r["a"], r["b"], r["s"], r["cnt"])
+        for r in got if r["part"] == "merge"
+    }
+    g_words = {
+        r["a"]: (r["k"], r["s"], r["cnt"])
+        for r in got if r["part"] == "word"
+    }
+    wf = Counter(w for t in texts for w in t.lower().split())
+    syms = {w: list(w) for w in wf}
+    for it in range(1, 4):
+        pc = Counter()
+        for w, ss in syms.items():
+            for i in range(len(ss) - 1):
+                pc[(ss[i], ss[i + 1])] += wf[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert g_merges[it] == (a, b, a + b, c), (it, g_merges[it])
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    for rk, w in enumerate(sorted(wf, key=lambda w: (-wf[w], w)), 1):
+        assert g_words[w] == (rk, " ".join(syms[w]), wf[w]), w

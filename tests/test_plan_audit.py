@@ -46,6 +46,8 @@ BOUNDED_NLJ_OK = {
     "text-bm25": "1-row corpus-stats scalar attach",
     "text-bm25-topk": "1-row corpus-stats scalar attach",
     "search-rrf-fusion": "inherits bm25_topk's 1-row stats attach",
+    # three 1-row top-pair attaches (one per unrolled merge round)
+    "text-bpe-train": "1-row top-pair attach per merge round",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
     "text-perplexity-buckets": "1-row corpus-total scalar attach",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
@@ -63,7 +65,8 @@ BOUNDED_NLJ_OK = {
     "copurchase-lift": "1-row order-count scalar attach",
     # two 1-row corpus totals (unigram + bigram counts) crossJoined
     "text-bigram-pmi": "1-row corpus-totals scalar attach",
-    "text-token-suite": "inherits text-bigram-pmi's 1-row attach",
+    "text-token-suite": "inherits text-bigram-pmi's, text-bpe-train's "
+    "and search-rrf-fusion's 1-row attaches",
     # 1-row corpus doc-count crossJoined to attach the IDF normaliser
     "text-tfidf-topk": "1-row corpus doc-count scalar attach",
     # 1-row per-split totals crossJoined to attach JS/entropy scalars
@@ -204,6 +207,7 @@ BOUNDED_BROADCAST_OK = {
     "ab-test-bh-fdr": "broadcast 1-row scalars + 15-row threshold table",
     "ab-test-msprt": "broadcast 1-row arm counts",
     "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
+    "text-bpe-train": "broadcast 1-row top pair per merge round",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
@@ -375,6 +379,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # BH rank over the per-metric z table — event-type-domain rows
     # (<= 5), already reduced by a grouped dedup
     "ab-test-bh-fdr": "window over the per-metric z table",
+    # ranking window over the LIMIT-50 truncated word table (TopK
+    # feeds it; the vocab reduction is the ks-drift doctrine)
+    "text-bpe-train": "window over the 50-row truncated word list",
+    "text-token-suite": "inherits text-bpe-train's truncated-list window",
 }
 
 
