@@ -326,3 +326,91 @@ def epoch_shuffle(
     return base.withColumn(
         "pos", F.row_number().over(w).cast("long")
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    top_n: int = 100,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every RAW document by how target-like it is under
+    hashed n-gram unigram models and keep the highest-weight docs —
+    the published recipe for slicing a web crawl toward a quality
+    target domain.
+
+    Features are the repo's portable 31-bit word hash folded into
+    ``n_buckets`` (the text-hash-features trick — no vocabulary, no
+    broadcast). Two bucket distributions are estimated with add-one
+    smoothing: p_t from the TARGET slice (``is_target``), p_r from the
+    rest. The per-bucket log ratio ln((ct+1)/(T+B)) - ln((cr+1)/(R+B))
+    is quantized nano->micro from EXACT integer counts (the
+    unigram-logprob ulp-kill rule — one libm ln per side, rounded
+    before anything accumulates), and a raw doc's importance weight is
+    the exact int64 sum of its tokens' quantized ratios. Selection =
+    top ``top_n`` raw docs by (weight desc, id asc) — rank-based, so
+    no exp/resampling randomness is needed for a deterministic,
+    engine-exact result (the CCNet-bucketing argument: monotone
+    transforms don't change a cut).
+
+    Shape at scale: two combinable bucket-count aggs (B rows each,
+    broadcast back), one token->bucket join-free map, one per-doc sum,
+    one TopK. Output: ``id_col, n_toks, weight_micro, sel_rank``."""
+    from pyspark.sql import Window
+
+    from .dedup import _word_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__t"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    ).select(
+        "__id", "__t", (_word_hash(F.col("w")) % n_buckets).alias("b")
+    )
+    bc = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr_micro = F.floor(
+        (
+            F.round(
+                F.log((F.col("ct") + 1).cast("double")
+                      / (F.col("tt") + n_buckets).cast("double")) * 1e9
+            )
+            - F.round(
+                F.log((F.col("cr") + 1).cast("double")
+                      / (F.col("tr") + n_buckets).cast("double")) * 1e9
+            )
+        ) / 1000
+    ).cast("long")
+    ratios = bc.crossJoin(F.broadcast(tot)).select(
+        "b", lr_micro.alias("lr")
+    )
+    scored = (
+        toks.where(~F.col("__t"))
+        .join(F.broadcast(ratios), "b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lr").alias("weight_micro"),
+        )
+    )
+    topd = scored.orderBy(
+        F.col("weight_micro").desc(), F.col("__id").asc()
+    ).limit(top_n)
+    wr = Window.orderBy(F.col("weight_micro").desc(), F.col("__id").asc())
+    return topd.select(
+        F.col("__id").alias(id_col), "n_toks", "weight_micro",
+        F.row_number().over(wr).cast("long").alias("sel_rank"),
+    )

@@ -1154,6 +1154,63 @@ def text_bm25_topk(spark, sf):
     return bm25_topk(t(spark, sf, "documents"), queries, k=10)
 
 
+_DSIR_ORACLE = _WORD_FOLD_D + r""",
+tok AS MATERIALIZED (
+  SELECT d.doc_id, (source IN ('src0', 'src1')) AS is_t,
+         unnest(wh) % 32 AS b
+  FROM d JOIN documents USING (doc_id)
+),
+bc AS MATERIALIZED (
+  SELECT b,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok GROUP BY b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+ratios AS (
+  SELECT b,
+         CAST(floor((round(ln((ct + 1) * 1.0 / (tt + 32)) * 1e9)
+                     - round(ln((cr + 1) * 1.0 / (tr + 32)) * 1e9))
+                    / 1000) AS BIGINT) AS lr
+  FROM bc, tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(lr) AS BIGINT) AS weight_micro
+  FROM tok JOIN ratios USING (b)
+  WHERE NOT is_t
+  GROUP BY doc_id
+)
+SELECT doc_id, n_toks, weight_micro,
+       CAST(sel_rank AS BIGINT) AS sel_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+         AS sel_rank
+  FROM scored
+) WHERE sel_rank <= 100
+"""
+
+
+@query("mix-dsir-select", _DSIR_ORACLE)
+def mix_dsir_select(spark, sf):
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023; operators/mixing.dsir_select): score raw docs by
+    target-likeness under hashed unigram models — the src0/src1 slice
+    plays the quality target, everything else is the raw pool.
+    Add-one-smoothed per-bucket log ratios from exact integer counts,
+    nano-rounded (one libm ln per side), summed per doc as int64;
+    selection = top-100 by (weight desc, id) — rank-based, so the cut
+    is engine-exact with no exp/resampling randomness. Two B-row
+    bucket aggs broadcast back; everything else combinable."""
+    from genpipe_spark.operators.mixing import dsir_select
+
+    d = widen(t(spark, sf, "documents"))
+    return dsir_select(
+        d, is_target=F.col("source").isin("src0", "src1"),
+        n_buckets=32, top_n=100,
+    )
+
+
 def _bpe_train_oracle(iters: int, top_words: int) -> str:
     """Generated DuckDB twin of operators/text.bpe_train — the merge
     rounds unrolled (fixed iteration count, the lpa/markov precedent);

@@ -1186,6 +1186,11 @@ _MIX_FULL_MEMBERS = {
         [("doc_id", "s"), ("epoch", "s"), ("h", "s"), ("shard", "s"),
          ("pos", "s")],
     ),
+    "dsir": (
+        "mix-dsir-select",
+        [("doc_id", "s"), ("n_toks", "s"), ("weight_micro", "s"),
+         ("sel_rank", "s")],
+    ),
 }
 
 mix_full_suite = _register(
@@ -1195,7 +1200,9 @@ mix_full_suite = _register(
     "temperature rates + exact class balancing) ∪ "
     "mix-reservoir-replacement (k independent with-replacement draws) "
     "∪ mix-epoch-shuffle (deterministic per-epoch training-order "
-    "permutation, shard-parallel, r9) — the full source-mixing family "
+    "permutation, shard-parallel, r9) ∪ mix-dsir-select (DSIR "
+    "importance selection under hashed unigram models, r9) "
+    "— the full source-mixing family "
     "(r5 third rotation; reservoir added r6).",
 )
 

@@ -48,6 +48,8 @@ BOUNDED_NLJ_OK = {
     "search-rrf-fusion": "inherits bm25_topk's 1-row stats attach",
     # three 1-row top-pair attaches (one per unrolled merge round)
     "text-bpe-train": "1-row top-pair attach per merge round",
+    # 1-row totals attach + 32-row bucket-ratio broadcast
+    "mix-dsir-select": "1-row totals + 32-row bucket-ratio attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
     "text-perplexity-buckets": "1-row corpus-total scalar attach",
     "text-quality-suite": "inherits text-unigram-logprob's 1-row stats attach",
@@ -55,7 +57,8 @@ BOUNDED_NLJ_OK = {
     "sketch-cms-heavy": "1-row corpus-total scalar attach",
     # 1-row min-count attach discovering the sampling targets
     "mix-balance-temperature": "1-row min-count scalar attach",
-    "mix-full-suite": "inherits mix-balance-temperature's 1-row attach",
+    "mix-full-suite": "inherits mix-balance-temperature's and "
+    "mix-dsir-select's bounded attaches",
     "sketch-suite": "inherits sketch-kmv-distinct + sketch-cms-heavy's "
     "1-row sketch/total crossJoins",
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
@@ -208,6 +211,7 @@ BOUNDED_BROADCAST_OK = {
     "ab-test-msprt": "broadcast 1-row arm counts",
     "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
     "text-bpe-train": "broadcast 1-row top pair per merge round",
+    "mix-dsir-select": "broadcast 1-row totals + 32-row ratio table",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
@@ -382,6 +386,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # ranking window over the LIMIT-50 truncated word table (TopK
     # feeds it; the vocab reduction is the ks-drift doctrine)
     "text-bpe-train": "window over the 50-row truncated word list",
+    "mix-dsir-select": "window over the 100-row truncated selection",
+    "mix-full-suite": "inherits mix-dsir-select's truncated window",
     "text-token-suite": "inherits text-bpe-train's truncated-list window",
 }
 
