@@ -111,10 +111,22 @@ def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     once per permutation — is a ~num_hashes× win (it took the sf0.1
     bench from 257 s to seconds)."""
     hs = shingle_hashes(text, k)
+    # geometric seed orbits (48271^i, 69621^i — full-period Lehmer
+    # multipliers mod M31), NOT an arithmetic progression: the old
+    # a_i = (2i+1)*1103515245 family stepped a_i*h by a constant per
+    # slot, a lattice walk that for unlucky shingle hashes h (step
+    # near M31/q) made the SAME shingle win the min on a periodic
+    # 1-in-q subset of slots — observed live at sf10 as a j=0.9878
+    # pair disagreeing on 11/32 slots in a strict period-3 pattern
+    # and escaping all 8 bands (ideal-theory odds ~3e-11). Consecutive
+    # geometric seeds are multiplicatively unrelated, restoring the
+    # per-slot independence the banding math assumes (r9).
     coeff_a = F.array(
-        *[F.lit((2 * i + 1) * 1103515245 % M31) for i in range(num_hashes)]
+        *[F.lit(pow(48271, i + 1, M31)) for i in range(num_hashes)]
     )
-    coeff_b = F.array(*[F.lit((i * 12345 + 6789) % M31) for i in range(num_hashes)])
+    coeff_b = F.array(
+        *[F.lit(pow(69621, i + 1, M31)) for i in range(num_hashes)]
+    )
     init = F.array_repeat(F.lit(M31).cast("long"), num_hashes)
 
     def step(acc: Column, h: Column) -> Column:
@@ -456,10 +468,16 @@ def minhash_signatures_arrow(
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    # geometric seed orbits — see minhash_signature: the old
+    # arithmetic-progression family produced periodic correlated
+    # minima (an sf10 j=0.9878 pair escaped all 8 bands); Lehmer
+    # powers decorrelate consecutive slots (r9)
     a = np.array(
-        [(2 * i + 1) * 1103515245 % M31 for i in range(num_hashes)], dtype=np.int64
+        [pow(48271, i + 1, M31) for i in range(num_hashes)], dtype=np.int64
     )
-    b = np.array([(i * 12345 + 6789) % M31 for i in range(num_hashes)], dtype=np.int64)
+    b = np.array(
+        [pow(69621, i + 1, M31) for i in range(num_hashes)], dtype=np.int64
+    )
     out_schema = StructType(
         [StructField("id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
