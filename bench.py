@@ -195,6 +195,19 @@ HEADLINE = [
     "ab-test-proportions",
     "ab-test-cuped",
     "ab-test-srm",
+    # r9 additions: exact-substring corpus dedup, the multiple-testing
+    # pair (BH-FDR + always-valid mSPRT), Gopher quality battery,
+    # CCNet perplexity buckets, BPE merge training, RRF hybrid
+    # retrieval, epoch shuffle, DSIR importance selection
+    "dedup-exact-substr",
+    "ab-test-bh-fdr",
+    "ab-test-msprt",
+    "text-gopher-rules",
+    "text-perplexity-buckets",
+    "text-bpe-train",
+    "search-rrf-fusion",
+    "mix-epoch-shuffle",
+    "mix-dsir-select",
 ]
 
 

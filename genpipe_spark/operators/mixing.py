@@ -309,11 +309,20 @@ def epoch_shuffle(
     1-based within the shard)."""
     if n_shards < 1:
         raise ValueError(f"epoch_shuffle: n_shards {n_shards} < 1")
-    # reduce the id mod M31 BEFORE the multiply: (M31-1)*A ~ 1.1e18
+    # reduce the id mod M31 BEFORE the multiply: (M31-1)*mult ~ 1.1e18
     # stays inside int64, so no engine needs 128-bit arithmetic and
-    # ids up to int64 max are safe (a raw id*A would wrap past ~1.8e10)
+    # ids up to int64 max are safe (a raw id*A would wrap past ~1.8e10).
+    # The epoch enters MULTIPLICATIVELY (mult = A^(epoch+1) mod M31):
+    # an additive epoch term only shifts every h by the same constant,
+    # which preserves the relative order except at the single mod wrap
+    # and merely relabels shards — i.e. every epoch would replay the
+    # same data order (r9 self-review finding, verified numerically:
+    # 6 of 8 shards bit-identical across epochs under the additive
+    # form). Distinct multiplicative orbits give genuinely different
+    # permutations per epoch.
+    mult = pow(_A, int(epoch) + 1, M31)
     h = (
-        (F.col(id_col) % F.lit(M31)) * F.lit(_A)
+        (F.col(id_col) % F.lit(M31)) * F.lit(mult)
         + F.lit((int(epoch) + 1) * 1000003)
     ) % F.lit(M31)
     base = df.select(

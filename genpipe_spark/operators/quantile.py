@@ -539,8 +539,13 @@ def mann_kendall_theil_sen_grouped(
             # Whale route: deterministic sampled-pair lower median.
             # min/max of two independent uniform draws is uniform over
             # unordered distinct pairs (conditioned on a != b).
+            # str-coerce the key scalars BEFORE hashing: numpy 2.x
+            # changed repr(np.int64(7)) from '7' to 'np.int64(7)', so
+            # seeding from raw scalar reprs would silently change the
+            # sampled pair set across numpy versions / heterogeneous
+            # clusters (r9 self-review finding)
             seed = zlib.crc32(
-                repr(tuple(pdf[c].iloc[0] for c in keys)).encode()
+                "|".join(str(pdf[c].iloc[0]) for c in keys).encode()
             )
             rng = np.random.RandomState(seed)
             a = rng.randint(0, n, size=whale_sample_pairs)

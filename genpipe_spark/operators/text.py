@@ -887,8 +887,12 @@ def bpe_train(
             F.col("t.a").alias("ma"), F.col("t.b").alias("mb"),
             (-F.col("t.nc")).alias("mc"),
         )
+        # no-pair round (all words single-symbol / vocab exhausted):
+        # emit NO merge rule and leave symbolizations unchanged — the
+        # reference BPE is a no-op there; an unguarded replace() with
+        # the NULL top pair would null every word (r9 self-review)
         merges.append(
-            top.select(
+            top.where(F.col("ma").isNotNull()).select(
                 F.lit("merge").alias("part"),
                 F.lit(it).cast("long").alias("k"),
                 F.col("ma").alias("a"), F.col("mb").alias("b"),
@@ -899,8 +903,9 @@ def bpe_train(
         w_cur = w_cur.crossJoin(F.broadcast(top)).select(
             "w", "cnt",
             F.expr(
-                "replace(s, concat('  ', ma, '  ', mb),"
-                " concat('  ', ma, mb))"
+                "CASE WHEN ma IS NULL THEN s ELSE"
+                " replace(s, concat('  ', ma, '  ', mb),"
+                " concat('  ', ma, mb)) END"
             ).alias("s"),
         )
     topw = (

@@ -882,8 +882,11 @@ _MIX_HASH = "(doc_id * 506952114) % 2147483647"
 
 
 def _epoch_shuffle_sql(epoch: int, n_shards: int) -> str:
+    # epoch enters MULTIPLICATIVELY (A^(epoch+1) mod M31) — an additive
+    # term would rotate, not permute (see operators/mixing.epoch_shuffle)
+    mult = pow(506952114, epoch + 1, 2147483647)
     h = (
-        f"((doc_id % 2147483647) * 506952114"
+        f"((doc_id % 2147483647) * {mult}"
         f" + {(epoch + 1) * 1000003}) % 2147483647"
     )
     return f"""
@@ -1248,12 +1251,15 @@ t{k} AS MATERIALIZED (
 ),
 w{k} AS MATERIALIZED (
   SELECT w, cnt,
-         replace(s, '  ' || ma || '  ' || mb, '  ' || ma || mb) AS s
+         CASE WHEN ma IS NULL THEN s
+              ELSE replace(s, '  ' || ma || '  ' || mb,
+                           '  ' || ma || mb) END AS s
   FROM w{k - 1}, t{k}
 )""")
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS part, CAST({k} AS BIGINT) AS k, ma AS a,"
         f" mb AS b, ma || mb AS s, CAST(mc AS BIGINT) AS cnt FROM t{k}"
+        f" WHERE ma IS NOT NULL"
         for k in range(1, iters + 1)
     )
     parts.append(f"""
@@ -3519,7 +3525,7 @@ FROM old FULL OUTER JOIN new ON old.column = new.column
 """
 
 
-def _profile_diff_frame(spark, sf, approx_distinct: bool):
+def _profile_diff_frame(spark, sf):
     """Body of profile-diff (exact-distinct, oracle-paired). Its
     approx sibling no longer shares this frame: as of r9 it runs
     profile_table in "both" mode and value-hashes error-bound
@@ -3530,10 +3536,10 @@ def _profile_diff_frame(spark, sf, approx_distinct: bool):
     li = t(spark, sf, "lineitem")
     old = profile_table(
         li.where(F.expr("l_orderkey % 50 != 0")),
-        _PROFILE_DIFF_OLD_COLS, approx_distinct=approx_distinct,
+        _PROFILE_DIFF_OLD_COLS, approx_distinct=False,
     )
     new = profile_table(
-        li, _PROFILE_DIFF_NEW_COLS, approx_distinct=approx_distinct
+        li, _PROFILE_DIFF_NEW_COLS, approx_distinct=False
     )
     o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
     n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
@@ -3577,7 +3583,7 @@ def profile_diff(spark, sf):
     join is column-count-sized. The HEADLINE bench entry is
     profile-diff-approx (the HLL default a user runs); this exact
     form exists for the parity gate."""
-    return _profile_diff_frame(spark, sf, approx_distinct=False)
+    return _profile_diff_frame(spark, sf)
 
 
 _PROFILE_DIFF_APPROX_ORACLE = f"""

@@ -1484,7 +1484,11 @@ rk AS (
 mm AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM rk),
 j AS (
   SELECT rk.*, mm.m_tests, CAST(t.tmu AS BIGINT) AS thr_micro
-  FROM rk, mm JOIN thr t ON t.r = rk.bh_rank AND t.m = mm.m_tests
+  FROM rk,
+       (SELECT CASE WHEN m_tests > 5
+                    THEN error('ab-test-bh-fdr: extend thr for m_tests')
+                    ELSE m_tests END AS m_tests FROM mm) mm
+       JOIN thr t ON t.r = rk.bh_rank AND t.m = mm.m_tests
 ),
 rm AS (
   SELECT max(CASE WHEN az >= thr_micro THEN bh_rank END) AS rmax FROM j
@@ -1577,8 +1581,21 @@ def ab_test_bh_fdr(spark, sf):
     )
     mm = rk.agg(F.count(F.lit(1)).alias("m_tests"))
     thr = spark.createDataFrame(_BH_THR, "r int, m int, tmu long")
+    from genpipe_spark.operators.checks import assert_rows
+
     j = (
         rk.crossJoin(F.broadcast(mm))
+        .transform(
+            # the threshold table covers m <= 5 (the fixture's event
+            # domain): a larger metric family must fail LOUDLY, not
+            # inner-join to zero rows (r9 self-review finding); the
+            # oracle raises identically via error()
+            lambda d: assert_rows(
+                d, F.col("m_tests") <= 5,
+                F.lit("ab-test-bh-fdr: extend _BH_THR for m_tests = "),
+                F.col("m_tests").cast("string"),
+            )
+        )
         .join(
             F.broadcast(thr),
             (F.col("r") == F.col("bh_rank"))

@@ -2053,3 +2053,50 @@ def test_bpe_train_matches_reference_bpe(spark):
             syms[w] = out
     for rk, w in enumerate(sorted(wf, key=lambda w: (-wf[w], w)), 1):
         assert g_words[w] == (rk, " ".join(syms[w]), wf[w]), w
+
+
+def test_epoch_shuffle_epochs_are_different_permutations(spark):
+    """Each epoch must be a genuinely different order, not a rotation:
+    the additive-epoch form shifted every h by the same constant,
+    which preserved in-shard sequences almost everywhere (r9
+    self-review finding). With the multiplicative form, epoch 0 and
+    epoch 1 must disagree on most shards' document sequences (and on
+    the shard assignment itself), while each epoch stays a
+    permutation: every id exactly once, positions 1..len per shard."""
+    from genpipe_spark.operators.mixing import epoch_shuffle
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    seqs = {}
+    for ep in (0, 1):
+        rows = epoch_shuffle(ids, epoch=ep, n_shards=8).collect()
+        assert len(rows) == 2000
+        assert len({r["doc_id"] for r in rows}) == 2000
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+            by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+        for sh, docs in by_shard.items():
+            got_pos = sorted(
+                r["pos"] for r in rows if r["shard"] == sh
+            )
+            assert got_pos == list(range(1, len(docs) + 1)), sh
+        seqs[ep] = by_shard
+    identical = sum(
+        1 for sh in seqs[0]
+        if seqs[1].get(sh) == seqs[0][sh]
+    )
+    assert identical == 0, f"{identical} shards replayed the same order"
+
+
+def test_bpe_train_no_pair_rounds_are_noops(spark):
+    """A merge round with no pairs (single-char vocab) must emit no
+    merge rule and leave symbolizations unchanged — not null them
+    through replace() with a NULL pair (r9 self-review finding)."""
+    from genpipe_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c a")], "doc_id long, text string"
+    )
+    rows = bpe_train(docs, iters=3, top_words=10).collect()
+    assert [r for r in rows if r["part"] == "merge"] == []
+    words = {r["a"]: r["s"] for r in rows if r["part"] == "word"}
+    assert words == {"a": "a", "b": "b", "c": "c"}
