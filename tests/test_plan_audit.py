@@ -107,6 +107,12 @@ BOUNDED_NLJ_OK = {
     # two 1-row reductions (rank-weighted sum + percentile crossings)
     # crossJoined into the single output row
     "profile-skew": "1-row skew-stats scalar attach",
+    # profile_table's r9 plan split: counts/minmax, exact-distinct and
+    # HLL stat families are separate 1-row aggs crossJoined back (one
+    # mixed agg degraded the distinct Expand to SortAggregate)
+    "profile-table": "1-row profile stat-family attaches",
+    "profile-diff": "1-row profile stat-family attaches (both sides)",
+    "profile-diff-approx": "1-row profile stat-family attaches",
     # 1-row corpus time-midpoint anchor (the rfm now_us pattern)
     "ab-test-cuped": "1-row time-midpoint anchor attach",
     # 1-row arm counts + 1-row m_tests + 1-row BH r* reduction, all
@@ -188,7 +194,6 @@ BOUNDED_BROADCAST_OK = {
     "text-tfidf-topk": "broadcast 1-row corpus doc count",
     # 1-row split-totals attach for the entropy/JS normalisers
     "profile-entropy": "broadcast 1-row split totals",
-    "profile-suite": "inherits profile-entropy's 1-row broadcast",
     # constant-cardinality dims: nation is 25 rows at ANY SF, region 5
     "tpch-q7": "broadcast 25-row nation dim (twice-aliased)",
     "tpch-q8": "broadcast 25-row nation (x2) + 5-row region dims",
@@ -206,6 +211,11 @@ BOUNDED_BROADCAST_OK = {
     # 1-row percentile-crossing reduction attached to the 1-row Gini
     "profile-skew": "broadcast 1-row percentile-stats aggregate",
     "ab-test-cuped": "broadcast 1-row time-midpoint anchor",
+    "profile-table": "broadcast 1-row distinct-stat agg",
+    "profile-diff": "broadcast 1-row distinct-stat aggs",
+    "profile-diff-approx": "broadcast 1-row distinct/HLL stat aggs",
+    "profile-suite": "inherits profile-entropy's 1-row broadcast and "
+    "the profile stat-family broadcasts",
     # 1-row scalar attaches + the 15-row pinned BH threshold literal
     "ab-test-bh-fdr": "broadcast 1-row scalars + 15-row threshold table",
     "ab-test-msprt": "broadcast 1-row arm counts",
