@@ -445,14 +445,18 @@ def mann_kendall_theil_sen_grouped(
     exact_pair_n: int = 3000,
     whale_sample_pairs: int = 200_000,
 ) -> DataFrame:
-    """Per-group Mann-Kendall trend test + Theil-Sen slope, whale-safe.
+    """Per-group Mann-Kendall trend test + Theil-Sen slope, whale-safe
+    via hot/cold routing (the statescan _route_hot_keys doctrine).
 
-    Replaces the pairwise self-join formulation (round-8 ``weak``: an
-    unguarded per-key O(n^2) join — one bot user with 10^6 events costs
-    5*10^11 pairs in a single task). Here each group is ONE Arrow batch
-    through ``applyInPandas`` and the statistic rides the existing
-    O(n log n) inversion machinery (``count_strict_inversions``, the
-    agg-kendall-tau precedent):
+    The round-8 ``weak`` was an UNGUARDED per-key O(n^2) self-join —
+    one bot user with 10^6 events costs 5*10^11 pairs in a single
+    task. Cold keys (n <= ``exact_pair_n``) KEEP that declarative
+    whole-stage-codegen plan — with the gate it is bounded, and at
+    fixture scale it is ~2x faster than an all-Arrow form (r9 bench).
+    Whale keys route to ONE Arrow batch through ``applyInPandas``
+    where the statistic rides the existing O(n log n) inversion
+    machinery (``count_strict_inversions``, the agg-kendall-tau
+    precedent):
 
       S     = n0 - yties - 2*inversions(y in time order)
               (n0 = C(n,2); yties = sum C(t,2) over equal-y runs;
@@ -567,4 +571,91 @@ def mann_kendall_theil_sen_grouped(
         )
         return pd.DataFrame(row)
 
-    return base.groupBy(*keys).applyInPandas(one_group, out_schema)
+    # ---- hot/cold routing (the statescan _route_hot_keys doctrine,
+    # applied r9 after the bench showed the all-Arrow form ~2x the
+    # declarative plan at fixture scale): keys with n <= exact_pair_n
+    # keep the ORIGINAL whole-stage-codegen pairwise formulation (its
+    # per-key pair volume is bounded by the gate, so the r8 `weak` —
+    # an UNGUARDED quadratic — cannot recur), and only whale keys take
+    # the Arrow path (exact S/var18/z via inversions + the sampled
+    # slope). Both paths produce identical values on their shared
+    # domain: the declarative plan is the oracle's own formulation,
+    # and the Arrow path is brute-force-property-tested against it.
+    cnt = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    hot_keys = cnt.where(F.col("__cnt") > exact_pair_n).select(*keys)
+    cold = base.join(hot_keys, keys, "left_anti")
+    hot = base.join(hot_keys, keys, "left_semi")
+
+    w_rn = Window.partitionBy(*keys).orderBy(*order_cols)
+    v = cold.select(
+        *keys,
+        F.col(y_col).alias("y"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    n_df = v.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(*keys, F.col("y").alias("ya"), F.col("rn").alias("ra"))
+    b = v.select(*keys, F.col("y").alias("yb"), F.col("rn").alias("rb"))
+    pairs = a.join(b, keys).where(F.col("rb") > F.col("ra")).select(
+        *keys,
+        F.signum(F.col("yb") - F.col("ya")).cast("long").alias("sg"),
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("rb") - F.col("ra")).cast("double")
+        ).alias("slope"),
+    )
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("m_pairs"), F.sum("sg").alias("s_stat")
+    )
+    wm = Window.partitionBy(*keys).orderBy("slope")
+    med = (
+        pairs.select(
+            *keys, "slope",
+            F.row_number().over(wm).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("m"),
+        )
+        .where(F.col("r") == F.expr("(m + 1) div 2"))
+        .select(*keys, "slope")
+    )
+    ties = (
+        v.groupBy(*keys, "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie18")
+        )
+    )
+    j = (
+        n_df.where(F.col("n") >= 2)
+        .join(agg, keys)
+        .join(med, keys)
+        .join(ties, keys)
+    )
+    var18 = F.expr("n * (n - 1) * (2 * n + 5) - tie18")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(var18 == 0, F.lit(None))
+        .when(
+            F.col("s_stat") > 0,
+            F.floor(
+                (F.col("s_stat") - 1).cast("double") / sd * 1_000_000
+            ).cast("long"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.floor(
+                (F.col("s_stat") + 1).cast("double") / sd * 1_000_000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    cold_out = j.select(
+        *keys, "n", "m_pairs", "s_stat",
+        var18.alias("var18"),
+        F.floor(F.col("slope") * 1_000_000).cast("long")
+        .alias("theil_slope_micro"),
+        z.alias("z_micro"),
+    )
+    hot_out = hot.groupBy(*keys).applyInPandas(one_group, out_schema)
+    return cold_out.unionByName(hot_out)
