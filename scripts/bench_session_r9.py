@@ -9,20 +9,23 @@ from genpipe_spark.session import get_spark
 
 registry.load_all_query_modules()
 QUERIES = [
-    "agg-mann-kendall-theil-sen",   # rewritten r9 (inversion path)
+    "agg-mann-kendall-theil-sen",   # hot/cold routed r9
     "dedup-exact-substr",
     "ab-test-bh-fdr",
     "ab-test-msprt",
     "text-gopher-rules",
     "text-perplexity-buckets",
     "search-rrf-fusion",
-    "profile-diff-approx",          # now certified ("both" mode)
-    "stream-zscore",                # now value-hash oracled
-    "stream-group-sample",
-    "stream-sessionize",
+    "text-bpe-train",
+    "mix-epoch-shuffle",
+    "mix-dsir-select",
+    "profile-diff-approx",          # certified ("both" mode, split aggs)
     "graph-label-propagation",      # tiebreak rewrite r9
     "ab-test-srm",                  # decimal widening r9
 ]
+# streams (stream-zscore / group-sample / sessionize) are curve-measured
+# at sf0.1/sf1 only: their construction writes the whole source through
+# coalesce(1), which at sf10 measures the fixture write, not the operator
 sfs = sys.argv[1:] or ["/root/testdata/sf0.1", ".localdata/sf1"]
 spark = get_spark("bench-r9", cpus=32, shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
