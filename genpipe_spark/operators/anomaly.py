@@ -138,3 +138,123 @@ def ewma_micro_cents(
         .withColumn(out_col, F.expr("__num div __den"))
         .drop("__arr", "__num", "__den")
     )
+
+
+def pelt_segments(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    *,
+    k_slack: int = 2,
+    min_pen: int = 1,
+    max_series: int = 200_000,
+) -> DataFrame:
+    """Optimal mean-shift segmentation per key — PELT (Killick et al.
+    2012) over an exact-integer quantized L2 objective.
+
+    Input is the ALREADY-AGGREGATED series: one row per (keys,
+    ``order_col``) with an integer ``x_col`` (callers reduce raw events
+    to a bounded grid — e.g. monthly counts — first; that aggregation
+    is the distributed part, this operator segments the bounded
+    residue). Per key, with prefix sums ``S``/``Q`` over the
+    rank-ordered points:
+
+        cost(s, t] = (Q_t - Q_s) - (S_t - S_s)^2 // (t - s)
+        F(0) = -pen;  F(t) = min_{0<=s<t} F(s) + cost(s, t] + pen
+        pen  = max(2 * (sse_total // n), min_pen)     # ~2*sigma^2
+
+    i.e. segment SSE floor-quantized to int64 (cost in [SSE, SSE+1)),
+    so the DP optimum, the smallest-s argmin tiebreak, and the
+    backtracked boundaries are bit-identical in any engine that floors
+    nonnegative integer division — no floats anywhere. PELT pruning
+    drops s once ``F(s) + cost(s,t] > F(t) + k_slack``: with true SSE
+    the classic K=0 rule is lossless; the floor quantization breaks
+    subadditivity by at most 1 per term, so ``k_slack=2`` keeps
+    pruning provably optimal-preserving (ties are NOT pruned —
+    smallest-s stays reachable). Expected O(n) candidates under
+    frequent changepoints, O(n^2) worst case — same optimum either
+    way.
+
+    Scale: one Arrow batch per key via ``applyInPandas`` — keys are
+    the parallelism (the grouped-order-statistics posture). Series
+    length is bounded by the *grid*, not the data (a monthly grid over
+    7 years is 84 points at any SF); ``max_series`` guards the
+    contract loudly rather than letting a whale key OOM a task.
+
+    Emits ``*keys, seg_idx, start_ord, end_ord, seg_len, seg_sum,
+    seg_cost, f_total, pen`` (one row per segment; ``start_ord`` /
+    ``end_ord`` are ``order_col`` values at the segment's first/last
+    point; ``f_total`` = F(n), the optimized objective).
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    base = df.select(*keys, order_col, x_col)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, seg_idx bigint, start_ord bigint, end_ord bigint,"
+        " seg_len bigint, seg_sum bigint, seg_cost bigint, f_total bigint,"
+        " pen bigint"
+    )
+
+    def one_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_series:
+            raise ValueError(
+                f"pelt_segments: series of {n} points exceeds max_series="
+                f"{max_series}; aggregate to a bounded grid first"
+            )
+        srt = pdf.sort_values(order_col, kind="mergesort")
+        ords = [int(v) for v in srt[order_col]]
+        xs = [int(v) for v in srt[x_col]]
+        ss = [0] * (n + 1)
+        qq = [0] * (n + 1)
+        for i, v in enumerate(xs):
+            ss[i + 1] = ss[i] + v
+            qq[i + 1] = qq[i] + v * v
+        sse_total = qq[n] - (ss[n] * ss[n]) // n
+        pen = max(2 * (sse_total // n), min_pen)
+
+        def cost(s: int, t: int) -> int:
+            d = ss[t] - ss[s]
+            return (qq[t] - qq[s]) - (d * d) // (t - s)
+
+        fs = [-pen] + [0] * n
+        arg = [0] * (n + 1)
+        cands = [0]
+        for tt in range(1, n + 1):
+            best_f, best_s = None, 0
+            for s in cands:
+                f = fs[s] + cost(s, tt) + pen
+                if best_f is None or f < best_f:
+                    best_f, best_s = f, s
+            fs[tt], arg[tt] = best_f, best_s
+            cands = [s for s in cands if fs[s] + cost(s, tt) <= best_f + k_slack]
+            cands.append(tt)
+
+        bounds = [n]
+        while bounds[0] > 0:
+            bounds.insert(0, arg[bounds[0]])
+        rows = []
+        for i in range(len(bounds) - 1):
+            s0, e0 = bounds[i], bounds[i + 1]
+            rows.append(
+                {
+                    **{k: pdf[k].iloc[0] for k in keys},
+                    "seg_idx": i + 1,
+                    "start_ord": ords[s0],
+                    "end_ord": ords[e0 - 1],
+                    "seg_len": e0 - s0,
+                    "seg_sum": ss[e0] - ss[s0],
+                    "seg_cost": cost(s0, e0),
+                    "f_total": fs[n],
+                    "pen": pen,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return base.groupBy(*keys).applyInPandas(one_key, out_schema)

@@ -648,6 +648,14 @@ _TIMEGRID_MEMBERS = {
             ("removal_micro", "s"),
         ],
     ),
+    "pelt": (
+        "changepoint-pelt",
+        [
+            ("k", "s"), ("seg_idx", "s"), ("start_m", "s"), ("end_m", "s"),
+            ("seg_len", "s"), ("seg_sum", "s"), ("seg_cost", "s"),
+            ("f_total", "s"), ("pen", "s"),
+        ],
+    ),
 }
 
 _PROFILE_MEMBERS = {
@@ -1085,7 +1093,9 @@ timegrid_suite = _register(
     "detrending), Markov removal-effect attribution (exact-integer "
     "absorbing-chain value iteration, 40-stage unrolled twin), "
     "isotonic calibration (PAVA scan vs the minimax oracle), and the "
-    "Mann-Kendall + Theil-Sen robust trend pair.",
+    "Mann-Kendall + Theil-Sen robust trend pair; r9: PELT optimal "
+    "changepoint segmentation (quantized-SSE DP, list-carrying "
+    "recursive-CTE twin certifying pruning losslessness).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

@@ -2734,3 +2734,120 @@ def agg_mann_kendall_theil_sen(spark, sf):
     return mann_kendall_theil_sen_grouped(
         v, keys=["user_id"], order_cols=["ts", "event_id"], y_col="y"
     )
+
+
+# DP oracle for changepoint-pelt: the full O(n^2) optimal-partitioning
+# recursion with the state carried as LIST columns through a recursive
+# CTE (the holt-winters ring precedent) — F/argmin appended per
+# iteration, a second recursive CTE backtracks the boundaries, UNNEST
+# emits one row per segment. Same quantized integer objective as
+# operators/anomaly.pelt_segments (cost = segment SSE floored to int64,
+# pen = max(2 * (sse_total // n), 1), smallest-s argmin via
+# list_position's first-occurrence semantics == the Python loop's
+# strict-< scan).
+_PELT_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT o_orderpriority AS k,
+         (year(o_orderdate)*12 + month(o_orderdate))::BIGINT AS m,
+         count(*)::BIGINT AS x
+  FROM orders GROUP BY 1, 2
+),
+idx AS (
+  SELECT k, m, x,
+         row_number() OVER (PARTITION BY k ORDER BY m) AS i,
+         sum(x)   OVER (PARTITION BY k ORDER BY m) AS s,
+         sum(x*x) OVER (PARTITION BY k ORDER BY m) AS q
+  FROM pts
+),
+ser AS (
+  SELECT k, count(*)::BIGINT AS n,
+         list(m ORDER BY i) AS ms,
+         list_prepend(0::BIGINT, list(s::BIGINT ORDER BY i)) AS ss,
+         list_prepend(0::BIGINT, list(q::BIGINT ORDER BY i)) AS qq
+  FROM idx GROUP BY k
+),
+penc AS (
+  SELECT *,
+    greatest(2 * ((qq[n+1] - (ss[n+1]*ss[n+1]) // n) // n), 1)::BIGINT AS p
+  FROM ser
+),
+dp AS (
+  SELECT k, n, ms, ss, qq, p, 0::BIGINT AS t,
+         [(-p)::BIGINT] AS fs, [0::BIGINT] AS aa
+  FROM penc
+  UNION ALL
+  SELECT k, n, ms, ss, qq, p, t+1,
+         list_append(fs, list_min(c)),
+         list_append(aa, (list_position(c, list_min(c)) - 1)::BIGINT)
+  FROM (
+    SELECT *, list_transform(range(0, t+1), s ->
+          fs[s+1] + (qq[t+2] - qq[s+1])
+          - ((ss[t+2]-ss[s+1]) * (ss[t+2]-ss[s+1])) // (t+1-s)
+          + p) AS c
+    FROM dp WHERE t < n
+  ) z
+),
+fin AS (SELECT k, n, ms, ss, qq, p, fs, aa FROM dp WHERE t = n),
+bt AS (
+  SELECT k, n AS t, [n] AS bounds FROM fin
+  UNION ALL
+  SELECT b.k, f.aa[b.t+1], list_prepend(f.aa[b.t+1], b.bounds)
+  FROM bt b JOIN fin f USING (k) WHERE b.t > 0
+),
+segs AS (
+  SELECT f.k, u.i AS seg_idx,
+         b.bounds[u.i] AS s0, b.bounds[u.i+1] AS e0,
+         f.ms, f.ss, f.qq, f.fs, f.n, f.p
+  FROM (SELECT k, bounds FROM bt WHERE t = 0) b
+  JOIN fin f USING (k),
+  UNNEST(range(1, len(b.bounds))) AS u(i)
+)
+SELECT k, seg_idx,
+       ms[s0+1] AS start_m, ms[e0] AS end_m,
+       (e0 - s0) AS seg_len,
+       (ss[e0+1] - ss[s0+1]) AS seg_sum,
+       (qq[e0+1] - qq[s0+1])
+         - ((ss[e0+1]-ss[s0+1])*(ss[e0+1]-ss[s0+1]))//(e0-s0) AS seg_cost,
+       fs[n+1] AS f_total, p AS pen
+FROM segs
+"""
+
+
+@query("changepoint-pelt", _PELT_ORACLE)
+def changepoint_pelt(spark, sf):
+    """PELT optimal changepoint segmentation (Killick et al. 2012) —
+    the globally-OPTIMAL counterpart to the shipped heuristics
+    (timeseries-cusum's two-sided Page test flags excursions;
+    seasonal decompose explains cycles; this finds the best
+    mean-shift partition under a per-segment penalty). Series:
+    monthly order counts per o_orderpriority — the distributed part
+    is the groupBy reduction to the calendar grid (bounded: ~80
+    points at ANY scale factor, so 100x data changes the VALUES, not
+    the series length); the bounded residue is segmented per key in
+    one Arrow batch (operators/anomaly.pelt_segments, exact-integer
+    quantized SSE cost, pen ~ 2*sigma^2, PELT pruning with the
+    k_slack=2 quantization guard). The DuckDB twin replays the FULL
+    un-pruned O(n^2) DP through a list-carrying recursive CTE +
+    backtrack recursion, so the value-hash certifies both the
+    optimum AND that pruning is lossless. Emits one row per segment
+    with boundaries, length, sum, quantized cost, F(n) and the
+    penalty."""
+    from ..operators.anomaly import pelt_segments
+
+    pts = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    seg = pelt_segments(pts, ["k"], "m", "x")
+    return seg.select(
+        "k", "seg_idx",
+        F.col("start_ord").alias("start_m"),
+        F.col("end_ord").alias("end_m"),
+        "seg_len", "seg_sum", "seg_cost", "f_total", "pen",
+    )

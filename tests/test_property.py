@@ -1439,3 +1439,76 @@ def test_exact_substring_spans_matches_model(spark, docs, min_len, prefilter):
             want.add((i, run[0], run[-1] + min_len - 1,
                       run[-1] + min_len - run[0], len(run)))
     assert got == want
+
+
+# ---------------------------------------------------------- PELT segments
+
+
+def _pelt_model(xs: list[int], min_pen: int = 1):
+    """Un-pruned optimal-partitioning DP over the same quantized
+    objective as operators/anomaly.pelt_segments (the DuckDB twin's
+    formulation): exhaustive argmin, smallest-s tiebreak."""
+    n = len(xs)
+    ss = [0] * (n + 1)
+    qq = [0] * (n + 1)
+    for i, v in enumerate(xs):
+        ss[i + 1] = ss[i] + v
+        qq[i + 1] = qq[i] + v * v
+    sse = qq[n] - (ss[n] * ss[n]) // n
+    pen = max(2 * (sse // n), min_pen)
+
+    def cost(s, t):
+        d = ss[t] - ss[s]
+        return (qq[t] - qq[s]) - (d * d) // (t - s)
+
+    fs = [-pen] + [0] * n
+    arg = [0] * (n + 1)
+    for t in range(1, n + 1):
+        best = None
+        for s in range(t):
+            f = fs[s] + cost(s, t) + pen
+            if best is None or f < best:
+                best, arg[t] = f, s
+        fs[t] = best
+    bounds = [n]
+    while bounds[0] > 0:
+        bounds.insert(0, arg[bounds[0]])
+    return fs[n], bounds, pen
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 1000), min_size=2, max_size=60),
+)
+def test_pelt_pruning_matches_full_dp(spark, xs):
+    """PELT pruning (k_slack=2 over the quantized cost) must reproduce
+    the EXACT un-pruned DP: same F(n), same backtracked boundaries,
+    same smallest-s tiebreaks — the losslessness claim the oracle
+    certifies on fixture data, here on adversarial random series."""
+    from genpipe_spark.operators.anomaly import pelt_segments
+
+    f_ref, bounds_ref, pen_ref = _pelt_model(xs)
+    df = spark.createDataFrame(
+        [Row(k="a", m=i, x=v) for i, v in enumerate(xs)]
+    )
+    out = pelt_segments(df, ["k"], "m", "x").orderBy("seg_idx").collect()
+    assert out[0]["f_total"] == f_ref
+    assert out[0]["pen"] == pen_ref
+    # boundary indices reconstructed from cumulative segment lengths
+    acc = [0]
+    for r in out:
+        acc.append(acc[-1] + r["seg_len"])
+    assert acc == bounds_ref
+    assert sum(r["seg_len"] for r in out) == len(xs)
+
+
+def test_pelt_max_series_guard(spark):
+    """A series longer than max_series must fail LOUDLY (the whale-key
+    contract), not OOM a task."""
+    import pytest as _pytest
+
+    from genpipe_spark.operators.anomaly import pelt_segments
+
+    df = spark.createDataFrame([Row(k="a", m=i, x=1) for i in range(50)])
+    with _pytest.raises(Exception, match="max_series"):
+        pelt_segments(df, ["k"], "m", "x", max_series=10).collect()
