@@ -191,3 +191,69 @@ def cms_heavy_hitters(
         .where(F.col("est") * 10_000 >= F.lit(threshold_bp) * F.col("n_total"))
         .select(F.col(name).alias("key"), "est", F.col("n_total").cast("long").alias("n_total"))
     )
+
+
+def sample_quantile_sketch(
+    df: DataFrame, value_col: str | Column, rowkey_col: str | Column,
+    k: int = 2048,
+) -> DataFrame:
+    """Mergeable quantile sketch via a DETERMINISTIC bottom-k hash
+    sample — the KMV doctrine applied to quantiles.
+
+    Why not KLL/GK: their compaction sequences depend on arrival order
+    (not reproducible across engines, barely across runs), while the
+    bottom-k rows by a scrambled multiplicative hash of the row key
+    are a pure function of the DATA — a uniform random sample the
+    oracle replays exactly (``ORDER BY h, tb, v LIMIT k``; ``v`` joins
+    the ordering because real fixtures carry DUPLICATE row keys — two
+    rows sharing (h, tb) would otherwise tie-break arbitrarily, and
+    with v included any remaining tie is between value-identical rows,
+    so the sampled v-multiset is invariant). Rank error:
+    by DKW, the sample empirical CDF is within
+    eps = sqrt(ln(2/delta)/(2k)) of the true CDF whp — k=2048 gives
+    eps ~ 6% at delta ~ 1e-6; k=65536 gives ~1%. Space O(k) vs KLL's
+    O((1/eps) log^2 log(1/delta)) — worse asymptotically, but at any
+    practical eps the sample fits one executor page and buys exact
+    cross-engine replayability.
+
+    Scale: ONE TakeOrderedAndProject pass (per-partition bottom-k
+    heaps, k rows to one reducer — k values, not data). Mergeable:
+    union two h-sorted arrays, keep the k smallest by (h, tb) —
+    associative/commutative, so per-partition / per-day sketches roll
+    up without rescanning (see ``sample_quantile_merge``).
+
+    Returns ONE row: ``hs`` (array<struct<h,tb,v>> sorted by (h, tb),
+    the merge representation) and ``vs`` (value-sorted array, the
+    quantile-lookup representation), plus ``ke`` = min(k, n).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    tb = F.col(rowkey_col) if isinstance(rowkey_col, str) else rowkey_col
+    h = ((tb % F.lit(M31)) * F.lit(_SCRAMBLE)) % F.lit(M31)
+    bottom = (
+        df.select(h.alias("h"), tb.alias("tb"), v.alias("v"))
+        .orderBy("h", "tb", "v")
+        .limit(k)
+    )
+    return bottom.agg(
+        F.array_sort(F.collect_list(F.struct("h", "tb", "v"))).alias("hs"),
+        F.array_sort(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).cast("long").alias("ke"),
+    )
+
+
+def sample_quantile_merge(a: Column, b: Column, k: int) -> Column:
+    """Merge two ``hs`` arrays: union, re-sort by (h, tb) (struct sort
+    is lexicographic by field order in both engines), keep k. The
+    merged sketch of a disjoint split equals the global sketch
+    EXACTLY — the in-query mergeability proof."""
+    return F.slice(F.array_sort(F.concat(a, b)), 1, k)
+
+
+def sample_quantile_estimate(vs: Column, ke: Column, q_pct: Column) -> Column:
+    """Nearest-rank estimate from the value-sorted sample: the
+    ceil(q*ke)-th smallest sample value (1-based, exact integer ceil
+    via (q*ke + 99) div 100)."""
+    r = F.greatest(
+        F.lit(1).cast("long"), ((q_pct * ke + 99) - (q_pct * ke + 99) % 100) / 100
+    ).cast("long")
+    return F.element_at(vs, r.cast("int"))

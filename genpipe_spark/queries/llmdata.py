@@ -3721,3 +3721,158 @@ def graph_label_propagation(spark, sf):
         (F.col("o_orderkey") % 100).alias("dst"),
     )
     return label_propagation(edges, iters=_LPA_ITERS)
+
+
+_SQS_K = 2048
+_SQS_QS = (1, 25, 50, 75, 90, 99)
+_SQS_EPS_PM = 60  # DKW eps in per-mille: sqrt(ln(2/1e-6)/(2*2048)) ~ 0.0595
+
+_SQS_SQL = f"""
+WITH base AS (
+  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS tb,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+hs AS (SELECT tb, v, ((tb % 2147483647) * 506952114) % 2147483647 AS h
+       FROM base),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+bk  AS (SELECT h, tb, v FROM hs ORDER BY h, tb, v LIMIT {_SQS_K}),
+bka AS (SELECT h, tb, v FROM hs WHERE tb % 2 = 0 ORDER BY h, tb, v LIMIT {_SQS_K}),
+bkb AS (SELECT h, tb, v FROM hs WHERE tb % 2 = 1 ORDER BY h, tb, v LIMIT {_SQS_K}),
+bkm AS (SELECT h, tb, v FROM (SELECT * FROM bka UNION ALL SELECT * FROM bkb)
+        ORDER BY h, tb, v LIMIT {_SQS_K}),
+vsg AS (SELECT list(v ORDER BY v) AS vs, count(*)::BIGINT AS ke FROM bk),
+vsm AS (SELECT list(v ORDER BY v) AS vs, count(*)::BIGINT AS ke FROM bkm),
+qs  AS (SELECT unnest([{", ".join(str(q) for q in _SQS_QS)}])::BIGINT AS q_pct),
+ests AS (
+  SELECT 'global' AS part, q_pct, ke,
+         vs[greatest(1, (q_pct * ke + 99) // 100)] AS est_cents
+  FROM qs, vsg
+  UNION ALL
+  SELECT 'merged', q_pct, ke,
+         vs[greatest(1, (q_pct * ke + 99) // 100)]
+  FROM qs, vsm
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v, tb) AS rn FROM base),
+exacts AS (
+  SELECT q_pct, v AS exact_cents
+  FROM (SELECT q_pct, greatest(1, (q_pct * n + 99) // 100) AS r FROM qs, nn)
+  JOIN ranked ON rn = r
+),
+lohi AS (
+  SELECT e.part, e.q_pct, e.ke, e.est_cents,
+         sum(CASE WHEN b.v < e.est_cents THEN 1 ELSE 0 END)::BIGINT AS lo_n,
+         sum(CASE WHEN b.v <= e.est_cents THEN 1 ELSE 0 END)::BIGINT AS hi_n
+  FROM ests e, base b
+  GROUP BY 1, 2, 3, 4
+)
+SELECT l.part, l.q_pct, l.ke, nn.n, l.est_cents, x.exact_cents,
+       l.lo_n, l.hi_n, 'yes' AS verdict
+FROM lohi l JOIN exacts x ON x.q_pct = l.q_pct, nn
+"""
+
+
+@query("sketch-sample-quantiles", _SQS_SQL)
+def sketch_sample_quantiles(spark, sf):
+    """Mergeable quantile sketch, CERTIFIED — the KMV doctrine applied
+    to quantiles (operators/sketch.sample_quantile_sketch): the
+    bottom-k={_SQS_K} lineitem rows by a scrambled multiplicative hash
+    of the unique (orderkey, linenumber) row key are a deterministic
+    uniform sample both engines reproduce row-for-row, unlike KLL/GK
+    whose compaction depends on arrival order. Three certifications in
+    ONE value hash: (1) the sketch replay — the oracle rebuilds the
+    identical sample and nearest-rank estimates; (2) mergeability —
+    the 'merged' part unions two disjoint half sketches (row-key
+    parity split) and must equal 'global' EXACTLY (KMV-merge
+    precedent); (3) the DKW rank-error bound — Spark computes the
+    estimate's true rank interval [lo_n, hi_n] and emits
+    verdict='yes' iff it intersects [q - 6%, q + 6%] (exact per-mille
+    integers; DKW at k=2048 puts the failure odds ~1e-6), which the
+    twin pins as the LITERAL 'yes' — a sketch out of bound fails
+    parity loudly. Plan: the sketch is ONE TakeOrderedAndProject (k
+    heap rows cross the wire, not data); the exact-quantile leg
+    (global_row_number range shuffle + 6-rank broadcast join + one
+    lo/hi scan) is the certification surcharge, absent in production
+    use."""
+    from ..operators.relational import global_row_number
+    from ..operators.sketch import (
+        sample_quantile_estimate,
+        sample_quantile_merge,
+        sample_quantile_sketch,
+    )
+
+    K = _SQS_K
+    li = t(spark, sf, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("tb"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    g = sample_quantile_sketch(base, "v", "tb", K)
+    a = sample_quantile_sketch(base.where(F.col("tb") % 2 == 0), "v", "tb", K)
+    b = sample_quantile_sketch(base.where(F.col("tb") % 2 == 1), "v", "tb", K)
+    m = (
+        a.select(F.col("hs").alias("ha"))
+        .crossJoin(b.select(F.col("hs").alias("hb")))
+        .select(sample_quantile_merge(F.col("ha"), F.col("hb"), K).alias("hm"))
+        .select(
+            F.array_sort(F.transform(F.col("hm"), lambda x: x["v"])).alias("vs"),
+            F.size("hm").cast("long").alias("ke"),
+        )
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array([F.lit(q).cast("long") for q in _SQS_QS])).alias("q_pct")
+    )
+    ests = (
+        qs.crossJoin(g.select("vs", "ke"))
+        .select(F.lit("global").alias("part"), "q_pct", "ke", "vs")
+        .unionByName(
+            qs.crossJoin(m).select(
+                F.lit("merged").alias("part"), "q_pct", "ke", "vs"
+            )
+        )
+        .select(
+            "part", "q_pct", "ke",
+            sample_quantile_estimate(
+                F.col("vs"), F.col("ke"), F.col("q_pct")
+            ).alias("est_cents"),
+        )
+    )
+    ranked = global_row_number(base, ["v", "tb"], "rn")
+    ranks = qs.crossJoin(n_df).select(
+        "q_pct",
+        F.greatest(
+            F.lit(1).cast("long"),
+            ((F.col("q_pct") * F.col("n") + 99)
+             - (F.col("q_pct") * F.col("n") + 99) % 100) / 100,
+        ).cast("long").alias("r"),
+    )
+    exacts = (
+        ranked.join(F.broadcast(ranks), F.col("rn") == F.col("r"))
+        .select("q_pct", F.col("v").alias("exact_cents"))
+    )
+    lohi = (
+        base.join(F.broadcast(ests))
+        .groupBy("part", "q_pct", "ke", "est_cents")
+        .agg(
+            F.sum((F.col("v") < F.col("est_cents")).cast("long")).alias("lo_n"),
+            F.sum((F.col("v") <= F.col("est_cents")).cast("long")).alias("hi_n"),
+        )
+    )
+    out = (
+        lohi.join(F.broadcast(exacts), "q_pct")
+        .crossJoin(F.broadcast(n_df))
+    )
+    eps = F.lit(_SQS_EPS_PM).cast("long")
+    return out.select(
+        "part", "q_pct", "ke", "n", "est_cents", "exact_cents",
+        "lo_n", "hi_n",
+        F.when(
+            (F.col("lo_n") * 1000 <= (F.col("q_pct") * 10 + eps) * F.col("n"))
+            & (F.col("hi_n") * 1000 >= (F.col("q_pct") * 10 - eps) * F.col("n")),
+            "yes",
+        ).otherwise("no").alias("verdict"),
+    )

@@ -183,6 +183,14 @@ _SKETCH_MEMBERS = {
         "sketch-cms-heavy",
         [("key", "s"), ("est", "s"), ("n_exact", "s"), ("n_total", "s")],
     ),
+    "squant": (
+        "sketch-sample-quantiles",
+        [
+            ("part", "s"), ("q_pct", "s"), ("ke", "s"), ("n", "s"),
+            ("est_cents", "s"), ("exact_cents", "s"), ("lo_n", "s"),
+            ("hi_n", "s"), ("verdict", "s"),
+        ],
+    ),
 }
 
 
@@ -232,7 +240,10 @@ sketch_suite = _register(
     "sketch-suite",
     _SKETCH_MEMBERS,
     "sketch-kmv-distinct ∪ sketch-cms-heavy — both engine-replayable sketch "
-    "families in one slot (r5 window rotation).",
+    "families in one slot (r5 window rotation); r9 adds "
+    "sketch-sample-quantiles (deterministic bottom-k hash-sample quantiles: "
+    "exact sketch replay + mergeability proof + oracle-pinned DKW "
+    "rank-error verdict).",
 )
 
 
