@@ -27,6 +27,8 @@ blocking_col) bound the answer itself when the domain clusters.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,3 +88,46 @@ def edit_distance_pairs(
         )
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    fields: Sequence[dict],
+    out_col: str = "score_nano",
+) -> DataFrame:
+    """Fellegi-Sunter (1969) probabilistic record-linkage scoring over
+    pre-blocked candidate pairs — the log-likelihood-ratio weight sum
+
+        score = sum_i  agree_i ? ln(m_i/u_i) : ln((1-m_i)/(1-u_i))
+
+    computed ENTIRELY in nano-quantized integers (the FIXTURES libm
+    rule: every ln is nano-rounded once, all composition is int64).
+    Each entry of ``fields`` describes one comparison:
+
+      {"agree":        Column<boolean>   (the field-agreement predicate),
+       "ln_m_nano":    int               (pinned prior: round(ln(m)*1e9)),
+       "ln_1m_nano":   int               (round(ln(1-m)*1e9)),
+       "ln_u_nano":    Column<bigint>    (data-estimated: see below),
+       "ln_1u_nano":   Column<bigint>}
+
+    m_i (P(agree | same entity)) is a PINNED prior — estimating it
+    needs labeled matches or EM, both out of declarative scope; u_i
+    (P(agree | different entities)) is estimated from the field's
+    value distribution as sum_v n_v^2 / N^2 (the birthday collision
+    probability), whose ln decomposes into nano-rounded integer parts:
+    ln_u_nano = round(ln(sum n_v^2)*1e9) - 2*round(ln(N)*1e9). Callers
+    build those from one tiny per-field agg and crossJoin the 1-row
+    frame onto the pairs (broadcast, zero shuffle).
+
+    Appends ``out_col`` (bigint, nanonats). Scale: pure map-side
+    column arithmetic over however many pairs the caller's BLOCKING
+    admits — the pair explosion is the blocking strategy's problem
+    (sorted-neighborhood / LSH for the 100 TB case), not the scorer's.
+    """
+    score = F.lit(0).cast("long")
+    for f in fields:
+        agree = f["agree"]
+        w_agree = F.lit(int(f["ln_m_nano"])).cast("long") - f["ln_u_nano"]
+        w_dis = F.lit(int(f["ln_1m_nano"])).cast("long") - f["ln_1u_nano"]
+        score = score + F.when(agree, w_agree).otherwise(w_dis)
+    return pairs.withColumn(out_col, score)

@@ -1731,3 +1731,196 @@ def ab_test_msprt(spark, sf):
             .otherwise("no").alias("msprt_reject"),
         )
     )
+
+
+# pinned FS priors: round(ln(m)*1e9) / round(ln(1-m)*1e9)
+_FS_M = {
+    "name": (0.7, -356674944, -1203972804),
+    "phone": (0.8, -223143551, -1609437912),
+    "seg": (0.9, -105360516, -2302585093),
+    "bal": (0.95, -51293294, -2995732274),
+}
+_FS_THRESH_NANO = 5_000_000_000  # 5 nats
+
+_FS_SQL = f"""
+WITH a AS (
+  SELECT c_custkey AS a_key, c_name AS a_name,
+         lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS a_phone,
+         c_mktsegment AS a_seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS a_bal,
+         c_nationkey AS a_nat
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS b_key,
+         CASE WHEN c_custkey % 3 = 0 THEN substring(c_name, 1, 15)
+              ELSE c_name END AS b_name,
+         CASE WHEN c_custkey % 5 = 0
+              THEN substring(lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0'), 1, 6) || '0'
+              ELSE lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') END AS b_phone,
+         CASE WHEN c_custkey % 11 = 0 THEN 'HOUSEHOLD'
+              ELSE c_mktsegment END AS b_seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS b_bal,
+         c_nationkey AS b_nat
+  FROM customer WHERE c_custkey % 7 = 0
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM a),
+us AS (
+  SELECT
+    (SELECT sum(c*c) FROM (SELECT count(*)::BIGINT c FROM a GROUP BY a_name))
+      ::BIGINT AS sq_name,
+    (SELECT sum(c*c) FROM (SELECT count(*)::BIGINT c FROM a GROUP BY a_phone))
+      ::BIGINT AS sq_phone,
+    (SELECT sum(c*c) FROM (SELECT count(*)::BIGINT c FROM a GROUP BY a_seg))
+      ::BIGINT AS sq_seg,
+    (SELECT sum(c*c) FROM (SELECT count(*)::BIGINT c FROM a GROUP BY a_bal))
+      ::BIGINT AS sq_bal
+),
+w AS (
+  SELECT n,
+    CAST(round(ln(sq_name)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS lnu_name,
+    CAST(round(ln(n*n - sq_name)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS ln1u_name,
+    CAST(round(ln(sq_phone)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS lnu_phone,
+    CAST(round(ln(n*n - sq_phone)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS ln1u_phone,
+    CAST(round(ln(sq_seg)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS lnu_seg,
+    CAST(round(ln(n*n - sq_seg)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS ln1u_seg,
+    CAST(round(ln(sq_bal)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS lnu_bal,
+    CAST(round(ln(n*n - sq_bal)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS ln1u_bal
+  FROM nn, us
+),
+pairs AS (
+  SELECT a.*, b.*,
+         CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS ag_name,
+         CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END AS ag_phone,
+         CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS ag_seg,
+         CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS ag_bal
+  FROM a JOIN b ON a_nat = b_nat
+)
+SELECT a_key, b_key, ag_name, ag_phone, ag_seg, ag_bal,
+       (CASE WHEN ag_name = 1 THEN {_FS_M['name'][1]} - lnu_name
+             ELSE {_FS_M['name'][2]} - ln1u_name END)
+     + (CASE WHEN ag_phone = 1 THEN {_FS_M['phone'][1]} - lnu_phone
+             ELSE {_FS_M['phone'][2]} - ln1u_phone END)
+     + (CASE WHEN ag_seg = 1 THEN {_FS_M['seg'][1]} - lnu_seg
+             ELSE {_FS_M['seg'][2]} - ln1u_seg END)
+     + (CASE WHEN ag_bal = 1 THEN {_FS_M['bal'][1]} - lnu_bal
+             ELSE {_FS_M['bal'][2]} - ln1u_bal END) AS score_nano,
+       CASE WHEN (CASE WHEN ag_name = 1 THEN {_FS_M['name'][1]} - lnu_name
+             ELSE {_FS_M['name'][2]} - ln1u_name END)
+     + (CASE WHEN ag_phone = 1 THEN {_FS_M['phone'][1]} - lnu_phone
+             ELSE {_FS_M['phone'][2]} - ln1u_phone END)
+     + (CASE WHEN ag_seg = 1 THEN {_FS_M['seg'][1]} - lnu_seg
+             ELSE {_FS_M['seg'][2]} - ln1u_seg END)
+     + (CASE WHEN ag_bal = 1 THEN {_FS_M['bal'][1]} - lnu_bal
+             ELSE {_FS_M['bal'][2]} - ln1u_bal END) > {_FS_THRESH_NANO}
+            THEN 1 ELSE 0 END AS decision,
+       CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS is_true
+FROM pairs, w
+"""
+
+
+@query("link-fellegi-sunter", _FS_SQL)
+def link_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/fuzzy.fellegi_sunter_score): customers linked against a
+    deterministically-corrupted every-7th copy of themselves (name
+    truncation on key%3, last phone digit zeroed on key%5, segment
+    swapped on key%11 — the classic dirty-merge shape), blocked on
+    nationkey, scored as the exact-integer log-likelihood-ratio sum
+    with PINNED m priors and u probabilities ESTIMATED FROM THE DATA
+    (per-field birthday collision probability sum n_v^2/N^2, its ln
+    nano-decomposed per the FIXTURES libm rule). Emits every candidate
+    pair with its agreement vector, nanonat score, threshold decision
+    (5 nats) and ground-truth flag — so the oracle certifies the whole
+    confusion matrix, not just counts. Scale: the scorer is map-side
+    column arithmetic; pair volume is the BLOCKING strategy's budget
+    (here one equi-key; sorted-neighborhood or the shipped
+    MinHash-LSH banding is the documented refinement when blocks
+    outgrow the quadratic comfort zone, same doctrine as
+    fuzzy-edit-join)."""
+    from ..operators.fuzzy import fellegi_sunter_score
+
+    c = t(spark, sf, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0")
+        .alias("a_phone"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("a_bal"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    b = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(F.col("c_custkey") % 3 == 0, F.substring("c_name", 1, 15))
+        .otherwise(F.col("c_name")).alias("b_name"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.substring(
+                    F.lpad(
+                        ((F.col("c_custkey") * 7919) % 10000000).cast("string"),
+                        7, "0",
+                    ),
+                    1, 6,
+                ),
+                F.lit("0"),
+            ),
+        ).otherwise(
+            F.lpad(((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0")
+        ).alias("b_phone"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("HOUSEHOLD"))
+        .otherwise(F.col("c_mktsegment")).alias("b_seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("b_bal"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    n_df = a.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def usq(col, alias):
+        return (
+            a.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias(alias))
+        )
+
+    u = (
+        n_df.crossJoin(usq("a_name", "sq_name"))
+        .crossJoin(usq("a_phone", "sq_phone"))
+        .crossJoin(usq("a_seg", "sq_seg"))
+        .crossJoin(usq("a_bal", "sq_bal"))
+    )
+    ln_n = F.round(F.log(F.col("n")) * 1e9).cast("long")
+    for f in ("name", "phone", "seg", "bal"):
+        sq = F.col(f"sq_{f}")
+        u = u.withColumn(
+            f"lnu_{f}", F.round(F.log(sq) * 1e9).cast("long") - 2 * ln_n
+        ).withColumn(
+            f"ln1u_{f}",
+            F.round(F.log(F.col("n") * F.col("n") - sq) * 1e9).cast("long")
+            - 2 * ln_n,
+        )
+
+    pairs = (
+        a.join(b, F.col("a_nat") == F.col("b_nat"))
+        .crossJoin(F.broadcast(u))
+        .withColumn("ag_name", (F.col("a_name") == F.col("b_name")).cast("int"))
+        .withColumn("ag_phone", (F.col("a_phone") == F.col("b_phone")).cast("int"))
+        .withColumn("ag_seg", (F.col("a_seg") == F.col("b_seg")).cast("int"))
+        .withColumn("ag_bal", (F.col("a_bal") == F.col("b_bal")).cast("int"))
+    )
+    fields = [
+        {
+            "agree": F.col(f"ag_{f}") == 1,
+            "ln_m_nano": _FS_M[f][1],
+            "ln_1m_nano": _FS_M[f][2],
+            "ln_u_nano": F.col(f"lnu_{f}"),
+            "ln_1u_nano": F.col(f"ln1u_{f}"),
+        }
+        for f in ("name", "phone", "seg", "bal")
+    ]
+    scored = fellegi_sunter_score(pairs, fields)
+    return scored.select(
+        "a_key", "b_key", "ag_name", "ag_phone", "ag_seg", "ag_bal",
+        "score_nano",
+        (F.col("score_nano") > _FS_THRESH_NANO).cast("int").alias("decision"),
+        (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
+    )

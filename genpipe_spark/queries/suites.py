@@ -1291,6 +1291,14 @@ _JOIN_FILTER_MEMBERS = {
         "join-null-safe",
         [("k", "s"), ("n_orders", "s"), ("n_cust", "s")],
     ),
+    "fslink": (
+        "link-fellegi-sunter",
+        [
+            ("a_key", "s"), ("b_key", "s"), ("ag_name", "s"), ("ag_phone", "s"),
+            ("ag_seg", "s"), ("ag_bal", "s"), ("score_nano", "s"),
+            ("decision", "s"), ("is_true", "s"),
+        ],
+    ),
 }
 
 join_filter_suite = _register(
@@ -1299,7 +1307,10 @@ join_filter_suite = _register(
     "existence-filtering joins (semi/anti), the fixed-size Bloom "
     "prefilter with its bit arithmetic replayed by the oracle, and "
     "NULL-safe equality (<=>) join semantics (r5 third rotation; "
-    "nullsafe added r7).",
+    "nullsafe added r7); r9 adds link-fellegi-sunter (probabilistic "
+    "record linkage: blocked dirty-copy self-link, data-estimated u "
+    "probabilities, nano-integer log-likelihood weights, full "
+    "confusion matrix oracle-certified).",
 )
 
 _INTERVAL_MEMBERS = {
