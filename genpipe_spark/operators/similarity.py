@@ -676,3 +676,91 @@ def power_iteration_top_dir(
         [(j, w[j], shift, v[j]) for j in sorted(w)],
         "j long, w long, shift long, v long",
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k_clusters: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic deduplication by
+    embedding: cluster the corpus, then within each cluster drop every
+    vector that has a more-senior (smaller-id) neighbor with cosine >=
+    ``threshold``. The pairwise work is confined to clusters — the
+    whole point of the method: cross-cluster pairs are never
+    materialized, so cost is sum |cluster|^2, not N^2, and K grows
+    with the corpus in production.
+
+    Determinism contract: cluster seeds are the PINNED vectors with
+    id < k_clusters (k bounded rows collected to the driver — the
+    power-iteration/centroid doctrine), NOT iterated k-means, so
+    assignment (argmax cosine, smallest-seed tiebreak) and the
+    keep/drop verdicts are pure functions of the data that an ANSI
+    twin replays exactly; swap in ``kmeans_centroids`` for quality
+    clusters when oracle replay is not required (ann-ivf-kmeans is
+    that rows-only sibling). Cosines ride the strict-left-fold double
+    doctrine (module docstring) — bit-identical cross-engine.
+
+    Emits one row per vector: ``id, cluster, is_dup (0/1),
+    dup_of`` (the smallest qualifying senior neighbor, -1 when kept).
+    The assignment stage is map-side only (seed vectors inlined as
+    literal arrays); the pair stage is one self-join keyed on the
+    cluster id.
+    """
+    pre = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select("*", dot(F.col("v"), F.col("v")).alias("sq"))
+    pre = pre.localCheckpoint(eager=False)
+
+    seeds = sorted(
+        (r["id"], r["v"], r["sq"])
+        for r in pre.where(F.col("id") < k_clusters).collect()
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_prenormed(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        F.col("sq"),
+                        F.lit(float(csq)),
+                    )
+                ).alias("negcos"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, cv, csq in seeds
+        ]
+    )
+    asg = pre.select(
+        "id", "v", "sq", F.array_min(cands).getField("cid").alias("cluster")
+    )
+    a = asg.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("sq").alias("sa"), F.col("cluster").alias("ca"),
+    )
+    b = asg.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("sq").alias("sb"), F.col("cluster").alias("cb"),
+    )
+    hits = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b")))
+        .where(
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("sa"), F.col("sb")
+            )
+            >= threshold
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        asg.join(hits, "id", "left")
+        .select(
+            "id", "cluster",
+            F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )

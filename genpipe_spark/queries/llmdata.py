@@ -3876,3 +3876,51 @@ def sketch_sample_quantiles(spark, sf):
             "yes",
         ).otherwise("no").alias("verdict"),
     )
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {_SEMDEDUP_K}),
+asg AS (
+  SELECT e.id, e.v,
+         (max(struct_pack(c := {_cos_sql('e.v', 'c.cv')},
+                          n := -c.cid, i := c.cid))).i AS cluster
+  FROM e, c
+  GROUP BY e.id, e.v
+),
+hits AS (
+  SELECT a.id AS id, min(b.id) AS dup_of
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id > b.id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+  GROUP BY a.id
+)
+SELECT asg.id, asg.cluster,
+       CASE WHEN h.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup,
+       coalesce(h.dup_of, -1)::BIGINT AS dup_of
+FROM asg LEFT JOIN hits h ON h.id = asg.id
+"""
+
+
+@query("dedup-semantic", _SEMDEDUP_SQL)
+def dedup_semantic(spark, sf):
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication, the
+    embedding-space sibling of the lexical families (minhash/simhash
+    catch copies; this catches paraphrases): assign every vector to
+    its nearest pinned seed (argmax cosine, smallest-seed ties), then
+    within each cluster drop vectors having a smaller-id neighbor at
+    cosine >= 0.35, recording who shadowed them. Pairwise cost is
+    confined to clusters (sum |cluster|^2 — the method's reason to
+    exist; K scales with N in production, and the rows-only
+    ann-ivf-kmeans entry is where REAL iterated centroids live). The
+    twin replays seeds, fold-cosine assignment, tiebreaks and
+    verdicts exactly — operators/similarity.semdedup."""
+    from genpipe_spark.operators.similarity import semdedup
+
+    return semdedup(
+        t(spark, sf, "embeddings"),
+        k_clusters=_SEMDEDUP_K,
+        threshold=_SEMDEDUP_TAU,
+    )

@@ -430,6 +430,10 @@ _EMBEDDING_MEMBERS = {
         "embedding-center-l2",
         [("vec_id", "s"), ("unit_micro", "s")],
     ),
+    "semdedup": (
+        "dedup-semantic",
+        [("id", "s"), ("cluster", "s"), ("is_dup", "s"), ("dup_of", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -1060,7 +1064,9 @@ embedding_suite = _register(
     "(r5 third rotation; supersedes "
     "ann-topk-suite's slot; the hyperplane-LSH scale path rides here "
     "so its old slot could go to graph-pagerank; pq + ivfpq r7; "
-    "centl2 r7).",
+    "centl2 r7; r9 adds dedup-semantic — SemDeDup paraphrase-level "
+    "dedup: pinned-seed clusters, within-cluster cosine prune, "
+    "keep/drop verdicts oracle-replayed).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
