@@ -742,3 +742,99 @@ def stream_histogram_quantile_query(spark, sf):
     return latest.where(F.col("n_seen") == F.col("__mx")).select(
         "g", "n_seen", "pct", "q_est"
     )
+
+
+def _stream_incr_dedup_oracle() -> str:
+    from genpipe_spark.queries.llmdata import _SHINGLES_CTE
+
+    return (
+        _SHINGLES_CTE
+        + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor(n_inter / (sa.n + sb.n - n_inter) * 10000)/10000.0 >= 0.5
+    )
+    SELECT CASE WHEN id_a % 3 > id_b % 3 THEN id_a ELSE id_b END AS id_new,
+           CASE WHEN id_a % 3 > id_b % 3 THEN id_b ELSE id_a END AS id_match,
+           jaccard
+    FROM jac
+    """
+    )
+
+
+@query("stream-dedup-incremental", _stream_incr_dedup_oracle())
+def stream_dedup_incremental(spark, sf):
+    """LIVE streaming incremental dedup, value-hash-certified (the
+    stream-histogram-quantile pattern): documents land in three
+    parquet micro-batches (doc_id % 3, file mtimes pinned so
+    availableNow + maxFilesPerTrigger=1 drains them in batch order)
+    and each foreachBatch matches the arriving batch against the
+    ACCUMULATED corpus via operators/dedup.incremental_minhash_pairs
+    — corpus never self-joins, the production ingest shape. The
+    emission rule is itself deterministic SQL: every exact-Jaccard
+    pair >= 0.5 surfaces exactly once, when its LATER batch arrives,
+    as (id_new = later-batch member; intra-batch pairs take the
+    larger id), so the oracle replays the full streaming transcript
+    from the batch assignment alone. LSH recall is 1 at these
+    settings on the fixture (the dedup-minhash-lsh argument, re-proven
+    after the r9 seed-family fix). The per-batch corpus index is
+    rebuilt from the accumulated raw docs here; production persists
+    minhash_index output and appends to it (same operator surface)."""
+    import os
+
+    from genpipe_spark.operators.dedup import incremental_minhash_pairs
+    from genpipe_spark.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="genpipe_sdedup_src_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        # pin mtimes so the file source's (mtime-ordered) plan matches
+        # the batch semantics even when writes land in one clock tick
+        for root, _, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i * 100,) * 2)
+    out_dir = tempfile.mkdtemp(prefix="genpipe_sdedup_out_")
+    corpus_dir = f"{out_dir}/corpus"
+    pairs_dir = f"{out_dir}/pairs"
+    seen = {"any": False}
+
+    def handle(batch_df, bid):
+        batch = batch_df.localCheckpoint(eager=True)
+        ss = batch.sparkSession
+        corpus = (
+            ss.read.parquet(corpus_dir)
+            if seen["any"]
+            else batch.limit(0)
+        )
+        pairs = incremental_minhash_pairs(batch, corpus, threshold=0.5)
+        pairs.write.mode("append").parquet(pairs_dir)
+        batch.write.mode("append").parquet(corpus_dir)
+        seen["any"] = True
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(pairs_dir)

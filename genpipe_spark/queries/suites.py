@@ -140,6 +140,10 @@ _STREAM_MEMBERS = {
         "stream-trending-topk",
         [("win_start", "s"), ("event_type", "s"), ("n_events", "s"), ("rnk", "s")],
     ),
+    "incrdedup": (
+        "stream-dedup-incremental",
+        [("id_new", "s"), ("id_match", "s"), ("jaccard", "f")],
+    ),
 }
 
 _SCAN_MEMBERS = {
@@ -228,7 +232,10 @@ stream_agg_suite = _register(
     "NULL outer rows checked) ∪ stream-trending-topk (the serving-layer "
     "rank over watermark-closed sliding counts, sentinel-flush "
     "e2e-proven, r7s5), packed (r5 window rotation; dedup + "
-    "left-join r7).",
+    "left-join r7); r9 adds stream-dedup-incremental — a LIVE "
+    "foreachBatch ingest stream matching each micro-batch against the "
+    "accumulated corpus LSH index, its batch-ordered emission rule "
+    "replayed as SQL.",
 )
 scan_source_suite = _register(
     "scan-source-suite",
