@@ -208,6 +208,14 @@ HEADLINE = [
     "search-rrf-fusion",
     "mix-epoch-shuffle",
     "mix-dsir-select",
+    # r9 late batch: PELT optimal changepoints, deterministic sample-
+    # quantile sketch (certified), Fellegi-Sunter record linkage,
+    # SemDeDup embedding dedup, live incremental-LSH dedup stream
+    "changepoint-pelt",
+    "sketch-sample-quantiles",
+    "link-fellegi-sunter",
+    "dedup-semantic",
+    "stream-dedup-incremental",
 ]
 
 

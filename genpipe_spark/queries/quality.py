@@ -1924,3 +1924,144 @@ def link_fellegi_sunter(spark, sf):
         (F.col("score_nano") > _FS_THRESH_NANO).cast("int").alias("decision"),
         (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
     )
+
+
+# Poisson(1) CDF thresholds on the M31 hash scale: h < t_k  =>  w <= k
+# (floor(cum_pmf(k) * (2^31-1)), pinned so both engines draw identical
+# integer weights; residual mass above k=6 caps at w=7)
+_BOOT_THRESH = (
+    790015083, 1580030167, 1975037709, 2106706890,
+    2139624185, 2146207644, 2147304887,
+)
+_BOOT_B = 32
+_BOOT_M31 = 2147483647
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    + " ELSE 7 END"
+)
+
+_BOOT_SQL = f"""
+WITH ux AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+rep AS (
+  SELECT b.b, arm, x,
+         ((((user_id * 1000003 + b.b * 9176 + 12345) % {_BOOT_M31})
+           * 506952114) % {_BOOT_M31}) AS h
+  FROM ux, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+),
+w AS (SELECT b, arm, x, {_BOOT_W_SQL} AS w FROM rep),
+agg AS (
+  SELECT b,
+         sum(CASE WHEN arm = 0 THEN w ELSE 0 END)::BIGINT AS swa,
+         sum(CASE WHEN arm = 0 THEN w * x ELSE 0 END)::BIGINT AS sxa,
+         sum(CASE WHEN arm = 1 THEN w ELSE 0 END)::BIGINT AS swb,
+         sum(CASE WHEN arm = 1 THEN w * x ELSE 0 END)::BIGINT AS sxb
+  FROM w GROUP BY b
+),
+d AS (
+  SELECT b, swa, sxa, swb, sxb,
+         CASE WHEN swa = 0 OR swb = 0 THEN NULL
+              ELSE (sxb * 1000000
+                    - (((sxb * 1000000 % swb) + swb) % swb)) // swb
+                   - (sxa * 1000000
+                      - (((sxa * 1000000 % swa) + swa) % swa)) // swa
+         END AS diff_micro
+  FROM agg
+)
+SELECT a.b, a.swa, a.sxa, a.swb, a.sxb, a.diff_micro,
+       CASE WHEN a.diff_micro IS NULL THEN NULL
+            ELSE (SELECT 1 + count(*) FROM d x
+                  WHERE x.diff_micro < a.diff_micro
+                     OR (x.diff_micro = a.diff_micro AND x.b < a.b))
+       END::BIGINT AS rnk
+FROM d a
+"""
+
+
+@query("ab-test-bootstrap", _BOOT_SQL)
+def ab_test_bootstrap(spark, sf):
+    """Poisson bootstrap for the experiment readout (Chamandy et al.
+    2012 — the resampling scheme that streams: each unit gets an
+    INDEPENDENT Poisson(1) replicate weight, so no resample pass over
+    the data is needed and weights compose map-side at any scale).
+    Deterministic twin of the classical z-test entries: per (user,
+    replicate) the weight is drawn by inverse-CDF over a portable
+    integer hash against PINNED Poisson(1) thresholds on the M31
+    scale — both engines draw bit-identical weights — and each of the
+    32 replicates re-estimates the arm-mean difference of per-user
+    value cents (pmod-floored micro division, the FIXTURES negative-
+    dividend rule; a replicate whose Poisson weights zero out an
+    entire arm — possible at toy SFs with single-digit users per arm —
+    degrades to NULL diff/rank identically in both engines). Emits one row per replicate with the weighted
+    sums, the diff, and its deterministic rank (bounded 32x32
+    self-count, no global window) — the 2.5%/97.5% nearest-rank CI is
+    rank 1 and 32. Cost: one user-level agg, a x32 weight explode
+    with map-side combine, a 32-row driver-size finish."""
+    ev = t(spark, sf, "events")
+    ux = (
+        ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    rep = ux.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn(
+        "h",
+        ((F.col("user_id") * 1000003 + F.col("b") * 9176 + 12345)
+         % _BOOT_M31) * 506952114 % _BOOT_M31,
+    )
+    w = F.lit(7).cast("long")
+    for k in range(len(_BOOT_THRESH) - 1, -1, -1):
+        w = F.when(F.col("h") < _BOOT_THRESH[k], k).otherwise(w)
+    rep = rep.withColumn("w", w.cast("long"))
+    agg = rep.groupBy("b").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("w")).otherwise(0))
+        .cast("long").alias("swa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("w") * F.col("x")).otherwise(0))
+        .cast("long").alias("sxa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w")).otherwise(0))
+        .cast("long").alias("swb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w") * F.col("x")).otherwise(0))
+        .cast("long").alias("sxb"),
+    )
+
+    def fmean(sx, sw):
+        num = sx * F.lit(1_000_000)
+        return (num - ((num % sw) + sw) % sw) / sw
+
+    d = agg.withColumn(
+        "diff_micro",
+        F.when(
+            (F.col("swa") == 0) | (F.col("swb") == 0), F.lit(None)
+        ).otherwise(
+            (fmean(F.col("sxb"), F.col("swb"))
+             - fmean(F.col("sxa"), F.col("swa")))
+        ).cast("long"),
+    )
+    o = d.select(
+        F.col("b").alias("ob"), F.col("diff_micro").alias("od")
+    )
+    rnk = (
+        d.join(
+            o,
+            (F.col("od") < F.col("diff_micro"))
+            | ((F.col("od") == F.col("diff_micro")) & (F.col("ob") < F.col("b"))),
+            "left",
+        )
+        .groupBy("b", "swa", "sxa", "swb", "sxb", "diff_micro")
+        .agg(F.count("ob").alias("__nlt"))
+        .withColumn(
+            "rnk",
+            F.when(F.col("diff_micro").isNull(), F.lit(None))
+            .otherwise(F.col("__nlt") + 1).cast("long"),
+        )
+    )
+    return rnk.select("b", "swa", "sxa", "swb", "sxb", "diff_micro", "rnk")

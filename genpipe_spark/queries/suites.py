@@ -798,6 +798,13 @@ _PROFILE_MEMBERS = {
             ("bh_rank", "s"), ("thr_micro", "s"), ("rejected", "s"),
         ],
     ),
+    "boot": (
+        "ab-test-bootstrap",
+        [
+            ("b", "s"), ("swa", "s"), ("sxa", "s"), ("swb", "s"),
+            ("sxb", "s"), ("diff_micro", "s"), ("rnk", "s"),
+        ],
+    ),
     "cuped": (
         "ab-test-cuped",
         [
