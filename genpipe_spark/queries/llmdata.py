@@ -114,10 +114,16 @@ def dedup_ngram_jaccard(spark, sf):
 )
 def dedup_minhash_lsh(spark, sf):
     # LSH candidate generation + exact Jaccard verification: output equals
-    # the exact pair set whenever LSH recall is 1 (verified across SFs in
-    # tests), so the exact-Jaccard SQL is a true oracle; a recall miss
-    # would surface here as a hash mismatch — by design.
-    return D.minhash_lsh_pairs(widen(t(spark, sf, "documents")), threshold=0.5)
+    # the exact pair set whenever LSH recall is 1, so the exact-Jaccard
+    # SQL is a true oracle; a recall miss surfaces as a hash mismatch —
+    # by design, and it HAPPENED: at the old 32-hash/8-band setting a
+    # j=0.8 pair (the fixture pair-set floor) misses with p~1.5% and one
+    # did at sf1 (r9 late sweep). 96/24 puts the per-pair miss at
+    # (1-0.8^4)^24 ~ 3e-6 — e[misses] << 1 through sf10's ~25k pairs.
+    return D.minhash_lsh_pairs(
+        widen(t(spark, sf, "documents")), num_hashes=96, bands=24,
+        threshold=0.5,
+    )
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
@@ -1629,7 +1635,11 @@ def dedup_incremental(spark, sf):
     d = widen(t(spark, sf, "documents"))
     new = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
-    return incremental_minhash_pairs(new, corpus, threshold=0.5)
+    # 96/24 banding: the exact-transcript oracle contract (same recall
+    # math as dedup-minhash-lsh / stream-dedup-incremental, r9 late)
+    return incremental_minhash_pairs(
+        new, corpus, num_hashes=96, bands=24, threshold=0.5
+    )
 
 
 _PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")

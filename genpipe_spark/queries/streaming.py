@@ -786,9 +786,14 @@ def stream_dedup_incremental(spark, sf):
     pair >= 0.5 surfaces exactly once, when its LATER batch arrives,
     as (id_new = later-batch member; intra-batch pairs take the
     larger id), so the oracle replays the full streaming transcript
-    from the batch assignment alone. LSH recall is 1 at these
-    settings on the fixture (the dedup-minhash-lsh argument, re-proven
-    after the r9 seed-family fix). The per-batch corpus index is
+    from the batch assignment alone. Banding is 96 hashes / 24 bands
+    of 4 — HIGHER recall than the batch default (32/8), because this
+    oracle demands the full exact transcript at every swept SF: the
+    fixture's exact pair set bottoms out at jaccard 0.8, where 8
+    bands miss with p~1.5%/pair (observed live: one j=0.8 pair at
+    sf1) but 24 bands miss with p~3e-6 ((1-0.8^4)^24 banding
+    math), giving e[misses] << 1 through sf10's ~25k pairs. The
+    per-batch corpus index is
     rebuilt from the accumulated raw docs here; production persists
     minhash_index output and appends to it (same operator surface)."""
     import os
@@ -820,7 +825,9 @@ def stream_dedup_incremental(spark, sf):
             if seen["any"]
             else batch.limit(0)
         )
-        pairs = incremental_minhash_pairs(batch, corpus, threshold=0.5)
+        pairs = incremental_minhash_pairs(
+            batch, corpus, num_hashes=96, bands=24, threshold=0.5
+        )
         pairs.write.mode("append").parquet(pairs_dir)
         batch.write.mode("append").parquet(corpus_dir)
         seen["any"] = True
