@@ -1901,7 +1901,7 @@ def link_fellegi_sunter(spark, sf):
 
     pairs = (
         a.join(b, F.col("a_nat") == F.col("b_nat"))
-        .crossJoin(F.broadcast(u))
+        .crossJoin(u)  # 1-row frame; AQE broadcasts it unhinted
         .withColumn("ag_name", (F.col("a_name") == F.col("b_name")).cast("int"))
         .withColumn("ag_phone", (F.col("a_phone") == F.col("b_phone")).cast("int"))
         .withColumn("ag_seg", (F.col("a_seg") == F.col("b_seg")).cast("int"))

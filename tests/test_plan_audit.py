@@ -119,8 +119,17 @@ BOUNDED_NLJ_OK = {
     # crossJoined into the <= 5-row metric table
     "ab-test-bh-fdr": "1-row arm-count / m / r* scalar attaches",
     "ab-test-msprt": "1-row arm-count scalar attach",
-    "profile-suite": "inherits profile-entropy's, ab-test-cuped's and "
-    "ab-test-bh-fdr's 1-row attaches",
+    "profile-suite": "inherits profile-entropy's, ab-test-cuped's, "
+    "ab-test-bh-fdr's and ab-test-bootstrap's bounded attaches",
+    # 1-row frame of data-estimated u probabilities / ln weights
+    # broadcast-attached to the blocked candidate pairs
+    "link-fellegi-sunter": "1-row u-probability/ln-weight scalar attach",
+    "join-filter-suite": "inherits join-bloom-prefilter's fixed-size "
+    "bloom + link-fellegi-sunter's 1-row attach",
+    # the replicate table is a 32-row groupBy(b) aggregate; the rank
+    # self-join is non-equi but both sides are that bounded aggregate
+    "ab-test-bootstrap": "32-row replicate-aggregate rank self-join "
+    "(both sides grouped-size) + 1-row attaches",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
