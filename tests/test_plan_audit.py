@@ -143,7 +143,10 @@ SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-ses
         # temp-dir write side-effect at construction (like sink-parquet)
         "sink-orc-roundtrip",
         # real stream drain + temp-dir writes at construction (r8)
-        "stream-histogram-quantile", "stream-holt-winters"}
+        "stream-histogram-quantile", "stream-holt-winters",
+        # real 3-batch foreachBatch drain at construction (r9 late);
+        # the returned plan is a plain parquet read of the transcript
+        "stream-dedup-incremental"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
@@ -234,6 +237,10 @@ BOUNDED_BROADCAST_OK = {
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
     "embedding-center-l2": "broadcast dim-sized per-dimension sums",
+    # quantile-spec-sized (6/12-row) estimate tables + 1-row n — all
+    # bounded by the pinned quantile list, not the data
+    "sketch-sample-quantiles": "broadcast 6-row rank/exact tables, "
+    "12-row estimate table, 1-row n",
 }
 
 
