@@ -60,7 +60,13 @@ BOUNDED_NLJ_OK = {
     "mix-full-suite": "inherits mix-balance-temperature's and "
     "mix-dsir-select's bounded attaches",
     "sketch-suite": "inherits sketch-kmv-distinct + sketch-cms-heavy's "
-    "1-row sketch/total crossJoins",
+    "1-row sketch/total crossJoins + sketch-sample-quantiles' bounded "
+    "attaches",
+    # quantile-spec-sized attaches: 12-row estimate table x scan for
+    # lo/hi ranks, 1-row n, 6-row exact table — bounded by the pinned
+    # quantile list, never by the data
+    "sketch-sample-quantiles": "6/12-row quantile-table + 1-row n "
+    "attaches",
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
     "dedup-embedding-cosine (all documented bounded/baseline forms)",
     "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
