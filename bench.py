@@ -216,6 +216,7 @@ HEADLINE = [
     "link-fellegi-sunter",
     "dedup-semantic",
     "stream-dedup-incremental",
+    "search-mmr-rerank",
 ]
 
 

@@ -764,3 +764,113 @@ def semdedup(
             F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 12,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass a retrieval stack runs AFTER recall:
+    from each query's top-``k_candidates`` cosine candidates, greedily
+    select ``k_select`` maximizing
+
+        lam * rel(c)  -  (1 - lam) * max_{s in selected} sim(c, s)
+
+    (ties on score prefer the smaller candidate id). Complements the
+    recall family (brute/IVF/IVF-PQ/LSH) and search-rrf-fusion: RRF
+    merges rankers, MMR de-redundifies ONE ranking.
+
+    Determinism: rel and sim ride the strict-left-fold cosine doctrine
+    (bit-identical doubles cross-engine), lam is an exact decimal
+    literal, and every argmax is a struct max with the id tiebreak —
+    so the greedy trajectory is a pure function of the data that an
+    unrolled ANSI twin replays selection by selection.
+
+    Scale: candidate generation is the corpus scan (delegated to
+    :func:`brute_force_topk` here; swap in ivf_topk for the
+    billion-vector posture); everything after is bounded by
+    ``k_candidates`` per query — the pairwise sim table is
+    |Q| * k^2 rows and each greedy round is a join over it. The
+    selection loop is a fixed ``k_select``-round plan unroll, NOT a
+    driver loop over collected data.
+
+    Emits ``query_id, sel_rank, vec_id, rel, score`` (score of the
+    round that selected the vector; round 1's score = rel).
+    """
+    cands = brute_force_topk(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", F.col("neighbor_id").alias("cid"),
+             F.col("cos").alias("rel"))
+    cands = cands.localCheckpoint(eager=False)
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).select("*", dot(F.col("v"), F.col("v")).alias("sq"))
+    a = cands.select("query_id", F.col("cid").alias("sa")).join(
+        vecs, F.col("sa") == F.col("vid")
+    ).select("query_id", "sa", F.col("v").alias("va"), F.col("sq").alias("qa"))
+    b = cands.select("query_id", F.col("cid").alias("sb")).join(
+        vecs, F.col("sb") == F.col("vid")
+    ).select("query_id", "sb", F.col("v").alias("vb"), F.col("sq").alias("qb"))
+    sims = (
+        a.join(b, ["query_id"])
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            "query_id", "sa", "sb",
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("qa"), F.col("qb")
+            ).alias("sim"),
+        )
+    )
+    sims = sims.localCheckpoint(eager=False)
+
+    def argmax(df, score_col):
+        packed = F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col("cid")).alias("n"),
+                F.col("cid").alias("i"),
+                F.col("rel").alias("r"),
+                F.col(score_col).alias("sc"),
+            )
+        ).alias("m")
+        return df.groupBy("query_id").agg(packed).select(
+            "query_id",
+            F.col("m.i").alias("vec_id"),
+            F.col("m.r").alias("rel"),
+            F.col("m.sc").alias("score"),
+        )
+
+    sel = argmax(cands.withColumn("score0", F.col("rel")), "score0").select(
+        "query_id", "vec_id", "rel", "score", F.lit(1).alias("sel_rank")
+    )
+    selected = sel
+    for r in range(2, k_select + 1):
+        rem = cands.join(
+            selected.select("query_id", F.col("vec_id").alias("cid")),
+            ["query_id", "cid"],
+            "left_anti",
+        )
+        ms = (
+            sims.join(
+                selected.select("query_id", F.col("vec_id").alias("sb")),
+                ["query_id", "sb"],
+            )
+            .groupBy("query_id", F.col("sa").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = rem.join(ms, ["query_id", "cid"]).withColumn(
+            "mmr",
+            F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("maxsim"),
+        )
+        nxt = argmax(scored, "mmr").select(
+            "query_id", "vec_id", "rel", "score", F.lit(r).alias("sel_rank")
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select("query_id", "sel_rank", "vec_id", "rel", "score")

@@ -3934,3 +3934,101 @@ def dedup_semantic(spark, sf):
         k_clusters=_SEMDEDUP_K,
         threshold=_SEMDEDUP_TAU,
     )
+
+
+def _mmr_sql(k_cand: int = 12, k_sel: int = 5) -> str:
+    """Generated DuckDB twin of operators/similarity.mmr_rerank — the
+    greedy rounds unrolled (fixed k_select, so the recursion depth is
+    static: the LPA/power-iteration precedent). Per round: remaining =
+    candidates minus selected-so-far; score = 0.7*rel -
+    (1.0 - 0.7)*max-sim-to-selected — written EXACTLY as (1.0 - 0.7)
+    so DuckDB computes the same 0.30000000000000004 double the Python
+    side's (1 - lam) produces; argmax via the struct-max id-tiebreak
+    idiom."""
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+sc0 AS (
+  SELECT query_id, e.vec_id AS cid, {_cos_sql('qv', 'e.v')} AS rel
+  FROM e JOIN q ON e.vec_id <> query_id
+),
+cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cid) AS rn
+    FROM sc0
+  ) WHERE rn <= {k_cand}
+),
+sims AS (
+  SELECT a.query_id, a.cid AS sa, b.cid AS sb,
+         {_cos_sql('ea.v', 'eb.v')} AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+  JOIN e ea ON ea.vec_id = a.cid
+  JOIN e eb ON eb.vec_id = b.cid
+),
+s1 AS (
+  SELECT query_id, m.i AS vec_id, m.r AS rel, m.sc AS score,
+         1 AS sel_rank
+  FROM (
+    SELECT query_id,
+           max(struct_pack(s := rel, n := -cid, i := cid,
+                           r := rel, sc := rel)) AS m
+    FROM cand GROUP BY query_id
+  )
+),
+selall1 AS (SELECT * FROM s1)"""
+    parts = [head]
+    for r in range(2, k_sel + 1):
+        parts.append(f""",
+ms{r} AS (
+  SELECT si.query_id, si.sa AS cid, max(si.sim) AS maxsim
+  FROM sims si
+  JOIN selall{r - 1} s ON s.query_id = si.query_id AND s.vec_id = si.sb
+  GROUP BY 1, 2
+),
+sc{r} AS (
+  SELECT c.query_id, c.cid, c.rel,
+         CAST(0.7 AS DOUBLE) * c.rel
+           - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.maxsim AS mmr
+  FROM cand c
+  JOIN ms{r} m ON m.query_id = c.query_id AND m.cid = c.cid
+  WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} s
+                    WHERE s.query_id = c.query_id AND s.vec_id = c.cid)
+),
+s{r} AS (
+  SELECT query_id, m.i AS vec_id, m.r AS rel, m.sc AS score,
+         {r} AS sel_rank
+  FROM (
+    SELECT query_id,
+           max(struct_pack(s := mmr, n := -cid, i := cid,
+                           r := rel, sc := mmr)) AS m
+    FROM sc{r} GROUP BY query_id
+  )
+),
+selall{r} AS (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM s{r})""")
+    parts.append(f"\nSELECT query_id, sel_rank, vec_id, rel, score FROM selall{k_sel}")
+    return "".join(parts)
+
+
+@query("search-mmr-rerank", _mmr_sql())
+def search_mmr_rerank(spark, sf):
+    """Maximal Marginal Relevance diversification
+    (operators/similarity.mmr_rerank; Carbonell & Goldstein 1998) —
+    the post-recall diversity pass completing the retrieval family:
+    recall (brute/IVF/IVF-PQ/LSH) finds candidates, search-rrf-fusion
+    merges rankers, MMR de-redundifies the final list. Four query
+    vectors take their top-12 cosine candidates; five greedy rounds
+    select argmax of 0.7*rel - 0.3*max-sim-to-selected with struct-max
+    id tiebreaks. The greedy trajectory is bit-deterministic
+    (fold-cosine doubles, exact literal arithmetic — the twin spells
+    (1.0 - 0.7) to reproduce Python's 1-lam double), so the unrolled
+    SQL replays every selection. Bounded after candidate generation:
+    the sim table is |Q|*k^2 rows, each round a join over it — a
+    fixed plan unroll, no driver loop."""
+    from genpipe_spark.operators.similarity import mmr_rerank
+
+    emb = t(spark, sf, "embeddings")
+    return mmr_rerank(
+        emb, emb.where(F.col("vec_id") < 4), k_candidates=12, k_select=5
+    )

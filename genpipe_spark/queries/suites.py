@@ -441,6 +441,13 @@ _EMBEDDING_MEMBERS = {
         "dedup-semantic",
         [("id", "s"), ("cluster", "s"), ("is_dup", "s"), ("dup_of", "s")],
     ),
+    "mmr": (
+        "search-mmr-rerank",
+        [
+            ("query_id", "s"), ("sel_rank", "s"), ("vec_id", "s"),
+            ("rel", "f"), ("score", "f"),
+        ],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -1080,7 +1087,8 @@ embedding_suite = _register(
     "so its old slot could go to graph-pagerank; pq + ivfpq r7; "
     "centl2 r7; r9 adds dedup-semantic — SemDeDup paraphrase-level "
     "dedup: pinned-seed clusters, within-cluster cosine prune, "
-    "keep/drop verdicts oracle-replayed).",
+    "keep/drop verdicts oracle-replayed — and search-mmr-rerank, the "
+    "greedy MMR diversity pass with its unrolled selection twin).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,

@@ -67,6 +67,9 @@ BOUNDED_NLJ_OK = {
     # quantile list, never by the data
     "sketch-sample-quantiles": "6/12-row quantile-table + 1-row n "
     "attaches",
+    # candidate generation inherits ann-cosine-topk's broadcast 4-row
+    # query set; every later round is k-bounded
+    "search-mmr-rerank": "broadcast 4-row query set; k-bounded rounds",
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
     "dedup-embedding-cosine (all documented bounded/baseline forms)",
     "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
@@ -247,6 +250,8 @@ BOUNDED_BROADCAST_OK = {
     # bounded by the pinned quantile list, not the data
     "sketch-sample-quantiles": "broadcast 6-row rank/exact tables, "
     "12-row estimate table, 1-row n",
+    "search-mmr-rerank": "broadcast 4-row query-vector set (the "
+    "ann-cosine-topk rationale)",
 }
 
 
