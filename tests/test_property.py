@@ -1512,3 +1512,140 @@ def test_pelt_max_series_guard(spark):
     df = spark.createDataFrame([Row(k="a", m=i, x=1) for i in range(50)])
     with _pytest.raises(Exception, match="max_series"):
         pelt_segments(df, ["k"], "m", "x", max_series=10).collect()
+
+
+# ------------------------------------------------------- MMR re-ranking
+
+
+def _mmr_model(rels, sims, k_sel, lam=0.7):
+    """Pure-python greedy MMR: rels = {cid: rel}, sims = {(a,b): sim}."""
+    selected, out = [], []
+    cands = sorted(rels)
+    for r in range(1, k_sel + 1):
+        best = None
+        for c in cands:
+            if c in selected:
+                continue
+            if not selected:
+                score = rels[c]
+            else:
+                score = lam * rels[c] - (1 - lam) * max(
+                    sims[(c, s)] for s in selected
+                )
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        out.append((r, best[1], best[2]))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5)
+        ).filter(lambda v: any(v)),
+        min_size=6,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_mmr_matches_greedy_model(spark, vecs):
+    """mmr_rerank's unrolled DataFrame selection == the sequential
+    greedy reference on random integer vectors (cosines computed the
+    same double way in the model via the collected rel/sim values, so
+    this checks the SELECTION LOGIC, not float folding)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i + 10, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)]
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.5, -0.25])]
+    )
+    k_sel = 3
+    got = mmr_rerank(
+        corpus.unionByName(queries),
+        queries,
+        k_candidates=6,
+        k_select=k_sel,
+    ).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    qv = [1.0, 0.5, -0.25]
+    by_id = {i + 10: [float(x) for x in v] for i, v in enumerate(vecs)}
+    rels_all = sorted(
+        ((cos(qv, v), -i) for i, v in by_id.items()), reverse=True
+    )
+    cand_ids = [-n for _, n in rels_all[:6]]
+    rels = {i: cos(qv, by_id[i]) for i in cand_ids}
+    sims = {
+        (a, b): cos(by_id[a], by_id[b])
+        for a in cand_ids for b in cand_ids if a != b
+    }
+    want = _mmr_model(rels, sims, k_sel)
+    got_t = sorted((r.sel_rank, r.vec_id) for r in got)
+    assert got_t == [(r, c) for r, c, _ in want]
+
+
+def test_sample_quantile_merge_equals_global(spark):
+    """Half-split merge == global sketch on a deterministic frame
+    (beyond the in-query 'merged' part: an UNEVEN 1/3-2/3 split)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.sketch import (
+        sample_quantile_merge,
+        sample_quantile_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(tb=i, v=(i * 7919) % 1000) for i in range(5000)]
+    )
+    K = 256
+    g = sample_quantile_sketch(df, "v", "tb", K).collect()[0]
+    a = sample_quantile_sketch(df.where(F.col("tb") % 3 == 0), "v", "tb", K)
+    b = sample_quantile_sketch(df.where(F.col("tb") % 3 != 0), "v", "tb", K)
+    m = (
+        a.select(F.col("hs").alias("ha"))
+        .crossJoin(b.select(F.col("hs").alias("hb")))
+        .select(sample_quantile_merge(F.col("ha"), F.col("hb"), K).alias("hm"))
+        .collect()[0]
+    )
+    assert [(x.h, x.tb, x.v) for x in m.hm] == [
+        (x.h, x.tb, x.v) for x in g.hs
+    ]
+
+
+def test_fellegi_sunter_score_model(spark):
+    """fellegi_sunter_score == the python weight sum on a hand frame."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.fuzzy import fellegi_sunter_score
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [Row(pid=1, a1=True, a2=False), Row(pid=2, a1=False, a2=True)]
+    ).withColumn("lnu1", F.lit(-5_000_000_000).cast("long")) \
+     .withColumn("ln1u1", F.lit(-100).cast("long")) \
+     .withColumn("lnu2", F.lit(-2_000_000_000).cast("long")) \
+     .withColumn("ln1u2", F.lit(-50).cast("long"))
+    fields = [
+        {"agree": F.col("a1"), "ln_m_nano": -300, "ln_1m_nano": -1_000,
+         "ln_u_nano": F.col("lnu1"), "ln_1u_nano": F.col("ln1u1")},
+        {"agree": F.col("a2"), "ln_m_nano": -400, "ln_1m_nano": -2_000,
+         "ln_u_nano": F.col("lnu2"), "ln_1u_nano": F.col("ln1u2")},
+    ]
+    out = {r.pid: r.score_nano
+           for r in fellegi_sunter_score(pairs, fields).collect()}
+    assert out[1] == (-300 - (-5_000_000_000)) + (-2_000 - (-50))
+    assert out[2] == (-1_000 - (-100)) + (-400 - (-2_000_000_000))
