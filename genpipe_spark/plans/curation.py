@@ -53,7 +53,11 @@ def build_curation_pipeline() -> Pipeline:
     @p.stage("dedup_near", output="near_unique", partition_by=("source",))
     def dedup_near_stage(spark, ctx):
         uniq = ctx.tables["exact_unique"]
-        pairs = minhash_lsh_pairs(uniq, threshold=0.5)
+        # 96/24 banding: the survivor set is oracle-checked against the
+        # EXACT pair set, so recall needs the banding-math budget
+        # (FIXTURES r9-late rule), not the 32/8 default's 1.5%-per-pair
+        # tail at the fixture's jaccard-0.8 floor
+        pairs = minhash_lsh_pairs(uniq, num_hashes=96, bands=24, threshold=0.5)
         # survivor selection: drop the higher id of each near-dup pair
         # losers can be a large fraction of the corpus (dedup exists
         # because duplicates are plentiful) — shuffle anti-join, no hint.
