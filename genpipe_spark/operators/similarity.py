@@ -680,10 +680,11 @@ def power_iteration_top_dir(
 
 def semdedup(
     df: DataFrame,
-    k_clusters: int = 8,
+    k_clusters: int | None = None,
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic deduplication by
     embedding: cluster the corpus, then within each cluster drop every
@@ -714,29 +715,69 @@ def semdedup(
     ).select("*", dot(F.col("v"), F.col("v")).alias("sq"))
     pre = pre.localCheckpoint(eager=False)
 
-    seeds = sorted(
-        (r["id"], r["v"], r["sq"])
-        for r in pre.where(F.col("id") < k_clusters).collect()
-    )
-    cands = F.array(
-        *[
+    if k_clusters is None:
+        # K scales with the corpus so sum |cluster|^2 stays ~linear:
+        # K = max(8, ceil(n / target_cluster)) — one count (a 1-value
+        # driver read, the global_row_number offset precedent), and a
+        # rule a SQL twin replays verbatim
+        n = pre.count()
+        k_clusters = max(8, -(-n // target_cluster))
+
+    if k_clusters <= 16:
+        # literal path: seed vectors inlined as constant arrays — the
+        # assignment is pure map-side projection, zero joins
+        seeds = sorted(
+            (r["id"], r["v"], r["sq"])
+            for r in pre.where(F.col("id") < k_clusters).collect()
+        )
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine_prenormed(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                            F.col("sq"),
+                            F.lit(float(csq)),
+                        )
+                    ).alias("negcos"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cv, csq in seeds
+            ]
+        )
+        asg = pre.select(
+            "id", "v", "sq",
+            F.array_min(cands).getField("cid").alias("cluster"),
+        )
+    else:
+        # join path: a K-term literal expression would blow codegen, so
+        # score the (row x seed) cross join and struct-argmin per row.
+        # The seed side is n/target_cluster rows — small relative to
+        # the corpus, AQE broadcast-sized through very large corpora;
+        # past that, production SemDeDup assigns via the ANN stack
+        # (ivf_topk) rather than exact all-seed scoring.
+        cents = pre.where(F.col("id") < k_clusters).select(
+            F.col("id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("sq").alias("csq"),
+        )
+        packed = F.min(
             F.struct(
                 (
                     -cosine_prenormed(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                        F.col("sq"),
-                        F.lit(float(csq)),
+                        F.col("v"), F.col("cv"), F.col("sq"), F.col("csq")
                     )
                 ).alias("negcos"),
-                F.lit(int(cid)).cast("long").alias("cid"),
+                F.col("cid").alias("cid"),
             )
-            for cid, cv, csq in seeds
-        ]
-    )
-    asg = pre.select(
-        "id", "v", "sq", F.array_min(cands).getField("cid").alias("cluster")
-    )
+        ).alias("m")
+        asg = (
+            pre.join(cents)
+            .groupBy("id")
+            .agg(packed, F.first("v").alias("v"), F.first("sq").alias("sq"))
+            .select("id", "v", "sq", F.col("m.cid").alias("cluster"))
+        )
     a = asg.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("sq").alias("sa"), F.col("cluster").alias("ca"),

@@ -3888,12 +3888,14 @@ def sketch_sample_quantiles(spark, sf):
     )
 
 
-_SEMDEDUP_K = 8
 _SEMDEDUP_TAU = 0.35
 
+# adaptive K = max(8, ceil(n/256)) — expected cluster size constant,
+# sum |cluster|^2 linear in n; replayed verbatim from the corpus count
 _SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {_SEMDEDUP_K}),
+c AS (SELECT id AS cid, v AS cv FROM e
+      WHERE id < (SELECT greatest(8, (count(*) + 255) // 256) FROM e)),
 asg AS (
   SELECT e.id, e.v,
          (max(struct_pack(c := {_cos_sql('e.v', 'c.cv')},
@@ -3929,11 +3931,7 @@ def dedup_semantic(spark, sf):
     verdicts exactly — operators/similarity.semdedup."""
     from genpipe_spark.operators.similarity import semdedup
 
-    return semdedup(
-        t(spark, sf, "embeddings"),
-        k_clusters=_SEMDEDUP_K,
-        threshold=_SEMDEDUP_TAU,
-    )
+    return semdedup(t(spark, sf, "embeddings"), threshold=_SEMDEDUP_TAU)
 
 
 def _mmr_sql(k_cand: int = 12, k_sel: int = 5) -> str:

@@ -1794,7 +1794,10 @@ pairs AS (
          CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END AS ag_phone,
          CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS ag_seg,
          CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS ag_bal
-  FROM a JOIN b ON a_nat = b_nat
+  FROM a JOIN b
+    ON a_nat = b_nat
+   AND (a_bal - ((a_bal % 50000) + 50000) % 50000) / 50000
+     = (b_bal - ((b_bal % 50000) + 50000) % 50000) / 50000
 )
 SELECT a_key, b_key, ag_name, ag_phone, ag_seg, ag_bal,
        (CASE WHEN ag_name = 1 THEN {_FS_M['name'][1]} - lnu_name
@@ -1899,8 +1902,17 @@ def link_fellegi_sunter(spark, sf):
             - 2 * ln_n,
         )
 
+    def balbucket(c):
+        # pmod floor (FIXTURES negative-dividend rule): acctbal can be
+        # negative, and DuckDB's // floors while Spark's div truncates
+        return (c - ((c % 50000) + 50000) % 50000) / 50000
+
     pairs = (
-        a.join(b, F.col("a_nat") == F.col("b_nat"))
+        a.join(
+            b,
+            (F.col("a_nat") == F.col("b_nat"))
+            & (balbucket(F.col("a_bal")) == balbucket(F.col("b_bal"))),
+        )
         .crossJoin(u)  # 1-row frame; AQE broadcasts it unhinted
         .withColumn("ag_name", (F.col("a_name") == F.col("b_name")).cast("int"))
         .withColumn("ag_phone", (F.col("a_phone") == F.col("b_phone")).cast("int"))
