@@ -691,93 +691,100 @@ def semdedup(
     vector that has a more-senior (smaller-id) neighbor with cosine >=
     ``threshold``. The pairwise work is confined to clusters — the
     whole point of the method: cross-cluster pairs are never
-    materialized, so cost is sum |cluster|^2, not N^2, and K grows
-    with the corpus in production.
+    materialized, and with the default ADAPTIVE K = max(8,
+    ceil(n / target_cluster)) the expected cluster size is constant,
+    so the pair stage is LINEAR in the corpus.
 
-    Determinism contract: cluster seeds are the PINNED vectors with
-    id < k_clusters (k bounded rows collected to the driver — the
-    power-iteration/centroid doctrine), NOT iterated k-means, so
-    assignment (argmax cosine, smallest-seed tiebreak) and the
-    keep/drop verdicts are pure functions of the data that an ANSI
-    twin replays exactly; swap in ``kmeans_centroids`` for quality
-    clusters when oracle replay is not required (ann-ivf-kmeans is
-    that rows-only sibling). Cosines ride the strict-left-fold double
-    doctrine (module docstring) — bit-identical cross-engine.
+    Assignment is TWO-LEVEL (the IVF shape, r9-late: flat
+    nearest-of-K scoring is n*K = n^2/target cosines — measured 886 s
+    at the 100x fixture): K1 = max(2, ceil(sqrt(K))) COARSE seeds
+    (ids < K1) partition the K FINE seeds (ids < K); a row probes the
+    K1 coarse seeds, then scores only the fine seeds of its coarse
+    group — n * (sqrt(K) + K/sqrt(K)) ~ 2n*sqrt(K) cosines, with the
+    per-group fine scoring an EQUI join. Every coarse group contains
+    at least its own coarse seed (cos(c, c) = 1 wins with the
+    smallest-id tie), so assignment is total. Deeper trees extend the
+    same rule when n*sqrt(K) outgrows the budget; iterated-kmeans
+    clustering lives in the rows-only ann-ivf-kmeans sibling.
+
+    Determinism contract: seeds are PINNED id-threshold sets — no
+    iteration — so the two-level assignment (argmax fold-cosine,
+    smallest-seed ties at both levels) and the keep/drop verdicts are
+    pure functions of the data an ANSI twin replays exactly.
 
     Emits one row per vector: ``id, cluster, is_dup (0/1),
     dup_of`` (the smallest qualifying senior neighbor, -1 when kept).
-    The assignment stage is map-side only (seed vectors inlined as
-    literal arrays); the pair stage is one self-join keyed on the
-    cluster id.
     """
+    import math
+
     pre = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).select("*", dot(F.col("v"), F.col("v")).alias("sq"))
     pre = pre.localCheckpoint(eager=False)
 
     if k_clusters is None:
-        # K scales with the corpus so sum |cluster|^2 stays ~linear:
-        # K = max(8, ceil(n / target_cluster)) — one count (a 1-value
-        # driver read, the global_row_number offset precedent), and a
-        # rule a SQL twin replays verbatim
+        # one count — a 1-value driver read (the global_row_number
+        # offset precedent); the K/K1 rule is replayed in the twin
         n = pre.count()
         k_clusters = max(8, -(-n // target_cluster))
+    k1 = max(2, math.ceil(math.sqrt(k_clusters)))
 
-    if k_clusters <= 16:
-        # literal path: seed vectors inlined as constant arrays — the
-        # assignment is pure map-side projection, zero joins
-        seeds = sorted(
-            (r["id"], r["v"], r["sq"])
-            for r in pre.where(F.col("id") < k_clusters).collect()
-        )
-        cands = F.array(
-            *[
-                F.struct(
-                    (
-                        -cosine_prenormed(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                            F.col("sq"),
-                            F.lit(float(csq)),
-                        )
-                    ).alias("negcos"),
-                    F.lit(int(cid)).cast("long").alias("cid"),
-                )
-                for cid, cv, csq in seeds
-            ]
-        )
-        asg = pre.select(
-            "id", "v", "sq",
-            F.array_min(cands).getField("cid").alias("cluster"),
-        )
-    else:
-        # join path: a K-term literal expression would blow codegen, so
-        # score the (row x seed) cross join and struct-argmin per row.
-        # The seed side is n/target_cluster rows — small relative to
-        # the corpus, AQE broadcast-sized through very large corpora;
-        # past that, production SemDeDup assigns via the ANN stack
-        # (ivf_topk) rather than exact all-seed scoring.
-        cents = pre.where(F.col("id") < k_clusters).select(
-            F.col("id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("sq").alias("csq"),
-        )
+    def nearest(rows, rid, seeds, sid, out):
+        """argmax cosine over ``seeds`` per ``rows`` row (smallest-seed
+        ties); returns (rid, out) pairs."""
         packed = F.min(
             F.struct(
                 (
                     -cosine_prenormed(
-                        F.col("v"), F.col("cv"), F.col("sq"), F.col("csq")
+                        F.col("__rv"), F.col("__sv"),
+                        F.col("__rq"), F.col("__sq2"),
                     )
                 ).alias("negcos"),
-                F.col("cid").alias("cid"),
+                F.col(sid).alias("sid"),
             )
         ).alias("m")
-        asg = (
-            pre.join(cents)
-            .groupBy("id")
-            .agg(packed, F.first("v").alias("v"), F.first("sq").alias("sq"))
-            .select("id", "v", "sq", F.col("m.cid").alias("cluster"))
+        return (
+            rows.join(seeds)
+            .groupBy(rid)
+            .agg(packed)
+            .select(rid, F.col("m.sid").alias(out))
         )
+
+    fine = pre.where(F.col("id") < k_clusters).select(
+        F.col("id").alias("fid"), F.col("v").alias("fv"),
+        F.col("sq").alias("fsq"),
+    )
+    coarse = fine.where(F.col("fid") < k1).select(
+        F.col("fid").alias("sid0"), F.col("fv").alias("__sv"),
+        F.col("fsq").alias("__sq2"),
+    )
+    # fine seed -> coarse group
+    fc = nearest(
+        fine.select("fid", F.col("fv").alias("__rv"), F.col("fsq").alias("__rq")),
+        "fid", coarse, "sid0", "g",
+    ).join(fine, "fid")
+    # row -> coarse group (the K1-wide probe)
+    rc = nearest(
+        pre.select("id", F.col("v").alias("__rv"), F.col("sq").alias("__rq")),
+        "id", coarse, "sid0", "g",
+    ).join(pre, "id")
+    # row -> nearest fine seed WITHIN its coarse group (equi join on g)
+    packed = F.min(
+        F.struct(
+            (
+                -cosine_prenormed(
+                    F.col("v"), F.col("fv"), F.col("sq"), F.col("fsq")
+                )
+            ).alias("negcos"),
+            F.col("fid").alias("fid"),
+        )
+    ).alias("m")
+    asg = (
+        rc.join(fc.select("g", "fid", "fv", "fsq"), "g")
+        .groupBy("id")
+        .agg(packed, F.first("v").alias("v"), F.first("sq").alias("sq"))
+        .select("id", "v", "sq", F.col("m.fid").alias("cluster"))
+    )
     a = asg.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("sq").alias("sa"), F.col("cluster").alias("ca"),

@@ -3890,18 +3890,39 @@ def sketch_sample_quantiles(spark, sf):
 
 _SEMDEDUP_TAU = 0.35
 
-# adaptive K = max(8, ceil(n/256)) — expected cluster size constant,
-# sum |cluster|^2 linear in n; replayed verbatim from the corpus count
+# adaptive K = max(8, ceil(n/256)): expected cluster size constant, pair
+# stage linear. Assignment is TWO-LEVEL (K1 = max(2, ceil(sqrt(K)))
+# coarse seeds partition the K fine seeds — the IVF shape): coarse
+# probe, then fine scoring only within the row's coarse group. Both the
+# K/K1 rule and each struct-argmax replay verbatim.
 _SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT id AS cid, v AS cv FROM e
-      WHERE id < (SELECT greatest(8, (count(*) + 255) // 256) FROM e)),
-asg AS (
+kk AS (
+  SELECT greatest(8, (count(*) + 255) // 256)::BIGINT AS k,
+         greatest(2, CAST(ceil(sqrt(greatest(8, (count(*) + 255) // 256)))
+                     AS BIGINT)) AS k1
+  FROM e
+),
+fine AS (SELECT id AS fid, v AS fv FROM e, kk WHERE id < k),
+coarse AS (SELECT id AS sid, v AS sv FROM e, kk WHERE id < k1),
+fc AS (
+  SELECT f.fid, f.fv,
+         (max(struct_pack(c := {_cos_sql('f.fv', 'c.sv')},
+                          n := -c.sid, i := c.sid))).i AS g
+  FROM fine f, coarse c GROUP BY f.fid, f.fv
+),
+rc AS (
   SELECT e.id, e.v,
-         (max(struct_pack(c := {_cos_sql('e.v', 'c.cv')},
-                          n := -c.cid, i := c.cid))).i AS cluster
-  FROM e, c
-  GROUP BY e.id, e.v
+         (max(struct_pack(c := {_cos_sql('e.v', 'c.sv')},
+                          n := -c.sid, i := c.sid))).i AS g
+  FROM e, coarse c GROUP BY e.id, e.v
+),
+asg AS (
+  SELECT r.id, r.v,
+         (max(struct_pack(c := {_cos_sql('r.v', 'f.fv')},
+                          n := -f.fid, i := f.fid))).i AS cluster
+  FROM rc r JOIN fc f ON f.g = r.g
+  GROUP BY r.id, r.v
 ),
 hits AS (
   SELECT a.id AS id, min(b.id) AS dup_of

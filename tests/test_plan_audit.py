@@ -70,8 +70,14 @@ BOUNDED_NLJ_OK = {
     # candidate generation inherits ann-cosine-topk's broadcast 4-row
     # query set; every later round is k-bounded
     "search-mmr-rerank": "broadcast 4-row query set; k-bounded rounds",
+    # the two-level assignment's coarse probe: rows x K1 seeds with
+    # K1 = ceil(sqrt(n/256)) — the IVF coarse-quantizer shape (28 rows
+    # at the 100x fixture); fine scoring is an equi join on the group
+    "dedup-semantic": "sqrt-K coarse-seed probe (IVF shape); fine "
+    "scoring equi-joined",
     "embedding-suite": "union of ann-cosine-topk + ann-ivf-topk + "
-    "dedup-embedding-cosine (all documented bounded/baseline forms)",
+    "dedup-embedding-cosine + dedup-semantic (all documented "
+    "bounded/baseline/IVF-probe forms)",
     "text-bm25-suite": "inherits text-bm25/-topk's 1-row stats attach",
     # 1-row total-order-count crossJoined to attach the lift denominator
     "copurchase-lift": "1-row order-count scalar attach",
