@@ -217,6 +217,7 @@ HEADLINE = [
     "dedup-semantic",
     "stream-dedup-incremental",
     "search-mmr-rerank",
+    "link-sorted-neighborhood",
 ]
 
 

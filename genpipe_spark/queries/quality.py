@@ -1742,8 +1742,7 @@ _FS_M = {
 }
 _FS_THRESH_NANO = 5_000_000_000  # 5 nats
 
-_FS_SQL = f"""
-WITH a AS (
+_FS_COMMON_CTE = f"""a AS (
   SELECT c_custkey AS a_key, c_name AS a_name,
          lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS a_phone,
          c_mktsegment AS a_seg,
@@ -1787,7 +1786,10 @@ w AS (
     CAST(round(ln(sq_bal)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS lnu_bal,
     CAST(round(ln(n*n - sq_bal)*1e9) AS BIGINT) - 2*CAST(round(ln(n)*1e9) AS BIGINT) AS ln1u_bal
   FROM nn, us
-),
+)"""
+
+_FS_SQL = f"""
+WITH {_FS_COMMON_CTE},
 pairs AS (
   SELECT a.*, b.*,
          CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS ag_name,
@@ -1822,27 +1824,10 @@ FROM pairs, w
 """
 
 
-@query("link-fellegi-sunter", _FS_SQL)
-def link_fellegi_sunter(spark, sf):
-    """Fellegi-Sunter probabilistic record linkage
-    (operators/fuzzy.fellegi_sunter_score): customers linked against a
-    deterministically-corrupted every-7th copy of themselves (name
-    truncation on key%3, last phone digit zeroed on key%5, segment
-    swapped on key%11 — the classic dirty-merge shape), blocked on
-    nationkey, scored as the exact-integer log-likelihood-ratio sum
-    with PINNED m priors and u probabilities ESTIMATED FROM THE DATA
-    (per-field birthday collision probability sum n_v^2/N^2, its ln
-    nano-decomposed per the FIXTURES libm rule). Emits every candidate
-    pair with its agreement vector, nanonat score, threshold decision
-    (5 nats) and ground-truth flag — so the oracle certifies the whole
-    confusion matrix, not just counts. Scale: the scorer is map-side
-    column arithmetic; pair volume is the BLOCKING strategy's budget
-    (here one equi-key; sorted-neighborhood or the shipped
-    MinHash-LSH banding is the documented refinement when blocks
-    outgrow the quadratic comfort zone, same doctrine as
-    fuzzy-edit-join)."""
-    from ..operators.fuzzy import fellegi_sunter_score
-
+def _fs_sides(spark, sf):
+    """The shared linkage fixture: clean source A, corrupted every-7th
+    copy B, and the 1-row u-probability/ln-weight frame (twin: the
+    _FS_COMMON_CTE block)."""
     c = t(spark, sf, "customer")
     a = c.select(
         F.col("c_custkey").alias("a_key"),
@@ -1901,6 +1886,31 @@ def link_fellegi_sunter(spark, sf):
             F.round(F.log(F.col("n") * F.col("n") - sq) * 1e9).cast("long")
             - 2 * ln_n,
         )
+    return a, b, u
+
+
+@query("link-fellegi-sunter", _FS_SQL)
+def link_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/fuzzy.fellegi_sunter_score): customers linked against a
+    deterministically-corrupted every-7th copy of themselves (name
+    truncation on key%3, last phone digit zeroed on key%5, segment
+    swapped on key%11 — the classic dirty-merge shape), blocked on
+    nationkey, scored as the exact-integer log-likelihood-ratio sum
+    with PINNED m priors and u probabilities ESTIMATED FROM THE DATA
+    (per-field birthday collision probability sum n_v^2/N^2, its ln
+    nano-decomposed per the FIXTURES libm rule). Emits every candidate
+    pair with its agreement vector, nanonat score, threshold decision
+    (5 nats) and ground-truth flag — so the oracle certifies the whole
+    confusion matrix, not just counts. Scale: the scorer is map-side
+    column arithmetic; pair volume is the BLOCKING strategy's budget
+    (here one equi-key; sorted-neighborhood or the shipped
+    MinHash-LSH banding is the documented refinement when blocks
+    outgrow the quadratic comfort zone, same doctrine as
+    fuzzy-edit-join)."""
+    from ..operators.fuzzy import fellegi_sunter_score
+
+    a, b, u = _fs_sides(spark, sf)
 
     def balbucket(c):
         # pmod floor (FIXTURES negative-dividend rule): acctbal can be
@@ -2077,3 +2087,144 @@ def ab_test_bootstrap(spark, sf):
         )
     )
     return rnk.select("b", "swa", "sxa", "swb", "sxb", "diff_micro", "rnk")
+
+
+def _fs_score_sql() -> str:
+    """The Fellegi-Sunter nanonat score as SQL text (same pinned
+    priors / data-estimated u columns as _FS_SQL), over a relation
+    exposing ag_* and the w CTE's lnu_*/ln1u_* columns."""
+    terms = []
+    for f in ("name", "phone", "seg", "bal"):
+        terms.append(
+            f"(CASE WHEN ag_{f} = 1 THEN {_FS_M[f][1]} - lnu_{f}"
+            f" ELSE {_FS_M[f][2]} - ln1u_{f} END)"
+        )
+    return "\n     + ".join(terms)
+
+
+_SN_W = 6
+
+_SN_SQL = f"""
+WITH {_FS_COMMON_CTE},
+recs AS (
+  SELECT a_name AS nm, 0 AS src, a_key AS key FROM a
+  UNION ALL
+  SELECT b_name AS nm, 1 AS src, b_key AS key FROM b
+),
+rnk AS (
+  SELECT nm, src, key,
+         row_number() OVER (ORDER BY nm, src, key) AS rn
+  FROM recs
+),
+pairs0 AS (
+  SELECT ra.key AS pa_key, rb.key AS pb_key, ra.rn AS rn_a, rb.rn AS rn_b
+  FROM rnk ra JOIN rnk rb
+    ON ra.src = 0 AND rb.src = 1 AND abs(ra.rn - rb.rn) <= {_SN_W}
+),
+p AS (
+  SELECT p0.pa_key AS a_key, p0.pb_key AS b_key, p0.rn_a, p0.rn_b,
+         CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS ag_name,
+         CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END AS ag_phone,
+         CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS ag_seg,
+         CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS ag_bal
+  FROM pairs0 p0
+  JOIN a ON a.a_key = p0.pa_key
+  JOIN b ON b.b_key = p0.pb_key
+)
+SELECT a_key, b_key, rn_a, rn_b, ag_name, ag_phone, ag_seg, ag_bal,
+       {_fs_score_sql()} AS score_nano,
+       CASE WHEN {_fs_score_sql()} > {_FS_THRESH_NANO}
+            THEN 1 ELSE 0 END AS decision,
+       CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS is_true
+FROM p, w
+"""
+
+
+@query("link-sorted-neighborhood", _SN_SQL)
+def link_sorted_neighborhood(spark, sf):
+    """SORTED-NEIGHBORHOOD record linkage (Hernandez & Stolfo 1995) —
+    the second blocking strategy next to link-fellegi-sunter's
+    equi-keys, over the SAME dirty-copy fixture and the same
+    nano-integer Fellegi-Sunter scorer: all records of both sources
+    sort globally by (name, source, key) — via
+    operators/relational.global_row_number, so no single-reducer
+    window — and only A-B pairs within a rank window of 6 become
+    candidates (a banded equi-join on floor(rn/(w+1)), the
+    join-interval doctrine). Emits the same pair payload plus both
+    ranks. The fixture makes the strategy's trade-off measurable:
+    uncorrupted-name B records sort ADJACENT to their match (found),
+    truncated names sort at the head of their shared-prefix block,
+    possibly hundreds of ranks away (missed) — the multi-pass
+    multi-key extension is the documented production answer; the
+    point of shipping both entries is that blocking recall is a
+    MEASURED property, not an assumption. Scale: one range shuffle
+    for the global numbering, a 3-band explode join, pair volume
+    bounded by 2w per record — linear in the corpus by
+    construction."""
+    from ..operators.fuzzy import fellegi_sunter_score
+    from ..operators.relational import global_row_number
+
+    a, b, u = _fs_sides(spark, sf)
+    recs = (
+        a.select(
+            F.col("a_name").alias("nm"), F.lit(0).alias("src"),
+            F.col("a_key").alias("key"),
+        )
+        .unionByName(
+            b.select(
+                F.col("b_name").alias("nm"), F.lit(1).alias("src"),
+                F.col("b_key").alias("key"),
+            )
+        )
+    )
+    rnk = global_row_number(recs, ["nm", "src", "key"], "rn")
+    ra = rnk.where(F.col("src") == 0).select(
+        F.col("key").alias("pa_key"), F.col("rn").alias("rn_a"),
+        (F.col("rn") - (((F.col("rn") % (_SN_W + 1)) + (_SN_W + 1))
+                        % (_SN_W + 1))) .alias("__band_x"),
+    )
+    rb = rnk.where(F.col("src") == 1).select(
+        F.col("key").alias("pb_key"), F.col("rn").alias("rn_b"),
+        (F.col("rn") - (((F.col("rn") % (_SN_W + 1)) + (_SN_W + 1))
+                        % (_SN_W + 1))).alias("__band"),
+    )
+    rb3 = rb.withColumn(
+        "__band_x",
+        F.explode(
+            F.array(
+                F.col("__band") - (_SN_W + 1),
+                F.col("__band"),
+                F.col("__band") + (_SN_W + 1),
+            )
+        ),
+    ).drop("__band")
+    pairs0 = ra.join(rb3, "__band_x").where(
+        F.abs(F.col("rn_a") - F.col("rn_b")) <= _SN_W
+    ).drop("__band_x")
+    p = (
+        pairs0.join(a, pairs0["pa_key"] == a["a_key"])
+        .join(b, pairs0["pb_key"] == b["b_key"])
+        .crossJoin(u)
+        .withColumn("ag_name", (F.col("a_name") == F.col("b_name")).cast("int"))
+        .withColumn("ag_phone", (F.col("a_phone") == F.col("b_phone")).cast("int"))
+        .withColumn("ag_seg", (F.col("a_seg") == F.col("b_seg")).cast("int"))
+        .withColumn("ag_bal", (F.col("a_bal") == F.col("b_bal")).cast("int"))
+    )
+    fields = [
+        {
+            "agree": F.col(f"ag_{f}") == 1,
+            "ln_m_nano": _FS_M[f][1],
+            "ln_1m_nano": _FS_M[f][2],
+            "ln_u_nano": F.col(f"lnu_{f}"),
+            "ln_1u_nano": F.col(f"ln1u_{f}"),
+        }
+        for f in ("name", "phone", "seg", "bal")
+    ]
+    scored = fellegi_sunter_score(p, fields)
+    return scored.select(
+        "a_key", "b_key", "rn_a", "rn_b",
+        "ag_name", "ag_phone", "ag_seg", "ag_bal",
+        "score_nano",
+        (F.col("score_nano") > _FS_THRESH_NANO).cast("int").alias("decision"),
+        (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
+    )

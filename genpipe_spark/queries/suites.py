@@ -1319,6 +1319,15 @@ _JOIN_FILTER_MEMBERS = {
         "join-null-safe",
         [("k", "s"), ("n_orders", "s"), ("n_cust", "s")],
     ),
+    "snlink": (
+        "link-sorted-neighborhood",
+        [
+            ("a_key", "s"), ("b_key", "s"), ("rn_a", "s"), ("rn_b", "s"),
+            ("ag_name", "s"), ("ag_phone", "s"), ("ag_seg", "s"),
+            ("ag_bal", "s"), ("score_nano", "s"), ("decision", "s"),
+            ("is_true", "s"),
+        ],
+    ),
     "fslink": (
         "link-fellegi-sunter",
         [
@@ -1338,7 +1347,9 @@ join_filter_suite = _register(
     "nullsafe added r7); r9 adds link-fellegi-sunter (probabilistic "
     "record linkage: blocked dirty-copy self-link, data-estimated u "
     "probabilities, nano-integer log-likelihood weights, full "
-    "confusion matrix oracle-certified).",
+    "confusion matrix oracle-certified) and link-sorted-neighborhood "
+    "(the second blocking strategy — global rank window over the "
+    "sorted union, same scorer, blocking recall MEASURED).",
 )
 
 _INTERVAL_MEMBERS = {

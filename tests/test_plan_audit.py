@@ -139,8 +139,10 @@ BOUNDED_NLJ_OK = {
     # 1-row frame of data-estimated u probabilities / ln weights
     # broadcast-attached to the blocked candidate pairs
     "link-fellegi-sunter": "1-row u-probability/ln-weight scalar attach",
+    "link-sorted-neighborhood": "inherits the 1-row u attach; the "
+    "rank-window pair join is a banded equi-join",
     "join-filter-suite": "inherits join-bloom-prefilter's fixed-size "
-    "bloom + link-fellegi-sunter's 1-row attach",
+    "bloom + the linkage entries' 1-row attaches",
     # the replicate table is a 32-row groupBy(b) aggregate; the rank
     # self-join is non-equi but both sides are that bounded aggregate
     "ab-test-bootstrap": "32-row replicate-aggregate rank self-join "
@@ -191,9 +193,12 @@ BOUNDED_BROADCAST_OK = {
     # offset table is #partitions rows (thousands at 100 TB, not data-sized)
     "global-row-number": "broadcast per-partition offset table",
     "window-suite": "inherits global-row-number's offset-table broadcast",
+    "link-sorted-neighborhood": "inherits global-row-number's "
+    "offset-table broadcast",
     # the bloom filter is <= m_bits/32 rows — a CONSTANT chosen at build
     "join-bloom-prefilter": "broadcast fixed-size bloom word table",
-    "join-filter-suite": "inherits join-bloom-prefilter's fixed-size bloom",
+    "join-filter-suite": "inherits join-bloom-prefilter's fixed-size bloom "
+    "and link-sorted-neighborhood's offset-table broadcast",
     "text-bigram-pmi": "broadcast 1-row unigram/bigram totals",
     "text-token-suite": "inherits text-bigram-pmi's 1-row broadcasts",
     "embedding-suite": "inherits the ann/brute members' bounded broadcasts",
