@@ -218,6 +218,7 @@ HEADLINE = [
     "stream-dedup-incremental",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
+    "forecast-croston",
 ]
 
 

@@ -677,6 +677,14 @@ _TIMEGRID_MEMBERS = {
             ("removal_micro", "s"),
         ],
     ),
+    "croston": (
+        "forecast-croston",
+        [
+            ("item", "s"), ("rn", "s"), ("wk", "s"), ("z", "s"),
+            ("gap", "s"), ("z_ewma_micro", "s"), ("p_ewma_micro", "s"),
+            ("croston_micro", "s"),
+        ],
+    ),
     "pelt": (
         "changepoint-pelt",
         [
@@ -1134,7 +1142,9 @@ timegrid_suite = _register(
     "isotonic calibration (PAVA scan vs the minimax oracle), and the "
     "Mann-Kendall + Theil-Sen robust trend pair; r9: PELT optimal "
     "changepoint segmentation (quantized-SSE DP, list-carrying "
-    "recursive-CTE twin certifying pruning losslessness).",
+    "recursive-CTE twin certifying pruning losslessness) and "
+    "Croston's intermittent-demand forecaster (two ewma scans — "
+    "non-zero sizes + inter-arrival gaps — ratioed in micro).",
 )
 profile_suite = _register(
     "profile-suite", _PROFILE_MEMBERS,

@@ -2851,3 +2851,93 @@ def changepoint_pelt(spark, sf):
         F.col("end_ord").alias("end_m"),
         "seg_len", "seg_sum", "seg_cost", "f_total", "pen",
     )
+
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE g AS (
+  SELECT l_partkey % 50 AS item,
+         (l_shipdate::DATE - DATE '1995-01-01') // 7 AS wk,
+         sum(CAST(l_quantity AS BIGINT)) AS z
+  FROM lineitem GROUP BY 1, 2
+),
+nz AS (
+  SELECT item, wk, z,
+         row_number() OVER (PARTITION BY item ORDER BY wk) AS rn,
+         coalesce(wk - lag(wk) OVER (PARTITION BY item ORDER BY wk),
+                  wk + 1) AS gap
+  FROM g WHERE z > 0
+),
+recz AS (
+  SELECT item, rn, CAST(z AS DOUBLE) AS s FROM nz WHERE rn = 1
+  UNION ALL
+  SELECT v.item, v.rn, 0.25 * CAST(v.z AS DOUBLE) + 0.75 * recz.s
+  FROM recz JOIN nz v ON v.item = recz.item AND v.rn = recz.rn + 1
+),
+recg AS (
+  SELECT item, rn, CAST(gap AS DOUBLE) AS s FROM nz WHERE rn = 1
+  UNION ALL
+  SELECT v.item, v.rn, 0.25 * CAST(v.gap AS DOUBLE) + 0.75 * recg.s
+  FROM recg JOIN nz v ON v.item = recg.item AND v.rn = recg.rn + 1
+)
+SELECT nz.item, nz.rn, nz.wk, CAST(nz.z AS BIGINT) AS z, nz.gap,
+       CAST(floor(recz.s * 1000000.0) AS BIGINT) AS z_ewma_micro,
+       CAST(floor(recg.s * 1000000.0) AS BIGINT) AS p_ewma_micro,
+       (CAST(floor(recz.s * 1000000.0) AS BIGINT) * 1000000)
+         // CAST(floor(recg.s * 1000000.0) AS BIGINT) AS croston_micro
+FROM nz
+JOIN recz ON recz.item = nz.item AND recz.rn = nz.rn
+JOIN recg ON recg.item = nz.item AND recg.rn = nz.rn
+"""
+
+
+@query("forecast-croston", _CROSTON_ORACLE)
+def forecast_croston(spark, sf):
+    """Croston's method (1972) — THE intermittent-demand forecaster,
+    completing the per-key forecasting family (ewma -> holt ->
+    holt-winters -> croston): weekly part demand is mostly-zero, so a
+    plain EWMA of the grid chases zeros; Croston smooths the NON-ZERO
+    demand sizes and the inter-arrival gaps separately (both through
+    operators/statescan.ewma_scan, alpha=0.25 — two scans over the
+    same keyed order, joined on (item, rn)) and forecasts their
+    ratio, floored to micro from the two micro states. The first
+    gap is wk+1 (periods since the calendar origin, pinned
+    convention). Same determinism story as timeseries-ewma (pinned
+    IEEE recurrence, binary-exact alpha, TWO recursive-CTE twins);
+    grid reduction is the distributed part, per-key scans are the
+    bounded residue."""
+    from pyspark.sql import Window
+
+    from ..operators.statescan import ewma_scan
+
+    li = t(spark, sf, "lineitem")
+    g = (
+        li.groupBy(
+            (F.col("l_partkey") % 50).alias("item"),
+            (F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+             .cast("long") / 7).cast("long").alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("z"))
+        .where(F.col("z") > 0)
+    )
+    w = Window.partitionBy("item").orderBy("wk")
+    nz = g.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("wk") - F.lag("wk").over(w), F.col("wk") + 1
+        ).cast("long"),
+    )
+    nz = nz.localCheckpoint(eager=False)
+    sz = ewma_scan(
+        nz, keys=["item"], order_cols=["wk"], value_col="z",
+        alpha=0.25, out_col="z_ewma_micro",
+    )
+    sg = ewma_scan(
+        nz, keys=["item"], order_cols=["wk"], value_col="gap",
+        alpha=0.25, out_col="p_ewma_micro",
+    ).select("item", "rn", "gap", "p_ewma_micro")
+    out = sz.join(sg, ["item", "rn"])
+    return out.select(
+        "item", "rn", "wk", "z", "gap", "z_ewma_micro", "p_ewma_micro",
+        F.expr("(z_ewma_micro * 1000000) div p_ewma_micro")
+        .alias("croston_micro"),
+    )
