@@ -219,6 +219,7 @@ HEADLINE = [
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",
+    "sketch-kmv-setops",
 ]
 
 

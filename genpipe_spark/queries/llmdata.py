@@ -4051,3 +4051,160 @@ def search_mmr_rerank(spark, sf):
     return mmr_rerank(
         emb, emb.where(F.col("vec_id") < 4), k_candidates=12, k_select=5
     )
+
+
+_KMV_SO_K = 256
+
+
+def _kmv_setops_sql(k: int = _KMV_SO_K) -> str:
+    est = (
+        "CASE WHEN {n} < {k} THEN {n} "
+        "ELSE CAST(floor({km1} * 2147483647.0 / {hk}) AS BIGINT) END"
+    )
+
+    def e(n, hk):
+        return est.format(n=n, hk=hk, k=k, km1=k - 1)
+
+    ok = (
+        "CASE WHEN abs({est} - {ex}) * 4 <= {ex} THEN 'yes' ELSE 'no' END"
+    )
+    return (
+        _SHINGLES_CTE
+        + f"""
+, sides AS (SELECT doc_id % 2 AS side, sh FROM sh),
+hs AS (
+  SELECT DISTINCT side, ((sh % 2147483647) * 506952114) % 2147483647 AS h
+  FROM sides
+),
+bka AS (SELECT h FROM hs WHERE side = 0 ORDER BY h LIMIT {k}),
+bkb AS (SELECT h FROM hs WHERE side = 1 ORDER BY h LIMIT {k}),
+bku AS (SELECT DISTINCT h FROM (SELECT h FROM bka UNION ALL SELECT h FROM bkb)
+        ORDER BY h LIMIT {k}),
+sa AS (SELECT count(*)::BIGINT AS ka, max(h) AS hka FROM bka),
+sb AS (SELECT count(*)::BIGINT AS kb, max(h) AS hkb FROM bkb),
+su AS (SELECT count(*)::BIGINT AS ku, max(h) AS hku FROM bku),
+ic AS (
+  SELECT count(*)::BIGINT AS inter_cnt
+  FROM bku
+  WHERE h IN (SELECT h FROM bka) AND h IN (SELECT h FROM bkb)
+),
+exact AS (
+  SELECT
+    (SELECT count(DISTINCT sh) FROM sides WHERE side = 0)::BIGINT AS n_a,
+    (SELECT count(DISTINCT sh) FROM sides WHERE side = 1)::BIGINT AS n_b,
+    (SELECT count(DISTINCT sh) FROM sides)::BIGINT AS n_union,
+    (SELECT count(*) FROM
+       (SELECT DISTINCT sh FROM sides WHERE side = 0)
+       NATURAL JOIN (SELECT DISTINCT sh FROM sides WHERE side = 1)
+    )::BIGINT AS n_inter
+)
+SELECT {k} AS k, ka, kb, ku,
+       {e('ka', 'hka')} AS est_a,
+       {e('kb', 'hkb')} AS est_b,
+       {e('ku', 'hku')} AS est_union,
+       inter_cnt,
+       (inter_cnt * ({e('ku', 'hku')})) // ku AS est_inter,
+       n_a, n_b, n_union, n_inter,
+       {ok.format(est=e('ka', 'hka'), ex='n_a')} AS ok_a,
+       {ok.format(est=e('kb', 'hkb'), ex='n_b')} AS ok_b,
+       {ok.format(est=e('ku', 'hku'), ex='n_union')} AS ok_union
+FROM sa, sb, su, ic, exact
+"""
+    )
+
+
+@query("sketch-kmv-setops", _kmv_setops_sql())
+def sketch_kmv_setops(spark, sf):
+    """KMV SET OPERATIONS — the reason mergeable sketches exist:
+    distinct counts of a UNION and an INTERSECTION estimated from two
+    independently-built bottom-k sketches without rescanning either
+    side (theta-sketch semantics on the KMV doctrine). The two
+    3-gram shingle sketches (doc-parity corpus split, k=256; shingles
+    because the toy corpus VOCABULARY is only ~31 words, which would
+    leave every sketch in its exact below-k regime and never exercise
+    the estimator — a sanity-probe catch) merge to the
+    union sketch (union -> sort -> first k, kmv_merge); the
+    intersection rides the standard theta estimator: the fraction of
+    union-sketch hashes present in BOTH side sketches scales the
+    union estimate (exact integer arithmetic from replayed hash
+    arrays). Every estimate is engine-replayed EXACTLY, and the three
+    cardinality estimates additionally carry oracle-pinned 25%
+    error-bound verdicts (~4 sigma at k=256's rsd ~6% — the DKW
+    certification recipe); the intersection estimate is emitted
+    without a pinned bound (its relative error grows as the true
+    overlap shrinks — the documented theta-sketch caveat), but being
+    a pure function of the sketches it still value-hash-verifies."""
+    from genpipe_spark.operators.dedup import M31, shingle_hashes
+    from genpipe_spark.operators.sketch import _SCRAMBLE, kmv_estimate, kmv_merge
+
+    K = _KMV_SO_K
+    docs = widen(t(spark, sf, "documents"))
+    sh = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(shingle_hashes(F.col("text"), 3)).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=False)
+
+    def side_sketch(pred, alias):
+        hs = (
+            sh.where(pred)
+            .select(
+                (((F.col("sh") % M31) * F.lit(_SCRAMBLE)) % M31).alias("h")
+            )
+            .distinct()
+        )
+        bottom = hs.orderBy("h").limit(K)
+        return bottom.agg(
+            F.array_sort(F.collect_list("h")).alias(alias)
+        )
+
+    a = side_sketch(F.col("side") == 0, "ma")
+    b = side_sketch(F.col("side") == 1, "mb")
+    exact = (
+        sh.where(F.col("side") == 0)
+        .agg(F.countDistinct("sh").alias("n_a"))
+        .crossJoin(
+            sh.where(F.col("side") == 1).agg(F.countDistinct("sh").alias("n_b"))
+        )
+        .crossJoin(sh.agg(F.countDistinct("sh").alias("n_union")))
+        .crossJoin(
+            sh.where(F.col("side") == 0).select("sh").distinct()
+            .join(sh.where(F.col("side") == 1).select("sh").distinct(), "sh")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+    )
+    j = a.crossJoin(b).select(
+        "ma", "mb", kmv_merge(F.col("ma"), F.col("mb"), K).alias("mu")
+    )
+    inter_cnt = F.size(
+        F.array_intersect(F.array_intersect(F.col("mu"), F.col("ma")), F.col("mb"))
+    ).cast("long")
+    est_u = kmv_estimate(F.col("mu"), K)
+    # est_inter needs est_union as an operand: two-step withColumn
+    out = j.select(
+        F.lit(K).alias("k"),
+        F.size("ma").cast("long").alias("ka"),
+        F.size("mb").cast("long").alias("kb"),
+        F.size("mu").cast("long").alias("ku"),
+        kmv_estimate(F.col("ma"), K).alias("est_a"),
+        kmv_estimate(F.col("mb"), K).alias("est_b"),
+        est_u.alias("est_union"),
+        inter_cnt.alias("inter_cnt"),
+    ).withColumn(
+        "est_inter",
+        F.expr("(inter_cnt * est_union) div ku"),
+    )
+    res = out.crossJoin(exact)
+
+    def ok(est, ex):
+        return F.when(
+            F.abs(F.col(est) - F.col(ex)) * 4 <= F.col(ex), "yes"
+        ).otherwise("no")
+
+    return res.select(
+        "k", "ka", "kb", "ku", "est_a", "est_b", "est_union",
+        "inter_cnt", "est_inter", "n_a", "n_b", "n_union", "n_inter",
+        ok("est_a", "n_a").alias("ok_a"),
+        ok("est_b", "n_b").alias("ok_b"),
+        ok("est_union", "n_union").alias("ok_union"),
+    )

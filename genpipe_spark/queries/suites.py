@@ -187,6 +187,16 @@ _SKETCH_MEMBERS = {
         "sketch-cms-heavy",
         [("key", "s"), ("est", "s"), ("n_exact", "s"), ("n_total", "s")],
     ),
+    "kmvsetops": (
+        "sketch-kmv-setops",
+        [
+            ("k", "s"), ("ka", "s"), ("kb", "s"), ("ku", "s"),
+            ("est_a", "s"), ("est_b", "s"), ("est_union", "s"),
+            ("inter_cnt", "s"), ("est_inter", "s"), ("n_a", "s"),
+            ("n_b", "s"), ("n_union", "s"), ("n_inter", "s"),
+            ("ok_a", "s"), ("ok_b", "s"), ("ok_union", "s"),
+        ],
+    ),
     "squant": (
         "sketch-sample-quantiles",
         [
@@ -250,7 +260,9 @@ sketch_suite = _register(
     "families in one slot (r5 window rotation); r9 adds "
     "sketch-sample-quantiles (deterministic bottom-k hash-sample quantiles: "
     "exact sketch replay + mergeability proof + oracle-pinned DKW "
-    "rank-error verdict).",
+    "rank-error verdict) and sketch-kmv-setops (theta-style "
+    "union/intersection estimates from merged KMV sketches, "
+    "error-bound-certified).",
 )
 
 

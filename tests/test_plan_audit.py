@@ -37,6 +37,7 @@ BOUNDED_NLJ_OK = {
     "dedup-embedding-cosine": "oracle-only brute-force near-dup baseline",
     # single-row bottom-k sketch arrays crossJoined to attach scalars
     "sketch-kmv-distinct": "1-row sketch x 1-row exact-count joins",
+    "sketch-kmv-setops": "1-row sketch / exact-count crossJoins",
     # explicitly the broadcast-range-join VARIANT (small interval side by
     # contract); the scale form is join-interval's banded equi-join
     "join-interval-broadcast": "documented broadcast range-join variant",
@@ -175,6 +176,7 @@ BOUNDED_BROADCAST_OK = {
     "ann-ivf-topk": "broadcast side is the <=16-row centroid table",
     "ann-ivf-kmeans": "broadcast side is the <=16-row centroid table",
     "sketch-kmv-distinct": "1-row sketch arrays crossJoined to attach scalars",
+    "sketch-kmv-setops": "1-row sketch arrays crossJoined to attach scalars",
     "join-interval-broadcast": "documented broadcast range-join variant; "
     "scale form is join-interval's banded equi-join",
     "dedup-embedding-cosine": "oracle-only brute-force baseline (documented)",
