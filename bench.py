@@ -220,6 +220,7 @@ HEADLINE = [
     "link-sorted-neighborhood",
     "forecast-croston",
     "sketch-kmv-setops",
+    "graph-harmonic-centrality",
 ]
 
 

@@ -492,3 +492,67 @@ def label_propagation(
         )
         labels = best.select("node", "label").localCheckpoint(eager=False)
     return labels
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact harmonic centrality H(v) = sum_{t != v, reachable}
+    1/d(v, t) over the UNDIRECTED graph — the shortest-path
+    centrality member of the graph family (pagerank ranks by flow,
+    k-core by cohesion, this by closeness; harmonic rather than
+    classic closeness because it is well-defined on disconnected
+    graphs, Boldi & Vigna 2014).
+
+    All-pairs BFS as ``iters`` rounds of min-plus relaxation over the
+    distance TABLE (src, dst, d): each round joins the current table
+    to the edge list and keeps the per-pair min — after r rounds
+    every pair within distance r is final, so ``iters`` >= the graph
+    diameter makes the result exact (callers bound it; the fixture
+    graph's diameter is ~3). The table is |nodes|^2 at worst — this
+    operator is for BOUNDED node domains (the LPA/pagerank fixture
+    doctrine: nodes are a modular projection, so the table is
+    constant-sized at ANY data scale and the joins never touch raw
+    data volume). Reciprocals stay exact: 1/d in micro is
+    ``1000000 div d`` — integer division both engines floor
+    identically for positive d.
+
+    Emits ``node, n_reached, harmonic_micro`` (sum of floored micro
+    reciprocals; unreachable pairs contribute nothing).
+    """
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).where(F.col(src_col) != F.col(dst_col))
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = und.select(
+        F.col("a").alias("s"), F.col("b").alias("t"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    for _ in range(iters - 1):
+        step = (
+            dist.join(und, dist["t"] == und["a"])
+            .select("s", F.col("b").alias("t"), (F.col("d") + 1).alias("d"))
+            .where(F.col("s") != F.col("t"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("s", "t")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.groupBy(F.col("s").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_micro"),
+        )
+    )

@@ -4208,3 +4208,62 @@ def sketch_kmv_setops(spark, sf):
         ok("est_b", "n_b").alias("ok_b"),
         ok("est_union", "n_union").alias("ok_union"),
     )
+
+
+def _harmonic_oracle(iters: int) -> str:
+    """Generated twin of operators/graph.harmonic_centrality: the
+    min-plus BFS rounds unrolled (the LPA precedent), reciprocals as
+    integer 1000000 // d."""
+    head = """
+WITH fwd AS (
+  SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b FROM fwd
+  )
+),
+d1 AS (SELECT a AS s, b AS t, 1::BIGINT AS d FROM und)"""
+    parts = [head]
+    for i in range(2, iters + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT s, t, min(d)::BIGINT AS d FROM (
+    SELECT s, t, d FROM d{i - 1}
+    UNION ALL
+    SELECT p.s, e.b AS t, p.d + 1 AS d
+    FROM d{i - 1} p JOIN und e ON e.a = p.t
+    WHERE p.s <> e.b
+  ) GROUP BY s, t
+)""")
+    parts.append(f"""
+SELECT s AS node, count(*)::BIGINT AS n_reached,
+       sum(1000000 // d)::BIGINT AS harmonic_micro
+FROM d{iters} GROUP BY s""")
+    return "".join(parts)
+
+
+_HARMONIC_ITERS = 6
+
+
+@query("graph-harmonic-centrality", _harmonic_oracle(_HARMONIC_ITERS))
+def graph_harmonic_centrality(spark, sf):
+    """Harmonic centrality (Boldi & Vigna 2014) over the symmetrized
+    100-node order graph — the shortest-path member completing the
+    graph-audit family (components / pagerank / triangles / k-core /
+    assortativity / clustering / LPA communities): H(v) = sum of
+    1/d(v,t) over reachable t, well-defined even when the graph
+    disconnects. Exact all-pairs BFS via 6 unrolled min-plus rounds
+    (>= the fixture diameter) over the BOUNDED modular node domain —
+    the distance table is <= 100^2 rows at any SF, and 1/d rides
+    integer micro division, so the unrolled twin matches bit-for-bit
+    (operators/graph.harmonic_centrality)."""
+    from genpipe_spark.operators.graph import harmonic_centrality
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return harmonic_centrality(edges, iters=_HARMONIC_ITERS)

@@ -1460,6 +1460,10 @@ _GRAPH_MEMBERS = {
         "graph-label-propagation",
         [("node", "s"), ("label", "s")],
     ),
+    "harmonic": (
+        "graph-harmonic-centrality",
+        [("node", "s"), ("n_reached", "s"), ("harmonic_micro", "s")],
+    ),
 }
 
 graph_suite = _register(
