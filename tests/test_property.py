@@ -1649,3 +1649,70 @@ def test_fellegi_sunter_score_model(spark):
            for r in fellegi_sunter_score(pairs, fields).collect()}
     assert out[1] == (-300 - (-5_000_000_000)) + (-2_000 - (-50))
     assert out[2] == (-1_000 - (-100)) + (-400 - (-2_000_000_000))
+
+
+def test_fellegi_sunter_small_blocks_stay_exact(spark):
+    """The r10 whale-block gate must be a NO-OP at fixture scale: every
+    (nation, bal-bucket) block at sf0.001 is far under the 65,536-pair
+    budget, so the output is the bit-identical all-pairs result — the
+    pinned confusion matrix certifies it (sf0.01's 214/1/0 is pinned by
+    the oracle parity gate)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.queries.quality import link_fellegi_sunter
+
+    df = link_fellegi_sunter(spark, "/root/testdata/sf0.001")
+    r = df.agg(
+        F.sum(((F.col("decision") == 1) & (F.col("is_true") == 1))
+              .cast("int")).alias("tp"),
+        F.sum(((F.col("decision") == 0) & (F.col("is_true") == 1))
+              .cast("int")).alias("fn"),
+        F.sum(((F.col("decision") == 1) & (F.col("is_true") == 0))
+              .cast("int")).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (r.tp, r.fn, r.fp, r.n) == (21, 1, 0, 31)
+
+
+def test_fellegi_sunter_whale_block_completes(tmp_path, spark):
+    """One 100k-customer block (every record in nation 0, every acctbal
+    inside one 500-cent bucket) is 100k x ~14.3k = 1.43e9 candidate
+    pairs unguarded — the r9 `weak` scenario. The r10 gate must route
+    it to windowed blocking: completes in seconds, pair volume linear
+    (<= ~2w per record), and candidate recall stays high because the
+    uncorrupted a_bal == b_bal sorts true pairs adjacent."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.queries.quality import link_fellegi_sunter
+
+    n = 100_000
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": pd.array(range(1, n + 1), dtype="int64"),
+            "c_name": [f"Customer#{k:09d}" for k in range(1, n + 1)],
+            "c_acctbal": [float(k % 49_000) / 100.0 for k in range(1, n + 1)],
+            "c_mktsegment": [
+                ("BUILDING", "MACHINERY", "AUTOMOBILE")[k % 3]
+                for k in range(1, n + 1)
+            ],
+            "c_nationkey": pd.array([0] * n, dtype="int64"),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    t0 = time.monotonic()
+    out = link_fellegi_sunter(spark, str(tmp_path)).agg(
+        F.count(F.lit(1)).alias("npairs"),
+        F.sum(F.col("is_true")).alias("true_found"),
+    ).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert elapsed < 90, f"whale block took {elapsed:.1f}s"
+    n_b = n // 7
+    # linear pair volume: banded window admits <= ~2(w+1) per b-record
+    assert out.npairs < 2 * (6 + 1) * 2 * n_b
+    # candidate recall: true pairs sort adjacent on (bal, name)
+    assert out.true_found >= int(0.95 * n_b)
