@@ -205,6 +205,7 @@ HEADLINE = [
     "text-gopher-rules",
     "text-perplexity-buckets",
     "text-bpe-train",
+    "text-bpe-encode",
     "search-rrf-fusion",
     "mix-epoch-shuffle",
     "mix-dsir-select",

@@ -815,39 +815,11 @@ def rrf_fuse(
     )
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    iters: int = 3,
-    top_words: int = 50,
-) -> DataFrame:
-    """Actual BPE TRAINING (Sennrich et al. 2016), ``iters`` merge
-    rounds unrolled declaratively — beyond the shipped pair-count
-    statistics (text-bpe-pairs), this learns the merges: per round,
-    count adjacent symbol pairs over the word-frequency table
-    (weighted by word count, every occurrence counted — the reference
-    get_stats), pick the top pair with the deterministic
-    (count desc, pair lexicographic asc) tiebreak as a min-struct over
-    (-count, a, b), and apply the merge to every word.
-
-    The merge step is pure ``replace()`` in BOTH engines via the
-    DOUBLE-SPACE symbol encoding: symbols are joined with two spaces
-    and the string padded ('  a  b  c  '), so the pattern '  a  b' ->
-    '  ab' never shares characters between adjacent occurrences —
-    plain left-to-right non-overlapping replace() then EQUALS the
-    reference's greedy tuple merge (a single-space encoding would skip
-    alternating overlaps because the shared delimiter gets consumed).
-
-    Scale: the corpus is reduced ONCE to (word, count) — everything
-    after is vocabulary-sized (combinable pair counts, 1-row top-pair
-    attaches, word-table rewrites); merges never touch the corpus
-    again. Output rows:
-      part='merge': k=round, a, b, s=merged token, cnt=pair count;
-      part='word':  k=rank (top ``top_words`` by count), a=word,
-                    s=final single-space symbolization, cnt.
-    """
-    from pyspark.sql import Window
-
+def _bpe_learn(df: DataFrame, text_col: str, iters: int):
+    """Shared BPE training loop (see bpe_train): reduce the corpus ONCE
+    to the (word, count) table, then run ``iters`` merge rounds over
+    that vocabulary-sized frame. Returns (final word table with its
+    double-space symbolization, list of 1-row merge frames)."""
     toks = df.select(
         F.explode(words(F.lower(F.col(text_col)))).alias("w")
     )
@@ -908,6 +880,103 @@ def bpe_train(
                 " concat('  ', ma, mb)) END"
             ).alias("s"),
         )
+    return w_cur, merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Apply a learned BPE merge table CORPUS-WIDE (tokenizer
+    application — the hot loop of a real training-data pipeline, and
+    the production counterpart of bpe_train): every document is
+    encoded to integer token ids, emitting one row per (doc, token)
+    with its in-doc count.
+
+    Scale shape — the merges NEVER touch the corpus: the ``iters``
+    merge rounds run on the deduplicated (word, count) table (as in
+    training), yielding a word -> final-symbolization MAPPING; the
+    corpus then pays exactly one tokenize-explode plus ONE equi-join
+    against that mapping (distinct-words-sized, sub-linear in the
+    corpus — AQE broadcasts it when small) and one (doc, token)
+    aggregation. This is how production tokenizers amortize: encode
+    the vocabulary once, join everywhere. Token ids are the rank by
+    (corpus frequency desc, token asc) over the VOCAB table — bounded
+    by |alphabet| + iters rows by construction, so the global rank
+    window is a bounded-domain window, not a data-sized single
+    reducer.
+
+    Output: (doc_id, token_id, tok, cnt) — the bag-of-token-ids per
+    document."""
+    from pyspark.sql import Window
+
+    w_fin, _ = _bpe_learn(df, text_col, iters)
+    wmap = w_fin.select("w", F.split(F.trim("s"), "  ").alias("syms"))
+    vocab = (
+        w_fin.select(
+            "cnt", F.explode(F.split(F.trim("s"), "  ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("tcnt"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("tcnt").desc(), F.col("tok")))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+    docw = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    enc = (
+        docw.join(wmap, "w")
+        .select("doc_id", F.explode("syms").alias("tok"))
+    )
+    return (
+        enc.join(vocab, "tok")
+        .groupBy("doc_id", "token_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    top_words: int = 50,
+) -> DataFrame:
+    """Actual BPE TRAINING (Sennrich et al. 2016), ``iters`` merge
+    rounds unrolled declaratively — beyond the shipped pair-count
+    statistics (text-bpe-pairs), this learns the merges: per round,
+    count adjacent symbol pairs over the word-frequency table
+    (weighted by word count, every occurrence counted — the reference
+    get_stats), pick the top pair with the deterministic
+    (count desc, pair lexicographic asc) tiebreak as a min-struct over
+    (-count, a, b), and apply the merge to every word.
+
+    The merge step is pure ``replace()`` in BOTH engines via the
+    DOUBLE-SPACE symbol encoding: symbols are joined with two spaces
+    and the string padded ('  a  b  c  '), so the pattern '  a  b' ->
+    '  ab' never shares characters between adjacent occurrences —
+    plain left-to-right non-overlapping replace() then EQUALS the
+    reference's greedy tuple merge (a single-space encoding would skip
+    alternating overlaps because the shared delimiter gets consumed).
+
+    Scale: the corpus is reduced ONCE to (word, count) — everything
+    after is vocabulary-sized (combinable pair counts, 1-row top-pair
+    attaches, word-table rewrites); merges never touch the corpus
+    again. Output rows:
+      part='merge': k=round, a, b, s=merged token, cnt=pair count;
+      part='word':  k=rank (top ``top_words`` by count), a=word,
+                    s=final single-space symbolization, cnt.
+    """
+    from pyspark.sql import Window
+
+    w_cur, merges = _bpe_learn(df, text_col, iters)
     topw = (
         w_cur.orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(top_words)

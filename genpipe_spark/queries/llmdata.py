@@ -1220,9 +1220,9 @@ def mix_dsir_select(spark, sf):
     )
 
 
-def _bpe_train_oracle(iters: int, top_words: int) -> str:
-    """Generated DuckDB twin of operators/text.bpe_train — the merge
-    rounds unrolled (fixed iteration count, the lpa/markov precedent);
+def _bpe_cte_chain(iters: int) -> str:
+    """The shared BPE-training CTE chain (toks -> wf -> w0 -> ... ->
+    w{iters}), used by both the train and the encode oracles;
     MATERIALIZED on every doubly-referenced word table (FIXTURES r8:
     chained-CTE inlining blowup)."""
     parts = [r"""
@@ -1262,6 +1262,14 @@ w{k} AS MATERIALIZED (
                            '  ' || ma || mb) END AS s
   FROM w{k - 1}, t{k}
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(iters: int, top_words: int) -> str:
+    """Generated DuckDB twin of operators/text.bpe_train — the merge
+    rounds unrolled (fixed iteration count, the lpa/markov
+    precedent)."""
+    parts = [_bpe_cte_chain(iters)]
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS part, CAST({k} AS BIGINT) AS k, ma AS a,"
         f" mb AS b, ma || mb AS s, CAST(mc AS BIGINT) AS cnt FROM t{k}"
@@ -1299,6 +1307,57 @@ def text_bpe_train(spark, sf):
 
     return bpe_train(widen(t(spark, sf, "documents")), iters=3,
                      top_words=50)
+
+
+def _bpe_encode_oracle(iters: int) -> str:
+    """DuckDB twin of operators/text.bpe_encode: the same training CTE
+    chain, then vocab ranking and the corpus-wide word-mapping join."""
+    return _bpe_cte_chain(iters) + f""",
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY tcnt DESC, tok) AS BIGINT)
+           AS token_id
+  FROM (
+    SELECT tok, CAST(sum(cnt) AS BIGINT) AS tcnt
+    FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS tok
+          FROM w{iters})
+    GROUP BY tok)
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+enc AS (
+  SELECT d.doc_id, u.tok
+  FROM docw d
+  JOIN w{iters} wt USING (w),
+       unnest(string_split(trim(wt.s), '  ')) AS u(tok)
+)
+SELECT doc_id, token_id, tok, CAST(count(*) AS BIGINT) AS cnt
+FROM enc JOIN vocab USING (tok)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("text-bpe-encode", _bpe_encode_oracle(3))
+def text_bpe_encode(spark, sf):
+    """BPE ENCODING AT SCALE (operators/text.bpe_encode) — applies the
+    merge table learned by text-bpe-train corpus-wide, closing the r9
+    VERDICT's one named LLM-pipeline gap (tokenizer APPLICATION is the
+    hot loop of a real 100 TB training-data pipeline; training alone
+    never touches most of the corpus). Emits the bag-of-token-ids per
+    document: (doc_id, token_id, tok, cnt).
+
+    Scale: merge rounds run on the deduplicated (word, count) table
+    only; the corpus pays one tokenize-explode + ONE equi-join against
+    the word -> symbolization mapping (sub-linear distinct-words side,
+    AQE-broadcast when small) + one (doc, token) count. Token ids rank
+    a vocab bounded at |alphabet| + iters rows by construction."""
+    from genpipe_spark.operators.text import bpe_encode
+
+    return bpe_encode(widen(t(spark, sf, "documents")), iters=3)
 
 
 _RRF_ORACLE = f"""

@@ -941,6 +941,10 @@ _TEXT_TOKEN_MEMBERS = {
         [("part", "s"), ("k", "s"), ("a", "s"), ("b", "s"), ("s", "s"),
          ("cnt", "s")],
     ),
+    "bpeencode": (
+        "text-bpe-encode",
+        [("doc_id", "s"), ("token_id", "s"), ("tok", "s"), ("cnt", "s")],
+    ),
     "rrf": (
         "search-rrf-fusion",
         [("query_id", "s"), ("doc_id", "s"), ("rrf_micro", "s"),
@@ -1212,6 +1216,8 @@ text_token_suite = _register(
     "PMI collocations and per-doc TF-IDF keyword extraction "
     "(r5 third rotation; pmi r6; tfidf r7) ∪ text-bpe-train (actual "
     "3-round BPE merge learning, double-space replace encoding, r9) "
+    "∪ text-bpe-encode (the learned merges applied CORPUS-WIDE to "
+    "per-doc token-id bags — tokenizer application at scale, r10) "
     "∪ search-rrf-fusion (reciprocal-rank hybrid-retrieval fusion, "
     "exact-integer scores, r9).",
 )

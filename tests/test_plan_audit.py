@@ -49,6 +49,8 @@ BOUNDED_NLJ_OK = {
     "search-rrf-fusion": "inherits bm25_topk's 1-row stats attach",
     # three 1-row top-pair attaches (one per unrolled merge round)
     "text-bpe-train": "1-row top-pair attach per merge round",
+    "text-bpe-encode": "1-row top-pair attach per merge round (training "
+    "runs on the deduplicated word table only)",
     # 1-row totals attach + 32-row bucket-ratio broadcast
     "mix-dsir-select": "1-row totals + 32-row bucket-ratio attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
@@ -255,6 +257,7 @@ BOUNDED_BROADCAST_OK = {
     "ab-test-msprt": "broadcast 1-row arm counts",
     "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
     "text-bpe-train": "broadcast 1-row top pair per merge round",
+    "text-bpe-encode": "broadcast 1-row top pair per merge round",
     "mix-dsir-select": "broadcast 1-row totals + 32-row ratio table",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
@@ -436,6 +439,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # ranking window over the LIMIT-50 truncated word table (TopK
     # feeds it; the vocab reduction is the ks-drift doctrine)
     "text-bpe-train": "window over the 50-row truncated word list",
+    "text-bpe-encode": "vocab-rank window over a table bounded at "
+    "|alphabet| + merge count rows by construction",
     "mix-dsir-select": "window over the 100-row truncated selection",
     "mix-full-suite": "inherits mix-dsir-select's truncated window",
     "text-token-suite": "inherits text-bpe-train's truncated-list window",
