@@ -144,6 +144,99 @@ def kmeans_centroids(
     )
 
 
+def kmeans_centroids_exact(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Spherical k-means with ENGINE-REPLAYABLE arithmetic (the r9
+    dedup-semantic certification recipe applied to iterated Lloyd
+    training — closes the ann-ivf-kmeans rows-only gap).
+
+    The float-mean centroid of :func:`kmeans_centroids` is
+    bit-nondeterministic because double summation is order-dependent.
+    Two facts remove the nondeterminism without giving up iteration:
+
+      1. cosine is invariant to positive scaling of either argument,
+         so for ASSIGNMENT the centroid can be the member SUM vector
+         instead of the mean — spherical k-means only ever uses the
+         centroid's direction;
+      2. keeping vectors as integers (one ``round(x*scale)``
+         quantization at ingest) makes those sums EXACT and
+         order-independent — the one float reduction becomes an int64
+         reduction.
+
+    Each iteration assigns every vector to the argmax strict-left-fold
+    cosine over the double-cast integer centroids ((cos desc, cent_id)
+    tiebreak — identical in DuckDB), then recomputes each centroid as
+    the exact elementwise int64 SUM of its members (posexplode →
+    (cell, dim) combinable aggregation). Empty cells keep their
+    previous sum vector. Seeds are the first ``num_centroids``
+    quantized vectors by id. Only the k x dim centroid matrix is ever
+    collected (bounded by construction — the kmeans_centroids
+    precedent, cuts per-iteration lineage).
+
+    Exactness bound: double-cast int64 is exact below 2^53 —
+    components |x| <= ~10 quantized at 1e6 support cells of ~1e8
+    members; at larger corpora drop ``scale`` (1e3 supports ~1e11).
+
+    Output: (cent_id, cent_v array<double>) — the trained sum-vector
+    directions, drop-in for :func:`ivf_topk`'s ``centroids``."""
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("vq"),
+    ).select(
+        "id", "vq",
+        F.transform("vq", lambda x: x.cast("double")).alias("v"),
+    )
+    cents: list[list[int]] = [
+        [int(x) for x in r["vq"]]
+        for r in c.orderBy("id").limit(num_centroids).collect()
+    ]
+    if not cents:
+        raise ValueError("kmeans_centroids_exact: corpus is empty")
+    num_centroids = min(num_centroids, len(cents))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+            "cent_id long, cent_v array<double>",
+        )
+        scored = c.join(F.broadcast(cdf), how="cross")
+        w = Window.partitionBy("id").orderBy(
+            F.desc(cosine(F.col("v"), F.col("cent_v"))), F.col("cent_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "vq", F.col("cent_id").alias("cell"))
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ).alias("dims")
+            )
+            .select("cell", F.transform("dims", lambda d: d["s"]).alias("sum_v"))
+        )
+        by_cell = {r["cell"]: [int(x) for x in r["sum_v"]] for r in sums.collect()}
+        cents = [by_cell.get(i, cents[i]) for i in range(num_centroids)]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cent_id long, cent_v array<double>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -274,15 +274,104 @@ def ann_topk_suite(spark, sf):
     )
 
 
-@query("ann-ivf-kmeans")  # rows-only: float-mean centroids are not
-# bit-reproducible across engines; recall is pytest-gated instead
+def _ann_kmeans_oracle(k_cents: int = 8, iters: int = 3, k: int = 5,
+                       scale: int = 1_000_000) -> str:
+    """DuckDB twin of the TRAINED-centroid IVF (kmeans_centroids_exact
+    + ivf_topk): the Lloyd iterations unrolled (fixed count, the
+    lpa/markov/bpe precedent). Replayable because centroids are exact
+    int64 member-SUM vectors of one-time-quantized inputs (cosine is
+    scale-invariant, so sum == mean for assignment) — the only
+    reductions are integer, and every cosine is the shared
+    strict-left-fold on identical double-cast values."""
+    parts = [f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x*{scale}) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    ed AS MATERIALIZED (
+      SELECT vec_id, vq, list_transform(vq, x -> x::DOUBLE) AS v FROM e
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cent_id, v AS cent_v
+      FROM (SELECT vec_id, v FROM ed ORDER BY vec_id LIMIT {k_cents})
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, vq, cell FROM (
+        SELECT ed.vec_id, ed.vq, cent_id AS cell,
+               row_number() OVER (
+                 PARTITION BY ed.vec_id
+                 ORDER BY {_cos_sql('ed.v', 'cent_v')} DESC, cent_id
+               ) AS rn
+        FROM ed CROSS JOIN c{i - 1}) WHERE rn = 1
+    ),
+    s{i} AS (
+      SELECT cell, list(s ORDER BY pos) AS sum_v FROM (
+        SELECT cell, i AS pos, CAST(sum(vq[i]) AS BIGINT) AS s
+        FROM a{i}, unnest(range(1, len(vq) + 1)) AS ti(i)
+        GROUP BY cell, i)
+      GROUP BY cell
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cent_id,
+             COALESCE(list_transform(s{i}.sum_v, x -> x::DOUBLE),
+                      p.cent_v) AS cent_v
+      FROM c{i - 1} p LEFT JOIN s{i} ON s{i}.cell = p.cent_id
+    )""")
+    parts.append(f""",
+    fa AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT ed.vec_id, ed.v, cent_id AS cell,
+               row_number() OVER (
+                 PARTITION BY ed.vec_id
+                 ORDER BY {_cos_sql('ed.v', 'cent_v')} DESC, cent_id
+               ) AS rn
+        FROM ed CROSS JOIN c{iters}) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell
+          FROM fa WHERE vec_id < 8),
+    pairs AS (
+      SELECT query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('qv', 'a.v')} AS cos
+      FROM fa a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
+@query("ann-ivf-kmeans", _ann_kmeans_oracle(8, 3, 5))
 def ann_ivf_kmeans(spark, sf):
     """IVF probe over TRAINED centroids (spherical k-means, 3 Lloyd
-    iterations) instead of the first-N seeds — the production IVF path;
-    the seeded variant above stays the oracle-matched twin."""
+    iterations) instead of the first-N seeds — the production IVF
+    path. CERTIFIED r10 (formerly rows-only): centroids are exact
+    int64 member-sum vectors over one-time-quantized inputs
+    (operators/similarity.kmeans_centroids_exact — cosine is
+    scale-invariant, so the sum direction IS the mean direction), so
+    training is a pure function of the data and the DuckDB twin
+    replays all three iterations plus the probe exactly. The probe
+    runs on the same quantized vectors so every cosine in both engines
+    folds identical doubles."""
     emb = t(spark, sf, "embeddings")
-    cents = S.kmeans_centroids(emb, num_centroids=8, iters=3)
-    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, centroids=cents)
+    embq = emb.select(
+        "vec_id",
+        F.transform(
+            S.as_double(F.col("embedding")),
+            lambda x: F.round(x * 1_000_000).cast("long").cast("double"),
+        ).alias("embedding"),
+    )
+    cents = S.kmeans_centroids_exact(embq, num_centroids=8, iters=3,
+                                     scale=1)
+    return S.ivf_topk(embq, embq.where(F.col("vec_id") < 8), k=5,
+                      centroids=cents)
 
 
 def _lsh_pairs_sql(threshold: float = 0.35, num_planes: int = 12,

@@ -2100,3 +2100,36 @@ def test_bpe_train_no_pair_rounds_are_noops(spark):
     assert [r for r in rows if r["part"] == "merge"] == []
     words = {r["a"]: r["s"] for r in rows if r["part"] == "word"}
     assert words == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_kmeans_exact_bit_stable_and_recall(spark):
+    """kmeans_centroids_exact (r10 certification path): int64 sum-vector
+    centroids must be BIT-IDENTICAL across two independent trainings
+    (the property the float-mean variant lacks), cover every cell, and
+    the IVF probe built on them must keep the recall floor."""
+    from genpipe_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    c1 = kmeans_centroids_exact(emb, num_centroids=8, iters=3)
+    c2 = kmeans_centroids_exact(emb, num_centroids=8, iters=3)
+    r1 = {r["cent_id"]: list(r["cent_v"]) for r in c1.collect()}
+    r2 = {r["cent_id"]: list(r["cent_v"]) for r in c2.collect()}
+    assert r1 == r2
+    assert len(r1) == 8 and all(len(v) == 64 for v in r1.values())
+    # sum vectors are integers exactly representable in double
+    assert all(x == float(int(x)) for v in r1.values() for x in v)
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, centroids=c1).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3  # probe-1-cell floor
