@@ -1716,3 +1716,35 @@ def test_fellegi_sunter_whale_block_completes(tmp_path, spark):
     assert out.npairs < 2 * (6 + 1) * 2 * n_b
     # candidate recall: true pairs sort adjacent on (bal, name)
     assert out.true_found >= int(0.95 * n_b)
+
+
+def test_exact_substr_routes_equivalent(spark):
+    """The r10 high-duplication auto-route is PLAN-ONLY: the broadcast
+    path, the wide path and the unfiltered exact path must emit
+    identical span rows on a pathologically repetitive corpus — and
+    the auto decision must pick 'broadcast' there (99%+ of gram
+    occurrences duplicated, few distinct grams)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.dedup import exact_substring_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"u{i:03d}" + boiler * 4 + f"tail{i % 7}")
+            for i in range(200)
+        ]
+    )
+
+    def spans(**kw):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_anchors)
+            for r in exact_substring_spans(docs, **kw).collect()
+        )
+
+    wide = spans(route="wide")
+    bcast = spans(route="broadcast")
+    plain = spans(route="wide", hash_prefilter=False)
+    auto = spans()  # must route to broadcast and still match
+    assert wide == bcast == plain == auto
+    assert len(wide) > 0
