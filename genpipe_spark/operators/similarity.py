@@ -778,6 +778,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cluster: int = 256,
+    levels: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic deduplication by
     embedding: cluster the corpus, then within each cluster drop every
@@ -788,17 +789,22 @@ def semdedup(
     ceil(n / target_cluster)) the expected cluster size is constant,
     so the pair stage is LINEAR in the corpus.
 
-    Assignment is TWO-LEVEL (the IVF shape, r9-late: flat
+    Assignment is a SEED TREE (the IVF shape, r9-late: flat
     nearest-of-K scoring is n*K = n^2/target cosines — measured 886 s
-    at the 100x fixture): K1 = max(2, ceil(sqrt(K))) COARSE seeds
-    (ids < K1) partition the K FINE seeds (ids < K); a row probes the
-    K1 coarse seeds, then scores only the fine seeds of its coarse
-    group — n * (sqrt(K) + K/sqrt(K)) ~ 2n*sqrt(K) cosines, with the
-    per-group fine scoring an EQUI join. Every coarse group contains
-    at least its own coarse seed (cos(c, c) = 1 wins with the
-    smallest-id tie), so assignment is total. Deeper trees extend the
-    same rule when n*sqrt(K) outgrows the budget; iterated-kmeans
-    clustering lives in the rows-only ann-ivf-kmeans sibling.
+    at the 100x fixture). TWO-LEVEL default: K1 = max(2,
+    ceil(sqrt(K))) COARSE seeds (ids < K1) partition the K FINE seeds
+    (ids < K); a row probes the K1 coarse seeds, then scores only the
+    fine seeds of its coarse group — n * (sqrt(K) + K/sqrt(K)) ~
+    2n*sqrt(K) cosines, with the per-group fine scoring an EQUI join.
+    THREE-LEVEL (r10, auto when K > 2048 — the measured crossover;
+    ~0.5M docs at the default target — or ``levels=3``): a
+    cbrt(K)-seed TOP tier above
+    a K^(2/3) MID tier, cutting per-row probes to ~3*cbrt(K). Seed
+    sets are NESTED prefixes (ids < K0 ⊂ ids < K1 ⊂ ids < K), so
+    every group at every tier contains its own seed (cos(s, s) = 1
+    wins with the smallest-id tie) and assignment stays total by the
+    same argument. Iterated-kmeans clustering lives in the
+    ann-ivf-kmeans sibling (certified r10).
 
     Determinism contract: seeds are PINNED id-threshold sets — no
     iteration — so the two-level assignment (argmax fold-cosine,
@@ -821,6 +827,15 @@ def semdedup(
         n = pre.count()
         k_clusters = max(8, -(-n // target_cluster))
     k1 = max(2, math.ceil(math.sqrt(k_clusters)))
+    if levels is None:
+        # measured crossover (sf10 embeddings, fresh JVM per config):
+        # K=2048 two-level 45.7 s vs three-level 21.0 s; K=32768
+        # 307.5 s vs 41.6 s — three-level is ~flat in K, two-level
+        # grows as sqrt(K); below ~2k seeds the extra tier's joins
+        # aren't paid back
+        levels = 3 if k_clusters > 2048 else 2
+    if levels not in (2, 3):
+        raise ValueError(f"semdedup: levels {levels} not in (2, 3)")
 
     def nearest(rows, rid, seeds, sid, out):
         """argmax cosine over ``seeds`` per ``rows`` row (smallest-seed
@@ -843,6 +858,28 @@ def semdedup(
             .select(rid, F.col("m.sid").alias(out))
         )
 
+    def confined(rows, rid, gcol, seeds, sid, out):
+        """argmax cosine over the seeds sharing the rows' ``gcol``
+        group — the tree's group-confined probe (an EQUI join, so the
+        per-row candidate set is the group's seed list, not all K)."""
+        packed = F.min(
+            F.struct(
+                (
+                    -cosine_prenormed(
+                        F.col("__rv"), F.col("__sv"),
+                        F.col("__rq"), F.col("__sq2"),
+                    )
+                ).alias("negcos"),
+                F.col(sid).alias("sid"),
+            )
+        ).alias("m")
+        return (
+            rows.join(seeds, gcol)
+            .groupBy(rid)
+            .agg(packed)
+            .select(rid, F.col("m.sid").alias(out))
+        )
+
     fine = pre.where(F.col("id") < k_clusters).select(
         F.col("id").alias("fid"), F.col("v").alias("fv"),
         F.col("sq").alias("fsq"),
@@ -851,16 +888,80 @@ def semdedup(
         F.col("fid").alias("sid0"), F.col("fv").alias("__sv"),
         F.col("fsq").alias("__sq2"),
     )
-    # fine seed -> coarse group
-    fc = nearest(
-        fine.select("fid", F.col("fv").alias("__rv"), F.col("fsq").alias("__rq")),
-        "fid", coarse, "sid0", "g",
-    ).join(fine, "fid")
-    # row -> coarse group (the K1-wide probe)
-    rc = nearest(
-        pre.select("id", F.col("v").alias("__rv"), F.col("sq").alias("__rq")),
-        "id", coarse, "sid0", "g",
-    ).join(pre, "id")
+    if levels == 2:
+        # fine seed -> coarse group
+        fc = nearest(
+            fine.select("fid", F.col("fv").alias("__rv"),
+                        F.col("fsq").alias("__rq")),
+            "fid", coarse, "sid0", "g",
+        ).join(fine, "fid")
+        # row -> coarse group (the K1-wide probe)
+        rc = nearest(
+            pre.select("id", F.col("v").alias("__rv"),
+                       F.col("sq").alias("__rq")),
+            "id", coarse, "sid0", "g",
+        ).join(pre, "id")
+    else:
+        # THREE-LEVEL: cbrt(K) top seeds over K^(2/3) mid seeds over
+        # the K fine seeds (nested id prefixes). Every probe below the
+        # top tier is group-confined, so per-row cost is ~3*cbrt(K).
+        k0 = 2
+        while k0 ** 3 < k_clusters:
+            k0 += 1
+        k1_3 = k0
+        while k1_3 ** 3 < k_clusters ** 2:
+            k1_3 += 1
+        k1_3 = min(max(k0, k1_3), k_clusters)
+        k0 = min(max(2, k0), k1_3)
+        top = fine.where(F.col("fid") < k0).select(
+            F.col("fid").alias("sidT"), F.col("fv").alias("__sv"),
+            F.col("fsq").alias("__sq2"),
+        )
+        mid_seed = fine.where(F.col("fid") < k1_3)
+        # mid seed -> top group (full probe, K^(2/3) x cbrt(K) pairs)
+        mt = nearest(
+            mid_seed.select(
+                F.col("fid").alias("mid_id"),
+                F.col("fv").alias("__rv"), F.col("fsq").alias("__rq"),
+            ),
+            "mid_id", top, "sidT", "tg",
+        ).join(
+            mid_seed.select(
+                F.col("fid").alias("mid_id"),
+                F.col("fv").alias("__sv"), F.col("fsq").alias("__sq2"),
+            ),
+            "mid_id",
+        )
+        # fine seed -> top group (full probe, K x cbrt(K)), then ->
+        # mid group confined to that top group
+        ft = nearest(
+            fine.select("fid", F.col("fv").alias("__rv"),
+                        F.col("fsq").alias("__rq")),
+            "fid", top, "sidT", "tg",
+        )
+        fc = confined(
+            ft.join(fine, "fid").select(
+                "fid", "tg", F.col("fv").alias("__rv"),
+                F.col("fsq").alias("__rq"),
+            ),
+            "fid", "tg",
+            mt.select("tg", "mid_id", "__sv", "__sq2"), "mid_id", "g",
+        ).join(fine, "fid")
+        # row -> top group, then -> mid group confined to it; the mid
+        # group id is the cluster-tree group the fine probe below uses
+        rt = nearest(
+            pre.select("id", F.col("v").alias("__rv"),
+                       F.col("sq").alias("__rq")),
+            "id", top, "sidT", "tg",
+        )
+        rc = confined(
+            rt.join(pre, "id").select(
+                "id", "tg", F.col("v").alias("__rv"),
+                F.col("sq").alias("__rq"),
+            ),
+            "id", "tg",
+            mt.select("tg", "mid_id", "__sv", "__sq2"), "mid_id", "g",
+        ).join(pre, "id")
     # row -> nearest fine seed WITHIN its coarse group (equi join on g)
     packed = F.min(
         F.struct(
@@ -878,6 +979,12 @@ def semdedup(
         .agg(packed, F.first("v").alias("v"), F.first("sq").alias("sq"))
         .select("id", "v", "sq", F.col("m.fid").alias("cluster"))
     )
+    # asg feeds BOTH sides of the intra-cluster pair join AND the final
+    # verdict join — without a checkpoint the whole assignment tree
+    # recomputes three times (r10, found profiling the 3-level tree:
+    # stage times were fine but end-to-end was 2x; the deeper chain
+    # amplifies recomputation)
+    asg = asg.localCheckpoint(eager=False)
     a = asg.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("sq").alias("sa"), F.col("cluster").alias("ca"),

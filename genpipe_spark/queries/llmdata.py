@@ -4094,13 +4094,18 @@ def dedup_semantic(spark, sf):
     within each cluster drop vectors having a smaller-id neighbor at
     cosine >= 0.35, recording who shadowed them. Pairwise cost is
     confined to clusters (sum |cluster|^2 — the method's reason to
-    exist; K scales with N in production, and the rows-only
-    ann-ivf-kmeans entry is where REAL iterated centroids live). The
-    twin replays seeds, fold-cosine assignment, tiebreaks and
-    verdicts exactly — operators/similarity.semdedup."""
+    exist; K scales with N in production, and the ann-ivf-kmeans
+    entry — certified r10 — is where REAL iterated centroids live).
+    The twin replays seeds, fold-cosine assignment, tiebreaks and
+    verdicts exactly — operators/similarity.semdedup. levels=2 pins
+    the oracle contract to the two-level tree the twin unrolls; the
+    r10 three-level tree (auto beyond K=2048, measured crossover) is
+    property-tested for verdict invariance and sweep-measured — extend
+    the twin's unroll before registering an auto-levels entry."""
     from genpipe_spark.operators.similarity import semdedup
 
-    return semdedup(t(spark, sf, "embeddings"), threshold=_SEMDEDUP_TAU)
+    return semdedup(t(spark, sf, "embeddings"), threshold=_SEMDEDUP_TAU,
+                    levels=2)
 
 
 def _mmr_sql(k_cand: int = 12, k_sel: int = 5) -> str:

@@ -1748,3 +1748,54 @@ def test_exact_substr_routes_equivalent(spark):
     auto = spans()  # must route to broadcast and still match
     assert wide == bcast == plain == auto
     assert len(wide) > 0
+
+
+def test_semdedup_three_level_tree(spark):
+    """The r10 three-level seed tree: (a) assignment stays TOTAL (one
+    verdict per vector; every cluster id is a fine seed); (b) PRECISION
+    is exactly 1 at any depth — every dropped vector's dup_of is a
+    smaller-id same-cluster neighbor at exact cosine >= threshold (the
+    final filter is exact, so deeper trees can only change RECALL);
+    (c) keep/drop verdicts agree with the two-level tree on the vast
+    majority of the harness embeddings (the boundary-straddle loss is
+    bounded, mirroring the SN-blocking measured-recall doctrine)."""
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.similarity import as_double, semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tau = 0.35
+    out = {}
+    for lv in (2, 3):
+        rows = semdedup(emb, k_clusters=32, threshold=tau, levels=lv).collect()
+        assert len(rows) == emb.count()
+        assert all(r.cluster is not None and 0 <= r.cluster < 32 for r in rows)
+        out[lv] = rows
+
+    # (b) soundness of every 3-level drop: exact cosine >= tau and the
+    # shadowing neighbor is a smaller id in the same cluster
+    byid = {r.id: r for r in out[3]}
+    vecs = {
+        r.vec_id: list(r.v)
+        for r in emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    drops = [r for r in out[3] if r.is_dup == 1]
+    assert drops, "fixture probe: no drops at all"
+    for r in drops:
+        assert r.dup_of < r.id
+        assert byid[r.dup_of].cluster == r.cluster
+        assert cos(vecs[r.id], vecs[r.dup_of]) >= tau - 1e-9
+
+    # (c) agreement floor between depths
+    v2 = {r.id: r.is_dup for r in out[2]}
+    v3 = {r.id: r.is_dup for r in out[3]}
+    agree = sum(1 for i in v2 if v2[i] == v3[i]) / len(v2)
+    assert agree >= 0.9, f"level-2/3 verdict agreement {agree:.3f}"
