@@ -206,6 +206,8 @@ HEADLINE = [
     "text-perplexity-buckets",
     "text-bpe-train",
     "text-bpe-encode",
+    "text-fasttext-score",
+    "dedup-cdc-chunks",
     "search-rrf-fusion",
     "mix-epoch-shuffle",
     "mix-dsir-select",

@@ -1224,3 +1224,125 @@ def exact_substring_spans(
             "span_start", "span_end", "span_len", "n_anchors",
         )
     )
+
+
+_CDC_POW31 = [1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810347]
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the rsync/LBFS/casync
+    family: chunk boundaries are placed where a rolling hash of the
+    LAST ``window`` characters satisfies ``h % mask == 0``, so
+    boundaries depend only on LOCAL content. A one-character insertion
+    re-chunks ONE chunk and every other chunk hash survives — the
+    shift-robustness that fixed-width windows (text-line-dedup's
+    lines, fixed 64-char blocks) fundamentally lack; the complementary
+    exact tool to dedup-exact-substr's span marking (spans localize
+    duplicated text, CDC buckets storage/transfer-unit duplicates).
+
+    Everything is higher-order expressions over the char-code array
+    (position hashes, boundary filter, chunk slicing, per-chunk
+    31-fold hashes) — per-row compute, no UDF, no explode until the
+    corpus-wide duplicate count. The only shuffle is the
+    (chunk_hash -> count) aggregation plus one semi-join-shaped count
+    attach, both on 8-byte keys. Expected chunk length is ``mask``
+    chars (production pins min/max chunk clamps; the pure mask rule
+    keeps the operator declaratively replayable and the CDC property
+    intact).
+
+    Output per document: n_chunks, n_dup_chunks (chunks whose hash
+    occurs >= 2 times corpus-wide — including within one doc),
+    dup_chars, total_chars."""
+    if window != 8:
+        raise ValueError("cdc_chunk_stats: window is pinned at 8 "
+                         "(the _CDC_POW31 table)")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= 1)
+    codes = F.transform(
+        F.filter(F.split(F.col("t"), ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    b = base.select("id", "t", codes.alias("cs"), F.length("t").alias("n"))
+    pw = [F.lit(p).cast("long") for p in _CDC_POW31]
+
+    def whash(i):
+        # rolling hash of chars (i-window+1 .. i), 1-based positions
+        s = F.lit(0).cast("long")
+        for j in range(8):
+            s = (s + F.element_at(F.col("cs"), i - j) * pw[j]) % M31
+        return s
+
+    bounds = F.filter(
+        F.transform(
+            F.sequence(F.lit(8), F.greatest(F.col("n"), F.lit(8))),
+            lambda i: F.struct(i.alias("i"), whash(i).alias("h")),
+        ),
+        lambda s: (s["h"] % mask == 0) & (s["i"] < F.col("n")),
+    )
+    ends = F.concat(
+        F.transform(bounds, lambda s: s["i"]),
+        F.array(F.col("n").cast("int")),
+    )
+    c = b.where(F.col("n") >= 8).select(
+        "id", "t", "n", ends.alias("ends")
+    ).unionByName(
+        # short docs: one whole-doc chunk (no valid window position)
+        b.where(F.col("n") < 8).select(
+            "id", "t", "n",
+            F.array(F.col("n").cast("int")).alias("ends"),
+        )
+    )
+    chunks = c.select(
+        "id", "t",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ends")),
+                lambda k: F.struct(
+                    k.alias("ci"),
+                    F.when(k == 1, F.lit(1))
+                    .otherwise(F.element_at(F.col("ends"), k - 1) + 1)
+                    .alias("start"),
+                    F.element_at(F.col("ends"), k).alias("end"),
+                ),
+            )
+        ).alias("ck"),
+    ).select(
+        "id",
+        F.col("ck.ci").alias("ci"),
+        (F.col("ck.end") - F.col("ck.start") + 1).cast("long").alias("clen"),
+        F.aggregate(
+            F.transform(
+                F.filter(
+                    F.split(
+                        F.expr(
+                            "substring(t, ck.start, ck.end - ck.start + 1)"
+                        ),
+                        "",
+                    ),
+                    lambda ch: ch != "",
+                ),
+                F.ascii,
+            ),
+            F.lit(7).cast("long"),
+            lambda a, ch: (a * 31 + ch) % M31,
+        ).alias("chash"),
+    )
+    counts = chunks.groupBy("chash").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        chunks.join(counts, "chash")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("cc") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("cc") >= 2, F.col("clen")).otherwise(0))
+            .cast("long").alias("dup_chars"),
+            F.sum("clen").cast("long").alias("total_chars"),
+        )
+    )

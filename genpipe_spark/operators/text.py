@@ -815,6 +815,93 @@ def rrf_fuse(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    weight_seed: int = 987_654_321,
+) -> DataFrame:
+    """fastText-style hashed-linear classifier INFERENCE at scale — the
+    standard pretraining-data quality filter shape (CCNet / LLaMA-class
+    pipelines score every document with a linear model over hashed
+    bag-of-ngram features; everything below the weight table is the
+    production plumbing):
+
+      features = word unigrams + adjacent bigrams, hashed by the
+                 repo's portable 31-fold (dedup._word_hash) and the
+                 shingle pair-mix, bucketed mod ``buckets``;
+      score    = sum of per-bucket weights (exact int64 micro-units);
+      decision = score > 0.
+
+    The weight table is a PINNED deterministic function of the bucket
+    id (Knuth multiplicative mix -> [-5e5, 5e5) micro-units) — i.e. a
+    synthetic trained model, the multimodal fake-decode precedent: in
+    production you broadcast the real learned table (buckets-sized,
+    constant by construction) and nothing else changes. Keeping
+    weights hash-derived makes the entry fully oracle-replayable.
+
+    Scale: one projection — features and the weighted sum are
+    higher-order expressions (transform + aggregate) inside
+    whole-stage codegen; no explode, no shuffle, no UDF. Output:
+    (doc_id, n_feat, score_sum, mean_micro, decision)."""
+    from .dedup import _word_hash
+    from .hof import bind
+
+    m31 = F.lit(2147483647)
+    w_of = (
+        lambda b: ((b * 2654435761 + weight_seed) % m31) % 1000001
+        - 500000
+    )
+
+    def feats_of(wh):
+        # wh is a BOUND lambda variable (hof.bind): without it the
+        # word-hash array re-evaluates per bigram index — the 66 s ->
+        # 0.9 s shingle lesson. sequence(1, 0) DESCENDS in Spark, so
+        # the single-word/empty doc is guarded explicitly.
+        bigrams = F.when(
+            F.size(wh) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wh) - 1),
+                lambda i: (
+                    F.element_at(wh, i) * 1000003
+                    + F.element_at(wh, i + 1) * 9176
+                    + 12345
+                ) % m31,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.concat(wh, bigrams)
+
+    def out_of(feats):
+        score = F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + w_of(((f % buckets) + buckets) % buckets),
+        )
+        return F.struct(
+            F.size(feats).cast("long").alias("n_feat"),
+            score.alias("score_sum"),
+        )
+
+    wh_expr = F.transform(words(F.lower(F.col(text_col))), _word_hash)
+    packed = bind(wh_expr, lambda wh: bind(feats_of(wh), out_of))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        packed["n_feat"].alias("n_feat"),
+        packed["score_sum"].alias("score_sum"),
+    )
+    num = F.col("score_sum") * 1_000_000
+    nf = F.col("n_feat")
+    mean = F.when(
+        nf > 0, (num - ((num % nf) + nf) % nf) / nf
+    ).cast("long")
+    return base.select(
+        "doc_id", "n_feat", "score_sum",
+        mean.alias("mean_micro"),
+        (F.col("score_sum") > 0).cast("int").alias("decision"),
+    )
+
+
 def _bpe_learn(df: DataFrame, text_col: str, iters: int):
     """Shared BPE training loop (see bpe_train): reduce the corpus ONCE
     to the (word, count) table, then run ``iters`` merge rounds over

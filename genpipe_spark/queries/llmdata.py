@@ -274,6 +274,141 @@ def ann_topk_suite(spark, sf):
     )
 
 
+_CDC_SQL = r"""
+    WITH b AS (
+      SELECT doc_id AS id, text AS t,
+             list_apply(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS cs,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 1
+    ),
+    be AS (
+      SELECT id, t, n,
+             CASE WHEN n >= 8 THEN
+               list_append(
+                 list_transform(
+                   list_filter(range(8, n),
+                     i -> ((cs[i - 0] * 1 + cs[i - 1] * 31
+                            + cs[i - 2] * 961 + cs[i - 3] * 29791
+                            + cs[i - 4] * 923521 + cs[i - 5] * 28629151
+                            + cs[i - 6] * 887503681
+                            + cs[i - 7] * 1742810347) % 2147483647)
+                          % 64 = 0),
+                   i -> CAST(i AS BIGINT)),
+                 n)
+             ELSE [n] END AS ends
+      FROM b
+    ),
+    ck AS (
+      SELECT id,
+             CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS cstart,
+             ends[k] AS cend
+      FROM be, unnest(range(1, len(ends) + 1)) AS u(k)
+    ),
+    ch AS (
+      SELECT ck.id, cend - cstart + 1 AS clen,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_apply(
+                   list_filter(
+                     string_split(substring(t, CAST(cstart AS INT),
+                                            CAST(cend - cstart + 1 AS INT)),
+                                  ''),
+                     c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647) AS chash
+      FROM ck JOIN b ON b.id = ck.id
+    ),
+    cc AS (SELECT chash, count(*) AS cnt FROM ch GROUP BY chash)
+    SELECT ch.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END) AS BIGINT)
+             AS dup_chars,
+           CAST(sum(clen) AS BIGINT) AS total_chars
+    FROM ch JOIN cc ON cc.chash = ch.chash
+    GROUP BY ch.id
+"""
+
+
+@query("dedup-cdc-chunks", _CDC_SQL)
+def dedup_cdc_chunks(spark, sf):
+    """Content-defined chunking dedup (operators/dedup.cdc_chunk_stats;
+    the rsync/LBFS/casync family): boundaries where the rolling hash of
+    the last 8 chars hits the 1/64 mask, so a one-character edit
+    re-chunks ONE chunk and the rest keep their hashes — the
+    shift-robust storage/transfer-unit dedup that fixed windows
+    (text-line-dedup) miss. Per doc: chunk count, corpus-wide
+    duplicated chunk count/chars. Scale: per-row higher-order
+    expressions; the only shuffle is the 8-byte (chunk_hash, count)
+    agg + count attach."""
+    from genpipe_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(widen(t(spark, sf, "documents")))
+
+
+_FASTTEXT_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_apply(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> w <> ''),
+               w -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_apply(list_filter(string_split(w, ''),
+                                               c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483647)) AS wh
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_concat(
+               wh,
+               list_transform(range(1, greatest(len(wh), 1)),
+                 i -> (wh[i] * 1000003 + wh[i + 1] * 9176 + 12345)
+                      % 2147483647)) AS feats
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feat,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_apply(feats,
+                   x -> ((((x % 4096) + 4096) % 4096) * 2654435761
+                         + 987654321) % 2147483647 % 1000001 - 500000)),
+               (a, b) -> a + b) AS BIGINT) AS score_sum
+      FROM f
+    )
+    SELECT doc_id, n_feat, score_sum,
+           CASE WHEN n_feat > 0 THEN CAST(
+             (score_sum * 1000000
+              - ((score_sum * 1000000 % n_feat) + n_feat) % n_feat)
+             / n_feat AS BIGINT) END AS mean_micro,
+           CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS decision
+    FROM s
+"""
+
+
+@query("text-fasttext-score", _FASTTEXT_SQL)
+def text_fasttext_score(spark, sf):
+    """fastText-style hashed-linear quality-classifier INFERENCE
+    (operators/text.hashed_linear_score) — the scoring pass every
+    CCNet/LLaMA-class pretraining pipeline runs over EVERY document;
+    complements the heuristic rules (text-gopher-rules) and the LM
+    buckets (text-perplexity-buckets) with the third standard filter
+    family. Word-unigram + adjacent-bigram features through the
+    portable 31-fold hash, bucketed mod 4096, summed against a PINNED
+    hash-derived micro-integer weight table (a synthetic trained
+    model — production swaps in the real broadcast table, constant by
+    construction; nothing else changes). One whole-stage-codegen
+    projection: no explode, no shuffle, no UDF."""
+    from genpipe_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(widen(t(spark, sf, "documents")))
+
+
 def _ann_kmeans_oracle(k_cents: int = 8, iters: int = 3, k: int = 5,
                        scale: int = 1_000_000) -> str:
     """DuckDB twin of the TRAINED-centroid IVF (kmeans_centroids_exact

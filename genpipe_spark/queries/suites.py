@@ -414,6 +414,13 @@ _DEDUP_MISC_MEMBERS = {
             ("span_len", "s"), ("n_anchors", "s"),
         ],
     ),
+    "cdc": (
+        "dedup-cdc-chunks",
+        [
+            ("doc_id", "s"), ("n_chunks", "s"), ("n_dup_chunks", "s"),
+            ("dup_chars", "s"), ("total_chars", "s"),
+        ],
+    ),
 }
 
 _EMBEDDING_MEMBERS = {

@@ -1799,3 +1799,77 @@ def test_semdedup_three_level_tree(spark):
     v3 = {r.id: r.is_dup for r in out[3]}
     agree = sum(1 for i in v2 if v2[i] == v3[i]) / len(v2)
     assert agree >= 0.9, f"level-2/3 verdict agreement {agree:.3f}"
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC property: prepending one character to a document leaves
+    every boundary after the first re-synchronized chunk in place —
+    most chunk hashes survive, so the shifted copy still registers as
+    massively duplicated against the original. (A fixed-width chunker
+    loses EVERY block hash under a 1-char shift.)"""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.dedup import cdc_chunk_stats
+
+    # varied, non-periodic content: hash-derived words
+    words = [f"w{(k * 2654435761) % 97:02d}x{k % 13}" for k in range(300)]
+    base = " ".join(words)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="Z" + base)]
+    )
+    r = {x.doc_id: x for x in cdc_chunk_stats(docs).collect()}
+    assert r[1].n_chunks > 5, "fixture probe: content must chunk"
+    # nearly all of both docs' characters sit in shared chunks
+    for d in (1, 2):
+        frac = r[d].dup_chars / r[d].total_chars
+        assert frac >= 0.8, f"doc {d} dup fraction {frac:.2f}"
+
+
+def test_fasttext_score_model(spark):
+    """hashed_linear_score == the literal python model on a hand corpus
+    (unigram+bigram 31-fold features, mod-4096 buckets, pinned
+    multiplicative weight table)."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import hashed_linear_score
+
+    M31 = 2147483647
+
+    def wh(w):
+        a = 7
+        for c in w:
+            a = (a * 31 + ord(c)) % M31
+        return a
+
+    def score(text):
+        ws = [w for w in text.lower().split() if w]
+        hs = [wh(w) for w in ws]
+        feats = hs + [
+            (hs[i] * 1000003 + hs[i + 1] * 9176 + 12345) % M31
+            for i in range(len(hs) - 1)
+        ]
+        s = 0
+        for f in feats:
+            b = f % 4096
+            s += (b * 2654435761 + 987654321) % M31 % 1000001 - 500000
+        return len(feats), s
+
+    rows = [
+        Row(doc_id=1, text="The quick brown Fox"),
+        Row(doc_id=2, text="one"),
+        Row(doc_id=3, text="  "),
+        Row(doc_id=4, text="spark spark spark"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_score(spark.createDataFrame(rows)).collect()
+    }
+    for r in rows:
+        nf, s = score(r.text)
+        got = out[r.doc_id]
+        assert (got.n_feat, got.score_sum) == (nf, s), r.text
+        assert got.decision == (1 if s > 0 else 0)
+        if nf:
+            assert got.mean_micro == (s * 1_000_000) // nf
+        else:
+            assert got.mean_micro is None
