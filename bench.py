@@ -210,6 +210,7 @@ HEADLINE = [
     "dedup-cdc-chunks",
     "search-rrf-fusion",
     "mix-epoch-shuffle",
+    "mix-capped-allocation",
     "mix-dsir-select",
     # r9 late batch: PELT optimal changepoints, deterministic sample-
     # quantile sketch (certified), Fellegi-Sunter record linkage,

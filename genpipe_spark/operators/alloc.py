@@ -135,3 +135,112 @@ def largest_remainder_apportion(
             ).alias("alloc"),
         )
     )
+
+
+def capped_apportion(
+    weights: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    seats: int,
+    cap: int,
+) -> DataFrame:
+    """Water-filling apportionment with a PER-GROUP CAP — the mixture
+    allocator a training-data pipeline runs when policy bounds any one
+    domain's share ("no source may exceed 12% of the mixture"):
+    allocate ``seats`` proportionally to ``weight_col`` but clamp every
+    group at ``cap``, redistributing the clamped excess among the
+    uncapped groups, recursively — the exact fixpoint, computed in
+    CLOSED FORM by rank arithmetic instead of iteration:
+
+      sort groups by (w desc, key); if the top k are capped, the
+      uncapped share is R_k = seats - k*cap over W_rest = W - cum_k;
+      k* is the SMALLEST k where the (k+1)-th group stays under cap
+      (w_{k+1} * R_k <= cap * W_rest) — the standard water-filling
+      threshold. Everything below rides Hamilton largest-remainder
+      (the alloc-largest-remainder machinery) so sum(alloc) == seats
+      EXACTLY, all in int64 (no floats anywhere).
+
+    Scale: the scan-sized work is the caller's weight aggregation;
+    everything here runs over group-count rows (the
+    alloc-largest-remainder global-window shape). Raises when
+    cap * n_groups < seats (infeasible policy — loud, per the
+    gate doctrine). Output: key, w, rnk, capped, alloc."""
+    key_cols = list(key_cols)
+    w = weights.select(*key_cols, F.col(weight_col).cast("long").alias("w"))
+    rnk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("w").desc(), *key_cols)
+    )
+    cum = F.sum("w").over(
+        Window.partitionBy()
+        .orderBy(F.col("w").desc(), *key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = w.select(*key_cols, "w", rnk.alias("rnk"), cum.alias("cum"))
+    tot = r.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("D")
+    )
+    n_groups = tot.collect()[0]["D"]
+    if cap * n_groups < seats:
+        raise ValueError(
+            f"capped_apportion: cap {cap} x {n_groups} groups < "
+            f"seats {seats} — infeasible policy"
+        )
+    C, N = F.lit(cap).cast("long"), F.lit(seats).cast("long")
+    # k = rnk - 1 is feasible iff group rnk stays under cap with the
+    # top k capped; k* = min feasible k (D when none)
+    kstar = (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            F.min(
+                F.when(
+                    (N - (F.col("rnk") - 1) * C >= 0)
+                    & (
+                        F.col("w") * (N - (F.col("rnk") - 1) * C)
+                        <= C * (F.col("tw") - (F.col("cum") - F.col("w")))
+                    ),
+                    F.col("rnk") - 1,
+                )
+            ).alias("k0")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("k0"), F.col("D")).alias("kstar"),
+        )
+    )
+    g = r.crossJoin(F.broadcast(kstar))
+    capped = g.where(F.col("rnk") <= F.col("kstar")).select(
+        *key_cols, "w", "rnk", F.lit(1).alias("capped"), C.alias("alloc")
+    )
+    unc = g.where(F.col("rnk") > F.col("kstar")).select(
+        *key_cols, "w", "rnk",
+        (N - F.col("kstar") * C).alias("R"),
+    )
+    # W_rest = total weight of uncapped groups
+    wrest = unc.agg(F.sum("w").alias("Wr"))
+    unc2 = (
+        unc.crossJoin(F.broadcast(wrest))
+        .select(
+            *key_cols, "w", "rnk",
+            F.expr("R * w div Wr").alias("base"),
+            F.expr("R * w % Wr").alias("rem"),
+            "R",
+        )
+    )
+    left = F.max("R").over(Window.partitionBy()) - F.sum("base").over(
+        Window.partitionBy()
+    )
+    rrank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), *key_cols)
+    )
+    uncapped = (
+        unc2.withColumn("__rr", rrank)
+        .withColumn("__left", left)
+        .select(
+            *key_cols, "w", "rnk", F.lit(0).alias("capped"),
+            (
+                F.col("base")
+                + F.when(F.col("__rr") <= F.col("__left"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    return capped.unionByName(uncapped)

@@ -274,6 +274,92 @@ def ann_topk_suite(spark, sf):
     )
 
 
+_CAPPED_N, _CAPPED_CAP = 1_000_000, 80_000
+
+_CAPPED_SQL = f"""
+    WITH w0 AS (
+      SELECT source,
+             CAST(sum(n_chars) AS BIGINT) *
+             (1 + list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_apply(list_filter(string_split(source, ''),
+                                           c -> c <> ''),
+                               c -> CAST(ascii(c) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 2147483647) % 8) AS w
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, w,
+             row_number() OVER (ORDER BY w DESC, source) AS rnk,
+             sum(w) OVER (ORDER BY w DESC, source
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w0
+    ),
+    tot AS (SELECT sum(w) AS tw, CAST(count(*) AS BIGINT) AS D FROM w0),
+    ks AS (
+      SELECT COALESCE(min(CASE WHEN ({_CAPPED_N} - (rnk - 1) * {_CAPPED_CAP}
+                                     >= 0)
+                            AND (w * ({_CAPPED_N}
+                                      - (rnk - 1) * {_CAPPED_CAP})
+                                 <= {_CAPPED_CAP} * (tw - (cum - w)))
+                           THEN rnk - 1 END), max(D)) AS kstar
+      FROM r, tot
+    ),
+    unc AS (
+      SELECT source, w, rnk,
+             {_CAPPED_N} - kstar * {_CAPPED_CAP} AS R
+      FROM r, ks WHERE rnk > kstar
+    ),
+    wr AS (SELECT sum(w) AS wrest FROM unc),
+    u2 AS (
+      SELECT source, w, rnk, R,
+             (R * w) // wrest AS base, (R * w) % wrest AS rem
+      FROM unc, wr
+    ),
+    u3 AS (
+      SELECT source, w, rnk, base,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             max(R) OVER () - sum(base) OVER () AS leftover
+      FROM u2
+    )
+    SELECT source, w, rnk, 1 AS capped,
+           CAST({_CAPPED_CAP} AS BIGINT) AS alloc
+    FROM r, ks WHERE rnk <= kstar
+    UNION ALL
+    SELECT source, w, rnk, 0 AS capped,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM u3
+"""
+
+
+@query("mix-capped-allocation", _CAPPED_SQL)
+def mix_capped_allocation(spark, sf):
+    """Water-filling mixture allocation with a per-domain cap
+    (operators/alloc.capped_apportion): split a 1M-example budget
+    across sources proportionally to a deterministic skewed weight
+    (total chars x (1 + h31(source) % 8)) with NO source above 8% —
+    the policy allocator of a training-mixture pipeline, solved in
+    CLOSED FORM by the water-filling rank threshold instead of
+    iterating cap-and-redistribute, then Hamilton largest-remainder so
+    sum(alloc) == budget EXACTLY, all int64. Complements
+    mix-weighted-sources (no caps) and mix-balance-temperature
+    (exponent reweighting). Scale: the scan-sized work is the one
+    weight aggregation; every window runs over source-count rows (the
+    alloc-largest-remainder shape)."""
+    from genpipe_spark.operators.alloc import capped_apportion
+    from genpipe_spark.operators.dedup import _word_hash
+
+    d = t(spark, sf, "documents")
+    w = d.groupBy("source").agg(
+        (
+            F.sum("n_chars").cast("long")
+            * (1 + _word_hash(F.col("source")) % 8)
+        ).alias("w")
+    )
+    return capped_apportion(w, ["source"], "w", seats=_CAPPED_N,
+                            cap=_CAPPED_CAP)
+
+
 _CDC_SQL = r"""
     WITH b AS (
       SELECT doc_id AS id, text AS t,

@@ -142,6 +142,10 @@ BOUNDED_NLJ_OK = {
     # 1-row frame of data-estimated u probabilities / ln weights
     # broadcast-attached to the blocked candidate pairs
     "link-fellegi-sunter": "1-row u-probability/ln-weight scalar attach",
+    # 1-row k*/total frames attached to the <= ~20-row source-weight
+    # table; both NLJ sides are bounded by construction
+    "mix-capped-allocation": "1-row water-filling threshold attach onto "
+    "the source-count weight table",
     "link-sorted-neighborhood": "inherits the 1-row u attach; the "
     "rank-window pair join is a banded equi-join",
     "join-filter-suite": "inherits join-bloom-prefilter's fixed-size "
@@ -258,6 +262,7 @@ BOUNDED_BROADCAST_OK = {
     "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
     "text-bpe-train": "broadcast 1-row top pair per merge round",
     "text-bpe-encode": "broadcast 1-row top pair per merge round",
+    "mix-capped-allocation": "broadcast 1-row totals / k* threshold",
     "mix-dsir-select": "broadcast 1-row totals + 32-row ratio table",
     # per-dimension sum table is dimensionality-sized (64 rows), a
     # property of the embedding model, not the corpus
@@ -441,6 +446,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "text-bpe-train": "window over the 50-row truncated word list",
     "text-bpe-encode": "vocab-rank window over a table bounded at "
     "|alphabet| + merge count rows by construction",
+    "mix-capped-allocation": "windows over post-aggregate source-count "
+    "rows (the alloc-largest-remainder shape)",
     "mix-dsir-select": "window over the 100-row truncated selection",
     "mix-full-suite": "inherits mix-dsir-select's truncated window",
     "text-token-suite": "inherits text-bpe-train's truncated-list window",

@@ -1873,3 +1873,61 @@ def test_fasttext_score_model(spark):
             assert got.mean_micro == (s * 1_000_000) // nf
         else:
             assert got.mean_micro is None
+
+
+def test_capped_apportion_matches_iterative_model(spark):
+    """capped_apportion's closed-form water-filling threshold == the
+    literal iterate-until-fixpoint model (cap, redistribute, repeat) +
+    Hamilton rounding, across weight shapes that exercise 0, some, and
+    max-feasible capped groups; sum(alloc) == seats exactly; the
+    infeasible policy raises."""
+    import pytest
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.alloc import capped_apportion
+
+    def model(ws, seats, cap):
+        # fixpoint: repeatedly cap groups whose exact share exceeds cap
+        keys = sorted(ws)
+        capped = set()
+        while True:
+            rest = [k for k in keys if k not in capped]
+            R = seats - cap * len(capped)
+            W = sum(ws[k] for k in rest)
+            newly = {k for k in rest if W and ws[k] * R > cap * W}
+            if not newly:
+                break
+            capped |= newly
+        alloc = {k: cap for k in capped}
+        rest = [k for k in keys if k not in capped]
+        R = seats - cap * len(capped)
+        W = sum(ws[k] for k in rest)
+        base = {k: (R * ws[k]) // W for k in rest} if W else {k: 0 for k in rest}
+        left = R - sum(base.values())
+        order = sorted(rest, key=lambda k: (-((R * ws[k]) % W), k)) if W else []
+        for k in order[:left]:
+            base[k] += 1
+        alloc.update(base)
+        return alloc
+
+    cases = [
+        ({"a": 10, "b": 10, "c": 10, "d": 10}, 100, 40),     # none capped
+        ({"a": 90, "b": 5, "c": 3, "d": 2}, 100, 30),        # one capped
+        ({"a": 50, "b": 40, "c": 9, "d": 1}, 100, 26),       # two capped
+        ({"a": 7, "b": 7, "c": 7, "d": 7, "e": 1}, 100, 21), # near-uniform
+    ]
+    for ws, seats, cap in cases:
+        wdf = spark.createDataFrame([Row(k=k, w=v) for k, v in ws.items()])
+        got = {
+            r.k: r.alloc
+            for r in capped_apportion(wdf, ["k"], "w", seats, cap).collect()
+        }
+        want = model(ws, seats, cap)
+        assert got == want, (ws, seats, cap, got, want)
+        assert sum(got.values()) == seats
+
+    with pytest.raises(ValueError, match="infeasible"):
+        capped_apportion(
+            spark.createDataFrame([Row(k="a", w=1), Row(k="b", w=1)]),
+            ["k"], "w", seats=100, cap=10,
+        )
