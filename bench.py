@@ -208,6 +208,7 @@ HEADLINE = [
     "text-bpe-encode",
     "text-fasttext-score",
     "dedup-cdc-chunks",
+    "pipeline-tokenize-pack",
     "search-rrf-fusion",
     "mix-epoch-shuffle",
     "mix-capped-allocation",

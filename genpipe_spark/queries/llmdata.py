@@ -1670,6 +1670,97 @@ def text_bpe_encode(spark, sf):
     return bpe_encode(widen(t(spark, sf, "documents")), iters=3)
 
 
+_TOKPACK_BUDGET = 2048
+
+
+def _bpe_encode_wordmap_cte(iters: int) -> str:
+    """The BPE chain + the corpus word explode (docw), WITHOUT the
+    vocab/token aggregation — shared by the tokenize-pack oracle."""
+    return _bpe_cte_chain(iters) + r""",
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)"""
+
+
+def _tokenize_pack_oracle() -> str:
+    """The tokenize→pack composition: real BPE token counts (the
+    text-bpe-encode chain) drive the per-language running-offset shard
+    assignment (the pack-sequences chain)."""
+    return _bpe_encode_wordmap_cte(3) + f""",
+ntok AS (
+  SELECT d.doc_id,
+         CAST(sum(len(string_split(trim(wt.s), '  '))) AS BIGINT)
+           AS n_tokens
+  FROM docw d JOIN w3 wt USING (w)
+  GROUP BY d.doc_id
+),
+nd AS (
+  SELECT doc_id, lang, COALESCE(n_tokens, 0) AS n_tokens
+  FROM documents LEFT JOIN ntok USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, pack_id,
+       CAST(start - pack_id * {_TOKPACK_BUDGET} AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER w - n_tokens)
+                    / {_TOKPACK_BUDGET}.0) AS BIGINT) AS pack_id,
+         sum(n_tokens) OVER w - n_tokens AS start
+  FROM nd
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+"""
+
+
+@query("pipeline-tokenize-pack", _tokenize_pack_oracle())
+def pipeline_tokenize_pack(spark, sf):
+    """END-TO-END tokenize→pack: the learned-BPE token count of every
+    document (the text-bpe-encode chain — merges trained on the
+    corpus, applied via the word-mapping join) drives the per-language
+    running-offset shard assignment (operators/mixing.pack_streaming,
+    2048-token shards) — closing the loop the pack-sequences entry
+    stubs with n_chars ("compose with real tokens"): this is the
+    actual batch layout a trainer reads. Scale: the BPE chain is
+    vocabulary-sized; the corpus pays the mapping join + one
+    per-language window; docs with no words pack at zero length
+    rather than disappearing (LEFT join)."""
+    from genpipe_spark.operators.mixing import pack_streaming
+    from genpipe_spark.operators.text import _bpe_learn, words
+
+    d = widen(t(spark, sf, "documents"))
+    w_fin, _ = _bpe_learn(d, "text", 3)
+    wmap = w_fin.select(
+        "w", F.size(F.split(F.trim("s"), "  ")).cast("long").alias("wtok")
+    )
+    docw = d.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("w")
+    )
+    ntok = (
+        docw.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("wtok").alias("n_tokens"))
+    )
+    nd = (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .join(ntok, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    packed = pack_streaming(nd, "n_tokens", _TOKPACK_BUDGET,
+                            order_col="doc_id", pack_group="lang")
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "pack_id",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
+
 _RRF_ORACLE = f"""
 WITH bm AS MATERIALIZED ({_BM25_TOPK_SQL}),
 q2 AS (SELECT * FROM (VALUES

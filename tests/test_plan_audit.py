@@ -51,6 +51,8 @@ BOUNDED_NLJ_OK = {
     "text-bpe-train": "1-row top-pair attach per merge round",
     "text-bpe-encode": "1-row top-pair attach per merge round (training "
     "runs on the deduplicated word table only)",
+    "pipeline-tokenize-pack": "1-row top-pair attach per merge round "
+    "(the text-bpe-encode chain)",
     # 1-row totals attach + 32-row bucket-ratio broadcast
     "mix-dsir-select": "1-row totals + 32-row bucket-ratio attach",
     "text-unigram-logprob": "1-row corpus-total scalar attach",
@@ -262,6 +264,7 @@ BOUNDED_BROADCAST_OK = {
     "search-rrf-fusion": "inherits bm25_topk's broadcast 1-row stats",
     "text-bpe-train": "broadcast 1-row top pair per merge round",
     "text-bpe-encode": "broadcast 1-row top pair per merge round",
+    "pipeline-tokenize-pack": "broadcast 1-row top pair per merge round",
     "mix-capped-allocation": "broadcast 1-row totals / k* threshold",
     "mix-dsir-select": "broadcast 1-row totals + 32-row ratio table",
     # per-dimension sum table is dimensionality-sized (64 rows), a
