@@ -432,6 +432,10 @@ _EMBEDDING_MEMBERS = {
         "ann-ivf-topk",
         [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("cos", "f")],
     ),
+    "kmeans": (
+        "ann-ivf-kmeans",
+        [("query_id", "s"), ("neighbor_id", "s"), ("rank", "s"), ("cos", "f")],
+    ),
     "int8": (
         "quantize-embedding-int8",
         [("vec_id", "s"), ("scale", "f"), ("q", "s"), ("err_max", "f")],
