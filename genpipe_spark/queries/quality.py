@@ -2002,17 +2002,65 @@ def link_fellegi_sunter(spark, sf):
 
     ax = a.withColumn("bb", balbucket(F.col("a_bal")))
     bx = b.withColumn("bb", balbucket(F.col("b_bal")))
-    ca = ax.groupBy(F.col("a_nat").alias("nat"), "bb").agg(
-        F.count(F.lit(1)).cast("long").alias("na")
-    )
-    cb = bx.groupBy(F.col("b_nat").alias("nat"), "bb").agg(
-        F.count(F.lit(1)).cast("long").alias("nb")
-    )
     # block census: bounded at ~550 rows by construction (nation x
     # bal-bucket domain), NOT data-sized — AQE broadcasts it unhinted
-    cnt = ca.join(cb, ["nat", "bb"]).select(
-        "nat", "bb", (F.col("na") * F.col("nb")).alias("npairs")
-    )
+    def fields_of(_pairs):
+        return [
+            {
+                "agree": F.col(f"ag_{f}") == 1,
+                "ln_m_nano": _FS_M[f][1],
+                "ln_1m_nano": _FS_M[f][2],
+                "ln_u_nano": F.col(f"lnu_{f}"),
+                "ln_1u_nano": F.col(f"ln1u_{f}"),
+            }
+            for f in ("name", "phone", "seg", "bal")
+        ]
+
+    # ONE census aggregation: B is the every-7th subset of the same
+    # customer rows and the blocking keys (nation, bal bucket) are
+    # never corrupted, so nb is a conditional count over the A side —
+    # no second scan, no census join
+    cnt = ax.groupBy(F.col("a_nat").alias("nat"), "bb").agg(
+        F.count(F.lit(1)).cast("long").alias("na"),
+        F.sum((F.col("a_key") % 7 == 0).cast("long")).alias("nb"),
+    ).select("nat", "bb", (F.col("na") * F.col("nb")).alias("npairs"))
+    # construction-time probe (one tiny grouped-count job over the
+    # bounded census): when NO block exceeds the budget — every fixture
+    # SF through sf1 — the routed plan degenerates to plain all-pairs,
+    # so build exactly that and skip the empty hot-path stages (the
+    # route is output-invariant, so the oracle cannot tell; ~2 s of
+    # stage overhead at sf0.1). The semdedup count precedent.
+    n_big = cnt.where(F.col("npairs") > _FS_BLOCK_BUDGET).count()
+    if n_big == 0:
+        pairs = (
+            ax.join(
+                bx.withColumnRenamed("bb", "bb2"),
+                (F.col("a_nat") == F.col("b_nat"))
+                & (F.col("bb") == F.col("bb2")),
+            )
+            .crossJoin(u)  # 1-row frame; AQE broadcasts it unhinted
+            .withColumn(
+                "ag_name", (F.col("a_name") == F.col("b_name")).cast("int")
+            )
+            .withColumn(
+                "ag_phone",
+                (F.col("a_phone") == F.col("b_phone")).cast("int"),
+            )
+            .withColumn(
+                "ag_seg", (F.col("a_seg") == F.col("b_seg")).cast("int")
+            )
+            .withColumn(
+                "ag_bal", (F.col("a_bal") == F.col("b_bal")).cast("int")
+            )
+        )
+        scored = fellegi_sunter_score(pairs, fields_of(pairs))
+        return scored.select(
+            "a_key", "b_key", "ag_name", "ag_phone", "ag_seg", "ag_bal",
+            "score_nano",
+            (F.col("score_nano") > _FS_THRESH_NANO).cast("int")
+            .alias("decision"),
+            (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
+        )
     small = cnt.where(F.col("npairs") <= _FS_BLOCK_BUDGET).select("nat", "bb")
     big = cnt.where(F.col("npairs") > _FS_BLOCK_BUDGET).select("nat", "bb")
 
@@ -2086,17 +2134,7 @@ def link_fellegi_sunter(spark, sf):
         .withColumn("ag_seg", (F.col("a_seg") == F.col("b_seg")).cast("int"))
         .withColumn("ag_bal", (F.col("a_bal") == F.col("b_bal")).cast("int"))
     )
-    fields = [
-        {
-            "agree": F.col(f"ag_{f}") == 1,
-            "ln_m_nano": _FS_M[f][1],
-            "ln_1m_nano": _FS_M[f][2],
-            "ln_u_nano": F.col(f"lnu_{f}"),
-            "ln_1u_nano": F.col(f"ln1u_{f}"),
-        }
-        for f in ("name", "phone", "seg", "bal")
-    ]
-    scored = fellegi_sunter_score(pairs, fields)
+    scored = fellegi_sunter_score(pairs, fields_of(pairs))
     return scored.select(
         "a_key", "b_key", "ag_name", "ag_phone", "ag_seg", "ag_bal",
         "score_nano",
