@@ -1132,6 +1132,35 @@ def exact_substring_spans(
         )
     )
     if route is None and hash_prefilter:
+        # probe gate: below ~4 MB of COMPRESSED input the committed
+        # wide path is always fine (the broadcast route exists for
+        # CORPUS-SCALE pathological repetition) and the probe's extra
+        # Spark job is pure overhead at bench SFs — decide from
+        # driver-side file metadata (the widen() precedent), zero
+        # jobs. The threshold is deliberately LOW: repetitive text
+        # compresses brutally (the adversarial sf10 fixture's 301M
+        # grams are 70 MB of parquet), so compressed bytes
+        # underestimate the working set — err toward probing. Non-file
+        # frames (tests) fall through to the probe.
+        try:
+            files = df.inputFiles()
+        except Exception:  # noqa: BLE001
+            files = []
+        if files:
+            import os
+            from urllib.parse import urlparse
+
+            total = 0
+            for f in files:
+                p = urlparse(f).path or f
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    total = None
+                    break
+            if total is not None and total < 4 * 1024 * 1024:
+                route = "wide"
+    if route is None and hash_prefilter:
         # HIGH-DUPLICATION AUTO-ROUTE (r10, closing the flagged r9
         # above-linear decade): on an adversarially repetitive corpus
         # (the measured sf10 fixture: 301M grams, 1.8M distinct,
@@ -1147,9 +1176,26 @@ def exact_substring_spans(
         # dup-ratio is unbiased) — and is PLAN-ONLY: both routes emit
         # identical rows (the op is exact either way), so the oracle
         # and the output hash are route-invariant.
+        # two-stage sample: 1/16 of DOCS (so the probe explodes 1/16 of
+        # the corpus, not all of it), then 1/64 of gram hashes. Doc
+        # sampling can only UNDERESTIMATE the cross-doc dup-ratio
+        # (partner docs outside the sample) — errors keep the committed
+        # wide path, never a wrong broadcast; the distinct estimate is
+        # scaled by both strides (overestimate -> conservative vs the
+        # broadcast cap).
         hs = F.xxhash64("gram")
         st = (
-            g.where(((hs % 64) + 64) % 64 == 0)
+            base.where(F.length("t") >= min_len)
+            .where(((F.xxhash64("t") % 16) + 16) % 16 == 0)
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("t") - (min_len - 1))
+                ).alias("pos"),
+                "t",
+            )
+            .select(F.expr(f"substring(t, pos, {min_len})").alias("gram"))
+            .where(((hs % 64) + 64) % 64 == 0)
             .groupBy(hs.alias("hh"))
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
@@ -1161,7 +1207,7 @@ def exact_substring_spans(
         )
         occ = st["occ"] or 0
         docc = st["docc"] or 0
-        est_distinct = (st["nh"] or 0) * 64
+        est_distinct = (st["nh"] or 0) * 64 * 16
         route = (
             "broadcast"
             if occ > 0
