@@ -1176,26 +1176,19 @@ def exact_substring_spans(
         # dup-ratio is unbiased) — and is PLAN-ONLY: both routes emit
         # identical rows (the op is exact either way), so the oracle
         # and the output hash are route-invariant.
-        # two-stage sample: 1/16 of DOCS (so the probe explodes 1/16 of
-        # the corpus, not all of it), then 1/64 of gram hashes. Doc
-        # sampling can only UNDERESTIMATE the cross-doc dup-ratio
-        # (partner docs outside the sample) — errors keep the committed
-        # wide path, never a wrong broadcast; the distinct estimate is
-        # scaled by both strides (overestimate -> conservative vs the
-        # broadcast cap).
+        # 1/64 gram-HASH sample: hash strata partition the gram space
+        # uniformly, so the distinct-gram estimate nh*64 is exact in
+        # expectation AND the occurrence dup-ratio is unbiased (all
+        # occurrences of a sampled gram are kept). A 1/16 DOC
+        # pre-sample was tried and REVERTED: doc strata do not
+        # partition distinct grams, so scaling nh by the doc stride
+        # overestimated distinct 13x (23.9M vs the true 1.8M at the
+        # adversarial sf10) and mis-routed the exact corpus this gate
+        # exists for. The probe's one corpus explode only runs above
+        # the size gate, where it is a rounding error of the total.
         hs = F.xxhash64("gram")
         st = (
-            base.where(F.length("t") >= min_len)
-            .where(((F.xxhash64("t") % 16) + 16) % 16 == 0)
-            .select(
-                "id",
-                F.explode(
-                    F.sequence(F.lit(1), F.length("t") - (min_len - 1))
-                ).alias("pos"),
-                "t",
-            )
-            .select(F.expr(f"substring(t, pos, {min_len})").alias("gram"))
-            .where(((hs % 64) + 64) % 64 == 0)
+            g.where(((hs % 64) + 64) % 64 == 0)
             .groupBy(hs.alias("hh"))
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
@@ -1207,7 +1200,7 @@ def exact_substring_spans(
         )
         occ = st["occ"] or 0
         docc = st["docc"] or 0
-        est_distinct = (st["nh"] or 0) * 64 * 16
+        est_distinct = (st["nh"] or 0) * 64
         route = (
             "broadcast"
             if occ > 0
