@@ -1132,34 +1132,7 @@ def exact_substring_spans(
         )
     )
     if route is None and hash_prefilter:
-        # probe gate: below ~4 MB of COMPRESSED input the committed
-        # wide path is always fine (the broadcast route exists for
-        # CORPUS-SCALE pathological repetition) and the probe's extra
-        # Spark job is pure overhead at bench SFs — decide from
-        # driver-side file metadata (the widen() precedent), zero
-        # jobs. The threshold is deliberately LOW: repetitive text
-        # compresses brutally (the adversarial sf10 fixture's 301M
-        # grams are 70 MB of parquet), so compressed bytes
-        # underestimate the working set — err toward probing. Non-file
-        # frames (tests) fall through to the probe.
-        try:
-            files = df.inputFiles()
-        except Exception:  # noqa: BLE001
-            files = []
-        if files:
-            import os
-            from urllib.parse import urlparse
-
-            total = 0
-            for f in files:
-                p = urlparse(f).path or f
-                try:
-                    total += os.path.getsize(p)
-                except OSError:
-                    total = None
-                    break
-            if total is not None and total < 4 * 1024 * 1024:
-                route = "wide"
+        route = route_by_input_size(df)
     if route is None and hash_prefilter:
         # HIGH-DUPLICATION AUTO-ROUTE (r10, closing the flagged r9
         # above-linear decade): on an adversarially repetitive corpus
@@ -1266,6 +1239,38 @@ def exact_substring_spans(
 
 
 _CDC_POW31 = [1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810347]
+
+
+def route_by_input_size(df: DataFrame) -> str | None:
+    """exact_substring_spans probe gate: below ~4 MB of COMPRESSED
+    input the committed wide path is always fine (the broadcast route
+    exists for CORPUS-SCALE pathological repetition) and the probe's
+    extra Spark job is pure overhead at bench SFs — decide from
+    driver-side file metadata (the widen() precedent), zero jobs. The
+    threshold is deliberately LOW: repetitive text compresses brutally
+    (the adversarial sf10 fixture's 301M grams are 70 MB of parquet),
+    so compressed bytes underestimate the working set — err toward
+    probing. Returns "wide" for small inputs, None (= run the probe)
+    otherwise. Non-file frames (in-memory tests, post-widen() frames —
+    widen cuts file lineage, so callers that widen should gate on the
+    ORIGINAL frame) also return None."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    if not files:
+        return None
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return "wide" if total < 4 * 1024 * 1024 else None
 
 
 def cdc_chunk_stats(

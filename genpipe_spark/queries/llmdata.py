@@ -2905,10 +2905,17 @@ def dedup_exact_substr(spark, sf):
     shuffle; exact-gram regroup of the tiny survivor set keeps it
     EXACT), islands merged per doc. No pair join — hot boilerplate is
     one hot count, not a pair blowup."""
-    from genpipe_spark.operators.dedup import exact_substring_spans
+    from genpipe_spark.operators.dedup import (
+        exact_substring_spans,
+        route_by_input_size,
+    )
 
+    # widen() cuts file lineage, so the operator's own size gate can't
+    # see the input — decide the route from the UN-widened table (r10;
+    # the gate's reasoning lives in route_by_input_size)
+    d = t(spark, sf, "documents")
     return exact_substring_spans(
-        widen(t(spark, sf, "documents")), min_len=20
+        widen(d), min_len=20, route=route_by_input_size(d)
     )
 
 
