@@ -221,6 +221,7 @@ HEADLINE = [
     "link-fellegi-sunter",
     "dedup-semantic",
     "stream-dedup-incremental",
+    "stream-window-late-drop",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",

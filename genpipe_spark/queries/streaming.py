@@ -845,3 +845,102 @@ def stream_dedup_incremental(spark, sf):
     )
     q.awaitTermination(300)
     return spark.read.parquet(pairs_dir)
+
+
+_WM_LATE_SQL = """
+    WITH e AS (
+      SELECT event_id, ts, user_id % 5 AS g, event_id % 3 AS b
+      FROM events
+    ),
+    wm01 AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS wm FROM e WHERE b IN (0, 1)
+    ),
+    wmall AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM e),
+    kept AS (
+      SELECT date_trunc('day', ts) AS ws, g
+      FROM e, wm01
+      WHERE b IN (0, 1)
+         OR date_trunc('day', ts) + INTERVAL 1 DAY > wm01.wm
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, g,
+           CAST(count(*) AS BIGINT) AS n
+    FROM kept, wmall
+    WHERE ws + INTERVAL 1 DAY <= wmall.wm
+    GROUP BY 1, 2
+"""
+
+
+@query("stream-window-late-drop", _WM_LATE_SQL)
+def stream_window_late_drop(spark, sf):
+    """LIVE watermark LATE-DATA semantics, exact-transcript oracle —
+    the one Structured-Streaming behavior no other entry demonstrates
+    explicitly: events split into three pinned micro-batches (each
+    spanning the full time range, so every later batch carries rows
+    far older than the watermark), drained availableNow through a
+    1-day tumbling windowed count with withWatermark('ts', '2 days')
+    in APPEND mode. The oracle replays the engine's exact operational
+    rule, measured and pinned here:
+
+      - the watermark LAGS ONE BATCH: the filter applied while
+        processing batch N uses max(event_time) over batches
+        0..N-2 minus the delay (Spark folds a batch's stats into the
+        watermark at the start of the NEXT trigger), so with three
+        batches the drops all land in batch 3, cut against
+        wm(b0 ∪ b1);
+      - a late row is dropped iff its WINDOW END <= that watermark
+        (the fixture's window ends are midnights and the wm carries
+        sub-second precision, so the boundary direction is never
+        exercised — the pinned-fixture argument);
+      - APPEND emission: exactly the windows whose end <= the FINAL
+        watermark (the availableNow final commit advances it once
+        more); still-open windows are withheld.
+
+    ~30 of every batch-3 window-day rows are genuinely dropped (the
+    distribution probe in tests — a no-drop run would be the
+    identically-degenerate parity trap, FIXTURES). Scale: the agg is
+    the standard streaming windowed count (state = open windows x
+    groups, bounded by the watermark horizon)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window  # noqa: F401  (pattern parity)
+
+    from genpipe_spark.tables import load
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "ts", (F.col("user_id") % 5).alias("g")
+    )
+    src = tempfile.mkdtemp(prefix="genpipe_wmlate_src_")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        stamp = _time.time() + i * 5
+        for root, _, fs in os.walk(f"{src}/b{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="genpipe_wmlate_out_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "g",
+        "n",
+    )

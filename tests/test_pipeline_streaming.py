@@ -1573,3 +1573,42 @@ def test_stream_histogram_quantile_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_window_late_drop_actually_drops(spark):
+    """FIXTURES distribution probe for stream-window-late-drop: the
+    late-batch rows must ACTUALLY be dropped (emitted counts strictly
+    below the batch-blind counts for a healthy fraction of windows) —
+    an all-kept run would parity-PASS against a wrong oracle form
+    (the identically-degenerate trap). Also pins the lag-one-batch
+    rule direction: batches 0 and 1 are never dropped."""
+    from genpipe_spark.queries.streaming import stream_window_late_drop
+    from genpipe_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.ws, r.g): r.n for r in stream_window_late_drop(spark, sf).collect()
+    }
+    assert got, "no windows emitted"
+    ev = load(spark, sf, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("ws"),
+        (F.col("user_id") % 5).alias("g"),
+        (F.col("event_id") % 3).alias("b"),
+    )
+    full = {
+        (r.ws, r.g): r.n
+        for r in ev.groupBy("ws", "g").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    keep01 = {
+        (r.ws, r.g): r.n
+        for r in ev.where(F.col("b") < 2)
+        .groupBy("ws", "g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    dropped_cells = sum(1 for k in got if got[k] < full.get(k, 0))
+    assert dropped_cells >= 0.5 * len(got), (
+        f"only {dropped_cells}/{len(got)} cells show drops"
+    )
+    # batches 0/1 always kept: emitted >= their contribution everywhere
+    assert all(got[k] >= keep01.get(k, 0) for k in got)

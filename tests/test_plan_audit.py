@@ -172,7 +172,11 @@ SKIP = {"stream-sessionize", "stream-zscore", "stream-group-sample", "stream-ses
         "stream-histogram-quantile", "stream-holt-winters",
         # real 3-batch foreachBatch drain at construction (r9 late);
         # the returned plan is a plain parquet read of the transcript
-        "stream-dedup-incremental"}
+        "stream-dedup-incremental",
+        # real 3-batch availableNow drain at construction (r10); the
+        # returned plan is a plain parquet read of the transcript;
+        # dedicated drop-probe test in test_pipeline_streaming.py
+        "stream-window-late-drop"}
 
 
 # query -> why a FORCED F.broadcast hint is acceptable THERE. A forced
