@@ -215,14 +215,25 @@ def capped_apportion(
         *key_cols, "w", "rnk",
         (N - F.col("kstar") * C).alias("R"),
     )
-    # W_rest = total weight of uncapped groups
-    wrest = unc.agg(F.sum("w").alias("Wr"))
+    # W_rest = total weight of uncapped groups; m = their count.  When
+    # every positive-weight group is capped and only zero-weight groups
+    # remain (Wr == 0) with R seats left, proportional division is
+    # undefined — distribute the R seats evenly by key order instead
+    # (feasible: the cap gate above guarantees R <= cap * m).
+    wrest = unc.agg(
+        F.sum("w").alias("Wr"), F.count(F.lit(1)).cast("long").alias("m")
+    )
     unc2 = (
         unc.crossJoin(F.broadcast(wrest))
         .select(
             *key_cols, "w", "rnk",
-            F.expr("R * w div Wr").alias("base"),
-            F.expr("R * w % Wr").alias("rem"),
+            F.expr(
+                "CASE WHEN Wr = 0 THEN R div m ELSE R * w div Wr END"
+            ).alias("base"),
+            F.expr(
+                "CASE WHEN Wr = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE R * w % Wr END"
+            ).alias("rem"),
             "R",
         )
     )

@@ -1116,6 +1116,11 @@ def exact_substring_spans(
     """
     if min_len < 2:
         raise ValueError(f"exact_substring_spans: min_len {min_len} < 2")
+    if route not in (None, "wide", "broadcast"):
+        raise ValueError(
+            f"exact_substring_spans: unknown route {route!r} "
+            "(expected None, 'wide' or 'broadcast')"
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     g = (
         base.where(F.length("t") >= min_len)
@@ -1192,9 +1197,16 @@ def exact_substring_spans(
             .where(F.col("c") >= 2)
             .select("gram")
         )
-        marked = g.join(F.broadcast(dup), "gram", "left_semi").select(
-            "id", "pos"
-        )
+        # ADVICE r10: the route decision rode a 1/64-sample ESTIMATE;
+        # bound the ACTUAL dup set before forcing a broadcast (a
+        # dup-ratio-1.0 corpus can have dup set == distinct set).
+        # Above the cap, fall back to a plain shuffle semi-join on the
+        # already-computed exact dup set — same rows, no forced
+        # hundreds-of-MB broadcast.
+        n_dup = dup.count()
+        if n_dup <= broadcast_max_grams:
+            dup = F.broadcast(dup)
+        marked = g.join(dup, "gram", "left_semi").select("id", "pos")
     else:
         if hash_prefilter:
             gh = g.select(

@@ -890,10 +890,18 @@ def hashed_linear_score(
         packed["n_feat"].alias("n_feat"),
         packed["score_sum"].alias("score_sum"),
     )
-    num = F.col("score_sum") * 1_000_000
+    # ADVICE r10: stay in int64 end-to-end — the floor-adjusted
+    # numerator is an exact multiple of n_feat, so integer `div` is
+    # exact; '/' would round through double once |score_sum|*1e6
+    # exceeds 2^53 (~9k-word docs).
     nf = F.col("n_feat")
     mean = F.when(
-        nf > 0, (num - ((num % nf) + nf) % nf) / nf
+        nf > 0,
+        F.expr(
+            "(score_sum * 1000000"
+            " - ((score_sum * 1000000 % n_feat) + n_feat) % n_feat)"
+            " div n_feat"
+        ),
     ).cast("long")
     return base.select(
         "doc_id", "n_feat", "score_sum",

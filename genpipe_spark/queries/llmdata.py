@@ -309,10 +309,14 @@ _CAPPED_SQL = f"""
              {_CAPPED_N} - kstar * {_CAPPED_CAP} AS R
       FROM r, ks WHERE rnk > kstar
     ),
-    wr AS (SELECT sum(w) AS wrest FROM unc),
+    wr AS (SELECT sum(w) AS wrest, CAST(count(*) AS BIGINT) AS m
+           FROM unc),
     u2 AS (
       SELECT source, w, rnk, R,
-             (R * w) // wrest AS base, (R * w) % wrest AS rem
+             CASE WHEN wrest = 0 THEN R // m
+                  ELSE (R * w) // wrest END AS base,
+             CASE WHEN wrest = 0 THEN 0
+                  ELSE (R * w) % wrest END AS rem
       FROM unc, wr
     ),
     u3 AS (
@@ -471,7 +475,7 @@ _FASTTEXT_SQL = r"""
            CASE WHEN n_feat > 0 THEN CAST(
              (score_sum * 1000000
               - ((score_sum * 1000000 % n_feat) + n_feat) % n_feat)
-             / n_feat AS BIGINT) END AS mean_micro,
+             // n_feat AS BIGINT) END AS mean_micro,
            CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS decision
     FROM s
 """

@@ -1612,3 +1612,90 @@ def test_stream_window_late_drop_actually_drops(spark):
     )
     # batches 0/1 always kept: emitted >= their contribution everywhere
     assert all(got[k] >= keep01.get(k, 0) for k in got)
+
+
+def test_watermark_one_batch_lag_canary(spark, tmp_path):
+    """CANARY for the engine rule stream-window-late-drop's oracle
+    replays (ADVICE r10 / VERDICT r10 #7): re-MEASURES, on a 3-batch
+    toy stream, that this Spark version still (a) lags the watermark
+    one batch (the filter for batch N uses max(ts) over batches
+    0..N-2 minus the delay), (b) drops iff window END <= that
+    watermark, and (c) APPEND emits exactly the windows whose end <=
+    the FINAL watermark. If a Spark upgrade changes watermark phasing
+    or file-listing order, THIS test fails with a named cause instead
+    of the entry failing as a confusing hash mismatch at bench time.
+
+    Discriminators (each alternative rule flips one row):
+      - b1's 01-02 06:00 is KEPT: the batch-1 filter wm is the one in
+        effect DURING batch 0 (= epoch, no prior batch), not
+        max(b0)-2d = 01-03 06:00 (the natural next-trigger rule would
+        drop it) nor max(b0 u b1)-2d (no-lag would too);
+      - b2's 01-01 12:00 is DROPPED: the batch-2 filter wm is
+        max(b0)-2d = 01-03 06:00 (window end 01-02 <= wm);
+      - b2's 01-03 12:00 is KEPT: end 01-04 > 01-03 06:00 — but a
+        no-lag wm max(all)-2d = 01-08 06 or a one-phase wm
+        max(b0 u b1)-2d = 01-06 06 would drop it;
+      - 01-08's window is WITHHELD: final-commit wm = max(all)-2d =
+        01-08 06:00 and append emits only end <= final wm."""
+    import time as _time
+
+    ts = F.to_timestamp
+    rows = {
+        0: ["2024-01-01 06:00:00", "2024-01-05 06:00:00"],
+        1: ["2024-01-02 06:00:00",  # kept: batch-1 filter wm = epoch
+            "2024-01-04 06:00:00",
+            "2024-01-08 06:00:00"],
+        2: ["2024-01-01 12:00:00",  # dropped: end 01-02 <= wm(b0)
+            "2024-01-03 12:00:00",  # kept: end 01-04 > wm(b0) 01-03 06
+            "2024-01-10 06:00:00"],
+    }
+    src = str(tmp_path / "src")
+    for b, stamps in rows.items():
+        df = spark.createDataFrame(
+            [(s,) for s in stamps], "ts_s string"
+        ).select(ts("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{b}")
+        stamp = _time.time() + b * 5
+        for root, _, fs in os.walk(f"{src}/b{b}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.ws, r.n)
+        for r in spark.read.parquet(f"{out}/data")
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("ws"), "n")
+        .collect()
+    }
+    # Replay of the pinned rule by hand: the ONLY drop is b2's
+    # 01-01 12:00 (end 01-02 <= wm-in-effect-during-b1 = max(b0)-2d =
+    # 01-03 06:00). Final wm = max(all)-2d = 01-08 06:00; append emits
+    # kept windows with end <= that: 01-01..01-05; 01-08 and 01-10
+    # stay withheld (open).
+    want = {
+        ("2024-01-01", 1), ("2024-01-02", 1), ("2024-01-03", 1),
+        ("2024-01-04", 1), ("2024-01-05", 1),
+    }
+    assert got == want, (
+        "watermark engine rule moved (one-batch lag / end<=wm drop / "
+        f"append-final emission): got {sorted(got)}, want {sorted(want)} "
+        "— update queries/streaming.py:_WM_LATE_SQL's pinned transcript"
+    )

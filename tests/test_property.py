@@ -1902,9 +1902,14 @@ def test_capped_apportion_matches_iterative_model(spark):
         rest = [k for k in keys if k not in capped]
         R = seats - cap * len(capped)
         W = sum(ws[k] for k in rest)
-        base = {k: (R * ws[k]) // W for k in rest} if W else {k: 0 for k in rest}
+        if W:
+            base = {k: (R * ws[k]) // W for k in rest}
+            order = sorted(rest, key=lambda k: (-((R * ws[k]) % W), k))
+        else:
+            # Wr == 0 fallback: spread R evenly by key order.
+            base = {k: (R // len(rest) if rest else 0) for k in rest}
+            order = sorted(rest)
         left = R - sum(base.values())
-        order = sorted(rest, key=lambda k: (-((R * ws[k]) % W), k)) if W else []
         for k in order[:left]:
             base[k] += 1
         alloc.update(base)
@@ -1915,6 +1920,11 @@ def test_capped_apportion_matches_iterative_model(spark):
         ({"a": 90, "b": 5, "c": 3, "d": 2}, 100, 30),        # one capped
         ({"a": 50, "b": 40, "c": 9, "d": 1}, 100, 26),       # two capped
         ({"a": 7, "b": 7, "c": 7, "d": 7, "e": 1}, 100, 21), # near-uniform
+        # ADVICE r10: all positive-weight groups capped, zero-weight
+        # tail left with R > 0 seats — Wr == 0 must not divide by zero;
+        # seats spread evenly by key order among the zero-weight groups.
+        ({"a": 100, "b": 0, "c": 0, "d": 0, "e": 0}, 10, 3),
+        ({"a": 9, "b": 0, "c": 0}, 9, 4),                    # Wr=0, uneven
     ]
     for ws, seats, cap in cases:
         wdf = spark.createDataFrame([Row(k=k, w=v) for k, v in ws.items()])
