@@ -207,6 +207,8 @@ HEADLINE = [
     "text-bpe-train",
     "text-bpe-encode",
     "text-fasttext-score",
+    # r11: learned classifier (8 GD iterations, oracle-replayed)
+    "text-fasttext-train",
     "dedup-cdc-chunks",
     "pipeline-tokenize-pack",
     "search-rrf-fusion",

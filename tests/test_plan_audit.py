@@ -280,6 +280,9 @@ BOUNDED_BROADCAST_OK = {
     "12-row estimate table, 1-row n",
     "search-mmr-rerank": "broadcast 4-row query-vector set (the "
     "ann-cosine-topk rationale)",
+    # learned weight table is <= buckets (4096) rows by construction
+    "text-fasttext-train": "broadcast <=4096-row learned weight table "
+    "(per GD iteration + final scoring)",
 }
 
 

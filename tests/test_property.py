@@ -1941,3 +1941,58 @@ def test_capped_apportion_matches_iterative_model(spark):
             spark.createDataFrame([Row(k="a", w=1), Row(k="b", w=1)]),
             ["k"], "w", seats=100, cap=10,
         )
+
+
+def test_fasttext_trained_scorer_separates_label(spark):
+    """AUC certification for text-fasttext-train (VERDICT r10 #1): the
+    LEARNED hashed-linear scorer must genuinely separate the y =
+    (lang = 'en') label — Mann-Whitney AUC >= 0.70 on the sf0.001
+    fixture (measured 0.733) — and must beat the SYNTHETIC pinned-
+    weight scorer (hashed_linear_score) on the same label by a wide
+    margin: the synthetic table is label-blind, so its AUC is ~0.5.
+    This is the 'trained for real, not fake' gate."""
+    from genpipe_spark.queries.llmdata import text_fasttext_train
+    from genpipe_spark.operators.text import hashed_linear_score
+    from genpipe_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+
+    def auc(pairs):  # exact Mann-Whitney with average ranks
+        pairs = sorted(pairs)  # by score
+        n = len(pairs)
+        ranks = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pairs[j][0] == pairs[i][0]:
+                j += 1
+            r = (i + 1 + j) / 2  # average rank of the tie run
+            for k in range(i, j):
+                ranks[k] = r
+            i = j
+        n1 = sum(1 for _, y in pairs if y == 1)
+        n2 = n - n1
+        r1 = sum(ranks[k] for k, (_, y) in enumerate(pairs) if y == 1)
+        return (r1 - n1 * (n1 + 1) / 2) / (n1 * n2)
+
+    trained = [
+        (r.score_micro, r.y)
+        for r in text_fasttext_train(spark, sf).collect()
+    ]
+    auc_trained = auc(trained)
+    docs = load(spark, sf, "documents")
+    lbl = {
+        r.doc_id: (1 if r.lang == "en" else 0)
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    synth = [
+        (r.mean_micro, lbl[r.doc_id])
+        for r in hashed_linear_score(docs).collect()
+        if r.mean_micro is not None
+    ]
+    auc_synth = auc(synth)
+    assert auc_trained >= 0.70, f"trained AUC {auc_trained:.4f} < 0.70"
+    assert auc_trained > auc_synth + 0.15, (
+        f"trained {auc_trained:.4f} does not clearly beat synthetic "
+        f"{auc_synth:.4f}"
+    )
