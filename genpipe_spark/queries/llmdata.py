@@ -1654,12 +1654,21 @@ def mix_dsir_select(spark, sf):
 
 
 def _bpe_cte_chain(iters: int) -> str:
-    """The shared BPE-training CTE chain (toks -> wf -> w0 -> ... ->
-    w{iters}), used by both the train and the encode oracles;
-    MATERIALIZED on every doubly-referenced word table (FIXTURES r8:
-    chained-CTE inlining blowup)."""
-    parts = [r"""
-WITH toks AS (
+    """The shared BPE-training CTE chain as ONE RECURSIVE CTE (r11,
+    was ``iters`` unrolled w{k} tables — 206 KB of SQL and 28 s of
+    planning at 256 rounds; the recursive form runs the same 256
+    rounds in ~1.4 s): the working table carries the full (w, cnt, s)
+    word table per iteration; each step computes the round's top pair
+    as a min-struct aggregate over the PREVIOUS iteration's rows (the
+    standard recursive-CTE working-table semantics) and rewrites every
+    symbolization via the double-space replace. When no adjacent pair
+    remains, the top pair is NULL and the rewrite is a no-op — the
+    rounds keep counting up to ``iters`` with frozen symbolizations,
+    matching the Spark side's early break observationally. Exposes:
+    wf (word counts), t (i, w, cnt, s for i = 0..iters), and wfin
+    (the final word table)."""
+    return rf"""
+WITH RECURSIVE toks AS (
   SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             w -> w <> '')) AS w
   FROM documents
@@ -1667,65 +1676,73 @@ WITH toks AS (
 wf AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
 ),
-w0 AS MATERIALIZED (
-  SELECT w, cnt,
+t AS (
+  SELECT 0 AS i, w, cnt,
          '  ' || array_to_string(
             list_transform(range(1, length(w) + 1),
                            i -> substr(w, i, 1)), '  ') || '  ' AS s
   FROM wf
-)"""]
-    for k in range(1, iters + 1):
-        parts.append(f""",
-p{k} AS (
-  SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
-  FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w{k - 1}) q,
-       unnest(range(1, greatest(len(sy), 1))) AS ti(i)
-  GROUP BY 1, 2
-),
-t{k} AS MATERIALIZED (
-  SELECT (min(struct_pack(nc := -c, a := a, b := b))).a AS ma,
-         (min(struct_pack(nc := -c, a := a, b := b))).b AS mb,
-         -(min(struct_pack(nc := -c, a := a, b := b))).nc AS mc
-  FROM p{k}
-),
-w{k} AS MATERIALIZED (
-  SELECT w, cnt,
+  UNION ALL
+  SELECT i + 1, w, cnt,
          CASE WHEN ma IS NULL THEN s
               ELSE replace(s, '  ' || ma || '  ' || mb,
                            '  ' || ma || mb) END AS s
-  FROM w{k - 1}, t{k}
-)""")
-    return "".join(parts)
-
-
-def _bpe_train_oracle(iters: int, top_words: int) -> str:
-    """Generated DuckDB twin of operators/text.bpe_train — the merge
-    rounds unrolled (fixed iteration count, the lpa/markov
-    precedent)."""
-    parts = [_bpe_cte_chain(iters)]
-    merge_rows = "\nUNION ALL\n".join(
-        f"SELECT 'merge' AS part, CAST({k} AS BIGINT) AS k, ma AS a,"
-        f" mb AS b, ma || mb AS s, CAST(mc AS BIGINT) AS cnt FROM t{k}"
-        f" WHERE ma IS NOT NULL"
-        for k in range(1, iters + 1)
+  FROM t CROSS JOIN (
+    SELECT (min(struct_pack(nc := -c, a := a, b := b))).a AS ma,
+           (min(struct_pack(nc := -c, a := a, b := b))).b AS mb
+    FROM (
+      SELECT sy[j] AS a, sy[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM t) q,
+           unnest(range(1, greatest(len(sy), 1))) AS tj(j)
+      GROUP BY 1, 2
     )
-    parts.append(f"""
-{merge_rows}
+  )
+  WHERE i < {iters}
+),
+wfin AS MATERIALIZED (
+  SELECT w, cnt, s FROM t WHERE i = {iters}
+)"""
+
+
+def _bpe_train_oracle(iters: int, top_words: int | None) -> str:
+    """Generated DuckDB twin of operators/text.bpe_train: merge rule
+    of round k = the top pair recomputed from the recursive working
+    table at iteration k-1 (identical min-struct tiebreak); word rows
+    from the final table (top_words=None -> the FULL word table)."""
+    word_filter = "" if top_words is None else f"WHERE k <= {top_words}"
+    return _bpe_cte_chain(iters) + f""",
+mg AS (
+  SELECT i + 1 AS k,
+         (min(struct_pack(nc := -c, a := a, b := b))).a AS ma,
+         (min(struct_pack(nc := -c, a := a, b := b))).b AS mb,
+         -(min(struct_pack(nc := -c, a := a, b := b))).nc AS mc
+  FROM (
+    SELECT i, sy[j] AS a, sy[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT i, cnt, string_split(trim(s), '  ') AS sy
+          FROM t WHERE i < {iters}) q,
+         unnest(range(1, greatest(len(sy), 1))) AS tj(j)
+    GROUP BY i, sy[j], sy[j + 1]
+  ) GROUP BY i
+)
+SELECT 'merge' AS part, CAST(k AS BIGINT) AS k, ma AS a, mb AS b,
+       ma || mb AS s, CAST(mc AS BIGINT) AS cnt
+FROM mg WHERE ma IS NOT NULL
 UNION ALL
 SELECT part, k, a, b, s, cnt FROM (
   SELECT 'word' AS part,
          CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS k,
          w AS a, '' AS b,
          replace(trim(s), '  ', ' ') AS s, cnt
-  FROM w{iters}
-) WHERE k <= {top_words}
-""")
-    return "".join(parts)
+  FROM wfin
+) {word_filter}
+"""
 
 
-@query("text-bpe-train", _bpe_train_oracle(3, 50))
+@query("text-bpe-train", _bpe_train_oracle(256, None))
 def text_bpe_train(spark, sf):
-    """BPE TRAINING, three merge rounds (Sennrich et al. 2016;
+    """BPE TRAINING at VOCAB SCALE — 256 merge rounds over the FULL
+    word table (r11, was 3 rounds / top-50 words; Sennrich et al.
+    2016;
     operators/text.bpe_train) — learns the merges, not just the pair
     stats: weighted adjacent-pair counts over the (word, count)
     table, deterministic (count desc, pair asc) top pair as a
@@ -1734,12 +1751,16 @@ def text_bpe_train(spark, sf):
     occurrences share no characters, so non-overlapping left-to-right
     replace EQUALS the reference's greedy tuple merge — verified
     against a literal Python BPE in the smoke test). Emits the merge
-    rules and the top-50 words' final symbolizations. Everything
-    after the one corpus reduction is vocabulary-sized."""
+    rules and EVERY word's final symbolization. Everything after the
+    one corpus reduction is vocabulary-sized: per round one 1-row
+    top-pair collect + a literal rewrite, lineage cut every 32 rounds
+    (operators/text._bpe_learn), early break once the vocab is
+    exhausted (provable no-op tail). The oracle replays all 256
+    rounds as ONE recursive CTE instead of 256 unrolled tables."""
     from genpipe_spark.operators.text import bpe_train
 
-    return bpe_train(widen(t(spark, sf, "documents")), iters=3,
-                     top_words=50)
+    return bpe_train(widen(t(spark, sf, "documents")), iters=256,
+                     top_words=None)
 
 
 def _bpe_encode_oracle(iters: int) -> str:
@@ -1753,7 +1774,7 @@ vocab AS MATERIALIZED (
   FROM (
     SELECT tok, CAST(sum(cnt) AS BIGINT) AS tcnt
     FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS tok
-          FROM w{iters})
+          FROM wfin)
     GROUP BY tok)
 ),
 docw AS (
@@ -1765,7 +1786,7 @@ docw AS (
 enc AS (
   SELECT d.doc_id, u.tok
   FROM docw d
-  JOIN w{iters} wt USING (w),
+  JOIN wfin wt USING (w),
        unnest(string_split(trim(wt.s), '  ')) AS u(tok)
 )
 SELECT doc_id, token_id, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -1774,7 +1795,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@query("text-bpe-encode", _bpe_encode_oracle(3))
+@query("text-bpe-encode", _bpe_encode_oracle(256))
 def text_bpe_encode(spark, sf):
     """BPE ENCODING AT SCALE (operators/text.bpe_encode) — applies the
     merge table learned by text-bpe-train corpus-wide, closing the r9
@@ -1790,7 +1811,7 @@ def text_bpe_encode(spark, sf):
     a vocab bounded at |alphabet| + iters rows by construction."""
     from genpipe_spark.operators.text import bpe_encode
 
-    return bpe_encode(widen(t(spark, sf, "documents")), iters=3)
+    return bpe_encode(widen(t(spark, sf, "documents")), iters=256)
 
 
 _TOKPACK_BUDGET = 2048
@@ -1812,12 +1833,12 @@ def _tokenize_pack_oracle() -> str:
     """The tokenize→pack composition: real BPE token counts (the
     text-bpe-encode chain) drive the per-language running-offset shard
     assignment (the pack-sequences chain)."""
-    return _bpe_encode_wordmap_cte(3) + f""",
+    return _bpe_encode_wordmap_cte(256) + f""",
 ntok AS (
   SELECT d.doc_id,
          CAST(sum(len(string_split(trim(wt.s), '  '))) AS BIGINT)
            AS n_tokens
-  FROM docw d JOIN w3 wt USING (w)
+  FROM docw d JOIN wfin wt USING (w)
   GROUP BY d.doc_id
 ),
 nd AS (
@@ -1853,7 +1874,7 @@ def pipeline_tokenize_pack(spark, sf):
     from genpipe_spark.operators.text import _bpe_learn, words
 
     d = widen(t(spark, sf, "documents"))
-    w_fin, _ = _bpe_learn(d, "text", 3)
+    w_fin, _ = _bpe_learn(d, "text", 256)
     wmap = w_fin.select(
         "w", F.size(F.split(F.trim("s"), "  ")).cast("long").alias("wtok")
     )

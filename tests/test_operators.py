@@ -2133,3 +2133,23 @@ def test_kmeans_exact_bit_stable_and_recall(spark):
         for r in ivf_topk(emb, q, k=5, centroids=c1).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.3  # probe-1-cell floor
+
+
+def test_bpe_learn_routes_identical(spark):
+    """The driver-side and distributed BPE merge loops emit IDENTICAL
+    merges and final symbolizations (routing is a plan decision,
+    invisible to the oracle) — forced via driver_vocab_max=0."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import _bpe_learn
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "low low new",
+             "wider wide widest low"] * 3
+        )]
+    )
+    wd, md = _bpe_learn(docs, "text", 40)  # driver route
+    wx, mx = _bpe_learn(docs, "text", 40, driver_vocab_max=0)  # dist
+    assert sorted(map(tuple, md.collect())) == sorted(map(tuple, mx.collect()))
+    assert sorted(map(tuple, wd.collect())) == sorted(map(tuple, wx.collect()))
