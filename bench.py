@@ -224,6 +224,8 @@ HEADLINE = [
     "dedup-semantic",
     "stream-dedup-incremental",
     "stream-window-late-drop",
+    # r11: incremental CDC admission (persisted chunk-hash index)
+    "dedup-cdc-incremental",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",

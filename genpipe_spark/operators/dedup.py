@@ -1315,8 +1315,34 @@ def cdc_chunk_stats(
     Output per document: n_chunks, n_dup_chunks (chunks whose hash
     occurs >= 2 times corpus-wide — including within one doc),
     dup_chars, total_chars."""
+    chunks = cdc_chunks(df, text_col, id_col, window, mask)
+    counts = chunks.groupBy("chash").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        chunks.join(counts, "chash")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("cc") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("cc") >= 2, F.col("clen")).otherwise(0))
+            .cast("long").alias("dup_chars"),
+            F.sum("clen").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """The CDC chunk relation shared by :func:`cdc_chunk_stats` and
+    :func:`cdc_incremental_stats`: one row per (doc, chunk) with the
+    chunk's 31-fold hash — (id, ci, clen, chash). Boundary rule and
+    scale shape documented on cdc_chunk_stats."""
     if window != 8:
-        raise ValueError("cdc_chunk_stats: window is pinned at 8 "
+        raise ValueError("cdc_chunks: window is pinned at 8 "
                          "(the _CDC_POW31 table)")
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t")
@@ -1390,15 +1416,50 @@ def cdc_chunk_stats(
             lambda a, ch: (a * 31 + ch) % M31,
         ).alias("chash"),
     )
-    counts = chunks.groupBy("chash").agg(F.count(F.lit(1)).alias("cc"))
-    return (
-        chunks.join(counts, "chash")
-        .groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("cc") >= 2).cast("long")).alias("n_dup_chunks"),
-            F.sum(F.when(F.col("cc") >= 2, F.col("clen")).otherwise(0))
-            .cast("long").alias("dup_chars"),
-            F.sum("clen").cast("long").alias("total_chars"),
-        )
+    return chunks
+
+
+def cdc_incremental_stats(
+    batch_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """INCREMENTAL CDC dedup — match a NEW batch's chunks against the
+    PERSISTED chunk-hash index of everything already accepted (the
+    stream-dedup-incremental shape at chunk granularity, VERDICT r10
+    #4): chunk the batch (same boundary rule as cdc_chunk_stats), mark
+    each chunk KNOWN iff its hash is in ``index_df`` (column
+    ``chash``; within-batch repeats do NOT count — only the persisted
+    index), and aggregate per doc. A doc whose known chars reach half
+    its total is REJECTED — the storage-dedup admission rule.
+
+    Scale: the batch-sized chunk explode + one join against the
+    index on an 8-byte key (AQE broadcasts a small index; a corpus-
+    scale index makes this the standard shuffle equi-join) + one
+    per-doc agg. The caller owns index persistence (append the
+    accepted batch's distinct hashes — see the dedup-cdc-incremental
+    entry and the streaming test).
+
+    Output: (id_col, n_chunks, n_known_chunks, known_chars,
+    total_chars, rejected int 0/1) — rejected iff
+    2*known_chars >= total_chars (cross-multiplied, no float)."""
+    ch = cdc_chunks(batch_df, text_col, id_col, window, mask)
+    idx = index_df.select("chash").distinct().withColumn(
+        "__known", F.lit(1)
+    )
+    j = ch.join(idx, "chash", "left")
+    per_doc = j.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__known").isNotNull().cast("long"))
+        .alias("n_known_chunks"),
+        F.sum(F.when(F.col("__known").isNotNull(), F.col("clen"))
+              .otherwise(0)).cast("long").alias("known_chars"),
+        F.sum("clen").cast("long").alias("total_chars"),
+    )
+    return per_doc.withColumn(
+        "rejected",
+        (2 * F.col("known_chars") >= F.col("total_chars")).cast("int"),
     )

@@ -364,7 +364,10 @@ def mix_capped_allocation(spark, sf):
                             cap=_CAPPED_CAP)
 
 
-_CDC_SQL = r"""
+# the CDC chunk relation (doc -> chunk rows with 31-fold hashes),
+# shared by the corpus-wide stats oracle below and the incremental
+# entry's oracle (queries/streaming.py)
+_CDC_CH_CTE = r"""
     WITH b AS (
       SELECT doc_id AS id, text AS t,
              list_apply(list_filter(string_split(text, ''), c -> c <> ''),
@@ -408,7 +411,9 @@ _CDC_SQL = r"""
                    c -> CAST(ascii(c) AS BIGINT))),
                (a, c) -> (a * 31 + c) % 2147483647) AS chash
       FROM ck JOIN b ON b.id = ck.id
-    ),
+    )"""
+
+_CDC_SQL = _CDC_CH_CTE + r""",
     cc AS (SELECT chash, count(*) AS cnt FROM ch GROUP BY chash)
     SELECT ch.id AS doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,

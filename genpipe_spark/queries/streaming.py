@@ -901,6 +901,104 @@ def stream_dedup_incremental(spark, sf):
     return spark.read.parquet(pairs_dir)
 
 
+def _cdc_incr_oracle() -> str:
+    """DuckDB twin of dedup-cdc-incremental: batches are doc_id % 3 in
+    order, and a chunk of a batch-b doc is KNOWN iff its hash first
+    appeared in a STRICTLY earlier batch (fb.first_b < b) — exactly
+    the persisted-index rule the live foreachBatch loop implements
+    (within-batch repeats never count). Chunk relation shared with the
+    dedup-cdc-chunks oracle (_CDC_CH_CTE)."""
+    from genpipe_spark.queries.llmdata import _CDC_CH_CTE
+
+    return _CDC_CH_CTE + """,
+    fb AS (SELECT chash, min(id % 3) AS first_b FROM ch GROUP BY chash)
+    SELECT ch.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN fb.first_b < ch.id % 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_known_chunks,
+           CAST(sum(CASE WHEN fb.first_b < ch.id % 3 THEN clen ELSE 0 END)
+                AS BIGINT) AS known_chars,
+           CAST(sum(clen) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN
+                  2 * sum(CASE WHEN fb.first_b < ch.id % 3
+                               THEN clen ELSE 0 END) >= sum(clen)
+                  THEN 1 ELSE 0 END AS INTEGER) AS rejected
+    FROM ch JOIN fb USING (chash)
+    GROUP BY ch.id
+    """
+
+
+@query("dedup-cdc-incremental", _cdc_incr_oracle())
+def dedup_cdc_incremental(spark, sf):
+    """LIVE incremental CDC dedup (VERDICT r10 #4;
+    operators/dedup.cdc_incremental_stats) — the stream-dedup-
+    incremental shape at CHUNK granularity: documents arrive in three
+    pinned micro-batches (doc_id % 3, mtime-ordered availableNow
+    drain); each batch is content-defined-chunked and matched against
+    the chunk-hash index PERSISTED from all earlier batches, per-doc
+    overlap stats + the 50%-known rejection verdict appended, then the
+    batch's distinct chunk hashes appended to the index — the
+    storage-dedup admission loop every backup/transfer system runs.
+    Production keeps the index table across runs; here it lives for
+    the drain (the stream-dedup-incremental scaffolding precedent).
+    Scale: per batch one chunk explode + one 8-byte-key join against
+    the index + one per-doc agg; the index is append-only parquet.
+    Cross-batch rejection is separately pytest-ed (a batch-2 doc
+    sharing every chunk with a batch-1 survivor must be flagged)."""
+    import os
+    import time as _time
+
+    from genpipe_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_incremental_stats,
+    )
+    from genpipe_spark.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="genpipe_cdcinc_src_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        stamp = _time.time() + i * 5
+        for root, _, fs in os.walk(f"{src}/b{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    out_dir = tempfile.mkdtemp(prefix="genpipe_cdcinc_out_")
+    stats_dir, idx_dir = f"{out_dir}/stats", f"{out_dir}/index"
+    seen = {"any": False}
+
+    def handle(batch_df, bid):
+        batch = batch_df.localCheckpoint(eager=True)
+        ss = batch.sparkSession
+        index = (
+            ss.read.parquet(idx_dir)
+            if seen["any"]
+            else ss.createDataFrame([], "chash long")
+        )
+        cdc_incremental_stats(batch, index).write.mode("append").parquet(
+            stats_dir
+        )
+        cdc_chunks(batch).select("chash").distinct().write.mode(
+            "append"
+        ).parquet(idx_dir)
+        seen["any"] = True
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(stats_dir)
+
+
 _WM_LATE_SQL = """
     WITH e AS (
       SELECT event_id, ts, user_id % 5 AS g, event_id % 3 AS b

@@ -421,6 +421,13 @@ _DEDUP_MISC_MEMBERS = {
             ("dup_chars", "s"), ("total_chars", "s"),
         ],
     ),
+    "cdcincr": (
+        "dedup-cdc-incremental",
+        [
+            ("doc_id", "s"), ("n_chunks", "s"), ("n_known_chunks", "s"),
+            ("known_chars", "s"), ("total_chars", "s"), ("rejected", "s"),
+        ],
+    ),
 }
 
 _EMBEDDING_MEMBERS = {
@@ -1107,6 +1114,8 @@ dedup_misc_suite = _register(
     "(asymmetric shingle containment — the short-doc-inside-long-doc "
     "class Jaccard misses) ∪ dedup-exact-substr (Lee et al. "
     "ExactSubstr corpus spans via sorted k-mer anchoring, r9) "
+    "∪ dedup-cdc-incremental (live 3-batch availableNow drain against "
+    "a persisted chunk-hash index — incremental CDC admission, r11) "
     "(r5 third rotation; containment r7).",
 )
 embedding_suite = _register(

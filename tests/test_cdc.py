@@ -487,3 +487,41 @@ def test_maintenance_pipeline_cycle(spark, tmp_path):
     assert s2["optimize"]["partitions_compacted"] == 0
     got2 = {tuple(r) for r in spark.read.parquet(dest).select("k", "v", "p").collect()}
     assert got2 == want
+
+
+def test_cdc_incremental_cross_batch_rejection(spark):
+    """VERDICT r10 #4 'done' gate: a batch-2 doc sharing (almost) every
+    chunk with a batch-1 survivor is FLAGGED in batch 2 — known chunks
+    come from the PERSISTED index only, so batch 1 rejects nothing
+    even when it contains the same text twice (within-batch repeats
+    don't count), and a disjoint batch-2 doc passes."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_incremental_stats,
+    )
+
+    boiler = ("the quick brown fox jumps over the lazy dog again and "
+              "again while the pipeline chunks every byte of it " * 8)
+    fresh = ("completely different material with no shared substrings "
+             "zyxw vutsr qponm lkjih gfedc 98765 43210 " * 8)
+    b1 = spark.createDataFrame([
+        Row(doc_id=1, text=boiler),
+        Row(doc_id=2, text=boiler + " tail"),  # same chunks, same batch
+    ])
+    empty_idx = spark.createDataFrame([], "chash long")
+    s1 = {r.doc_id: r for r in cdc_incremental_stats(b1, empty_idx).collect()}
+    assert s1[1].rejected == 0 and s1[2].rejected == 0, (
+        "within-batch repeats must not reject"
+    )
+    assert s1[1].n_known_chunks == 0
+    idx = cdc_chunks(b1).select("chash").distinct()
+    b2 = spark.createDataFrame([
+        Row(doc_id=3, text=boiler),   # full overlap with batch-1 survivor
+        Row(doc_id=4, text=fresh),    # disjoint
+    ])
+    s2 = {r.doc_id: r for r in cdc_incremental_stats(b2, idx).collect()}
+    assert s2[3].rejected == 1, s2[3]
+    assert s2[3].known_chars == s2[3].total_chars
+    assert s2[4].rejected == 0 and s2[4].n_known_chunks == 0, s2[4]
