@@ -226,6 +226,8 @@ HEADLINE = [
     "stream-window-late-drop",
     # r11: incremental CDC admission (persisted chunk-hash index)
     "dedup-cdc-incremental",
+    # r11: multimodal near-dup (decode -> aHash -> banded Hamming join)
+    "multimodal-image-neardup",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",

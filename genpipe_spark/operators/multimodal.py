@@ -392,3 +392,74 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return media.where(F.col("codec") == "audio/wav").mapInPandas(
         batches, schema=AUDIO_FP_SCHEMA
     )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """NEAR-DUPLICATE image pairs over aHash fingerprints — the
+    multimodal counterpart of dedup-minhash-lsh (VERDICT r10 #5):
+    join the repo's banded-Hamming machinery (simhash_pairs'
+    bit-block LSH) to :func:`image_ahash`'s 64-bit perceptual hash so
+    image dedup at corpus scale is an EQUI-JOIN, never pixel pairs.
+
+    The 64-bit hash (ahash_hi, ahash_lo — 32 bits each) splits into 8
+    byte-wide blocks; by pigeonhole, any pair within Hamming distance
+    ``max_hamming`` <= 7 must agree EXACTLY on at least one block, so
+    the banded (block, key) self-equi-join has FULL RECALL (asserted
+    against exact pairwise Hamming in tests) and the exact
+    bit_count-XOR verify stage only runs inside buckets. Raises when
+    max_hamming > 7 — the guarantee would silently break.
+
+    Scale: the fingerprint table is one row per image; the explode is
+    x8; the join shuffles on the 1-byte block key (the simhash-pairs
+    shape). Output: (id_a, id_b, hamming), id_a < id_b."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"image_neardup_pairs: max_hamming {max_hamming} > 7 breaks "
+            "the 8-block pigeonhole recall guarantee"
+        )
+    sh = hashes.select(
+        F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
+    ).localCheckpoint(eager=False)
+    block_structs = [
+        F.struct(
+            F.lit(bno).alias("block"),
+            F.shiftright(
+                F.col("ahash_lo") if bno < 4 else F.col("ahash_hi"),
+                (bno % 4) * 8,
+            ).bitwiseAND(F.lit(255)).alias("key"),
+        )
+        for bno in range(8)
+    ]
+    banded = sh.select(
+        "id", "ahash_hi", "ahash_lo",
+        F.explode(F.array(*block_structs)).alias("bb"),
+    ).select("id", "ahash_hi", "ahash_lo", "bb.block", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

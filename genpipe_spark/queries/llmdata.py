@@ -2785,9 +2785,9 @@ def graph_triangle_count(spark, sf):
     return triangle_count(edges)
 
 
-@query(
-    "multimodal-image-ahash",
-    """
+# synth pixels -> all-integer 8x8 aHash, shared by the fingerprint
+# entry and the near-dup pair entry below
+_AHASH_CTE = """
     WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
     dims AS (SELECT id, id % 13 + 4 AS w, id % 11 + 4 AS h FROM ids),
     px AS (
@@ -2813,16 +2813,24 @@ def graph_triangle_count(spark, sf):
     om AS (
       SELECT id, CAST(sum(bmq) // count(*) AS BIGINT) AS omq
       FROM bm GROUP BY id
-    )
-    SELECT bm.id AS media_id, bm.w, bm.h,
+    ),
+    ah AS (
+      SELECT bm.id AS media_id, bm.w, bm.h,
            CAST(coalesce(sum(CASE WHEN idx >= 32 AND bmq > omq
                  THEN (1::BIGINT << CAST(idx - 32 AS INT)) END), 0) AS BIGINT)
              AS ahash_hi,
            CAST(coalesce(sum(CASE WHEN idx < 32 AND bmq > omq
                  THEN (1::BIGINT << CAST(idx AS INT)) END), 0) AS BIGINT)
              AS ahash_lo
-    FROM bm JOIN om ON om.id = bm.id
-    GROUP BY bm.id, bm.w, bm.h
+      FROM bm JOIN om ON om.id = bm.id
+      GROUP BY bm.id, bm.w, bm.h
+    )"""
+
+
+@query(
+    "multimodal-image-ahash",
+    _AHASH_CTE + """
+    SELECT media_id, w, h, ahash_hi, ahash_lo FROM ah
     """,
 )
 def multimodal_image_ahash(spark, sf):
@@ -2836,6 +2844,47 @@ def multimodal_image_ahash(spark, sf):
 
     d = widen(t(spark, sf, "documents"))
     return image_ahash(synth_media_real(d))
+
+
+@query(
+    "multimodal-image-neardup",
+    _AHASH_CTE + """
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                  + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER)
+               AS hamming
+      FROM ah a JOIN ah b ON a.media_id < b.media_id
+    ) WHERE hamming <= 4
+    """,
+)
+def multimodal_image_neardup(spark, sf):
+    """NEAR-DUPLICATE images (VERDICT r10 #5;
+    operators/multimodal.image_neardup_pairs) — the multimodal
+    counterpart of dedup-minhash-lsh: real PPM decode -> all-integer
+    64-bit aHash -> 8-byte-block banded self-equi-join -> exact
+    bit_count-XOR verify at Hamming <= 4. The 8-block pigeonhole makes
+    the banding EXACT for d <= 7, so the oracle IS the recall check:
+    it computes the plain exact pairwise join over the replayed
+    fingerprints and the banded Spark plan must reproduce it
+    verbatim (recall additionally pytest-asserted against an exact
+    pairwise Spark join). Distribution probe: the synth fixture
+    yields pairs at every distance 0..4 and keeps >90% of pairs OUT
+    (the FIXTURES degeneracy rule). Scale: one 8x fingerprint
+    explode + a 1-byte-key equi-join — never pixel pairs."""
+    from genpipe_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        synth_media_real,
+    )
+
+    d = widen(t(spark, sf, "documents"))
+    return image_neardup_pairs(
+        image_ahash(synth_media_real(d)).select(
+            "media_id", "ahash_hi", "ahash_lo"
+        ),
+        max_hamming=4,
+    )
 
 
 @query(

@@ -1520,12 +1520,18 @@ _MM_FULL_MEMBERS = {
         "multimodal-audio-fingerprint",
         [("media_id", "s"), ("n_samples", "s"), ("afp", "s")],
     ),
+    "neardup": (
+        "multimodal-image-neardup",
+        [("id_a", "s"), ("id_b", "s"), ("hamming", "s")],
+    ),
 }
 
 multimodal_full_suite = _register(
     "multimodal-full-suite", _MM_FULL_MEMBERS,
     "multimodal-suite (codec round-trips, features, frame sampling) ∪ "
     "multimodal-image-ahash ∪ multimodal-audio-fingerprint "
-    "(real-decode perceptual fingerprints, image + audio) — the full "
+    "(real-decode perceptual fingerprints, image + audio) ∪ "
+    "multimodal-image-neardup (banded-Hamming aHash pairs, full-recall "
+    "8-block pigeonhole at d<=4, exact-verified; r11) — the full "
     "multimodal family (r5 third rotation).",
 )

@@ -2153,3 +2153,55 @@ def test_bpe_learn_routes_identical(spark):
     wx, mx = _bpe_learn(docs, "text", 40, driver_vocab_max=0)  # dist
     assert sorted(map(tuple, md.collect())) == sorted(map(tuple, mx.collect()))
     assert sorted(map(tuple, wd.collect())) == sorted(map(tuple, wx.collect()))
+
+
+def test_image_neardup_recall_vs_exact_pairwise(spark):
+    """image_neardup_pairs' 8-block banding has FULL recall at
+    Hamming <= 4 (pigeonhole: d <= 7 with 8 blocks): the banded +
+    verified pairs must EQUAL the exact all-pairs bit_count join over
+    the same fingerprints — and the fixture must be non-degenerate
+    (pairs exist; most pairs excluded). Also pins the d > 7 gate."""
+    import pytest
+
+    from genpipe_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        synth_media_real,
+    )
+    from genpipe_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    hashes = image_ahash(synth_media_real(d)).select(
+        "media_id", "ahash_hi", "ahash_lo"
+    ).localCheckpoint(eager=True)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_neardup_pairs(hashes, max_hamming=4).collect()
+    }
+    a, b = hashes.alias("a"), hashes.alias("b")
+    ham = (
+        F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+        + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+    ).cast("int")
+    exact = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert banded == exact, (
+        f"recall broken: {len(exact - banded)} missed, "
+        f"{len(banded - exact)} spurious"
+    )
+    n = hashes.count()
+    assert banded, "degenerate fixture: no near-dup pairs"
+    assert len(banded) < 0.5 * n * (n - 1) / 2, (
+        "degenerate fixture: banding excludes almost nothing"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(hashes, max_hamming=8)
