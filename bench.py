@@ -293,6 +293,13 @@ def main() -> None:
                 "metric": "headline-suite-detail",
                 "queries_min": timings,
                 "queries_median": medians,
+                # spread = median/min per query (VERDICT r10 #6): >2
+                # marks a host-noise-dominated measurement — exclude
+                # from cross-round adjudication (scripts/diff_bench.py)
+                "queries_spread": {
+                    k: round(medians[k] / timings[k], 2) if timings[k] else None
+                    for k in timings
+                },
                 "median_total": round(sum(medians.values()), 3),
                 "sf": sf_val,
             },
