@@ -415,7 +415,13 @@ def image_neardup_pairs(
 
     Scale: the fingerprint table is one row per image; the explode is
     x8; the join shuffles on the 1-byte block key (the simhash-pairs
-    shape). Output: (id_a, id_b, hamming), id_a < id_b."""
+    shape). Note the OUTPUT CONTRACT is quadratic in exact-dup group
+    size by definition (k identical images = C(k,2) rows — true of any
+    pair-listing dedup, minhash-lsh included); a corpus with whale
+    exact-dup groups should first collapse identical (ahash_hi,
+    ahash_lo) to representatives + counts (one groupBy) and re-expand
+    group membership downstream instead of materializing the pairs.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
     if max_hamming > 7:
         raise ValueError(
             f"image_neardup_pairs: max_hamming {max_hamming} > 7 breaks "
