@@ -1426,6 +1426,7 @@ def cdc_incremental_stats(
     id_col: str = "doc_id",
     window: int = 8,
     mask: int = 64,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL CDC dedup — match a NEW batch's chunks against the
     PERSISTED chunk-hash index of everything already accepted (the
@@ -1445,8 +1446,17 @@ def cdc_incremental_stats(
 
     Output: (id_col, n_chunks, n_known_chunks, known_chars,
     total_chars, rejected int 0/1) — rejected iff
-    2*known_chars >= total_chars (cross-multiplied, no float)."""
-    ch = cdc_chunks(batch_df, text_col, id_col, window, mask)
+    2*known_chars >= total_chars (cross-multiplied, no float).
+
+    Pass ``chunks`` (a cdc_chunks relation for the same batch) to
+    share one chunk explode between the stats and the caller's index
+    append — the chunk HOF is the per-batch hot path, computing it
+    twice doubles the batch cost."""
+    ch = (
+        chunks
+        if chunks is not None
+        else cdc_chunks(batch_df, text_col, id_col, window, mask)
+    )
     idx = index_df.select("chash").distinct().withColumn(
         "__known", F.lit(1)
     )

@@ -976,12 +976,15 @@ def dedup_cdc_incremental(spark, sf):
             if seen["any"]
             else ss.createDataFrame([], "chash long")
         )
-        cdc_incremental_stats(batch, index).write.mode("append").parquet(
-            stats_dir
-        )
-        cdc_chunks(batch).select("chash").distinct().write.mode(
+        # ONE chunk explode per batch, shared by the stats pass and
+        # the index append (the chunk HOF is the batch hot path)
+        ch = cdc_chunks(batch).localCheckpoint(eager=True)
+        cdc_incremental_stats(batch, index, chunks=ch).write.mode(
             "append"
-        ).parquet(idx_dir)
+        ).parquet(stats_dir)
+        ch.select("chash").distinct().write.mode("append").parquet(
+            idx_dir
+        )
         seen["any"] = True
 
     stream = (
