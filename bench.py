@@ -228,6 +228,8 @@ HEADLINE = [
     "dedup-cdc-incremental",
     # r11: multimodal near-dup (decode -> aHash -> banded Hamming join)
     "multimodal-image-neardup",
+    # r11: dense in-engine linear probe (8 GD rounds, oracle-replayed)
+    "embedding-linear-probe",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",

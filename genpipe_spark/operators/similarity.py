@@ -1122,3 +1122,98 @@ def mmr_rerank(
         )
         selected = selected.unionByName(nxt)
     return selected.select("query_id", "sel_rank", "vec_id", "rel", "score")
+
+
+def embedding_linear_probe(
+    corpus: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    lr: int = 32,
+    q_scale: int = 1000,
+) -> DataFrame:
+    """DENSE linear probe trained in-engine — the embedding-side
+    counterpart of the sparse hashed fastText trainer
+    (operators/text.hashed_linear_train): fixed-iteration full-batch
+    GD on squared loss over ONE-TIME-QUANTIZED embedding vectors,
+    every step exact int64, so training is a pure function of the
+    data and the DuckDB twin replays it round by round.
+
+    Quantize once (q = round(x * q_scale), the kmeans_centroids_exact
+    recipe), keep weights in micro-units; per iteration (all floor
+    divisions via the shared floor-adjust idiom):
+
+      s_d     = sum_i q_di * w_i          (int64 dot product)
+      resid_d = fdiv(s_d, q_scale) - y_d * 1e6
+      G_i     = sum_d q_di * resid_d      (combinable per-dim agg)
+      w_i    -= fdiv(lr * fdiv(G_i, D), q_scale)
+
+    which is GD with step ``lr`` on 1/(2D)||Xw - y||^2 for x = q/Q,
+    w in micro-units. Fixture embeddings have |x| <= ~0.5, so every
+    product sits far under 2^63 (|q| <= ~525, |w| < ~1e6 measured).
+
+    Scale: per iteration ONE combinable posexplode aggregation over
+    the quantized corpus (dim-count groups) + a dim-sized collect
+    (the kmeans centroid precedent); the weight vector rides back as
+    an array LITERAL, so scoring is a zip_with fold in whole-stage
+    codegen — no join anywhere. Output: (id_col, label, y,
+    score_micro) — the trained per-vector score for the
+    one-vs-rest y = (label == 1) target unless the caller pre-derives
+    ``y`` differently (pass label_col='y' with y precomputed)."""
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+        (F.col(label_col) == 1).cast("long").alias("y"),
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x * q_scale).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    first = base.select(F.size("q").alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_linear_probe: corpus is empty")
+    dim = int(first["d"])
+    D = base.count()
+    w = [0] * dim
+
+    def score_of(wlist):
+        wlit = F.lit([int(v) for v in wlist])
+        s = F.aggregate(
+            F.zip_with(F.col("q"), wlit, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return s
+
+    from .text import _fdiv_sql  # the shared floor-adjust division
+
+    for _ in range(iters):
+        scored = base.select(
+            "id", "y", "q", score_of(w).alias("s")
+        ).select(
+            "q",
+            (
+                F.expr(_fdiv_sql("s", str(q_scale)))
+                - F.col("y") * 1_000_000
+            ).alias("resid"),
+        )
+        grad = (
+            scored.select(F.posexplode("q").alias("i", "x"), "resid")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("resid")).alias("g"))
+            .collect()
+        )
+        gmap = {int(r["i"]): int(r["g"]) for r in grad}
+        w = [
+            w[i] - (lr * (gmap.get(i, 0) // D)) // q_scale
+            for i in range(dim)
+        ]
+    return base.select(
+        F.col("id").alias(id_col), "label", "y",
+        score_of(w).alias("__s"),
+    ).select(
+        id_col, "label", "y",
+        F.expr(_fdiv_sql("__s", str(q_scale))).alias("score_micro"),
+    )

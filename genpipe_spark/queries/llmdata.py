@@ -592,6 +592,77 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
     return "".join(parts)
 
 
+def _linear_probe_oracle(dim: int = 64, iters: int = 8, lr: int = 32,
+                         q: int = 1000) -> str:
+    """DuckDB twin of similarity.embedding_linear_probe: the GD rounds
+    unrolled with the weight vector as a 1-row LIST column — per round
+    a cross join attaches w to every vector (1 row x corpus, the
+    broadcast shape), the dot product is an exact int64 zip-reduce,
+    and the per-dim gradient re-lists into the next w."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CASE WHEN label = 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {q}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS D FROM e),
+    w0 AS (SELECT list_transform(range(1, {dim} + 1),
+                                 i -> CAST(0 AS BIGINT)) AS w)"""
+    parts = [head]
+    dot = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
+           " list_apply(list_zip(qv, w.w), p -> p[1] * p[2])),"
+           " (a, b) -> a + b)")
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+    r{t} AS (
+      SELECT vec_id, qv,
+             {_ft_fd(dot, str(q))} - y * 1000000 AS resid
+      FROM e CROSS JOIN w{p} w
+    ),
+    g{t} AS (
+      SELECT i, CAST(sum(qv[i] * resid) AS BIGINT) AS g
+      FROM r{t}, unnest(range(1, {dim} + 1)) AS ti(i)
+      GROUP BY i
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT list(wv ORDER BY i) AS w FROM (
+        SELECT g{t}.i AS i,
+               w.w[i] - {_ft_fd(f"{lr} * {_ft_fd('g', 'dd.D')}", str(q))}
+                 AS wv
+        FROM g{t} CROSS JOIN w{p} w CROSS JOIN dd)
+    )"""
+                     )
+    parts.append(f"""
+    SELECT vec_id, label, y,
+           CAST({_ft_fd(dot, str(q))} AS BIGINT) AS score_micro
+    FROM e CROSS JOIN w{iters} w
+    """)
+    return "".join(parts)
+
+
+@query("embedding-linear-probe", _linear_probe_oracle())
+def embedding_linear_probe_query(spark, sf):
+    """DENSE linear probe TRAINED in-engine on the embeddings table
+    (operators/similarity.embedding_linear_probe) — the dense
+    counterpart of text-fasttext-train and the standard
+    representation-quality measurement (probe an embedding column for
+    a label before spending GPU time on it): 8 full-batch GD rounds
+    in exact int64 over one-time-quantized vectors, one-vs-rest
+    target y = (label = 1). The oracle replays training round by
+    round with the weight vector as a 1-row list. Separation
+    certified by pytest (AUC 0.767 at sf0.001 / 0.848 at sf0.01 vs
+    chance 0.5). Scale: per round one combinable posexplode agg
+    (dim-count groups) + a dim-sized collect; scoring is a zip_with
+    fold — no join anywhere."""
+    from genpipe_spark.operators.similarity import embedding_linear_probe
+
+    return embedding_linear_probe(t(spark, sf, "embeddings"))
+
+
 @query("text-fasttext-train", _fasttext_train_oracle())
 def text_fasttext_train(spark, sf):
     """fastText-style quality/language classifier TRAINED FOR REAL

@@ -478,6 +478,10 @@ _EMBEDDING_MEMBERS = {
             ("rel", "f"), ("score", "f"),
         ],
     ),
+    "probe": (
+        "embedding-linear-probe",
+        [("vec_id", "s"), ("label", "s"), ("y", "s"), ("score_micro", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -1132,7 +1136,9 @@ embedding_suite = _register(
     "centl2 r7; r9 adds dedup-semantic — SemDeDup paraphrase-level "
     "dedup: pinned-seed clusters, within-cluster cosine prune, "
     "keep/drop verdicts oracle-replayed — and search-mmr-rerank, the "
-    "greedy MMR diversity pass with its unrolled selection twin).",
+    "greedy MMR diversity pass with its unrolled selection twin; r11 "
+    "adds embedding-linear-probe, the in-engine dense GD linear probe "
+    "with round-by-round oracle replay + AUC certification).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,
