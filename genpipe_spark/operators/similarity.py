@@ -1217,3 +1217,80 @@ def embedding_linear_probe(
         id_col, "label", "y",
         F.expr(_fdiv_sql("__s", str(q_scale))).alias("score_micro"),
     )
+
+
+def embedding_probe_loss_curve(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    lr: int = 32,
+    q_scale: int = 1000,
+) -> DataFrame:
+    """Training LOSS CURVE of :func:`embedding_linear_probe` — the
+    learning diagnostic that certifies GD is actually descending:
+    SSE_t = sum_d resid_d(w_t)^2 in exact int64 for t = 0..iters
+    (t=0 is the all-zero model: SSE_0 = 1e12 * n_positives). The
+    per-round arithmetic is byte-identical to the probe's, so the
+    curve IS the probe's training transcript, and monotone strict
+    decrease is pytest-asserted. Int64 bound: resid^2 <= ~1.7e12 at
+    this fixture's |resid| <= 1.3e6, safe to ~5e6 docs — track SSE in
+    milli-units past that (the kmeans scale-knob pattern).
+
+    Scale: each round pays one combinable per-dim gradient agg + one
+    1-row SSE agg. Output: (iter, sse) — iters+1 rows."""
+    base = corpus.select(
+        (F.col(label_col) == 1).cast("long").alias("y"),
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x * q_scale).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    first = base.select(F.size("q").alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_probe_loss_curve: corpus is empty")
+    dim = int(first["d"])
+    D = base.count()
+    from .text import _fdiv_sql
+
+    def resid_frame(wlist):
+        wlit = F.lit([int(v) for v in wlist])
+        s = F.aggregate(
+            F.zip_with(F.col("q"), wlit, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return base.select("q", s.alias("__s"), "y").select(
+            "q",
+            (
+                F.expr(_fdiv_sql("__s", str(q_scale)))
+                - F.col("y") * 1_000_000
+            ).alias("resid"),
+        )
+
+    w = [0] * dim
+    losses: list[tuple[int, int]] = []
+    for t in range(iters):
+        scored = resid_frame(w)
+        sse = scored.agg(
+            F.sum(F.col("resid") * F.col("resid")).alias("sse")
+        ).collect()[0]["sse"]
+        losses.append((t, int(sse)))
+        grad = (
+            scored.select(F.posexplode("q").alias("i", "x"), "resid")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("resid")).alias("g"))
+            .collect()
+        )
+        gmap = {int(r["i"]): int(r["g"]) for r in grad}
+        w = [
+            w[i] - (lr * (gmap.get(i, 0) // D)) // q_scale
+            for i in range(dim)
+        ]
+    final = resid_frame(w).agg(
+        F.sum(F.col("resid") * F.col("resid")).alias("sse")
+    ).collect()[0]["sse"]
+    losses.append((iters, int(final)))
+    return corpus.sparkSession.createDataFrame(
+        losses, "iter long, sse long"
+    )

@@ -592,13 +592,14 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
     return "".join(parts)
 
 
-def _linear_probe_oracle(dim: int = 64, iters: int = 8, lr: int = 32,
-                         q: int = 1000) -> str:
-    """DuckDB twin of similarity.embedding_linear_probe: the GD rounds
-    unrolled with the weight vector as a 1-row LIST column — per round
-    a cross join attaches w to every vector (1 row x corpus, the
-    broadcast shape), the dot product is an exact int64 zip-reduce,
-    and the per-dim gradient re-lists into the next w."""
+def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
+                      q: int = 1000, extra_resid: bool = False) -> str:
+    """Shared GD-round CTE chain for the probe and loss-curve twins:
+    the weight vector as a 1-row LIST column — per round a cross join
+    attaches w to every vector (1 row x corpus, the broadcast shape),
+    the dot product is an exact int64 zip-reduce, and the per-dim
+    gradient re-lists into the next w. With ``extra_resid`` an
+    r{iters+1} CTE evaluates residuals at the FINAL weights."""
     head = f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -636,12 +637,47 @@ def _linear_probe_oracle(dim: int = 64, iters: int = 8, lr: int = 32,
         FROM g{t} CROSS JOIN w{p} w CROSS JOIN dd)
     )"""
                      )
-    parts.append(f"""
-    SELECT vec_id, label, y,
-           CAST({_ft_fd(dot, str(q))} AS BIGINT) AS score_micro
-    FROM e CROSS JOIN w{iters} w
-    """)
+    if extra_resid:
+        parts.append(f""",
+    r{iters + 1} AS (
+      SELECT vec_id, qv,
+             {_ft_fd(dot, str(q))} - y * 1000000 AS resid
+      FROM e CROSS JOIN w{iters} w
+    )""")
     return "".join(parts)
+
+
+_PROBE_DOT = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
+              " list_apply(list_zip(qv, w.w), p -> p[1] * p[2])),"
+              " (a, b) -> a + b)")
+
+
+def _linear_probe_oracle(dim: int = 64, iters: int = 8, lr: int = 32,
+                         q: int = 1000) -> str:
+    """DuckDB twin of similarity.embedding_linear_probe (see
+    _probe_rounds_cte)."""
+    return _probe_rounds_cte(dim, iters, lr, q) + f"""
+    SELECT vec_id, label, y,
+           CAST({_ft_fd(_PROBE_DOT, str(q))} AS BIGINT) AS score_micro
+    FROM e CROSS JOIN w{iters} w
+    """
+
+
+def _probe_loss_oracle(dim: int = 64, iters: int = 8, lr: int = 32,
+                       q: int = 1000) -> str:
+    """DuckDB twin of similarity.embedding_probe_loss_curve: SSE at
+    each round's weights — r{t} holds residuals at w_{t-1}, so
+    iter t-1's loss reads r{t}; the final loss reads the extra
+    r{iters+1} at the trained weights."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t - 1} AS BIGINT) AS iter,"
+        f" CAST(sum(resid * resid) AS BIGINT) AS sse FROM r{t}"
+        for t in range(1, iters + 2)
+    )
+    return (
+        _probe_rounds_cte(dim, iters, lr, q, extra_resid=True)
+        + "\n" + selects
+    )
 
 
 @query("embedding-linear-probe", _linear_probe_oracle())
@@ -661,6 +697,87 @@ def embedding_linear_probe_query(spark, sf):
     from genpipe_spark.operators.similarity import embedding_linear_probe
 
     return embedding_linear_probe(t(spark, sf, "embeddings"))
+
+
+def _probe_calibration_oracle(dim: int = 64, iters: int = 8,
+                              lr: int = 32, q: int = 1000) -> str:
+    """DuckDB twin of embedding-probe-calibration: the probe chain,
+    then exact decile bins by (score, id) rank and per-bin integer
+    mean score / positive rate."""
+    return _probe_rounds_cte(dim, iters, lr, q) + f""",
+    scored AS MATERIALIZED (
+      SELECT vec_id, y,
+             CAST({_ft_fd(_PROBE_DOT, str(q))} AS BIGINT) AS score_micro
+      FROM e CROSS JOIN w{iters} w
+    ),
+    ranked AS (
+      SELECT vec_id, y, score_micro,
+             row_number() OVER (ORDER BY score_micro, vec_id) AS rn,
+             count(*) OVER () AS D
+      FROM scored
+    )
+    SELECT CAST(((rn - 1) * 10) // D AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST({_ft_fd('sum(score_micro)', 'count(*)')} AS BIGINT)
+             AS mean_score_micro,
+           CAST((1000000 * sum(y)) // count(*) AS BIGINT)
+             AS pos_rate_micro
+    FROM ranked GROUP BY 1
+    """
+
+
+@query("embedding-probe-calibration", _probe_calibration_oracle())
+def embedding_probe_calibration(spark, sf):
+    """CALIBRATION TABLE of the trained dense probe — the reliability
+    diagram every score-based filter gets before a threshold is
+    chosen: exact decile bins by (score, id) rank, per-bin count,
+    integer mean score, and positive rate (micro). Rank rides
+    operators/relational.global_row_number (range-partition + offset
+    broadcast — no single-reducer window over scan-sized input; the
+    DuckDB twin's plain OVER () is fine there, DuckDB is one node by
+    construction). Monotone bin->pos_rate separation is
+    pytest-asserted on top of the parity gate."""
+    from genpipe_spark.operators.relational import global_row_number
+    from genpipe_spark.operators.similarity import embedding_linear_probe
+    from genpipe_spark.operators.text import _fdiv_sql
+
+    scores = embedding_linear_probe(t(spark, sf, "embeddings")).select(
+        "vec_id", "y", "score_micro"
+    )
+    rn = global_row_number(
+        scores, ["score_micro", "vec_id"], alias="rn"
+    )
+    tot = scores.agg(F.count(F.lit(1)).cast("long").alias("D"))
+    binned = rn.crossJoin(F.broadcast(tot)).select(
+        "y", "score_micro",
+        F.expr("((rn - 1) * 10) div D").alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_micro").alias("__ss"),
+        F.sum("y").alias("__sy"),
+    )
+    return agg.select(
+        "bin", "n",
+        F.expr(_fdiv_sql("__ss", "n")).alias("mean_score_micro"),
+        F.expr("(1000000 * __sy) div n").alias("pos_rate_micro"),
+    )
+
+
+@query("embedding-probe-loss-curve", _probe_loss_oracle())
+def embedding_probe_loss_curve_query(spark, sf):
+    """TRAINING TRANSCRIPT of the dense linear probe
+    (operators/similarity.embedding_probe_loss_curve): exact int64
+    SSE at every GD round's weights, t = 0..8 — the learning
+    diagnostic that proves descent (strict monotone decrease is
+    pytest-asserted; the oracle replays every round, so a silently
+    diverging trainer fails parity AND the monotonicity gate). SSE_0
+    = 1e12 x n_positives pins the zero-model baseline."""
+    from genpipe_spark.operators.similarity import (
+        embedding_probe_loss_curve,
+    )
+
+    return embedding_probe_loss_curve(t(spark, sf, "embeddings"))
 
 
 @query("text-fasttext-train", _fasttext_train_oracle())

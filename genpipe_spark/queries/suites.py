@@ -482,6 +482,10 @@ _EMBEDDING_MEMBERS = {
         "embedding-linear-probe",
         [("vec_id", "s"), ("label", "s"), ("y", "s"), ("score_micro", "s")],
     ),
+    "losscurve": (
+        "embedding-probe-loss-curve",
+        [("iter", "s"), ("sse", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {

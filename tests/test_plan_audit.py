@@ -156,6 +156,8 @@ BOUNDED_NLJ_OK = {
     # self-join is non-equi but both sides are that bounded aggregate
     "ab-test-bootstrap": "32-row replicate-aggregate rank self-join "
     "(both sides grouped-size) + 1-row attaches",
+    # 1-row total-count attach for the exact decile-bin arithmetic
+    "embedding-probe-calibration": "broadcast 1-row total-count attach",
 }
 
 # queries whose construction runs real side-effects (stream drains, temp
@@ -283,6 +285,9 @@ BOUNDED_BROADCAST_OK = {
     # learned weight table is <= buckets (4096) rows by construction
     "text-fasttext-train": "broadcast <=4096-row learned weight table "
     "(per GD iteration + final scoring)",
+    # #partitions-row offset table (global_row_number) + 1-row total
+    "embedding-probe-calibration": "broadcast partition-offset table "
+    "+ 1-row total count",
 }
 
 

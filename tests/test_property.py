@@ -2030,3 +2030,47 @@ def test_embedding_linear_probe_separates_label(spark):
         embedding_linear_probe(
             load(spark, "/root/testdata/sf0.001", "embeddings").limit(0)
         )
+
+
+def test_probe_loss_curve_strictly_decreases(spark):
+    """embedding-probe-loss-curve: GD must DESCEND — SSE strictly
+    decreases every round on the fixture, and SSE_0 equals the
+    zero-model baseline 1e12 * n_positives exactly."""
+    from genpipe_spark.operators.similarity import (
+        embedding_probe_loss_curve,
+    )
+    from genpipe_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    curve = {
+        r.iter: r.sse for r in embedding_probe_loss_curve(emb).collect()
+    }
+    n_pos = emb.where("label = 1").count()
+    assert curve[0] == n_pos * 1_000_000_000_000
+    for t in range(1, 9):
+        assert curve[t] < curve[t - 1], (
+            f"loss not decreasing at round {t}: "
+            f"{curve[t-1]} -> {curve[t]}"
+        )
+
+
+def test_probe_calibration_separates_deciles(spark):
+    """embedding-probe-calibration: the reliability table must show
+    real score->label calibration — the top score decile's positive
+    rate exceeds the bottom decile's by a wide margin, and bins
+    partition the corpus exactly."""
+    from genpipe_spark.queries.llmdata import embedding_probe_calibration
+
+    rows = {
+        r.bin: r
+        for r in embedding_probe_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == set(range(10))
+    total = sum(r.n for r in rows.values())
+    assert total == 500
+    assert rows[9].pos_rate_micro - rows[0].pos_rate_micro >= 250_000, (
+        rows[0], rows[9]
+    )
+    assert rows[9].mean_score_micro > rows[0].mean_score_micro
