@@ -1294,3 +1294,97 @@ def embedding_probe_loss_curve(
     return corpus.sparkSession.createDataFrame(
         losses, "iter long, sse long"
     )
+
+
+def embedding_multiclass_probe(
+    corpus: DataFrame,
+    num_classes: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    lr: int = 32,
+    q_scale: int = 1000,
+) -> DataFrame:
+    """MULTICLASS linear probe trained in-engine — ``num_classes``
+    one-vs-rest heads descended JOINTLY with the same exact int64
+    arithmetic as :func:`embedding_linear_probe` (shared quantization,
+    floor-divisions, and step rule, one head per class), then argmax
+    prediction with the LOWEST-CLASS tiebreak (both engines index the
+    FIRST position of the max) and the 10x10 CONFUSION MATRIX as
+    output — the representation-quality scoreboard.
+
+    Scale: per round ONE posexplode aggregation over (dim x class)
+    groups + a (num_classes x dim)-sized collect; prediction is an
+    array_max/array_position projection — no join anywhere. Output:
+    (label, pred, n) — observed confusion cells only."""
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x * q_scale).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    first = base.select(F.size("q").alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_multiclass_probe: corpus is empty")
+    dim = int(first["d"])
+    D = base.count()
+    from .text import _fdiv_sql
+
+    def score_of(wlist):
+        wlit = F.lit([int(v) for v in wlist])
+        return F.aggregate(
+            F.zip_with(F.col("q"), wlit, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+
+    W = [[0] * dim for _ in range(num_classes)]
+    for _ in range(iters):
+        scored = base.select(
+            "q", "label",
+            *[score_of(W[c]).alias(f"__s{c}") for c in range(num_classes)],
+        )
+        resids = F.array(*[
+            (
+                F.expr(_fdiv_sql(f"__s{c}", str(q_scale)))
+                - F.when(F.col("label") == c, 1_000_000).otherwise(0)
+            )
+            for c in range(num_classes)
+        ])
+        ex = scored.select(
+            F.posexplode("q").alias("i", "x"), resids.alias("rs")
+        ).select("i", "x", F.posexplode("rs").alias("c", "r"))
+        grad = (
+            ex.groupBy("c", "i")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        )
+        gmap = {(int(r["c"]), int(r["i"])): int(r["g"]) for r in grad}
+        W = [
+            [
+                W[c][i] - (lr * (gmap.get((c, i), 0) // D)) // q_scale
+                for i in range(dim)
+            ]
+            for c in range(num_classes)
+        ]
+    final = base.select(
+        "label",
+        *[score_of(W[c]).alias(f"__s{c}") for c in range(num_classes)],
+    ).select(
+        "label",
+        F.array(*[
+            F.expr(_fdiv_sql(f"__s{c}", str(q_scale)))
+            for c in range(num_classes)
+        ]).alias("sc"),
+    )
+    pred = (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast(
+        "long"
+    )
+    return (
+        final.select("label", pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

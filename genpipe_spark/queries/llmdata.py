@@ -699,6 +699,89 @@ def embedding_linear_probe_query(spark, sf):
     return embedding_linear_probe(t(spark, sf, "embeddings"))
 
 
+def _probe_multiclass_oracle(dim: int = 64, classes: int = 10,
+                             iters: int = 8, lr: int = 32,
+                             q: int = 1000) -> str:
+    """DuckDB twin of similarity.embedding_multiclass_probe: the
+    jointly-descended one-vs-rest heads as a 1-row LIST-OF-LISTS
+    weight column, per round a (class x dim) gradient re-listed
+    class-major; final argmax with the first-position (lowest-class)
+    tiebreak and the confusion-matrix aggregation."""
+    dot_c = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
+             " list_apply(list_zip(qv, w.w[c]), p -> p[1] * p[2])),"
+             " (a, b) -> a + b)")
+    cr = f"range(1, {classes + 1})"
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {q}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS D FROM e),
+    w0 AS (SELECT list_transform({cr}, c ->
+             list_transform(range(1, {dim} + 1),
+                            i -> CAST(0 AS BIGINT))) AS w)"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+    r{t} AS (
+      SELECT vec_id, qv, label,
+             list_transform({cr}, c ->
+               {_ft_fd(dot_c, str(q))}
+               - CASE WHEN label = c - 1 THEN 1000000 ELSE 0 END) AS rs
+      FROM e CROSS JOIN w{p} w
+    ),
+    g{t} AS (
+      SELECT c, i, CAST(sum(qv[i] * rs[c]) AS BIGINT) AS g
+      FROM r{t}, unnest({cr}) AS tc(c),
+           unnest(range(1, {dim} + 1)) AS ti(i)
+      GROUP BY c, i
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT list(wc ORDER BY c) AS w FROM (
+        SELECT c,
+               list(w.w[c][i]
+                    - {_ft_fd(f"{lr} * {_ft_fd('g', 'dd.D')}", str(q))}
+                    ORDER BY i) AS wc
+        FROM g{t} CROSS JOIN w{p} w CROSS JOIN dd GROUP BY c)
+    )""")
+    parts.append(f""",
+    scored AS (
+      SELECT label,
+             list_transform({cr}, c -> {_ft_fd(dot_c, str(q))}) AS sc
+      FROM e CROSS JOIN w{iters} w
+    )
+    SELECT label,
+           CAST(list_position(sc,
+                  list_reduce(sc, (a, b) ->
+                    CASE WHEN b > a THEN b ELSE a END)) - 1 AS BIGINT)
+             AS pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """)
+    return "".join(parts)
+
+
+@query("embedding-probe-multiclass", _probe_multiclass_oracle())
+def embedding_probe_multiclass(spark, sf):
+    """MULTICLASS linear probe, trained in-engine and scored as a
+    CONFUSION MATRIX (operators/similarity.embedding_multiclass_probe)
+    — ten one-vs-rest heads jointly descended for 8 exact-int64 GD
+    rounds over the quantized embeddings, argmax prediction with the
+    lowest-class tiebreak (array_position/list_position both take the
+    FIRST max). Accuracy 0.406/0.420 at sf0.001/sf0.01 vs 0.1 chance,
+    pytest-gated. Scale: per round one combinable posexplode agg over
+    class x dim groups + a (classes x dim) collect; prediction is a
+    pure projection."""
+    from genpipe_spark.operators.similarity import (
+        embedding_multiclass_probe,
+    )
+
+    return embedding_multiclass_probe(t(spark, sf, "embeddings"))
+
+
 def _probe_calibration_oracle(dim: int = 64, iters: int = 8,
                               lr: int = 32, q: int = 1000) -> str:
     """DuckDB twin of embedding-probe-calibration: the probe chain,

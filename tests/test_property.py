@@ -2074,3 +2074,20 @@ def test_probe_calibration_separates_deciles(spark):
         rows[0], rows[9]
     )
     assert rows[9].mean_score_micro > rows[0].mean_score_micro
+
+
+def test_multiclass_probe_beats_chance(spark):
+    """embedding-probe-multiclass: 10-class accuracy from the
+    confusion matrix must far exceed 0.1 chance (measured 0.406 at
+    sf0.001, gated >= 0.35), the matrix must partition the corpus,
+    and every pred must be a valid class."""
+    from genpipe_spark.queries.llmdata import embedding_probe_multiclass
+
+    rows = embedding_probe_multiclass(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.label == r.pred)
+    assert total == 500
+    assert all(0 <= r.pred <= 9 for r in rows)
+    assert diag / total >= 0.35, f"accuracy {diag/total:.3f} < 0.35"
