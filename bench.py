@@ -230,6 +230,8 @@ HEADLINE = [
     "multimodal-image-neardup",
     # r11: dense in-engine linear probe (8 GD rounds, oracle-replayed)
     "embedding-linear-probe",
+    # r11: ten heads jointly descended -> confusion matrix
+    "embedding-probe-multiclass",
     "search-mmr-rerank",
     "link-sorted-neighborhood",
     "forecast-croston",
