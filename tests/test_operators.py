@@ -2205,3 +2205,28 @@ def test_image_neardup_recall_vs_exact_pairwise(spark):
     )
     with pytest.raises(ValueError, match="pigeonhole"):
         image_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_fasttext_feature_paths_agree(spark):
+    """The scorer's inline HOF features (hashed_linear_score) and the
+    trainer's exploded feature rows (_hashed_feature_rows) implement
+    ONE definition — per-doc total feature counts must match exactly,
+    so a drift between the two code paths fails here instead of
+    silently training on different features than it scores."""
+    from genpipe_spark.operators.text import (
+        _hashed_feature_rows,
+        hashed_linear_score,
+    )
+    from genpipe_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    score_nf = {
+        r.doc_id: r.n_feat for r in hashed_linear_score(docs).collect()
+    }
+    train_nf = {
+        r.doc_id: r.nf
+        for r in _hashed_feature_rows(docs, "text", "doc_id", 4096)
+        .select("doc_id", "nf").distinct().collect()
+    }
+    # the trainer drops zero-feature docs; the scorer emits n_feat=0
+    assert train_nf == {k: v for k, v in score_nf.items() if v > 0}
