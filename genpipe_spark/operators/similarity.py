@@ -1132,6 +1132,7 @@ def embedding_linear_probe(
     iters: int = 8,
     lr: int = 32,
     q_scale: int = 1000,
+    score_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """DENSE linear probe trained in-engine — the embedding-side
     counterpart of the sparse hashed fastText trainer
@@ -1160,7 +1161,16 @@ def embedding_linear_probe(
     codegen — no join anywhere. Output: (id_col, label, y,
     score_micro) — the trained per-vector score for the
     one-vs-rest y = (label == 1) target unless the caller pre-derives
-    ``y`` differently (pass label_col='y' with y precomputed)."""
+    ``y`` differently (pass label_col='y' with y precomputed).
+
+    ``score_corpus``: score a DIFFERENT frame with the trained
+    weights (train/test splits — the embedding-probe-holdout entry);
+    default scores the training corpus itself. NOTE the certified
+    AUC on the training corpus is IN-SAMPLE fit (optimizer
+    correctness + capacity); the fixture's labels carry little
+    generalizable signal (held-out AUC ~0.52 at every SF — measured,
+    see embedding-probe-holdout), which is exactly what an honest
+    eval harness must report."""
     spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"),
@@ -1210,7 +1220,18 @@ def embedding_linear_probe(
             w[i] - (lr * (gmap.get(i, 0) // D)) // q_scale
             for i in range(dim)
         ]
-    return base.select(
+    target = base
+    if score_corpus is not None:
+        target = score_corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("long").alias("label"),
+            (F.col(label_col) == 1).cast("long").alias("y"),
+            F.transform(
+                as_double(F.col(vec_col)),
+                lambda x: F.round(x * q_scale).cast("long"),
+            ).alias("q"),
+        )
+    return target.select(
         F.col("id").alias(id_col), "label", "y",
         score_of(w).alias("__s"),
     ).select(

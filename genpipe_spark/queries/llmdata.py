@@ -504,6 +504,12 @@ def text_fasttext_score(spark, sf):
     return hashed_linear_score(widen(t(spark, sf, "documents")))
 
 
+_FT_HOLDOUT_ORACLE_ARGS = dict(
+    train_where="WHERE doc_id % 5 <> 0",
+    score_where="WHERE doc_id % 5 = 0",
+)
+
+
 def _ft_fd(x: str, d: str) -> str:
     """Exact floor division for the DuckDB twin (// truncates toward
     zero on negatives, so floor-adjust the numerator first — the
@@ -512,7 +518,9 @@ def _ft_fd(x: str, d: str) -> str:
 
 
 def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
-                           lr: int = 128, gs: int = 65536) -> str:
+                           lr: int = 128, gs: int = 65536,
+                           train_where: str = "",
+                           score_where: str = "") -> str:
     """DuckDB twin of hashed_linear_train + hashed_linear_apply: the
     full-batch GD iterations unrolled (fixed count — the
     kmeans/lpa/bpe precedent). Replayable because every step is exact
@@ -554,16 +562,17 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
             FROM (SELECT doc_id, y, unnest(feats) AS ft FROM ff))
       GROUP BY doc_id, y, b
     ),
-    dd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS D FROM fy),
-    w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM fy)"""
+    ftr AS MATERIALIZED (SELECT * FROM fy {train_where}),
+    dd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS D FROM ftr),
+    w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM ftr)"""
     parts = [head]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f""",
     r{i} AS (
-      SELECT fy.doc_id, any_value(fy.nf) AS nf, any_value(fy.y) AS y,
-             CAST(sum(fy.cnt * w.w) AS BIGINT) AS s
-      FROM fy JOIN w{p} w USING (b) GROUP BY fy.doc_id
+      SELECT ftr.doc_id, any_value(ftr.nf) AS nf, any_value(ftr.y) AS y,
+             CAST(sum(ftr.cnt * w.w) AS BIGINT) AS s
+      FROM ftr JOIN w{p} w USING (b) GROUP BY ftr.doc_id
     ),
     g{i} AS (
       SELECT doc_id,
@@ -572,8 +581,8 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
       FROM r{i}
     ),
     gr{i} AS (
-      SELECT fy.b, CAST(sum(fy.cnt * g{i}.g) AS BIGINT) AS gr
-      FROM fy JOIN g{i} USING (doc_id) GROUP BY fy.b
+      SELECT ftr.b, CAST(sum(ftr.cnt * g{i}.g) AS BIGINT) AS gr
+      FROM ftr JOIN g{i} USING (doc_id) GROUP BY ftr.b
     ),
     w{i} AS MATERIALIZED (
       SELECT w.b,
@@ -584,16 +593,18 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
     SELECT doc_id, CAST(nf AS BIGINT) AS n_feat,
            CAST({_ft_fd('s', 'nf')} AS BIGINT) AS score_micro, y
     FROM (
-      SELECT fy.doc_id, any_value(fy.nf) AS nf, any_value(fy.y) AS y,
-             CAST(sum(fy.cnt * w.w) AS BIGINT) AS s
-      FROM fy JOIN w{iters} w USING (b) GROUP BY fy.doc_id
+      SELECT fs.doc_id, any_value(fs.nf) AS nf, any_value(fs.y) AS y,
+             CAST(sum(fs.cnt * coalesce(w.w, 0)) AS BIGINT) AS s
+      FROM (SELECT * FROM fy {score_where}) fs
+      LEFT JOIN w{iters} w USING (b) GROUP BY fs.doc_id
     )
     """)
     return "".join(parts)
 
 
 def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
-                      q: int = 1000, extra_resid: bool = False) -> str:
+                      q: int = 1000, extra_resid: bool = False,
+                      train_where: str = "") -> str:
     """Shared GD-round CTE chain for the probe and loss-curve twins:
     the weight vector as a 1-row LIST column — per round a cross join
     attaches w to every vector (1 row x corpus, the broadcast shape),
@@ -609,7 +620,8 @@ def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
                             x -> CAST(round(x * {q}) AS BIGINT)) AS qv
       FROM embeddings
     ),
-    dd AS (SELECT CAST(count(*) AS BIGINT) AS D FROM e),
+    etr AS MATERIALIZED (SELECT * FROM e {train_where}),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS D FROM etr),
     w0 AS (SELECT list_transform(range(1, {dim} + 1),
                                  i -> CAST(0 AS BIGINT)) AS w)"""
     parts = [head]
@@ -622,7 +634,7 @@ def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
     r{t} AS (
       SELECT vec_id, qv,
              {_ft_fd(dot, str(q))} - y * 1000000 AS resid
-      FROM e CROSS JOIN w{p} w
+      FROM etr e CROSS JOIN w{p} w
     ),
     g{t} AS (
       SELECT i, CAST(sum(qv[i] * resid) AS BIGINT) AS g
@@ -642,7 +654,7 @@ def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
     r{iters + 1} AS (
       SELECT vec_id, qv,
              {_ft_fd(dot, str(q))} - y * 1000000 AS resid
-      FROM e CROSS JOIN w{iters} w
+      FROM etr e CROSS JOIN w{iters} w
     )""")
     return "".join(parts)
 
@@ -689,9 +701,11 @@ def embedding_linear_probe_query(spark, sf):
     a label before spending GPU time on it): 8 full-batch GD rounds
     in exact int64 over one-time-quantized vectors, one-vs-rest
     target y = (label = 1). The oracle replays training round by
-    round with the weight vector as a 1-row list. Separation
-    certified by pytest (AUC 0.767 at sf0.001 / 0.848 at sf0.01 vs
-    chance 0.5). Scale: per round one combinable posexplode agg
+    round with the weight vector as a 1-row list. IN-SAMPLE
+    separation certified by pytest (AUC 0.767 at sf0.001 / 0.848 at
+    sf0.01 vs chance 0.5 — optimizer correctness + capacity; the
+    held-out measurement is embedding-probe-holdout, ~0.52 on this
+    fixture's signal-free labels). Scale: per round one combinable posexplode agg
     (dim-count groups) + a dim-sized collect; scoring is a zip_with
     fold — no join anywhere."""
     from genpipe_spark.operators.similarity import embedding_linear_probe
@@ -771,8 +785,9 @@ def embedding_probe_multiclass(spark, sf):
     — ten one-vs-rest heads jointly descended for 8 exact-int64 GD
     rounds over the quantized embeddings, argmax prediction with the
     lowest-class tiebreak (array_position/list_position both take the
-    FIRST max). Accuracy 0.406/0.420 at sf0.001/sf0.01 vs 0.1 chance,
-    pytest-gated. Scale: per round one combinable posexplode agg over
+    FIRST max). IN-SAMPLE accuracy 0.406/0.420 at sf0.001/sf0.01 vs
+    0.1 chance, pytest-gated (fit, not generalization — see
+    embedding-probe-holdout for the split harness). Scale: per round one combinable posexplode agg over
     class x dim groups + a (classes x dim) collect; prediction is a
     pure projection."""
     from genpipe_spark.operators.similarity import (
@@ -847,6 +862,38 @@ def embedding_probe_calibration(spark, sf):
     )
 
 
+_HOLDOUT_TRAIN = "WHERE vec_id % 5 <> 0"
+
+
+@query(
+    "embedding-probe-holdout",
+    _probe_rounds_cte(train_where=_HOLDOUT_TRAIN) + f"""
+    SELECT vec_id, label, y,
+           CAST({_ft_fd(_PROBE_DOT, '1000')} AS BIGINT) AS score_micro
+    FROM e CROSS JOIN w8 w
+    WHERE vec_id % 5 = 0
+    """,
+)
+def embedding_probe_holdout(spark, sf):
+    """HELD-OUT evaluation of the dense probe — the train/test split
+    every honest model measurement needs (train on vec_id % 5 != 0,
+    score ONLY the held-out fifth with the trained weights). On this
+    synthetic fixture the held-out AUC is ~0.52 at every SF while the
+    in-sample AUC is 0.77-0.85 — i.e. the fixture's labels carry
+    little generalizable linear signal and the in-sample separation is
+    capacity, which is EXACTLY what a train/test harness exists to
+    reveal (the generalization gap is pytest-pinned). The oracle
+    replays training on the same split and scores the same held-out
+    rows."""
+    from genpipe_spark.operators.similarity import embedding_linear_probe
+
+    emb = t(spark, sf, "embeddings")
+    return embedding_linear_probe(
+        emb.where(F.col("vec_id") % 5 != 0),
+        score_corpus=emb.where(F.col("vec_id") % 5 == 0),
+    )
+
+
 @query("embedding-probe-loss-curve", _probe_loss_oracle())
 def embedding_probe_loss_curve_query(spark, sf):
     """TRAINING TRANSCRIPT of the dense linear probe
@@ -863,6 +910,39 @@ def embedding_probe_loss_curve_query(spark, sf):
     return embedding_probe_loss_curve(t(spark, sf, "embeddings"))
 
 
+@query(
+    "text-fasttext-holdout",
+    _fasttext_train_oracle(**_FT_HOLDOUT_ORACLE_ARGS),
+)
+def text_fasttext_holdout(spark, sf):
+    """HELD-OUT evaluation of the trained fastText-style classifier:
+    train on doc_id % 5 != 0, score ONLY the held-out fifth with the
+    learned broadcast table (unseen buckets coalesce to weight 0 —
+    both engines LEFT-join the weight table). The honest counterpart
+    of text-fasttext-train's in-sample AUC: on this fixture the
+    held-out AUC is ~0.55 at sf0.01 and ~0.53 at sf0.1 vs in-sample
+    0.73-0.75 — the per-language word-frequency differences are too
+    weak to generalize from hundreds of docs, and the train/test
+    harness reports that instead of hiding it (the generalization gap
+    is pytest-pinned). The oracle replays split training and held-out
+    scoring."""
+    from genpipe_spark.operators.text import (
+        hashed_linear_apply,
+        hashed_linear_train,
+    )
+
+    docs = widen(t(spark, sf, "documents")).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    weights = hashed_linear_train(
+        docs.where(F.col("doc_id") % 5 != 0), label_col="y"
+    )
+    return hashed_linear_apply(
+        docs.where(F.col("doc_id") % 5 == 0), weights, label_col="y"
+    )
+
+
 @query("text-fasttext-train", _fasttext_train_oracle())
 def text_fasttext_train(spark, sf):
     """fastText-style quality/language classifier TRAINED FOR REAL
@@ -874,9 +954,11 @@ def text_fasttext_train(spark, sf):
     The oracle replays TRAINING itself iteration by iteration (the
     kmeans_centroids_exact recipe applied to supervised learning), so
     the learned weights are certified, not pinned. Output: per-doc
-    learned score (doc_id, n_feat, score_micro, y); separation vs the
-    label is certified by the AUC test (measured ~0.73 vs the
-    untrained/synthetic 0.5 at sf0.001 and sf0.01).
+    learned score (doc_id, n_feat, score_micro, y); IN-SAMPLE
+    separation vs the label is certified by the AUC test (~0.73 at
+    sf0.001/sf0.01 vs the untrained/synthetic 0.5 — optimizer
+    correctness + fit; the honest held-out measurement is
+    text-fasttext-holdout, ~0.55 on this weak-signal fixture).
 
     Scale: per iteration two combinable aggregations + a broadcast
     weight join over the once-materialized exploded feature table;

@@ -1945,9 +1945,11 @@ def test_capped_apportion_matches_iterative_model(spark):
 
 def test_fasttext_trained_scorer_separates_label(spark):
     """AUC certification for text-fasttext-train (VERDICT r10 #1): the
-    LEARNED hashed-linear scorer must genuinely separate the y =
-    (lang = 'en') label — Mann-Whitney AUC >= 0.70 on the sf0.001
-    fixture (measured 0.733) — and must beat the SYNTHETIC pinned-
+    LEARNED hashed-linear scorer must separate the y = (lang = 'en')
+    label IN-SAMPLE — Mann-Whitney AUC >= 0.70 on the sf0.001 fixture
+    (measured 0.733; fit/optimizer certification — generalization is
+    measured separately by the holdout entries, near chance on this
+    weak-signal fixture) — and must beat the SYNTHETIC pinned-
     weight scorer (hashed_linear_score) on the same label by a wide
     margin: the synthetic table is label-blind, so its AUC is ~0.5.
     This is the 'trained for real, not fake' gate."""
@@ -2000,9 +2002,12 @@ def test_fasttext_trained_scorer_separates_label(spark):
 
 def test_embedding_linear_probe_separates_label(spark):
     """AUC certification for embedding-linear-probe: the in-engine
-    dense GD must genuinely separate the one-vs-rest label —
+    dense GD must separate the one-vs-rest label IN-SAMPLE —
     Mann-Whitney AUC >= 0.72 on the sf0.001 embeddings (measured
-    0.767) — and the probe must raise loudly on an empty corpus."""
+    0.767; fit/optimizer certification — generalization is measured
+    by embedding-probe-holdout, near chance on this fixture's
+    signal-free labels) — and the probe must raise loudly on an
+    empty corpus."""
     import pytest
 
     from genpipe_spark.operators.similarity import embedding_linear_probe
@@ -2091,3 +2096,48 @@ def test_multiclass_probe_beats_chance(spark):
     assert total == 500
     assert all(0 <= r.pred <= 9 for r in rows)
     assert diag / total >= 0.35, f"accuracy {diag/total:.3f} < 0.35"
+
+
+def _mw_auc(pairs):
+    """Exact Mann-Whitney AUC with average ranks over (score, y)."""
+    pairs = sorted(pairs)
+    n = len(pairs)
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        for k in range(i, j):
+            ranks[k] = (i + 1 + j) / 2
+        i = j
+    n1 = sum(1 for _, y in pairs if y == 1)
+    r1 = sum(ranks[k] for k, (_, y) in enumerate(pairs) if y == 1)
+    return (r1 - n1 * (n1 + 1) / 2) / (n1 * (n - n1))
+
+
+def test_probe_generalization_gap_is_measured(spark):
+    """The holdout entries pin the HONEST story: on this synthetic
+    fixture both trained classifiers separate IN-SAMPLE but NOT on the
+    held-out fifth (labels carry little generalizable signal) — the
+    train/test harness must report that, not hide it. Gates: held-out
+    AUC stays near chance (< 0.68) while the in-sample AUC certified
+    elsewhere is >= 0.70 — i.e. the generalization gap is real and
+    measured. A fixture change that introduces true signal flips this
+    loudly (update the docstrings then)."""
+    from genpipe_spark.queries.llmdata import (
+        embedding_probe_holdout,
+        text_fasttext_holdout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ft = [
+        (r.score_micro, r.y) for r in text_fasttext_holdout(spark, sf).collect()
+    ]
+    pr = [
+        (r.score_micro, r.y)
+        for r in embedding_probe_holdout(spark, sf).collect()
+    ]
+    auc_ft, auc_pr = _mw_auc(ft), _mw_auc(pr)
+    assert 0.30 <= auc_ft < 0.68, f"fasttext held-out AUC {auc_ft:.4f}"
+    assert 0.30 <= auc_pr < 0.68, f"probe held-out AUC {auc_pr:.4f}"
