@@ -1002,6 +1002,73 @@ def dedup_cdc_incremental(spark, sf):
     return spark.read.parquet(stats_dir)
 
 
+def _stream_ft_oracle() -> str:
+    # identical to text-fasttext-train's oracle: scoring is stateless,
+    # so the 3-batch drain must reproduce the batch result exactly
+    from genpipe_spark.queries.llmdata import _fasttext_train_oracle
+
+    return _fasttext_train_oracle()
+
+
+@query("stream-fasttext-score", _stream_ft_oracle())
+def stream_fasttext_score(spark, sf):
+    """TRAIN OFFLINE, SERVE STREAMING — the deployment shape of every
+    learned quality filter: hashed_linear_train fits the weight table
+    on the batch corpus once, then documents arrive in three pinned
+    mtime-ordered micro-batches and each foreachBatch scores them with
+    the BROADCAST learned table (hashed_linear_apply — stateless, so
+    the drained union must equal the batch scoring bit-for-bit, and
+    the oracle IS text-fasttext-train's: batch-vs-stream equivalence
+    is the checked property, the stream-zscore/batch-twin precedent).
+    Scale: the weight table is <= 4096 rows broadcast once per batch;
+    per batch one explode + per-doc agg; no state store needed."""
+    import os
+    import time as _time
+
+    from genpipe_spark.operators.text import (
+        hashed_linear_apply,
+        hashed_linear_train,
+    )
+    from genpipe_spark.tables import load
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    weights = hashed_linear_train(docs, label_col="y").localCheckpoint(
+        eager=True
+    )
+    src = tempfile.mkdtemp(prefix="genpipe_ftserve_src_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        stamp = _time.time() + i * 5
+        for root, _, fs in os.walk(f"{src}/b{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    out_dir = tempfile.mkdtemp(prefix="genpipe_ftserve_out_")
+
+    def handle(batch_df, bid):
+        hashed_linear_apply(
+            batch_df, weights, label_col="y"
+        ).write.mode("append").parquet(f"{out_dir}/data")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out_dir}/data")
+
+
 _WM_LATE_SQL = """
     WITH e AS (
       SELECT event_id, ts, user_id % 5 AS g, event_id % 3 AS b
