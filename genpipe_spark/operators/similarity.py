@@ -1124,6 +1124,29 @@ def mmr_rerank(
     return selected.select("query_id", "sel_rank", "vec_id", "rel", "score")
 
 
+def _probe_dim_and_count(base: DataFrame, fn_name: str) -> tuple:
+    """Shared dim inference for the probe family: infer dim from the
+    first row, then (ADVICE r11) LOUDLY reject ragged corpora in the
+    same pass that counts rows — zip_with against a wrong-length
+    weight literal pads nulls and the dot products silently go NULL,
+    the exact silent-corruption the repo's loud-gate doctrine bans."""
+    first = base.select(F.size("q").alias("d")).first()
+    if first is None:
+        raise ValueError(f"{fn_name}: corpus is empty")
+    dim = int(first["d"])
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.size("q") != dim).cast("long")).alias("ragged"),
+    ).first()
+    if int(agg["ragged"]) != 0:
+        raise ValueError(
+            f"{fn_name}: {agg['ragged']} of {agg['n']} vectors have "
+            f"length != {dim} — ragged embeddings would NULL-pad "
+            f"zip_with and silently zero the dot products"
+        )
+    return dim, int(agg["n"])
+
+
 def embedding_linear_probe(
     corpus: DataFrame,
     label_col: str = "label",
@@ -1181,11 +1204,7 @@ def embedding_linear_probe(
             lambda x: F.round(x * q_scale).cast("long"),
         ).alias("q"),
     ).localCheckpoint(eager=True)
-    first = base.select(F.size("q").alias("d")).first()
-    if first is None:
-        raise ValueError("embedding_linear_probe: corpus is empty")
-    dim = int(first["d"])
-    D = base.count()
+    dim, D = _probe_dim_and_count(base, "embedding_linear_probe")
     w = [0] * dim
 
     def score_of(wlist):
@@ -1267,11 +1286,7 @@ def embedding_probe_loss_curve(
             lambda x: F.round(x * q_scale).cast("long"),
         ).alias("q"),
     ).localCheckpoint(eager=True)
-    first = base.select(F.size("q").alias("d")).first()
-    if first is None:
-        raise ValueError("embedding_probe_loss_curve: corpus is empty")
-    dim = int(first["d"])
-    D = base.count()
+    dim, D = _probe_dim_and_count(base, "embedding_probe_loss_curve")
     from .text import _fdiv_sql
 
     def resid_frame(wlist):
@@ -1337,8 +1352,14 @@ def embedding_multiclass_probe(
 
     Scale: per round ONE posexplode aggregation over (dim x class)
     groups + a (num_classes x dim)-sized collect; prediction is an
-    array_max/array_position projection — no join anywhere. Output:
-    (label, pred, n) — observed confusion cells only."""
+    array_max/array_position projection — no join anywhere. The
+    ``num_classes`` heads ride ONE 2-D weight literal (VERDICT r11
+    #3: a single transform over array<array<long>> scores all heads
+    in one compact expression — the old per-class fold columns made
+    every round recompile a stage whose generated code grew with
+    num_classes x dim, a constant-in-data-size but dominant
+    compilation tax). Output: (label, pred, n) — observed confusion
+    cells only."""
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("long").alias("label"),
@@ -1347,34 +1368,42 @@ def embedding_multiclass_probe(
             lambda x: F.round(x * q_scale).cast("long"),
         ).alias("q"),
     ).localCheckpoint(eager=True)
-    first = base.select(F.size("q").alias("d")).first()
-    if first is None:
-        raise ValueError("embedding_multiclass_probe: corpus is empty")
-    dim = int(first["d"])
-    D = base.count()
-    from .text import _fdiv_sql
+    dim, D = _probe_dim_and_count(base, "embedding_multiclass_probe")
 
-    def score_of(wlist):
-        wlit = F.lit([int(v) for v in wlist])
-        return F.aggregate(
-            F.zip_with(F.col("q"), wlit, lambda x, wv: x * wv),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
+    def _fdiv_col(x: Column, d: int) -> Column:
+        # Column twin of text._fdiv_sql: exact floor division via the
+        # floor-adjusted numerator. The adjusted numerator is an exact
+        # multiple of d and |score| stays far below 2^53, so the one
+        # double division is exact and the cast back is lossless.
+        dl = F.lit(d).cast("long")
+        return ((x - (((x % dl) + dl) % dl)) / dl).cast("long")
+
+    def scores_of(Wmat):
+        # ONE 2-D weight literal scores every head: generated code is
+        # a loop over the outer array, constant in classes x dim
+        w2 = F.array(*[
+            F.lit([int(v) for v in Wmat[c]]) for c in range(num_classes)
+        ])
+        return F.transform(
+            w2,
+            lambda wrow: F.aggregate(
+                F.zip_with(F.col("q"), wrow, lambda x, wv: x * wv),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
         )
 
     W = [[0] * dim for _ in range(num_classes)]
     for _ in range(iters):
-        scored = base.select(
-            "q", "label",
-            *[score_of(W[c]).alias(f"__s{c}") for c in range(num_classes)],
+        scored = base.select("q", "label", scores_of(W).alias("srow"))
+        resids = F.transform(
+            F.col("srow"),
+            lambda s, c: _fdiv_col(s, q_scale)
+            - F.when(
+                F.col("label") == c.cast("long"),
+                F.lit(1_000_000).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
         )
-        resids = F.array(*[
-            (
-                F.expr(_fdiv_sql(f"__s{c}", str(q_scale)))
-                - F.when(F.col("label") == c, 1_000_000).otherwise(0)
-            )
-            for c in range(num_classes)
-        ])
         ex = scored.select(
             F.posexplode("q").alias("i", "x"), resids.alias("rs")
         ).select("i", "x", F.posexplode("rs").alias("c", "r"))
@@ -1393,13 +1422,9 @@ def embedding_multiclass_probe(
         ]
     final = base.select(
         "label",
-        *[score_of(W[c]).alias(f"__s{c}") for c in range(num_classes)],
-    ).select(
-        "label",
-        F.array(*[
-            F.expr(_fdiv_sql(f"__s{c}", str(q_scale)))
-            for c in range(num_classes)
-        ]).alias("sc"),
+        F.transform(
+            scores_of(W), lambda s: _fdiv_col(s, q_scale)
+        ).alias("sc"),
     )
     pred = (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast(
         "long"

@@ -604,21 +604,33 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
 
 def _probe_rounds_cte(dim: int = 64, iters: int = 8, lr: int = 32,
                       q: int = 1000, extra_resid: bool = False,
-                      train_where: str = "") -> str:
+                      train_where: str = "", y_expr: str = "") -> str:
     """Shared GD-round CTE chain for the probe and loss-curve twins:
     the weight vector as a 1-row LIST column — per round a cross join
     attaches w to every vector (1 row x corpus, the broadcast shape),
     the dot product is an exact int64 zip-reduce, and the per-dim
     gradient re-lists into the next w. With ``extra_resid`` an
-    r{iters+1} CTE evaluates residuals at the FINAL weights."""
+    r{iters+1} CTE evaluates residuals at the FINAL weights.
+    ``y_expr`` overrides the 0/1 target derivation (a SQL expression
+    over ``vec_id``/``orig_label``/``qv`` — the planted-signal
+    fixture's hook); the overridden target also becomes ``label`` so
+    the output mirrors a corpus whose label column IS the target."""
+    if y_expr:
+        label_sql = f"CAST({y_expr} AS BIGINT) AS label"
+        y_sql = f"CAST({y_expr} AS BIGINT) AS y"
+    else:
+        label_sql = "CAST(orig_label AS BIGINT) AS label"
+        y_sql = ("CASE WHEN orig_label = 1 THEN CAST(1 AS BIGINT) "
+                 "ELSE CAST(0 AS BIGINT) END AS y")
     head = f"""
-    WITH e AS MATERIALIZED (
-      SELECT vec_id, CAST(label AS BIGINT) AS label,
-             CASE WHEN label = 1 THEN CAST(1 AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END AS y,
+    WITH e_raw AS MATERIALIZED (
+      SELECT vec_id, label AS orig_label,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(round(x * {q}) AS BIGINT)) AS qv
       FROM embeddings
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, {label_sql}, {y_sql}, qv FROM e_raw
     ),
     etr AS MATERIALIZED (SELECT * FROM e {train_where}),
     dd AS (SELECT CAST(count(*) AS BIGINT) AS D FROM etr),
@@ -890,6 +902,78 @@ def embedding_probe_holdout(spark, sf):
     emb = t(spark, sf, "embeddings")
     return embedding_linear_probe(
         emb.where(F.col("vec_id") % 5 != 0),
+        score_corpus=emb.where(F.col("vec_id") % 5 == 0),
+    )
+
+
+_PLANTED_Y_SQL = (
+    "CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_apply(list_zip(qv, list_transform(range(1, 65),"
+    " j -> CAST((j * 37) % 21 - 10 AS BIGINT))),"
+    " p -> p[1] * p[2])), (a, b) -> a + b) > 0)"
+    " <> (((vec_id * 1103515245 + 12345) % 2147483647) % 100 < 10)"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def _planted_y_col(vid, emb, q_scale: int = 1000):
+    """Spark twin of _PLANTED_Y_SQL: labels with a RECOVERABLE linear
+    signal — y = sign(w* . q) with 10% deterministic flips, where
+    w*_j = (j*37) % 21 - 10 (j 1-based) and q is the probe's own
+    round(x*1000) quantization. Exact int64 both engines."""
+    from genpipe_spark.operators.similarity import as_double
+
+    ws = F.array(*[
+        F.lit((j * 37) % 21 - 10).cast("long") for j in range(1, 65)
+    ])
+    qv = F.transform(
+        as_double(emb), lambda x: F.round(x * q_scale).cast("long")
+    )
+    sig = F.aggregate(
+        F.zip_with(qv, ws, lambda x, w: x * w),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    flip = (
+        (vid * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)
+    ) % 100 < 10
+    return F.when((sig > 0) != flip, 1).otherwise(0).cast("long")
+
+
+@query(
+    "embedding-probe-planted",
+    _probe_rounds_cte(train_where=_HOLDOUT_TRAIN,
+                      y_expr=_PLANTED_Y_SQL) + f"""
+    SELECT vec_id, label, y,
+           CAST({_ft_fd(_PROBE_DOT, '1000')} AS BIGINT) AS score_micro
+    FROM e CROSS JOIN w8 w
+    WHERE vec_id % 5 = 0
+    """,
+)
+def embedding_probe_planted(spark, sf):
+    """PLANTED-SIGNAL held-out evaluation (VERDICT r11 #4): the
+    fixture's native labels carry no generalizable linear signal
+    (embedding-probe-holdout measures ~0.52 held-out AUC), so the
+    holdout harness could not distinguish a working learner from a
+    broken one. This entry plants a RECOVERABLE signal — y =
+    sign(w* . q) with 10% deterministic label flips (w*_j =
+    (j*37)%21-10, flips keyed on vec_id, both exact int64 — see
+    _PLANTED_Y_SQL) — trains on vec_id % 5 != 0, and scores ONLY the
+    held-out fifth. Held-out AUC >= 0.7 is pytest-asserted, turning
+    the honesty disclosure into a real acceptance gate: a trainer
+    that stops learning (zero gradients, sign bug, wrong feature
+    wiring) now FAILS a test instead of shipping a plausible ~0.5.
+    The oracle replays split training on the same planted labels and
+    scores the same held-out rows."""
+    from genpipe_spark.operators.similarity import embedding_linear_probe
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        _planted_y_col(F.col("vec_id"), F.col("embedding")).alias("y"),
+    )
+    return embedding_linear_probe(
+        emb.where(F.col("vec_id") % 5 != 0),
+        label_col="y",
         score_corpus=emb.where(F.col("vec_id") % 5 == 0),
     )
 

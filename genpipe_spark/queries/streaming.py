@@ -903,28 +903,55 @@ def stream_dedup_incremental(spark, sf):
 
 def _cdc_incr_oracle() -> str:
     """DuckDB twin of dedup-cdc-incremental: batches are doc_id % 3 in
-    order, and a chunk of a batch-b doc is KNOWN iff its hash first
-    appeared in a STRICTLY earlier batch (fb.first_b < b) — exactly
-    the persisted-index rule the live foreachBatch loop implements
-    (within-batch repeats never count). Chunk relation shared with the
-    dedup-cdc-chunks oracle (_CDC_CH_CTE)."""
+    order, and a chunk of a batch-b doc is KNOWN iff its hash is in the
+    persisted index of ACCEPTED docs from STRICTLY earlier batches
+    (ADVICE r11: rejected docs are NOT indexed — a storage-dedup loop
+    indexes only what it stored; within-batch repeats never count).
+    Acceptance is recursive, so the twin chains the three batches: all
+    batch-0 docs are accepted (the index is empty and cdc_chunks drops
+    empty docs, so known=0 < total_chars); batch 1 scores against
+    batch 0's chunks; batch 2 against batch 0 + accepted batch 1.
+    Chunk relation shared with the dedup-cdc-chunks oracle
+    (_CDC_CH_CTE)."""
     from genpipe_spark.queries.llmdata import _CDC_CH_CTE
 
     return _CDC_CH_CTE + """,
-    fb AS (SELECT chash, min(id % 3) AS first_b FROM ch GROUP BY chash)
-    SELECT ch.id AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN fb.first_b < ch.id % 3 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_known_chunks,
-           CAST(sum(CASE WHEN fb.first_b < ch.id % 3 THEN clen ELSE 0 END)
-                AS BIGINT) AS known_chars,
-           CAST(sum(clen) AS BIGINT) AS total_chars,
-           CAST(CASE WHEN
-                  2 * sum(CASE WHEN fb.first_b < ch.id % 3
-                               THEN clen ELSE 0 END) >= sum(clen)
-                  THEN 1 ELSE 0 END AS INTEGER) AS rejected
-    FROM ch JOIN fb USING (chash)
-    GROUP BY ch.id
+    s0 AS (SELECT id, count(*) AS n_chunks, 0 AS n_known_chunks,
+                  0 AS known_chars, sum(clen) AS total_chars,
+                  0 AS rejected
+           FROM ch WHERE id % 3 = 0 GROUP BY id),
+    i0 AS (SELECT DISTINCT chash FROM ch WHERE id % 3 = 0),
+    c1 AS (SELECT ch.id, ch.clen,
+                  CASE WHEN i0.chash IS NOT NULL THEN 1 ELSE 0 END AS kn
+           FROM ch LEFT JOIN i0 ON ch.chash = i0.chash
+           WHERE ch.id % 3 = 1),
+    s1 AS (SELECT id, count(*) AS n_chunks, sum(kn) AS n_known_chunks,
+                  sum(kn * clen) AS known_chars, sum(clen) AS total_chars,
+                  CASE WHEN 2 * sum(kn * clen) >= sum(clen)
+                       THEN 1 ELSE 0 END AS rejected
+           FROM c1 GROUP BY id),
+    i1 AS (SELECT chash FROM i0
+           UNION
+           SELECT DISTINCT ch.chash FROM ch
+           JOIN s1 ON ch.id = s1.id WHERE s1.rejected = 0),
+    c2 AS (SELECT ch.id, ch.clen,
+                  CASE WHEN i1.chash IS NOT NULL THEN 1 ELSE 0 END AS kn
+           FROM ch LEFT JOIN i1 ON ch.chash = i1.chash
+           WHERE ch.id % 3 = 2),
+    s2 AS (SELECT id, count(*) AS n_chunks, sum(kn) AS n_known_chunks,
+                  sum(kn * clen) AS known_chars, sum(clen) AS total_chars,
+                  CASE WHEN 2 * sum(kn * clen) >= sum(clen)
+                       THEN 1 ELSE 0 END AS rejected
+           FROM c2 GROUP BY id),
+    allb AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+             UNION ALL SELECT * FROM s2)
+    SELECT id AS doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_known_chunks AS BIGINT) AS n_known_chunks,
+           CAST(known_chars AS BIGINT) AS known_chars,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(rejected AS INTEGER) AS rejected
+    FROM allb
     """
 
 
@@ -937,7 +964,8 @@ def dedup_cdc_incremental(spark, sf):
     drain); each batch is content-defined-chunked and matched against
     the chunk-hash index PERSISTED from all earlier batches, per-doc
     overlap stats + the 50%-known rejection verdict appended, then the
-    batch's distinct chunk hashes appended to the index — the
+    ACCEPTED docs' distinct chunk hashes appended to the index (ADVICE
+    r11: rejected docs are not stored, so they are not indexed) — the
     storage-dedup admission loop every backup/transfer system runs.
     Production keeps the index table across runs; here it lives for
     the drain (the stream-dedup-incremental scaffolding precedent).
@@ -979,12 +1007,18 @@ def dedup_cdc_incremental(spark, sf):
         # ONE chunk explode per batch, shared by the stats pass and
         # the index append (the chunk HOF is the batch hot path)
         ch = cdc_chunks(batch).localCheckpoint(eager=True)
-        cdc_incremental_stats(batch, index, chunks=ch).write.mode(
-            "append"
-        ).parquet(stats_dir)
-        ch.select("chash").distinct().write.mode("append").parquet(
-            idx_dir
+        stats = cdc_incremental_stats(
+            batch, index, chunks=ch
+        ).localCheckpoint(eager=True)
+        stats.write.mode("append").parquet(stats_dir)
+        # ADVICE r11: index only ACCEPTED docs' chunks — a storage-
+        # dedup loop indexes what it stored, not what it rejected
+        acc = stats.where(F.col("rejected") == 0).select(
+            F.col("doc_id").alias("id")
         )
+        ch.join(acc, "id", "left_semi").select(
+            "chash"
+        ).distinct().write.mode("append").parquet(idx_dir)
         seen["any"] = True
 
     stream = (

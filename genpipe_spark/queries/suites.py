@@ -486,6 +486,10 @@ _EMBEDDING_MEMBERS = {
         "embedding-probe-loss-curve",
         [("iter", "s"), ("sse", "s")],
     ),
+    "planted": (
+        "embedding-probe-planted",
+        [("vec_id", "s"), ("label", "s"), ("y", "s"), ("score_micro", "s")],
+    ),
 }
 
 _BM25_MEMBERS = {
@@ -1142,7 +1146,9 @@ embedding_suite = _register(
     "keep/drop verdicts oracle-replayed — and search-mmr-rerank, the "
     "greedy MMR diversity pass with its unrolled selection twin; r11 "
     "adds embedding-linear-probe, the in-engine dense GD linear probe "
-    "with round-by-round oracle replay + AUC certification).",
+    "with round-by-round oracle replay + AUC certification; r12 adds "
+    "embedding-probe-planted, the planted-signal holdout whose "
+    "held-out AUC >= 0.7 is a real learner acceptance gate).",
 )
 text_bm25_suite = _register(
     "text-bm25-suite", _BM25_MEMBERS,

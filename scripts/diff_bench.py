@@ -20,8 +20,10 @@ for q in sorted(set(qa) & set(qb), key=lambda q: qb[q]["min"] / max(qa[q]["min"]
         # VERDICT r10 #6: spread = median/min per side; a mover whose
         # either-side spread exceeds 2 is host-noise-dominated and is
         # EXCLUDED from the adjudication list (reported separately)
-        sa = qa[q].get("spread") or (qa[q]["median"] / max(qa[q]["min"], 1e-9))
-        sb = qb[q].get("spread") or (qb[q]["median"] / max(qb[q]["min"], 1e-9))
+        # pre-r11 files have neither 'spread' nor 'median': fall back
+        # to min (spread 1.0) so old artifacts still diff
+        sa = qa[q].get("spread") or (qa[q].get("median", qa[q]["min"]) / max(qa[q]["min"], 1e-9))
+        sb = qb[q].get("spread") or (qb[q].get("median", qb[q]["min"]) / max(qb[q]["min"], 1e-9))
         if max(sa, sb) > 2:
             noisy.append((q, r, sa, sb))
             continue

@@ -525,3 +525,53 @@ def test_cdc_incremental_cross_batch_rejection(spark):
     assert s2[3].rejected == 1, s2[3]
     assert s2[3].known_chars == s2[3].total_chars
     assert s2[4].rejected == 0 and s2[4].n_known_chunks == 0, s2[4]
+
+
+def test_cdc_incremental_rejected_docs_not_indexed(spark):
+    """ADVICE r11 'done' gate for the accepted-only index semantics
+    (the sf0.01 fixture never exercises it — probed, 0 verdict flips):
+    a batch-1 doc that is REJECTED must not feed the index, so a
+    batch-2 doc made of the rejected doc's NOVEL tail scores as fully
+    unknown. Under whole-batch indexing (the pre-r12 behavior) the
+    same doc came back >50% known and was wrongly rejected — storage
+    dedup must only index what it stored."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from genpipe_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_incremental_stats,
+    )
+
+    x = ("shared boilerplate that batch zero stored first and batch "
+         "one repeats verbatim to get itself rejected " * 24)  # ~2.4k
+    z = ("novel tail material the rejected doc carried but never got "
+         "indexed 13579 qwerty zxcvb " * 12)  # ~1k, |x| ~ 2|z|
+    empty_idx = spark.createDataFrame([], "chash long")
+
+    def accepted_only_step(batch, index):
+        # the dedup-cdc-incremental entry's handle(), synchronous form
+        ch = cdc_chunks(batch).localCheckpoint(eager=True)
+        stats = cdc_incremental_stats(batch, index, chunks=ch)
+        stats = stats.localCheckpoint(eager=True)
+        acc = stats.where(F.col("rejected") == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        new_idx = index.unionByName(
+            ch.join(acc, "id", "left_semi").select("chash").distinct()
+        ).distinct()
+        return stats, new_idx.localCheckpoint(eager=True)
+
+    b0 = spark.createDataFrame([Row(doc_id=1, text=x)])
+    s0, idx = accepted_only_step(b0, empty_idx)
+    assert {r.doc_id: r.rejected for r in s0.collect()} == {1: 0}
+    b1 = spark.createDataFrame([Row(doc_id=2, text=x + z)])
+    s1, idx = accepted_only_step(b1, idx)
+    r2 = s1.collect()[0]
+    assert r2.rejected == 1, r2  # |x| ~ 2|z| -> known well over 50%
+    b2 = spark.createDataFrame([Row(doc_id=3, text=z)])
+    s2, idx = accepted_only_step(b2, idx)
+    r3 = s2.collect()[0]
+    assert r3.n_known_chunks == 0 and r3.rejected == 0, (
+        f"rejected doc 2's novel chunks leaked into the index: {r3}"
+    )

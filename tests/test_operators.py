@@ -149,6 +149,16 @@ def test_simhash_finds_planted_dups(spark, docs):
     assert truth
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, (recall, truth, got)
+    # r12: the two-level block-pair banding (default) and the classic
+    # d+1 single-block layout verify to the SAME pair set — the banding
+    # only shapes the candidate volume, never the output
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, bits=32, max_hamming=3, two_level=False
+        ).collect()
+    }
+    assert got == single, (got ^ single)
 
 
 def test_ivf_recall_vs_brute_force(spark):
@@ -2156,11 +2166,12 @@ def test_bpe_learn_routes_identical(spark):
 
 
 def test_image_neardup_recall_vs_exact_pairwise(spark):
-    """image_neardup_pairs' 8-block banding has FULL recall at
-    Hamming <= 4 (pigeonhole: d <= 7 with 8 blocks): the banded +
-    verified pairs must EQUAL the exact all-pairs bit_count join over
-    the same fingerprints — and the fixture must be non-degenerate
-    (pairs exist; most pairs excluded). Also pins the d > 7 gate."""
+    """image_neardup_pairs' banding (d+1 wide blocks since r12) has
+    FULL recall at Hamming <= 4 (pigeonhole: d differing bits touch at
+    most d of the d+1 blocks): the banded + verified pairs must EQUAL
+    the exact all-pairs bit_count join over the same fingerprints —
+    and the fixture must be non-degenerate (pairs exist; most pairs
+    excluded). Also pins the d > 7 gate."""
     import pytest
 
     from genpipe_spark.operators.multimodal import (
@@ -2205,6 +2216,51 @@ def test_image_neardup_recall_vs_exact_pairwise(spark):
     )
     with pytest.raises(ValueError, match="pigeonhole"):
         image_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_image_neardup_wide_blocks_shrink_candidates(spark):
+    """VERDICT r11 #2 'done' gate: the d+1 wide-block layout (5 blocks
+    of 12-13 bits at d=4) must generate MATERIALLY fewer candidate
+    pairs than the old 8x8-bit layout (256 buckets/block was ~N^2/64
+    at web scale) while the verified OUTPUT stays identical — recall
+    is a pigeonhole guarantee in both layouts, so only the collision
+    volume may differ."""
+    from genpipe_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_candidates,
+        image_neardup_pairs,
+        synth_media_real,
+    )
+    from genpipe_spark.tables import load
+
+    # collision volume on UNIFORM hashes (the VERDICT's N^2/64 regime;
+    # the media fixture is exact-dup-whale-dominated, and whales collide
+    # under EVERY layout — the docstring's representative-collapse case)
+    uni = spark.range(4000).select(
+        F.col("id").alias("media_id"),
+        F.shiftrightunsigned(F.xxhash64("id"), 32).alias("ahash_hi"),
+        F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit((1 << 32) - 1))
+        .alias("ahash_lo"),
+    ).localCheckpoint(eager=True)
+    wide = image_neardup_candidates(uni, n_blocks=5).count()
+    narrow = image_neardup_candidates(uni, n_blocks=8).count()
+    # theory: C(4000,2)*8/256 ~ 250k vs C(4000,2)*5/8192 ~ 4.9k (~51x)
+    assert narrow >= 10 * max(wide, 1), (
+        f"wide blocks should prune: {narrow} (8x8-bit) vs {wide} (5x~13-bit)"
+    )
+    # and on the real fixture the verified OUTPUT is layout-invariant
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    hashes = image_ahash(synth_media_real(d)).select(
+        "media_id", "ahash_hi", "ahash_lo"
+    ).localCheckpoint(eager=True)
+    out_wide = sorted(
+        map(tuple, image_neardup_pairs(hashes, max_hamming=4).collect())
+    )
+    out_narrow = sorted(
+        map(tuple,
+            image_neardup_pairs(hashes, max_hamming=4, n_blocks=8).collect())
+    )
+    assert out_wide == out_narrow, "layout changed the verified output"
 
 
 def test_fasttext_feature_paths_agree(spark):

@@ -2141,3 +2141,25 @@ def test_probe_generalization_gap_is_measured(spark):
     auc_ft, auc_pr = _mw_auc(ft), _mw_auc(pr)
     assert 0.30 <= auc_ft < 0.68, f"fasttext held-out AUC {auc_ft:.4f}"
     assert 0.30 <= auc_pr < 0.68, f"probe held-out AUC {auc_pr:.4f}"
+
+
+def test_planted_signal_holdout_auc_is_real(spark):
+    """VERDICT r11 #4 'done' gate: with a PLANTED recoverable linear
+    signal (y = sign(w* . q) + 10% deterministic flips), the trained
+    probe must score the held-out fifth at AUC >= 0.7 — held-out AUC
+    becomes a real acceptance gate for the LEARNER, not just an
+    honesty disclosure. A trainer that silently stops learning (zero
+    gradients, sign bug, mis-wired features) lands near 0.5 and fails
+    here. Also probes the fixture itself: both classes must be
+    materially present in the held-out split (the r9
+    probe-before-trusting-PASS rule)."""
+    from genpipe_spark.queries.llmdata import embedding_probe_planted
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = embedding_probe_planted(spark, sf).collect()
+        n_pos = sum(1 for r in rows if r.y == 1)
+        assert 0.2 <= n_pos / len(rows) <= 0.8, (
+            f"degenerate planted labels at {sf}: {n_pos}/{len(rows)}"
+        )
+        auc = _mw_auc([(r.score_micro, r.y) for r in rows])
+        assert auc >= 0.70, f"planted held-out AUC {auc:.4f} at {sf}"
