@@ -926,14 +926,23 @@ def _hashed_feature_rows(
     id_col: str,
     buckets: int,
     extra_cols: tuple[str, ...] = (),
+    subword_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Exploded hashed-ngram feature rows shared by the fastText-style
     trainer and the weight-table scorer: (doc_id, *extra_cols, b, cnt,
     nf) — b = unigram/bigram 31-fold hash bucketed mod ``buckets``
     (identical features to :func:`hashed_linear_score`), cnt = per-doc
     occurrences, nf = per-doc total feature count. One explode + one
-    combinable (doc, bucket) count; nf rides a doc-partitioned window."""
-    from .dedup import _word_hash
+    combinable (doc, bucket) count; nf rides a doc-partitioned window.
+
+    ``subword_ns`` (VERDICT r11 'what's missing' #2 — the actual
+    fastText trick): additionally emit the character n-grams of each
+    boundary-marked word '<'||w||'>' for every n in the tuple, hashed
+    with the SAME portable 31-fold char hash and bucketed identically
+    — so rare/misspelled words share buckets with their morphological
+    neighbors. Default () keeps the original unigram+bigram feature
+    set byte-identical (the commit-9c21924 pin)."""
+    from .dedup import _seq1, _word_hash
     from .hof import bind
 
     m31 = F.lit(2147483647)
@@ -952,9 +961,26 @@ def _hashed_feature_rows(
         ).otherwise(F.array().cast("array<bigint>"))
         return F.concat(wh, bigrams)
 
-    feats = bind(
-        F.transform(words(F.lower(F.col(text_col))), _word_hash), feats_of
-    )
+    ws = words(F.lower(F.col(text_col)))
+    feats = bind(F.transform(ws, _word_hash), feats_of)
+    if subword_ns:
+        def char_ngrams(w):
+            padded = F.concat(F.lit("<"), w, F.lit(">"))
+
+            def grams_of(n):
+                # NOTE: a `lambda i, n=n:` default-arg closure is NOT
+                # equivalent here — pyspark counts lambda PARAMETERS to
+                # pick the (element, index) HOF form, so the default
+                # arg would silently become the element index
+                return F.transform(
+                    _seq1(F.length(padded) - n + 1),
+                    lambda i: _word_hash(F.substr(padded, i, F.lit(n))),
+                )
+
+            grams = [grams_of(n) for n in subword_ns]
+            return F.concat(*grams) if len(grams) > 1 else grams[0]
+
+        feats = F.concat(feats, F.flatten(F.transform(ws, char_ngrams)))
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra_cols],
@@ -980,6 +1006,7 @@ def hashed_linear_train(
     iters: int = 8,
     lr: int = 128,
     grad_scale: int = 65536,
+    subword_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """TRAIN the fastText-style hashed-linear classifier for real —
     fixed-iteration FULL-BATCH gradient descent on squared loss over
@@ -1025,6 +1052,7 @@ def hashed_linear_train(
             F.col(label_col).cast("long").alias("__y"),
         ),
         text_col, id_col, buckets, extra_cols=("__y",),
+        subword_ns=subword_ns,
     ).localCheckpoint(eager=True)
     D = fx.select("doc_id").distinct().count()
     if D == 0:
@@ -1077,6 +1105,7 @@ def hashed_linear_apply(
     id_col: str = "doc_id",
     label_col: str | None = None,
     buckets: int = 4096,
+    subword_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Score documents with a LEARNED weight table (b, w) from
     :func:`hashed_linear_train`: score_micro = fdiv(sum cnt*w, nf) —
@@ -1089,7 +1118,8 @@ def hashed_linear_apply(
     if label_col:
         sel.append(F.col(label_col).cast("long").alias("__y"))
     fx = _hashed_feature_rows(
-        df.select(*sel), text_col, id_col, buckets, extra_cols=extra
+        df.select(*sel), text_col, id_col, buckets, extra_cols=extra,
+        subword_ns=subword_ns,
     )
     j = fx.join(F.broadcast(weights), "b", "left").withColumn(
         "w", F.coalesce("w", F.lit(0).cast("long"))

@@ -517,31 +517,60 @@ def _ft_fd(x: str, d: str) -> str:
     return f"((({x}) - (((({x}) % ({d})) + ({d})) % ({d}))) // ({d}))"
 
 
+_FT_FOLD31 = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT),"
+    " list_apply(list_filter(string_split({s}, ''), c -> c <> ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (a, c) -> (a * 31 + c) % 2147483647)"
+)
+
+
 def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
                            lr: int = 128, gs: int = 65536,
                            train_where: str = "",
-                           score_where: str = "") -> str:
+                           score_where: str = "",
+                           subword_ns: tuple = (),
+                           planted_y: bool = False) -> str:
     """DuckDB twin of hashed_linear_train + hashed_linear_apply: the
     full-batch GD iterations unrolled (fixed count — the
     kmeans/lpa/bpe precedent). Replayable because every step is exact
     int64: mean-normalized predictions and per-doc gradient factors
     use the shared floor-adjust division, the per-bucket gradient is
     an integer sum, and the weight update floors twice exactly like
-    the driver-side Python (// on ints is floor there already)."""
+    the driver-side Python (// on ints is floor there already).
+    ``subword_ns`` mirrors _hashed_feature_rows' char-ngram subword
+    features (same boundary-marked 31-fold hash). ``planted_y``
+    replaces the lang-derived target with the planted linear signal
+    over the feature representation itself (sign of a fixed per-bucket
+    weight pattern + 10% deterministic flips — the text counterpart of
+    _PLANTED_Y_SQL)."""
+    sub_sql = ""
+    if subword_ns:
+        pad = "('<' || w0 || '>')"
+        per_ns = [
+            "list_transform(range(1, greatest(length({p}) - {n} + 2, 1)),"
+            " i -> {h})".format(
+                p=pad, n=n,
+                h=_FT_FOLD31.format(s=f"substring({pad}, i, {n})"),
+            )
+            for n in subword_ns
+        ]
+        inner = " || ".join(per_ns)  # list_concat is 2-ary in DuckDB
+        sub_sql = (
+            " ||\n               flatten(list_transform(ws,"
+            f" w0 -> ({inner})))"
+        )
     head = rf"""
     WITH dteam AS (
       SELECT doc_id,
              CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ws,
              list_apply(
                list_filter(string_split_regex(lower(text), '\s+'),
                            w -> w <> ''),
-               w -> list_reduce(
-                      list_prepend(CAST(7 AS BIGINT),
-                        list_apply(list_filter(string_split(w, ''),
-                                               c -> c <> ''),
-                                   c -> CAST(ascii(c) AS BIGINT))),
-                      (a, c) -> (a * 31 + c) % 2147483647)) AS wh
+               w -> {_FT_FOLD31.format(s='w')}) AS wh
       FROM documents
     ),
     ff AS (
@@ -550,10 +579,10 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
                wh,
                list_transform(range(1, greatest(len(wh), 1)),
                  i -> (wh[i] * 1000003 + wh[i + 1] * 9176 + 12345)
-                      % 2147483647)) AS feats
+                      % 2147483647){sub_sql}) AS feats
       FROM dteam
     ),
-    fy AS MATERIALIZED (
+    fy0 AS MATERIALIZED (
       SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT)
                AS nf
@@ -561,7 +590,28 @@ def _fasttext_train_oracle(buckets: int = 4096, iters: int = 8,
                    ((ft % {buckets}) + {buckets}) % {buckets} AS b
             FROM (SELECT doc_id, y, unnest(feats) AS ft FROM ff))
       GROUP BY doc_id, y, b
+    ),"""
+    if planted_y:
+        ns = _ft_fd(
+            "sum(cnt * ((b * 37) % 21 - 10)) * 1000000", "any_value(nf)"
+        )
+        head += f"""
+    yd AS (
+      SELECT doc_id,
+             CASE WHEN ({ns} > 400000)
+                  <> (((doc_id * 1103515245 + 12345) % 2147483647)
+                      % 100 < 10)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+      FROM fy0 GROUP BY doc_id
     ),
+    fy AS MATERIALIZED (
+      SELECT f.doc_id, yd.y, f.b, f.cnt, f.nf
+      FROM fy0 f JOIN yd USING (doc_id)
+    ),"""
+    else:
+        head += """
+    fy AS MATERIALIZED (SELECT * FROM fy0),"""
+    head += f"""
     ftr AS MATERIALIZED (SELECT * FROM fy {train_where}),
     dd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS D FROM ftr),
     w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM ftr)"""
@@ -1024,6 +1074,68 @@ def text_fasttext_holdout(spark, sf):
     )
     return hashed_linear_apply(
         docs.where(F.col("doc_id") % 5 == 0), weights, label_col="y"
+    )
+
+
+_FT_SUBWORD_NS = (3, 4)
+
+
+@query(
+    "text-fasttext-planted",
+    _fasttext_train_oracle(subword_ns=_FT_SUBWORD_NS, planted_y=True,
+                           **_FT_HOLDOUT_ORACLE_ARGS),
+)
+def text_fasttext_planted(spark, sf):
+    """SUBWORD-FEATURED fastText trainer on a PLANTED-SIGNAL holdout
+    (VERDICT r11 #4 + #6): features add the boundary-marked char 3/4-
+    grams of every word (operators/text._hashed_feature_rows
+    subword_ns — fastText's actual trick, same portable 31-fold hash,
+    same buckets), and the target carries a RECOVERABLE linear signal
+    in the feature representation itself: y = (fdiv(sig*1e6, nf) >
+    400000) with 10% deterministic doc_id-keyed flips, where sig is a
+    fixed per-bucket weight pattern ((b*37)%21-10) summed over the
+    doc's own feature counts and 400000 is the stable cross-SF median
+    (probed at sf0.001/0.01/0.1). Trains on doc_id % 5 != 0, scores
+    ONLY the held-out fifth; held-out AUC >= 0.7 is pytest-asserted —
+    with text-fasttext-holdout's ~0.53 on the native weak-signal
+    labels, the pair certifies BOTH that the harness reports failure
+    to generalize AND that the trainer genuinely learns when signal
+    exists. The oracle replays planted labeling, split training, and
+    held-out scoring."""
+    from genpipe_spark.operators.text import (
+        _fdiv_sql,
+        _hashed_feature_rows,
+        hashed_linear_apply,
+        hashed_linear_train,
+    )
+
+    docs = widen(t(spark, sf, "documents")).select("doc_id", "text")
+    fx = _hashed_feature_rows(
+        docs, "text", "doc_id", 4096, subword_ns=_FT_SUBWORD_NS
+    )
+    ws_b = (F.col("b") * 37) % 21 - 10
+    sig = fx.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * ws_b).alias("sig"),
+        F.first("nf").alias("nf"),
+    )
+    flip = (
+        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+        % F.lit(2147483647)
+    ) % 100 < 10
+    y = sig.select(
+        "doc_id",
+        (
+            (F.expr(_fdiv_sql("sig * 1000000", "nf")) > 400000) != flip
+        ).cast("long").alias("y"),
+    )
+    labeled = docs.join(y, "doc_id")
+    weights = hashed_linear_train(
+        labeled.where(F.col("doc_id") % 5 != 0),
+        label_col="y", subword_ns=_FT_SUBWORD_NS,
+    )
+    return hashed_linear_apply(
+        labeled.where(F.col("doc_id") % 5 == 0), weights,
+        label_col="y", subword_ns=_FT_SUBWORD_NS,
     )
 
 

@@ -980,6 +980,11 @@ _TEXT_TOKEN_MEMBERS = {
         [("query_id", "s"), ("doc_id", "s"), ("rrf_micro", "s"),
          ("rank_bm25", "s"), ("rank_tf", "s"), ("fused_rank", "s")],
     ),
+    "ftplanted": (
+        "text-fasttext-planted",
+        [("doc_id", "s"), ("n_feat", "s"), ("score_micro", "s"),
+         ("y", "s")],
+    ),
 }
 
 _RESHAPE_OLAP_MEMBERS = {

@@ -2286,3 +2286,60 @@ def test_fasttext_feature_paths_agree(spark):
     }
     # the trainer drops zero-feature docs; the scorer emits n_feat=0
     assert train_nf == {k: v for k, v in score_nf.items() if v > 0}
+
+
+def test_fasttext_subword_features_match_reference_model(spark):
+    """r12 extension of the feature-definition pin (commit 9c21924's
+    contract) to the subword path: _hashed_feature_rows with
+    subword_ns=(3,4) must equal an INDEPENDENT pure-Python model of
+    the feature definition — word unigrams + bigrams + boundary-marked
+    char 3/4-grams, all through the portable 31-fold hash — per
+    (doc, bucket) count, not just totals. Also pins that subword_ns=()
+    stays byte-identical to the original definition, and the
+    short-word edges ('<x>' has one 3-gram and zero 4-grams)."""
+    import collections
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.text import _hashed_feature_rows
+
+    M = 2147483647
+
+    def h31(s):
+        a = 7
+        for c in s:
+            a = (a * 31 + ord(c)) % M
+        return a
+
+    def model(text, ns):
+        ws = [w for w in text.lower().split() if w]
+        wh = [h31(w) for w in ws]
+        bi = [
+            (wh[i] * 1000003 + wh[i + 1] * 9176 + 12345) % M
+            for i in range(len(wh) - 1)
+        ]
+        sub = []
+        for w in ws:
+            p = "<" + w + ">"
+            for n in ns:
+                for i in range(len(p) - n + 1):
+                    sub.append(h31(p[i:i + n]))
+        return dict(collections.Counter(f % 4096 for f in wh + bi + sub))
+
+    fixture = [
+        (1, "Hello world"),
+        (2, "ab"),          # '<ab>': two 3-grams, one 4-gram
+        (3, "x"),           # '<x>': one 3-gram, NO 4-gram
+        (4, "the quick brown fox the quick"),  # repeats -> counts > 1
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in fixture])
+    for ns in ((), (3, 4)):
+        rows = _hashed_feature_rows(
+            df, "text", "doc_id", 4096, subword_ns=ns
+        ).collect()
+        for doc, text in fixture:
+            got = {r.b: r.cnt for r in rows if r.doc_id == doc}
+            exp = model(text, ns)
+            assert got == exp, (ns, doc, got, exp)
+            nf = {r.nf for r in rows if r.doc_id == doc}
+            assert nf == {sum(exp.values())}

@@ -287,6 +287,8 @@ BOUNDED_BROADCAST_OK = {
     "(per GD iteration + final scoring)",
     "text-fasttext-holdout": "broadcast <=4096-row learned weight table "
     "(same hashed_linear_apply path as text-fasttext-train)",
+    "text-fasttext-planted": "broadcast <=4096-row learned weight table "
+    "(same hashed_linear_apply path as text-fasttext-train)",
     # #partitions-row offset table (global_row_number) + 1-row total
     "embedding-probe-calibration": "broadcast partition-offset table "
     "+ 1-row total count",

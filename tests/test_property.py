@@ -2163,3 +2163,22 @@ def test_planted_signal_holdout_auc_is_real(spark):
         )
         auc = _mw_auc([(r.score_micro, r.y) for r in rows])
         assert auc >= 0.70, f"planted held-out AUC {auc:.4f} at {sf}"
+
+
+def test_planted_signal_fasttext_holdout_auc_is_real(spark):
+    """The text twin of the planted-signal gate (VERDICT r11 #4 + #6):
+    the subword-featured fastText trainer must recover the planted
+    per-bucket linear signal and score the held-out fifth at AUC >=
+    0.7 (measured 0.78/0.76 at sf0.001/sf0.01) — paired with
+    text-fasttext-holdout's ~0.53 on the native labels, this pins
+    that the trainer learns when and only when signal exists."""
+    from genpipe_spark.queries.llmdata import text_fasttext_planted
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = text_fasttext_planted(spark, sf).collect()
+        n_pos = sum(1 for r in rows if r.y == 1)
+        assert 0.2 <= n_pos / len(rows) <= 0.8, (
+            f"degenerate planted labels at {sf}: {n_pos}/{len(rows)}"
+        )
+        auc = _mw_auc([(r.score_micro, r.y) for r in rows])
+        assert auc >= 0.70, f"planted held-out AUC {auc:.4f} at {sf}"
