@@ -846,13 +846,22 @@ def stream_dedup_incremental(spark, sf):
     fixture's exact pair set bottoms out at jaccard 0.8, where 8
     bands miss with p~1.5%/pair (observed live: one j=0.8 pair at
     sf1) but 24 bands miss with p~3e-6 ((1-0.8^4)^24 banding
-    math), giving e[misses] << 1 through sf10's ~25k pairs. The
-    per-batch corpus index is
-    rebuilt from the accumulated raw docs here; production persists
-    minhash_index output and appends to it (same operator surface)."""
+    math), giving e[misses] << 1 through sf10's ~25k pairs. r12
+    (guide §1.2 — remove recomputed passes): the per-batch corpus
+    index is no longer rebuilt from the accumulated raw docs; each
+    batch computes its OWN minhash_index once, matches against the
+    PERSISTED index of all earlier batches, and appends its index
+    rows — so corpus text is re-read only for the candidate-bounded
+    exact verify, and per-batch cost stays O(batch), independent of
+    corpus size. Index rows are a pure deterministic function of the
+    batch text, so the emitted pair transcript is byte-identical to
+    the rebuild-every-batch form (oracle unchanged)."""
     import os
 
-    from genpipe_spark.operators.dedup import incremental_minhash_pairs
+    from genpipe_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+    )
     from genpipe_spark.tables import load
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
@@ -868,21 +877,34 @@ def stream_dedup_incremental(spark, sf):
                 os.utime(os.path.join(root, fn), (1_000_000 + i * 100,) * 2)
     out_dir = tempfile.mkdtemp(prefix="genpipe_sdedup_out_")
     corpus_dir = f"{out_dir}/corpus"
+    index_dir = f"{out_dir}/index"
     pairs_dir = f"{out_dir}/pairs"
     seen = {"any": False}
 
     def handle(batch_df, bid):
         batch = batch_df.localCheckpoint(eager=True)
         ss = batch.sparkSession
+        # the batch's index is computed ONCE (lazy checkpoint): the
+        # pair match and the index append both reuse it
+        new_idx = minhash_index(
+            batch, num_hashes=96, bands=24
+        ).localCheckpoint(eager=False)
         corpus = (
             ss.read.parquet(corpus_dir)
             if seen["any"]
             else batch.limit(0)
         )
+        index = (
+            ss.read.parquet(index_dir)
+            if seen["any"]
+            else new_idx.limit(0)
+        )
         pairs = incremental_minhash_pairs(
-            batch, corpus, num_hashes=96, bands=24, threshold=0.5
+            batch, corpus, corpus_index=index, new_index=new_idx,
+            num_hashes=96, bands=24, threshold=0.5,
         )
         pairs.write.mode("append").parquet(pairs_dir)
+        new_idx.write.mode("append").parquet(index_dir)
         batch.write.mode("append").parquet(corpus_dir)
         seen["any"] = True
 
