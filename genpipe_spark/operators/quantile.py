@@ -85,6 +85,7 @@ def group_quantiles(
     by: Sequence[str],
     pcts: Sequence[int] = (50, 90, 99),
     approx: bool = False,
+    prereduce: bool = False,
 ) -> DataFrame:
     """Per-group percentiles of ``value_col``.
 
@@ -92,7 +93,20 @@ def group_quantiles(
     nearest-rank element (exact mode) or the GK-sketch estimate (approx).
     Ties inside equal values are irrelevant — equal values at the picked
     rank yield the same ``q`` whatever the sort put first.
-    """
+
+    ``prereduce=True`` (r12, guide §2.3 — aggregate before you
+    shuffle): collapse to (group, value, count) with a map-side-
+    combinable agg first, then select the nearest rank from CUMULATIVE
+    counts — bit-identical (rank r falls inside value v's occupancy
+    range (cum-c, cum] exactly when the sorted multiset's r-th element
+    is v), but the window sorts distinct values instead of rows and
+    the shuffle carries counts. Callers opt in WHEN THEY KNOW the
+    value domain is small (e.g. l_quantity's 50 integers: measured
+    1.02 s -> 0.41 s at sf0.1, and at 100 TB the per-group external
+    sort of every row becomes a combinable count shuffle). For
+    high-cardinality values (price cents) the extra exchange reduces
+    nothing — measured a pure loss (quantile-mad 2.6 -> 3.6 s) — so
+    the default stays row-level."""
     bad = [p for p in pcts if not 1 <= int(p) <= 100]
     if bad:
         raise ValueError(f"pcts must be in [1, 100], got {bad}")
@@ -111,6 +125,31 @@ def group_quantiles(
     # NULL values are excluded so exact n matches percentile_approx and
     # DuckDB quantile_disc, both of which ignore NULLs.
     df = df.where(F.col(value_col).isNotNull())
+    pct_arr = F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+    if prereduce:
+        vc = df.groupBy(*by, F.col(value_col).alias("q")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w_cum = (
+            Window.partitionBy(*by)
+            .orderBy("q")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = vc.select(
+            *by,
+            "q",
+            "__c",
+            F.sum("__c").over(w_cum).alias("__cum"),
+            F.sum("__c").over(Window.partitionBy(*by)).alias("__n"),
+        )
+        ex = ranked.select(
+            *by, "q", "__c", "__cum", "__n", F.explode(pct_arr).alias("pct")
+        )
+        target = F.expr("(pct * __n + 99) DIV 100")
+        return ex.where(
+            (F.col("__cum") >= target)
+            & ((F.col("__cum") - F.col("__c")) < target)
+        ).select(*by, "pct", "q")
     w_sort = Window.partitionBy(*by).orderBy(F.col(value_col))
     w_all = Window.partitionBy(*by)
     ranked = df.select(
@@ -119,7 +158,6 @@ def group_quantiles(
         F.row_number().over(w_sort).alias("__rn"),
         F.count(F.lit(1)).over(w_all).alias("__n"),
     )
-    pct_arr = F.array(*[F.lit(int(p)).cast("long") for p in pcts])
     ex = ranked.select(
         *by, "q", "__rn", "__n", F.explode(pct_arr).alias("pct")
     )

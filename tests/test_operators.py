@@ -990,6 +990,38 @@ def test_group_quantiles_schema_consistent_and_validates_pcts(spark):
             group_quantiles(df, "v", ["g"], bad)
 
 
+def test_group_quantiles_prereduce_matches_row_level(spark):
+    """r12: prereduce=True (value-count pre-aggregation, guide §2.3)
+    must pick the IDENTICAL nearest-rank value as the row-level path —
+    including heavy ties, multiple groups, NULLs, and pcts whose
+    target ranks land at tie-run boundaries."""
+    import random
+
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.quantile import group_quantiles
+
+    rng = random.Random(12)
+    rows = [
+        Row(g=g, v=rng.choice([None, 1, 2, 2, 2, 3, 5, 5, 8, 13]))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(1, 97))
+    ]
+    df = spark.createDataFrame(rows)
+    pcts = (1, 25, 50, 75, 99, 100)
+    row_level = {
+        (r["g"], r["pct"]): r["q"]
+        for r in group_quantiles(df, "v", ["g"], pcts).collect()
+    }
+    pre = {
+        (r["g"], r["pct"]): r["q"]
+        for r in group_quantiles(
+            df, "v", ["g"], pcts, prereduce=True
+        ).collect()
+    }
+    assert pre == row_level and len(pre) == 3 * len(pcts)
+
+
 # ------------------------------------------------- AQE skew-join (interval)
 
 def test_interval_join_aqe_splits_hot_bin(spark):
