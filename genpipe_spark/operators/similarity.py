@@ -1120,7 +1120,14 @@ def mmr_rerank(
         nxt = argmax(scored, "mmr").select(
             "query_id", "vec_id", "rel", "score", F.lit(r).alias("sel_rank")
         )
-        selected = selected.unionByName(nxt)
+        # r12 (guide §3.3 — very large plans: materialise to truncate):
+        # selected(r-1) is referenced THREE times per round (anti-join,
+        # sim attach, union), so the lazy plan tree grows ~3^r and
+        # round 5 recomputes round 1's argmax dozens of times. A lazy
+        # localCheckpoint caps each round at one |Q|*r-row
+        # materialization (bounded by construction: k_select rows per
+        # query).
+        selected = selected.unionByName(nxt).localCheckpoint(eager=False)
     return selected.select("query_id", "sel_rank", "vec_id", "rel", "score")
 
 
