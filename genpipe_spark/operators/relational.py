@@ -138,38 +138,58 @@ def global_row_number(
     RDD zipWithIndex, toSample.scala-era style). Here:
 
       1. range-repartition + sort within partitions on the keys
-         (one shuffle — partitions are globally ordered AND disjoint);
+         (one shuffle — partitions are globally ordered AND disjoint),
+         then stamp each row with ``monotonically_increasing_id()``
+         INSIDE the checkpointed pass: partition id in the upper bits,
+         CONSECUTIVE 0-based record number in the lower 33 — i.e. the
+         within-partition rank of the sorted order, captured as a
+         narrow JVM expression;
       2. count rows per partition (an agg over #partitions groups) and
          cumsum the offsets DRIVER-side — #partitions values, not rows;
-      3. number within each partition and add its offset via a
-         broadcast-joined offset table.
+      3. add each partition's offset to its local record number via a
+         broadcast-joined offset table — another NARROW pass.
+
+    (r12, guide §2.4: step 3 used to be row_number() OVER (PARTITION
+    BY __pid) — but range partitioning does not satisfy the window's
+    hash-clustering requirement, so the window silently re-shuffled
+    AND re-sorted every row by __pid; measured 2.6 s of the operator's
+    3.9 s at sf0.1. The id stamp makes the second pass shuffle-free:
+    same rn values, one exchange total.)
 
     ``order_cols`` must be a total order (include a unique tiebreaker):
     equal keys land in one partition under range partitioning, but the
     within-partition order between duplicates would be tie-ambiguous.
     Two jobs by construction (the count pass) — the standard price of
-    distributed global numbering."""
+    distributed global numbering. Lower-33-bit record numbers cap a
+    partition at 2^33 rows — far beyond any sane partition size."""
     part = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__gmid", F.monotonically_increasing_id())
     )
-    part = part.localCheckpoint(eager=False)  # both passes share the shuffle
+    # the checkpoint freezes the id stamp (monotonic id is recompute-
+    # sensitive) and lets the count pass and the final pass share the
+    # one range shuffle
+    part = part.localCheckpoint(eager=False)
+    pid = F.shiftright(F.col("__gmid"), 33).cast("int")
     counts = sorted(
         (r["__pid"], r["n"])
-        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in part.groupBy(pid.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
     offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
+    for p, n in counts:
+        offsets.append((p, acc))
         acc += n
     spark = df.sparkSession
     off = spark.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = F.col("__gmid") - F.shiftleft(F.shiftright(F.col("__gmid"), 33), 33)
     return (
-        part.join(F.broadcast(off), "__pid")
-        .withColumn(alias, F.row_number().over(w) + F.col("__off"))
-        .drop("__pid", "__off")
+        part.withColumn("__pid", pid)
+        .join(F.broadcast(off), "__pid")
+        .withColumn(alias, local + F.col("__off") + F.lit(1))
+        .drop("__pid", "__gmid")
     )
 
 

@@ -5033,6 +5033,11 @@ def sketch_sample_quantiles(spark, sf):
         .alias("tb"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
     )
+    # r12 (guide §5 — cache only when reused): base feeds SIX passes
+    # (count, the three sketch legs, global_row_number's range shuffle,
+    # the lo/hi certification scan); one 2-long-column materialization
+    # replaces five parquet re-scans + re-projects
+    base = base.localCheckpoint(eager=False)
     n_df = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     g = sample_quantile_sketch(base, "v", "tb", K)
