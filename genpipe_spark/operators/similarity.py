@@ -614,9 +614,9 @@ def center_l2_normalize(
 
       1. each component quantizes to int64 micros with portable
          half-up (floor(x*1e6 + 0.5) — the quantize_int8 rule);
-      2. per-DIMENSION exact integer sums via posexplode + groupBy
-         (one map-side-combinable agg; the dim table is
-         dimensionality-sized, 64 rows here — broadcast back);
+      2. per-DIMENSION exact integer sums via one combinable agg of d
+         sum expressions (dimensionality-sized driver row, attached
+         back as a literal array — join-free);
       3. the centered component is kept as the exact integer
          c = m*n - sum_m  (= n * (m - mean), scaled by n to avoid
          division) — the n factor CANCELS under L2 normalization, so
@@ -625,48 +625,70 @@ def center_l2_normalize(
          component maps to floor(1e6 * c / norm + 0.5) micros
          (0 if the norm is 0, i.e. the vector equals the mean).
 
-    NULL vectors drop; all vectors must share one dimensionality (the
-    posexplode/groupBy would silently mix dims otherwise — enforced
-    cheaply via the per-dim count equality against dim 0).
-    Scale: data moves twice (explode agg + regroup); state beyond the
-    data is ONE dim-sized sum table. The regroup collect_list is
-    bounded by the dimensionality per (vec, not partition)."""
-    e = emb.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    )
-    m = e.select(
-        "vec_id",
-        "pos",
-        F.floor(F.col("x").cast("double") * 1_000_000.0 + 0.5)
-        .cast("long")
-        .alias("m"),
-    )
-    s = m.groupBy("pos").agg(
-        F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
-    )
-    # ragged-dimensionality guard: every dim must cover every vector.
-    # The global max window (over the dim-sized table — bounded) must
-    # materialize as a column BEFORE the assert filter (window
-    # functions cannot sit inside WHERE).
-    from genpipe_spark.operators.checks import assert_rows
+    NULL vectors drop; all vectors must share one dimensionality
+    (LOUDLY enforced — a ragged corpus raises before any output row
+    exists). Empty-array vectors drop like the r11 form's (posexplode
+    emitted no rows for them), so the output id set is unchanged.
 
-    s = s.withColumn("__nmax", F.max("n").over(Window.partitionBy()))
-    s = assert_rows(
-        s,
-        F.col("n") == F.col("__nmax"),
-        F.lit("center_l2_normalize: ragged dimensionality at pos "),
-        F.col("pos").cast("string"),
-    ).drop("__nmax")
-    c = m.join(F.broadcast(s), "pos").select(
-        "vec_id", "pos", (F.col("m") * F.col("n") - F.col("sm")).alias("c")
+    Scale (r12, guide §§2.3-2.4 — the round-11 form posexploded every
+    vector into n*d rows, shuffled them through a (pos)-agg AND a
+    (vec_id)-regroup collect_list): the per-dimension exact sums are
+    now ONE map-side-combinable aggregation with d sum expressions
+    (dim-bounded state per task, a dim-sized driver row — the kmeans-
+    centroid precedent), broadcast back as a LITERAL array; centering
+    and normalization become a single NARROW projection over the
+    original array rows. ZERO data-sized exchanges — the corpus is
+    scanned twice (sum pass + projection pass) and never shuffled,
+    which is also the 100 TB shape: the old regroup moved every byte
+    of every vector through one hash exchange."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= 1)
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
-    arr = c.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda st: st["c"],
-        ).alias("cv")
+    m_arr = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * 1_000_000.0 + 0.5).cast("long"),
     )
+    gate = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("v")).alias("dmin"),
+        F.max(F.size("v")).alias("dmax"),
+    ).first()
+    n = int(gate["n"])
+    if n == 0:
+        # no non-empty vectors: the r11 posexplode form produced an
+        # empty frame; keep the schema
+        return e.select(
+            "vec_id",
+            F.array().cast("array<long>").alias("unit_micro"),
+        )
+    if gate["dmin"] != gate["dmax"]:
+        raise ValueError(
+            "center_l2_normalize: ragged dimensionality at pos "
+            f"{int(gate['dmin'])} (vector lengths span "
+            f"{int(gate['dmin'])}..{int(gate['dmax'])})"
+        )
+    dim = int(gate["dmin"])
+    sums = e.select(m_arr.alias("m")).agg(
+        *[
+            F.sum(F.element_at("m", i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    sm_lit = F.array(
+        *[F.lit(int(sums[f"s{i}"])).cast("long") for i in range(dim)]
+    )
+    # centered exact integer c = m*n - sum_m, per component — a pure
+    # projection; the fold order over cv is ascending pos, identical
+    # to the r11 array_sort(collect_list) order, so the norm double
+    # and the floor(1e6*c/norm + 0.5) micros are bit-identical
+    cv = F.transform(
+        m_arr,
+        lambda x, i: x * F.lit(n).cast("long") - F.element_at(sm_lit, i + 1),
+    )
+    withcv = e.select("vec_id", cv.alias("cv"))
     norm = F.sqrt(
         F.aggregate(
             F.col("cv"),
@@ -674,7 +696,7 @@ def center_l2_normalize(
             lambda acc, y: acc + y.cast("double") * y.cast("double"),
         )
     )
-    return arr.select(
+    return withcv.select(
         "vec_id",
         F.transform(
             F.col("cv"),
@@ -837,9 +859,14 @@ def semdedup(
     if levels not in (2, 3):
         raise ValueError(f"semdedup: levels {levels} not in (2, 3)")
 
-    def nearest(rows, rid, seeds, sid, out):
+    def nearest(rows, rid, seeds, sid, out, carry=()):
         """argmax cosine over ``seeds`` per ``rows`` row (smallest-seed
-        ties); returns (rid, out) pairs."""
+        ties); returns (rid, out) pairs. ``carry`` re-emits row-side
+        columns via first() — every group row replicates the SAME
+        value (it is the row's own payload repeated per seed), so
+        first() is order-insensitive here and saves the join-back the
+        r11 form paid to re-attach vectors (r12, guide §2.4: the
+        join-back was a full exchange+sort of both sides per tier)."""
         packed = F.min(
             F.struct(
                 (
@@ -851,17 +878,24 @@ def semdedup(
                 F.col(sid).alias("sid"),
             )
         ).alias("m")
+        aggs = [packed] + [
+            F.first(F.col(src)).alias(dst) for src, dst in carry
+        ]
         return (
             rows.join(seeds)
             .groupBy(rid)
-            .agg(packed)
-            .select(rid, F.col("m.sid").alias(out))
+            .agg(*aggs)
+            .select(
+                rid, F.col("m.sid").alias(out),
+                *[dst for _, dst in carry],
+            )
         )
 
-    def confined(rows, rid, gcol, seeds, sid, out):
+    def confined(rows, rid, gcol, seeds, sid, out, carry=()):
         """argmax cosine over the seeds sharing the rows' ``gcol``
         group — the tree's group-confined probe (an EQUI join, so the
-        per-row candidate set is the group's seed list, not all K)."""
+        per-row candidate set is the group's seed list, not all K).
+        ``carry`` as in nearest()."""
         packed = F.min(
             F.struct(
                 (
@@ -873,11 +907,17 @@ def semdedup(
                 F.col(sid).alias("sid"),
             )
         ).alias("m")
+        aggs = [packed] + [
+            F.first(F.col(src)).alias(dst) for src, dst in carry
+        ]
         return (
             rows.join(seeds, gcol)
             .groupBy(rid)
-            .agg(packed)
-            .select(rid, F.col("m.sid").alias(out))
+            .agg(*aggs)
+            .select(
+                rid, F.col("m.sid").alias(out),
+                *[dst for _, dst in carry],
+            )
         )
 
     fine = pre.where(F.col("id") < k_clusters).select(
@@ -889,18 +929,21 @@ def semdedup(
         F.col("fsq").alias("__sq2"),
     )
     if levels == 2:
-        # fine seed -> coarse group
+        # fine seed -> coarse group (vector payloads ride the agg via
+        # first() — no join-back; r12 guide §2.4)
         fc = nearest(
             fine.select("fid", F.col("fv").alias("__rv"),
                         F.col("fsq").alias("__rq")),
             "fid", coarse, "sid0", "g",
-        ).join(fine, "fid")
+            carry=[("__rv", "fv"), ("__rq", "fsq")],
+        )
         # row -> coarse group (the K1-wide probe)
         rc = nearest(
             pre.select("id", F.col("v").alias("__rv"),
                        F.col("sq").alias("__rq")),
             "id", coarse, "sid0", "g",
-        ).join(pre, "id")
+            carry=[("__rv", "v"), ("__rq", "sq")],
+        )
     else:
         # THREE-LEVEL: cbrt(K) top seeds over K^(2/3) mid seeds over
         # the K fine seeds (nested id prefixes). Every probe below the
@@ -918,19 +961,15 @@ def semdedup(
             F.col("fsq").alias("__sq2"),
         )
         mid_seed = fine.where(F.col("fid") < k1_3)
-        # mid seed -> top group (full probe, K^(2/3) x cbrt(K) pairs)
+        # mid seed -> top group (full probe, K^(2/3) x cbrt(K) pairs);
+        # the seed vectors ride the agg (r12: no mid_seed join-back)
         mt = nearest(
             mid_seed.select(
                 F.col("fid").alias("mid_id"),
                 F.col("fv").alias("__rv"), F.col("fsq").alias("__rq"),
             ),
             "mid_id", top, "sidT", "tg",
-        ).join(
-            mid_seed.select(
-                F.col("fid").alias("mid_id"),
-                F.col("fv").alias("__sv"), F.col("fsq").alias("__sq2"),
-            ),
-            "mid_id",
+            carry=[("__rv", "__sv"), ("__rq", "__sq2")],
         )
         # fine seed -> top group (full probe, K x cbrt(K)), then ->
         # mid group confined to that top group
@@ -938,30 +977,28 @@ def semdedup(
             fine.select("fid", F.col("fv").alias("__rv"),
                         F.col("fsq").alias("__rq")),
             "fid", top, "sidT", "tg",
+            carry=[("__rv", "__rv"), ("__rq", "__rq")],
         )
         fc = confined(
-            ft.join(fine, "fid").select(
-                "fid", "tg", F.col("fv").alias("__rv"),
-                F.col("fsq").alias("__rq"),
-            ),
+            ft.select("fid", "tg", "__rv", "__rq"),
             "fid", "tg",
             mt.select("tg", "mid_id", "__sv", "__sq2"), "mid_id", "g",
-        ).join(fine, "fid")
+            carry=[("__rv", "fv"), ("__rq", "fsq")],
+        )
         # row -> top group, then -> mid group confined to it; the mid
         # group id is the cluster-tree group the fine probe below uses
         rt = nearest(
             pre.select("id", F.col("v").alias("__rv"),
                        F.col("sq").alias("__rq")),
             "id", top, "sidT", "tg",
+            carry=[("__rv", "__rv"), ("__rq", "__rq")],
         )
         rc = confined(
-            rt.join(pre, "id").select(
-                "id", "tg", F.col("v").alias("__rv"),
-                F.col("sq").alias("__rq"),
-            ),
+            rt.select("id", "tg", "__rv", "__rq"),
             "id", "tg",
             mt.select("tg", "mid_id", "__sv", "__sq2"), "mid_id", "g",
-        ).join(pre, "id")
+            carry=[("__rv", "v"), ("__rq", "sq")],
+        )
     # row -> nearest fine seed WITHIN its coarse group (equi join on g)
     packed = F.min(
         F.struct(

@@ -1602,6 +1602,11 @@ def copurchase_pairs(spark, sf):
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    # r12 (guide §5 — cache only when reused): both self-join sides
+    # re-derived the scan+join+distinct (ReuseExchange misses because
+    # the SMJ sides re-key by l_orderkey with distinct expr ids); one
+    # lazy checkpoint computes ob once
+    ob = ob.localCheckpoint(eager=False)
     a, b = ob.alias("A"), ob.alias("B")
     pairs = a.join(
         b,
@@ -1824,6 +1829,10 @@ def copurchase_lift(spark, sf):
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    # r12 (guide §5): ob feeds FIVE subtrees (nb, tot, both self-join
+    # sides — plans/r12/copurchase-lift_before.txt shows five lineitem
+    # scans); one lazy checkpoint computes it once
+    ob = ob.localCheckpoint(eager=False)
     nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
     tot = ob.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     a, b = ob.alias("A"), ob.alias("B")
@@ -2651,6 +2660,9 @@ def copurchase_triples(spark, sf):
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     ob = li.join(p, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    # r12 (guide §5): ob feeds both pair sides AND the extension side C
+    # — one lazy checkpoint instead of three scan+join+distinct trees
+    ob = ob.localCheckpoint(eager=False)
     a, b = ob.alias("A"), ob.alias("B")
     pairs = a.join(
         b,
@@ -2661,6 +2673,9 @@ def copurchase_triples(spark, sf):
         F.col("A.p_brand").alias("brand_a"),
         F.col("B.p_brand").alias("brand_b"),
     )
+    # pairs feeds the frequent-pair agg AND the pruned extension join —
+    # checkpoint so the basket self-join runs once (guide §5)
+    pairs = pairs.localCheckpoint(eager=False)
     freq = (
         pairs.groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -16,6 +16,61 @@ from genpipe_spark.registry import query
 from genpipe_spark.queries.common import t, widen
 
 
+def _stage_batch_files(
+    df, bucket_col, n_buckets, src, fmt="parquet", stride=5.0,
+    base_mtime=None,
+):
+    """Write a DataFrame as ``n_buckets`` micro-batch source files
+    ``src/b<i>.<fmt>`` with strictly increasing mtimes — the staging
+    step every live-stream entry runs before its availableNow drain.
+    ``df`` must carry an int batch id in column ``bucket_col``; the
+    partitioned write strips it from the file contents (exactly like
+    the old per-batch ``.drop(bucket)`` writes).
+
+    r12 (guide §1.2 — don't recompute what one pass produces): the
+    previous form ran ``df.where(bucket == i).coalesce(1).write`` per
+    batch — N full scans of the source frame, each collapsed to ONE
+    task by the coalesce. Here ONE partitioned write (repartition by
+    the bucket value keeps exactly one file per batch: each bucket's
+    rows hash to a single task) scans the frame once in parallel; the
+    per-batch files are then renamed into ``src`` and mtime-staggered
+    exactly as before. An EMPTY bucket (impossible at the pinned
+    fixtures, guarded anyway) falls back to the old single-batch write
+    so the batch count — which watermark-lag semantics depend on —
+    never changes. Batch composition and order are identical, so every
+    drain transcript is unchanged."""
+    import os
+    import time as _time
+
+    ext = {"parquet": ".parquet", "json": ".json"}[fmt]
+    os.makedirs(src, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="genpipe_stage_")
+    (
+        df.repartition(F.col(bucket_col))
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .format(fmt)
+        .save(tmp)
+    )
+    t0 = _time.time() if base_mtime is None else base_mtime
+    for i in range(n_buckets):
+        d = os.path.join(tmp, f"{bucket_col}={i}")
+        dst = os.path.join(src, f"b{i}{ext}")
+        if os.path.isdir(d):
+            part = [f for f in os.listdir(d) if f.startswith("part-")]
+            assert len(part) == 1, f"bucket {i}: {len(part)} files"
+            os.replace(os.path.join(d, part[0]), dst)
+        else:  # empty bucket: preserve the batch count
+            de = os.path.join(tmp, f"__empty{i}")
+            df.where(F.col(bucket_col) == i).drop(bucket_col).coalesce(
+                1
+            ).write.mode("overwrite").format(fmt).save(de)
+            part = [f for f in os.listdir(de) if f.startswith("part-")]
+            os.replace(os.path.join(de, part[0]), dst)
+        os.utime(dst, (t0 + i * stride,) * 2)
+    return src
+
+
 @query(
     "stream-window-agg",
     """
@@ -481,7 +536,6 @@ def stream_cdc_apply_query(spark, sf):
     key, op-desc tie-break, anti-join survivors): the state design's
     order-independence is exactly what makes stream == batch here."""
     import os
-    import time as _time
 
     from genpipe_spark.streaming.ingest import stream_cdc_apply
 
@@ -520,16 +574,12 @@ def stream_cdc_apply_query(spark, sf):
     )
     base = tempfile.mkdtemp(prefix="genpipe_stream_cdc_")
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    for i in range(3):
-        d = os.path.join(base, f"bucket{i}")
-        changes.where(F.col("k") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).json(d)
-        part = [f for f in os.listdir(d) if f.startswith("part-")][0]
-        dst = os.path.join(src, f"b{i}.json")
-        os.replace(os.path.join(d, part), dst)
-        os.utime(dst, (_time.time() + i, _time.time() + i))
+    # r12: one partitioned write stages all 3 batch files (the old
+    # per-batch filter+coalesce(1) ran the 5-leg change union 3 times)
+    _stage_batch_files(
+        changes.withColumn("__batch", (F.col("k") % 3).cast("int")),
+        "__batch", 3, src, fmt="json", stride=1.0,
+    )
     stream = (
         spark.readStream.schema("k long, seg string, bal long, seq long, op string")
         .option("maxFilesPerTrigger", 1)
@@ -570,7 +620,6 @@ def stream_dedup_query(spark, sf):
     an hours-scale watermark: state stays bounded by the horizon —
     the documented, intended approximation for unbounded feeds."""
     import os
-    import time as _time
 
     from genpipe_spark.streaming.ingest import stream_dedup_events
 
@@ -589,16 +638,12 @@ def stream_dedup_query(spark, sf):
     )
     base = tempfile.mkdtemp(prefix="genpipe_stream_dedup_")
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    for i in range(2):
-        d = os.path.join(base, f"bucket{i}")
-        feed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        part = [f for f in os.listdir(d) if f.startswith("part-")][0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.replace(os.path.join(d, part), dst)
-        os.utime(dst, (_time.time() + i, _time.time() + i))
+    # r12: one partitioned write stages both batch files (one scan of
+    # the duplicated feed instead of two filter+coalesce(1) passes)
+    _stage_batch_files(
+        feed.withColumn("__b", F.col("__b").cast("int")),
+        "__b", 2, src, stride=1.0,
+    )
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -769,10 +814,11 @@ def stream_histogram_quantile_query(spark, sf):
         )
     )
     src = tempfile.mkdtemp(prefix="genpipe_histq_src_")
-    for i in range(3):
-        vals.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b{i}")
+    # r12: one partitioned write stages the 3 batch files (one scan)
+    _stage_batch_files(
+        vals.withColumn("__batch", (F.col("event_id") % 3).cast("int")),
+        "__batch", 3, src, stride=1.0,
+    )
     stream = (
         spark.readStream.schema(vals.schema)
         .option("maxFilesPerTrigger", 1)
@@ -856,7 +902,6 @@ def stream_dedup_incremental(spark, sf):
     corpus size. Index rows are a pure deterministic function of the
     batch text, so the emitted pair transcript is byte-identical to
     the rebuild-every-batch form (oracle unchanged)."""
-    import os
 
     from genpipe_spark.operators.dedup import (
         incremental_minhash_pairs,
@@ -866,15 +911,13 @@ def stream_dedup_incremental(spark, sf):
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     src = tempfile.mkdtemp(prefix="genpipe_sdedup_src_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b{i}")
-        # pin mtimes so the file source's (mtime-ordered) plan matches
-        # the batch semantics even when writes land in one clock tick
-        for root, _, files in os.walk(f"{src}/b{i}"):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (1_000_000 + i * 100,) * 2)
+    # r12: one partitioned write stages the 3 batch files; mtimes stay
+    # pinned so the file source's (mtime-ordered) plan matches the
+    # batch semantics even when writes land in one clock tick
+    _stage_batch_files(
+        docs.withColumn("__batch", (F.col("doc_id") % 3).cast("int")),
+        "__batch", 3, src, stride=100.0, base_mtime=1_000_000,
+    )
     out_dir = tempfile.mkdtemp(prefix="genpipe_sdedup_out_")
     corpus_dir = f"{out_dir}/corpus"
     index_dir = f"{out_dir}/index"
@@ -995,8 +1038,6 @@ def dedup_cdc_incremental(spark, sf):
     the index + one per-doc agg; the index is append-only parquet.
     Cross-batch rejection is separately pytest-ed (a batch-2 doc
     sharing every chunk with a batch-1 survivor must be flagged)."""
-    import os
-    import time as _time
 
     from genpipe_spark.operators.dedup import (
         cdc_chunks,
@@ -1006,14 +1047,11 @@ def dedup_cdc_incremental(spark, sf):
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     src = tempfile.mkdtemp(prefix="genpipe_cdcinc_src_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b{i}")
-        stamp = _time.time() + i * 5
-        for root, _, fs in os.walk(f"{src}/b{i}"):
-            for f in fs:
-                os.utime(os.path.join(root, f), (stamp, stamp))
+    # r12: one partitioned write stages the 3 batch files (one scan)
+    _stage_batch_files(
+        docs.withColumn("__batch", (F.col("doc_id") % 3).cast("int")),
+        "__batch", 3, src, stride=5.0,
+    )
     out_dir = tempfile.mkdtemp(prefix="genpipe_cdcinc_out_")
     stats_dir, idx_dir = f"{out_dir}/stats", f"{out_dir}/index"
     seen = {"any": False}
@@ -1078,8 +1116,6 @@ def stream_fasttext_score(spark, sf):
     is the checked property, the stream-zscore/batch-twin precedent).
     Scale: the weight table is <= 4096 rows broadcast once per batch;
     per batch one explode + per-doc agg; no state store needed."""
-    import os
-    import time as _time
 
     from genpipe_spark.operators.text import (
         hashed_linear_apply,
@@ -1095,14 +1131,11 @@ def stream_fasttext_score(spark, sf):
         eager=True
     )
     src = tempfile.mkdtemp(prefix="genpipe_ftserve_src_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b{i}")
-        stamp = _time.time() + i * 5
-        for root, _, fs in os.walk(f"{src}/b{i}"):
-            for f in fs:
-                os.utime(os.path.join(root, f), (stamp, stamp))
+    # r12: one partitioned write stages the 3 batch files (one scan)
+    _stage_batch_files(
+        docs.withColumn("__batch", (F.col("doc_id") % 3).cast("int")),
+        "__batch", 3, src, stride=5.0,
+    )
     out_dir = tempfile.mkdtemp(prefix="genpipe_ftserve_out_")
 
     def handle(batch_df, bid):
@@ -1178,8 +1211,6 @@ def stream_window_late_drop(spark, sf):
     identically-degenerate parity trap, FIXTURES). Scale: the agg is
     the standard streaming windowed count (state = open windows x
     groups, bounded by the watermark horizon)."""
-    import os
-    import time as _time
 
     from pyspark.sql import Window  # noqa: F401  (pattern parity)
 
@@ -1189,14 +1220,11 @@ def stream_window_late_drop(spark, sf):
         "event_id", "ts", (F.col("user_id") % 5).alias("g")
     )
     src = tempfile.mkdtemp(prefix="genpipe_wmlate_src_")
-    for i in range(3):
-        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b{i}")
-        stamp = _time.time() + i * 5
-        for root, _, fs in os.walk(f"{src}/b{i}"):
-            for f in fs:
-                os.utime(os.path.join(root, f), (stamp, stamp))
+    # r12: one partitioned write stages the 3 batch files (one scan)
+    _stage_batch_files(
+        ev.withColumn("__batch", (F.col("event_id") % 3).cast("int")),
+        "__batch", 3, src, stride=5.0,
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
