@@ -1452,14 +1452,31 @@ def cdc_chunks(
     id_col: str = "doc_id",
     window: int = 8,
     mask: int = 64,
+    arrow: bool = True,
 ) -> DataFrame:
     """The CDC chunk relation shared by :func:`cdc_chunk_stats` and
     :func:`cdc_incremental_stats`: one row per (doc, chunk) with the
     chunk's 31-fold hash — (id, ci, clen, chash). Boundary rule and
-    scale shape documented on cdc_chunk_stats."""
+    scale shape documented on cdc_chunk_stats.
+
+    r12 (guide §4.2 — hand whole batches to vectorized native code):
+    the default path is :func:`cdc_chunks_arrow` — the per-position
+    8-term rolling hash and the per-chunk 31-fold hash are HOF lambda
+    expressions that Spark evaluates INTERPRETED per element (HOF
+    lambdas get no whole-stage codegen), ~8 interpreted mod-mults per
+    character; the Arrow path computes the same exact int64 values in
+    a handful of flat numpy passes per batch. BIT-IDENTICAL by
+    construction (same codepoints, same mod-M31 arithmetic — the
+    iterated per-step mod and the power-sum form are congruent and
+    both reduced to [0, M31)); equivalence is pytest-pinned over
+    fixture docs, unicode, boundary lengths, and repeats
+    (tests/test_cdc.py::test_cdc_chunks_arrow_matches_hof).
+    ``arrow=False`` keeps the pure-expression form."""
     if window != 8:
         raise ValueError("cdc_chunks: window is pinned at 8 "
                          "(the _CDC_POW31 table)")
+    if arrow:
+        return cdc_chunks_arrow(df, text_col, id_col, window, mask)
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t")
     ).where(F.length("t") >= 1)
@@ -1533,6 +1550,155 @@ def cdc_chunks(
         ).alias("chash"),
     )
     return chunks
+
+
+def cdc_chunks_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Vectorized CDC chunker (guide §4.2) — the numpy twin of the
+    HOF path in :func:`cdc_chunks`, bit-identical output (see there).
+    One mapInPandas; per Arrow batch everything is flat numpy over the
+    concatenated codepoint array: the 8-term rolling window hash is 8
+    shifted multiply-adds (int64 headroom: codepoint < 2^21 times
+    31^7 < 2^35 summed 8x < 2^59), boundaries are a mask compare,
+    chunk ends/starts are segment bookkeeping, and the per-chunk
+    31-fold hash rides the power-sum form
+    (7*31^L + sum c_k*31^(L-1-k)) mod M31 — congruent to the
+    per-step-mod fold and reduced to the same canonical value; the
+    summand products are reduced mod M31 (< 2^31) before a
+    ``np.add.reduceat`` per chunk, so sums stay exact below 2^63 for
+    any chunk shorter than 2^32 chars. Codepoints via UTF-32 decode ==
+    Spark's split('')/ascii() codepoint semantics (and DuckDB's twin)."""
+    if window != 8:
+        raise ValueError("cdc_chunks_arrow: window is pinned at 8 "
+                         "(the _CDC_POW31 table)")
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("ci", IntegerType()),
+            StructField("clen", LongType()),
+            StructField("chash", LongType()),
+        ]
+    )
+    pw = np.array(_CDC_POW31, dtype=np.int64)  # 31^j mod M31, j = 0..7
+    m31 = np.int64(M31)
+
+    def batches(it):
+        empty = pd.DataFrame(
+            {"id": [], "ci": [], "clen": [], "chash": []}
+        )
+        for pdf in it:
+            texts_all = pdf[text_col].tolist()
+            ids_all = pdf[id_col]
+            keep = [
+                i for i, s in enumerate(texts_all)
+                if s is not None and len(s) >= 1
+            ]
+            if not keep:
+                yield empty
+                continue
+            texts = [texts_all[i] for i in keep]
+            n_docs = len(texts)
+            lens = np.fromiter(
+                (len(s) for s in texts), dtype=np.int64, count=n_docs
+            )
+            off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            total = off[-1]
+            # rolling window hash at every global position g >= 7:
+            # h[g] = sum_j codes[g-j] * 31^j mod M31 (g 0-based; the
+            # HOF's 1-based i = local0 + 1)
+            if total >= 8:
+                h = np.zeros(total - 7, dtype=np.int64)
+                for j in range(8):
+                    h += codes[7 - j : total - j] * pw[j]
+                h %= m31
+                g = np.arange(7, total, dtype=np.int64)
+                doc_of = np.searchsorted(off, g, side="right") - 1
+                local0 = g - off[doc_of]
+                # boundary: window fully inside the doc (local0 >= 7),
+                # hash % mask == 0, and i < n (no boundary at doc end)
+                is_b = (
+                    (local0 >= 7)
+                    & (h % mask == 0)
+                    & (local0 + 1 < lens[doc_of])
+                )
+                bg = g[is_b]
+                bdoc = doc_of[is_b]
+            else:
+                bg = np.zeros(0, dtype=np.int64)
+                bdoc = np.zeros(0, dtype=np.int64)
+            nb = np.bincount(bdoc, minlength=n_docs)
+            n_chunks = nb + 1
+            out_start = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(n_chunks, out=out_start[1:])
+            total_chunks = int(out_start[-1])
+            # per-doc chunk END positions (local, 1-based): the sorted
+            # boundary i's followed by the trailing n
+            ends = np.empty(total_chunks, dtype=np.int64)
+            if len(bg):
+                within = np.arange(len(bg), dtype=np.int64) - np.repeat(
+                    np.cumsum(nb) - nb, nb
+                )
+                ends[out_start[bdoc] + within] = bg - off[bdoc] + 1
+            ends[out_start[1:] - 1] = lens
+            doc_of_c = np.repeat(
+                np.arange(n_docs, dtype=np.int64), n_chunks
+            )
+            ci = (
+                np.arange(total_chunks, dtype=np.int64)
+                - out_start[doc_of_c]
+                + 1
+            )
+            starts = np.empty(total_chunks, dtype=np.int64)
+            starts[1:] = ends[:-1] + 1
+            starts[out_start[:-1]] = 1
+            clen = ends - starts + 1
+            # 31-fold chunk hash in power-sum form; per-element
+            # exponent = (global chunk end - 1) - g
+            p31 = np.empty(int(lens.max()) + 1, dtype=np.int64)
+            p31[0] = 1
+            for e in range(1, len(p31)):
+                p31[e] = (p31[e - 1] * 31) % M31
+            g_end = off[doc_of_c] + ends  # one past the last element
+            exp = np.repeat(g_end, clen) - 1 - np.arange(
+                total, dtype=np.int64
+            )
+            prod = (codes * p31[exp]) % m31
+            gstart = off[doc_of_c] + starts - 1
+            chash = (
+                np.add.reduceat(prod, gstart) + 7 * p31[clen]
+            ) % m31
+            yield pd.DataFrame(
+                {
+                    "id": ids_all.iloc[keep].to_numpy()[doc_of_c],
+                    "ci": ci.astype(np.int32),
+                    "clen": clen,
+                    "chash": chash,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def cdc_incremental_stats(

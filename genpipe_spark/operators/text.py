@@ -381,46 +381,46 @@ def bigram_pmi(
     are multiword expressions ("new york"); the standard phrase-
     induction signal (word2vec-phrases style).
 
-    Shape at scale: posexplode gives word positions, adjacency is a
-    (doc, position)-keyed self-join (equi-join, no window), then two
-    map-side-combinable count aggs (bigram + unigram), a pair→unigram
-    equi-join per side (vocabulary never broadcast), and ONE 1-row
-    total attach (N_bigrams is derived from the token stream as
-    N_tokens - N_docs_with_tokens, so the bigram join is consumed
-    exactly once). ``min_count`` prunes the long tail BEFORE the
-    unigram joins — the doc-frequency-cap idiom.
+    Shape at scale (r12, guide §2.4 — remove shuffles outright): the
+    r11 form posexploded word positions and built adjacency as a
+    (doc, position)-keyed SELF-JOIN — two full exchanges of the token
+    stream just to pair neighbors that already sit adjacent in the
+    per-row words array. Adjacency is now a per-row zip of the array
+    with its own tail (explode afterwards), so the only shuffles left
+    are the two map-side-combinable count aggs (bigram + unigram) and
+    the pair→unigram equi-joins (vocabulary never broadcast); the
+    1-row totals attach is a NARROW per-row agg over token counts
+    (identical integers: a doc with k>=1 tokens contributes k-1
+    adjacent pairs, so N_bigrams = N_tokens - N_docs_with_tokens).
+    ``min_count`` prunes the long tail BEFORE the unigram joins — the
+    doc-frequency-cap idiom.
 
     Determinism: the ln argument is assembled with a pinned double
     operation order and the result quantized to integer micro-units
     via the nano-round (the module's libm rule, see
     unigram_logprob_score). Output: w1, w2, n_pair, pmi_micro."""
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(words(F.lower(F.col(text_col)))).alias("__i", "w"),
+    ws = words(F.lower(F.col(text_col)))
+    base = df.select(ws.alias("__ws"))
+    toks = base.select(F.explode("__ws").alias("w"))
+    pairs_arr = F.zip_with(
+        F.slice(F.col("__ws"), 1, F.greatest(F.size("__ws") - 1, F.lit(0))),
+        F.slice(F.col("__ws"), 2, F.greatest(F.size("__ws") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    nxt = toks.select(
-        F.col("__id"), (F.col("__i") - 1).alias("__i"), F.col("w").alias("w2")
+    bigrams = base.select(F.explode(pairs_arr).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    bigrams = toks.join(nxt, ["__id", "__i"]).select(
-        F.col("w").alias("w1"), "w2"
-    )
-    # the expensive posexplode + adjacency self-join has exactly ONE
-    # consumer (pair_counts): the bigram TOTAL is derived from the
-    # token stream instead — a doc with k>=1 tokens contributes k-1
-    # adjacent pairs, so N_bigrams = N_tokens - N_docs_with_tokens,
-    # identical by construction to sum(unfiltered pair counts). The
-    # round-6 form computed both from one uncached pair_all and relied
-    # on best-effort ReuseExchange to avoid evaluating the join twice
-    # (round-7 review); this form needs no reuse and no checkpoint.
     pair_counts = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= min_count)
     )
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("n_unigrams"),
-        (F.count(F.lit(1)) - F.countDistinct("__id")).alias("n_bigrams"),
+    totals = base.select(F.size("__ws").alias("__k")).agg(
+        F.sum("__k").cast("long").alias("n_unigrams"),
+        (
+            F.sum("__k") - F.count(F.when(F.col("__k") >= 1, 1))
+        ).cast("long").alias("n_bigrams"),
     )
     joined = (
         pair_counts.join(

@@ -5367,11 +5367,23 @@ def sketch_kmv_setops(spark, sf):
         (F.col("doc_id") % 2).alias("side"),
         F.explode(shingle_hashes(F.col("text"), 3)).alias("sh"),
     )
-    sh = sh.localCheckpoint(eager=False)
+    # r12 (guide §2.3 — aggregate before you shuffle): the r11 form
+    # re-aggregated the checkpointed token table EIGHT times (two
+    # per-side distincts for the sketches, four countDistinct legs,
+    # an intersect join — 34 Exchanges). ONE map-side-combinable
+    # groupBy(sh) with per-side presence flags now feeds everything:
+    # the distinct-per-side hash sets ARE its flag filters and all
+    # four exact counts are one agg over it. Same distinct sets, same
+    # integer counts — estimates and verdicts bit-identical.
+    g = sh.groupBy("sh").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("side") == 1).cast("int")).alias("in_b"),
+    )
+    g = g.localCheckpoint(eager=False)
 
-    def side_sketch(pred, alias):
+    def side_sketch(flag, alias):
         hs = (
-            sh.where(pred)
+            g.where(F.col(flag) == 1)
             .select(
                 (((F.col("sh") % M31) * F.lit(_SCRAMBLE)) % M31).alias("h")
             )
@@ -5382,20 +5394,13 @@ def sketch_kmv_setops(spark, sf):
             F.array_sort(F.collect_list("h")).alias(alias)
         )
 
-    a = side_sketch(F.col("side") == 0, "ma")
-    b = side_sketch(F.col("side") == 1, "mb")
-    exact = (
-        sh.where(F.col("side") == 0)
-        .agg(F.countDistinct("sh").alias("n_a"))
-        .crossJoin(
-            sh.where(F.col("side") == 1).agg(F.countDistinct("sh").alias("n_b"))
-        )
-        .crossJoin(sh.agg(F.countDistinct("sh").alias("n_union")))
-        .crossJoin(
-            sh.where(F.col("side") == 0).select("sh").distinct()
-            .join(sh.where(F.col("side") == 1).select("sh").distinct(), "sh")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-        )
+    a = side_sketch("in_a", "ma")
+    b = side_sketch("in_b", "mb")
+    exact = g.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
     )
     j = a.crossJoin(b).select(
         "ma", "mb", kmv_merge(F.col("ma"), F.col("mb"), K).alias("mu")

@@ -697,3 +697,44 @@ def test_cdc_incremental_loop_with_midstream_compaction(spark, tmp_path):
     plain = run(str(tmp_path / "idx_plain"))
     compacted = run(str(tmp_path / "idx_comp"), compact_after=1)
     assert plain == compacted
+
+
+def test_cdc_chunks_arrow_matches_hof(spark):
+    """r12 guide §4.2 equivalence pin: the vectorized numpy chunker
+    must reproduce the HOF expression path EXACTLY — per (doc, chunk)
+    row, same boundaries, same lengths, same 31-fold mod-M31 hashes —
+    over adversarial shapes: empty/None text (dropped), sub-window
+    docs, exact window-length docs, long repetitive text (many
+    boundaries), unicode incl. a supplementary-plane char, and the
+    real sf0.001 documents fixture."""
+    from pyspark.sql import Row
+
+    from genpipe_spark.operators.dedup import cdc_chunks
+
+    rows = [
+        Row(doc_id=1, text=""),
+        Row(doc_id=2, text="a"),
+        Row(doc_id=3, text="abcdefg"),          # n = 7 < window
+        Row(doc_id=4, text="abcdefgh"),         # n = 8 == window
+        Row(doc_id=5, text="abcdefghi"),        # n = 9
+        Row(doc_id=6, text="xyz " * 200),       # repetitive, long
+        Row(doc_id=7, text="héllo wörld — ünïcode text 🎵 " * 20),
+        Row(doc_id=8, text="plain ascii with spaces and 123 " * 40),
+        Row(doc_id=9, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (
+        df,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"),
+    ):
+        hof = {
+            (r.id, r.ci): (r.clen, r.chash)
+            for r in cdc_chunks(frame, arrow=False).collect()
+        }
+        arw = {
+            (r.id, r.ci): (r.clen, r.chash)
+            for r in cdc_chunks(frame, arrow=True).collect()
+        }
+        assert hof == arw
+        assert len(arw) > 0
