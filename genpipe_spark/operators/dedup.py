@@ -1144,6 +1144,10 @@ def jaccard_prefix_filter_pairs(
         .where(F.col("__r") <= plen)
         .select("id", "sh", "n_sh")
     )
+    # r12 (guide §5): both candidate self-join sides re-derived the
+    # dfreq join + per-doc rank window; one lazy checkpoint (prefix
+    # tokens only — bounded well below the token table) computes it once
+    pref = pref.localCheckpoint(eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

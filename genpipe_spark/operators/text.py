@@ -309,6 +309,12 @@ def bm25_topk(
     tf = toks.join(vocab, "w").groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # r12 (guide §5 — cache only when reused): tf feeds BOTH dfreq and
+    # scored_terms; without a checkpoint the corpus tokenization + vocab
+    # join + agg re-ran for each (3 corpus explodes total incl. dl's).
+    # tf is bounded by matching postings (docs x query vocab), safe to
+    # materialize at any scale.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("total_dl") / F.col("n_docs")
