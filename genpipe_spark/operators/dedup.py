@@ -949,6 +949,12 @@ def duplicated_spans(
         F.col(id_col).alias("id"),
         F.explode(shingle_hash_positions(F.col(text_col), k)).alias("s"),
     ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    # r12 (guide §5 — cache only when reused): the positional shingle
+    # table feeds the hot-key aggregations AND both self-join sides, so
+    # the explode re-derived from parquet up to 4x (8 scans in the
+    # sf0.1 plan). One lazy localCheckpoint materializes it once — the
+    # containment_pairs precedent.
+    sh = sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("h")
@@ -1338,7 +1344,14 @@ def exact_substring_spans(
                 .where(F.col("c") >= 2)
                 .select("hh")
             )
-            g = gh.join(dup_h, "hh", "left_semi").drop("hh")
+            # r12 (guide §5): the hash-semi survivor set — bounded by
+            # the true-dup volume + rare collisions, NOT corpus-sized —
+            # feeds both the exact regroup and the marking join; each
+            # consumer otherwise re-derives the full gram explode from
+            # parquet (two extra corpus passes in the sf0.1 plan).
+            g = gh.join(dup_h, "hh", "left_semi").drop("hh").localCheckpoint(
+                eager=False
+            )
         dup = (
             g.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("c"))

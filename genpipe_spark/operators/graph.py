@@ -537,18 +537,49 @@ def harmonic_centrality(
         F.col("a").alias("s"), F.col("b").alias("t"),
         F.lit(1).cast("long").alias("d"),
     )
-    for _ in range(iters - 1):
+
+    # r12 (guide §1.2 — fewer rounds where the algorithm allows): the
+    # per-edge relaxation paid iters-1 sequential join+agg rounds. With
+    # D_r = {exact distances <= r}, min-plus composition gives
+    # D_{a+b} = min(D_a, D_a ⊗ D_b): split any shortest path of length
+    # <= a+b at position a (paths <= a are covered by the union with
+    # D_a, which requires a >= b — always true below). DOUBLING plus a
+    # binary-decomposition remainder therefore reaches EXACTLY `iters`
+    # in O(log iters) rounds (6: 1→2→4→6, 3 joins instead of 5) —
+    # identical pairs and distances; composing exactly TO iters matters
+    # because overshooting (e.g. 8) would admit distance-7/8 pairs the
+    # iters-round contract excludes.
+    def compose(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right.select(
+            F.col("s").alias("u"),
+            F.col("t").alias("t2"),
+            F.col("d").alias("d2"),
+        )
         step = (
-            dist.join(und, dist["t"] == und["a"])
-            .select("s", F.col("b").alias("t"), (F.col("d") + 1).alias("d"))
+            left.join(r, left["t"] == r["u"])
+            .select(
+                "s",
+                F.col("t2").alias("t"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
             .where(F.col("s") != F.col("t"))
         )
-        dist = (
-            dist.unionByName(step)
+        return (
+            left.unionByName(step)
             .groupBy("s", "t")
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=False)
         )
+
+    powers = [(1, dist)]
+    while powers[-1][0] * 2 <= iters:
+        sz, tbl = powers[-1]
+        powers.append((sz * 2, compose(tbl, tbl)))
+    done, dist = powers[-1]
+    for sz, tbl in reversed(powers[:-1]):
+        if done + sz <= iters:
+            dist = compose(dist, tbl)
+            done += sz
     return (
         dist.groupBy(F.col("s").alias("node"))
         .agg(

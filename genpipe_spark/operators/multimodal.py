@@ -312,33 +312,60 @@ def image_ahash(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = codecs.decode_ppm(bytes(payload)).astype(np.int64)
-                h, w, _ = px.shape
-                g3 = px.sum(axis=2)  # 3x gray, exact ints
-                ys, xs = np.indices((h, w))
-                by = ys * 8 // h
-                bx = xs * 8 // w
-                idx = by * 8 + bx
-                bsum = np.zeros(64, dtype=np.int64)
-                bcnt = np.zeros(64, dtype=np.int64)
-                np.add.at(bsum, idx.ravel(), g3.ravel())
-                np.add.at(bcnt, idx.ravel(), 1)
-                present = bcnt > 0
-                bm = np.zeros(64, dtype=np.int64)
-                bm[present] = bsum[present] * 1_000_000 // bcnt[present]
-                om = int(bm[present].sum()) // int(present.sum())
-                bits = present & (bm > om)
-                lo = hi = 0
-                for i in range(32):
-                    if bits[i]:
-                        lo |= 1 << i
-                    if bits[32 + i]:
-                        hi |= 1 << i
-                rows.append((int(mid), w, h, hi, lo))
+            n = len(pdf)
+            if n == 0:
+                continue
+            # r12 (guide §4.2, the minhash-vectorization precedent):
+            # decode stays per image (the REAL-decode contract), but the
+            # block aggregation, means and bit packing run as ONE
+            # flattened numpy pass over the whole Arrow batch — the old
+            # per-image np.indices + np.add.at + 64-step Python bit loop
+            # was row-at-a-time work in all but name.
+            imgs = [
+                codecs.decode_ppm(bytes(p)) for p in pdf["payload"]
+            ]
+            hs = np.fromiter(
+                (im.shape[0] for im in imgs), dtype=np.int64, count=n
+            )
+            ws = np.fromiter(
+                (im.shape[1] for im in imgs), dtype=np.int64, count=n
+            )
+            g3 = np.concatenate(
+                [im.sum(axis=2, dtype=np.int64).ravel() for im in imgs]
+            )
+            npx = hs * ws
+            img_idx = np.repeat(np.arange(n, dtype=np.int64), npx)
+            starts = np.concatenate(([0], np.cumsum(npx)[:-1]))
+            pidx = np.arange(g3.shape[0], dtype=np.int64) - starts[img_idx]
+            wrep = ws[img_idx]
+            y = pidx // wrep
+            x = pidx - y * wrep
+            slot = img_idx * 64 + (y * 8 // hs[img_idx]) * 8 + x * 8 // wrep
+            # float64 bincount is exact here: a block sum is at most
+            # 765 (3x255) x (block pixel count), integer-exact in
+            # float64 up to 2^53 — i.e. until a single 8x8-grid block
+            # holds ~10^13 pixels — so the cast back to int64 is
+            # lossless for any decodable image.
+            bsum = np.bincount(slot, weights=g3, minlength=n * 64).astype(
+                np.int64
+            ).reshape(n, 64)
+            bcnt = np.bincount(slot, minlength=n * 64).reshape(n, 64)
+            present = bcnt > 0
+            bm = np.zeros((n, 64), dtype=np.int64)
+            bm[present] = bsum[present] * 1_000_000 // bcnt[present]
+            om = bm.sum(axis=1) // present.sum(axis=1)
+            bits = present & (bm > om[:, None])
+            pw = 1 << np.arange(32, dtype=np.int64)
+            lo = (bits[:, :32] * pw).sum(axis=1)
+            hi = (bits[:, 32:] * pw).sum(axis=1)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+                {
+                    "media_id": pdf["media_id"].astype("int64").values,
+                    "w": ws,
+                    "h": hs,
+                    "ahash_hi": hi,
+                    "ahash_lo": lo,
+                }
             )
 
     return media.where(F.col("codec") == "image/ppm").mapInPandas(
@@ -368,26 +395,43 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, s = codecs.decode_wav(bytes(payload))
-                a = np.abs(s.astype(np.int64))
-                n = len(a)
-                idx = np.arange(n) * 32 // n
-                esum = np.zeros(32, dtype=np.int64)
-                ecnt = np.zeros(32, dtype=np.int64)
-                np.add.at(esum, idx, a)
-                np.add.at(ecnt, idx, 1)
-                present = ecnt > 0
-                fm = np.zeros(32, dtype=np.int64)
-                fm[present] = esum[present] * 1_000_000 // ecnt[present]
-                om = int(fm[present].sum()) // int(present.sum())
-                afp = 0
-                for f in range(32):
-                    if present[f] and fm[f] > om:
-                        afp |= 1 << f
-                rows.append((int(mid), n, afp))
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            # r12 (guide §4.2): decode stays per track (the REAL-decode
+            # contract); frame sums, means and bit packing run as ONE
+            # flattened numpy pass over the whole Arrow batch — the
+            # image_ahash vectorization, transposed to audio.
+            sigs = [codecs.decode_wav(bytes(p))[1] for p in pdf["payload"]]
+            ns = np.fromiter(
+                (len(s) for s in sigs), dtype=np.int64, count=n_rows
+            )
+            a = np.abs(np.concatenate(sigs).astype(np.int64))
+            rep = np.repeat(np.arange(n_rows, dtype=np.int64), ns)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            within = np.arange(a.shape[0], dtype=np.int64) - starts[rep]
+            slot = rep * 32 + within * 32 // ns[rep]
+            # float64 bincount exact: |sample| < 2^15, so a frame sum
+            # stays under 2^53 until ~10^38 samples per frame.
+            esum = np.bincount(
+                slot, weights=a, minlength=n_rows * 32
+            ).astype(np.int64).reshape(n_rows, 32)
+            ecnt = np.bincount(slot, minlength=n_rows * 32).reshape(
+                n_rows, 32
+            )
+            present = ecnt > 0
+            fm = np.zeros((n_rows, 32), dtype=np.int64)
+            fm[present] = esum[present] * 1_000_000 // ecnt[present]
+            om = fm.sum(axis=1) // present.sum(axis=1)
+            bits = present & (fm > om[:, None])
+            afp = (bits * (1 << np.arange(32, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").values,
+                    "n_samples": ns,
+                    "afp": afp,
+                }
+            )
 
     return media.where(F.col("codec") == "audio/wav").mapInPandas(
         batches, schema=AUDIO_FP_SCHEMA

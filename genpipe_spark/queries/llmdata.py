@@ -1715,9 +1715,19 @@ def sketch_cms_heavy(spark, sf):
     ).where(F.col("w") != "")
     halves = [cms_sketch(words.where(F.col("doc_id") % 2 == i), "w") for i in (0, 1)]
     sk = cms_merge(*halves)
-    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+    # r12 (guide §1.2 — don't recompute what one pass produces): the
+    # exact per-word counts feed the estimate probe AND the final join,
+    # and their sum IS the total word count — checkpoint the
+    # distinct-words-sized table once and derive n_total from it
+    # instead of a fourth full corpus explode (sum of group counts ==
+    # count of exploded rows, exactly).
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=False)
+    )
     est = cms_estimate(exact.select("w"), "w", sk)
-    totals = words.agg(F.count(F.lit(1)).alias("n_total"))
+    totals = exact.agg(F.sum("n_exact").alias("n_total"))
     return (
         est.join(exact, "w")
         .crossJoin(F.broadcast(totals))

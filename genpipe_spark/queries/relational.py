@@ -2263,16 +2263,29 @@ def tpch_q21(spark, sf):
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .alias("late"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # r12 (guide §2.3 — aggregate before you shuffle): reduce the fact
+    # join ONCE to distinct (order, supplier) pairs with a combinable
+    # max(late) flag; per-order supplier counts are then plain counts
+    # over the pair table (the old per-order agg paid TWO countDistinct
+    # Expands x |fact| rows) and the blamed-pair distinct is the
+    # late-flag filter — and both consumers share the one materialized
+    # pair table instead of re-deriving the lineitem⋈orders join.
+    # Equivalence: n_supp == countDistinct(l_suppkey) == #pairs per
+    # order; n_late_supp == countDistinct(when(late, suppkey)) ==
+    # #pairs with ANY late line; blamed == distinct late pairs ==
+    # pairs where late_any.
+    pairs = (
+        j.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late_any"))
+        .localCheckpoint(eager=False)
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late_any").cast("long")).alias("n_late_supp"),
     )
     blamed = (
-        j.where(F.col("late"))
+        pairs.where(F.col("late_any"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
         .join(
             per_order.where(
                 (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
@@ -3937,8 +3950,18 @@ def tpch_q9(spark, sf):
     fact-derived (distinct pair reduction, map-side combinable); part/
     supplier/nation broadcast; orders joins on the fact key; Catalyst/
     AQE order the stars (the tpch-q5 posture)."""
-    li = t(spark, sf, "lineitem")
-    ps = _partsupp(spark, sf)
+    # r12 (guide §2.4 + §8 — use what you know that the optimizer does
+    # not): ps_supplycost_c is a PURE FUNCTION of the join keys
+    # (l_partkey, l_suppkey), and ps is exactly the distinct pairs of
+    # lineitem itself, so `lineitem JOIN ps` matches every fact row to
+    # precisely one ps row and only attaches key-derived values —
+    # computing the column directly on each row is row-for-row
+    # identical and removes the distinct-pair aggregation, the pair
+    # join, and the second lineitem scan from the plan.
+    li = t(spark, sf, "lineitem").withColumn(
+        "ps_supplycost_c",
+        (F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 99900 + 100,
+    )
     p = t(spark, sf, "part").where(F.col("p_name").like("%widget%")).select(
         "p_partkey"
     )
@@ -3952,12 +3975,7 @@ def tpch_q9(spark, sf):
         * F.lit(100)
     )
     j = (
-        li.join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))

@@ -69,11 +69,14 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         spark.sparkContext.setJobDescription(None)
         s = sorted(runs)
-        print(
-            f"{name:40s} min={s[0]:7.3f} med={s[len(s) // 2]:7.3f} "
-            f"runs={[round(r, 3) for r in runs]}",
-            flush=True,
-        )
+        if s:
+            print(
+                f"{name:40s} min={s[0]:7.3f} med={s[len(s) // 2]:7.3f} "
+                f"runs={[round(r, 3) for r in runs]}",
+                flush=True,
+            )
+        else:
+            print(f"{name:40s} plan dumped (no timed runs)", flush=True)
     spark.stop()
 
 

@@ -2197,6 +2197,138 @@ def test_bpe_learn_routes_identical(spark):
     assert sorted(map(tuple, wd.collect())) == sorted(map(tuple, wx.collect()))
 
 
+@pytest.mark.parametrize("iters", [1, 2, 3, 5, 6, 7])
+def test_harmonic_centrality_doubling_matches_linear(spark, iters):
+    """r12 min-plus doubling gate: harmonic_centrality now composes
+    D_1 -> D_2 -> D_4 -> ... (+ binary remainder) instead of iters-1
+    edge relaxations. The contract is EXACT equality with the linear
+    form at the SAME iters — including odd iters, where the remainder
+    path runs, and iters=1 (no composition at all). Reference: a
+    driver-side BFS capped at `iters` hops over the same undirected
+    graph."""
+    import collections
+
+    rng_edges = [
+        (i * 7 % 23, (i * i + 3) % 23) for i in range(40)
+    ] + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rng_edges], "src long, dst long"
+    )
+    from genpipe_spark.operators.graph import harmonic_centrality
+
+    got = {
+        r.node: (r.n_reached, r.harmonic_micro)
+        for r in harmonic_centrality(edges, iters=iters).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in rng_edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {}
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, iters + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        reached = {t: d for t, d in dist.items() if t != s}
+        if reached:
+            want[s] = (
+                len(reached),
+                sum(1_000_000 // d for d in reached.values()),
+            )
+    assert got == want
+
+
+def test_media_fingerprints_match_scalar_reference(spark):
+    """r12 vectorization gate: image_ahash / audio_fingerprint run one
+    flattened numpy pass per Arrow batch; this pins them against the
+    pre-r12 per-row formulas on shapes the synth fixture NEVER makes —
+    images wider/taller than the 8x8 grid (many pixels per block),
+    constant images (no bit set), and long/1-frame-empty audio —
+    so a flattening bug (wrong offsets, wrong slot arithmetic) cannot
+    hide behind fixture-only parity."""
+    import numpy as np
+
+    from genpipe_spark.functions import codecs
+    from genpipe_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        image_ahash,
+    )
+
+    def ref_ahash(payload: bytes) -> tuple[int, int]:
+        px = codecs.decode_ppm(payload).astype(np.int64)
+        h, w, _ = px.shape
+        g3 = px.sum(axis=2)
+        ys, xs = np.indices((h, w))
+        idx = (ys * 8 // h) * 8 + xs * 8 // w
+        bsum = np.zeros(64, dtype=np.int64)
+        bcnt = np.zeros(64, dtype=np.int64)
+        np.add.at(bsum, idx.ravel(), g3.ravel())
+        np.add.at(bcnt, idx.ravel(), 1)
+        present = bcnt > 0
+        bm = np.zeros(64, dtype=np.int64)
+        bm[present] = bsum[present] * 1_000_000 // bcnt[present]
+        om = int(bm[present].sum()) // int(present.sum())
+        bits = present & (bm > om)
+        lo = sum(1 << i for i in range(32) if bits[i])
+        hi = sum(1 << i for i in range(32) if bits[32 + i])
+        return hi, lo
+
+    def ref_afp(payload: bytes) -> tuple[int, int]:
+        _, s = codecs.decode_wav(payload)
+        a = np.abs(s.astype(np.int64))
+        n = len(a)
+        idx = np.arange(n) * 32 // n
+        esum = np.zeros(32, dtype=np.int64)
+        ecnt = np.zeros(32, dtype=np.int64)
+        np.add.at(esum, idx, a)
+        np.add.at(ecnt, idx, 1)
+        present = ecnt > 0
+        fm = np.zeros(32, dtype=np.int64)
+        fm[present] = esum[present] * 1_000_000 // ecnt[present]
+        om = int(fm[present].sum()) // int(present.sum())
+        return n, sum(
+            1 << f for f in range(32) if present[f] and fm[f] > om
+        )
+
+    rng = np.random.default_rng(42)
+    rows, want_img, want_aud = [], {}, {}
+    mid = 0
+    for h, w in [(4, 4), (5, 17), (40, 40), (64, 9), (128, 128), (8, 8)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if mid == 0:
+            px[:] = 77  # constant image: om == every bm, no bit set
+        pay = codecs.encode_ppm(px)
+        rows.append((mid, "image", bytearray(pay), "image/ppm", w, h, 0))
+        want_img[mid] = (w, h) + ref_ahash(pay)
+        mid += 1
+    for n in [1, 31, 32, 33, 577, 4096]:
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        pay = codecs.encode_wav(s, rate=8000)
+        rows.append((mid, "audio", bytearray(pay), "audio/wav", 0, 0, 0))
+        want_aud[mid] = (n,) + (ref_afp(pay)[1],)
+        mid += 1
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got_img = {
+        r.media_id: (r.w, r.h, r.ahash_hi, r.ahash_lo)
+        for r in image_ahash(media).collect()
+    }
+    got_aud = {
+        r.media_id: (r.n_samples, r.afp)
+        for r in audio_fingerprint(media).collect()
+    }
+    assert got_img == want_img
+    assert got_aud == want_aud
+
+
 def test_image_neardup_recall_vs_exact_pairwise(spark):
     """image_neardup_pairs' banding (d+1 wide blocks since r12) has
     FULL recall at Hamming <= 4 (pigeonhole: d differing bits touch at
