@@ -1715,19 +1715,18 @@ def sketch_cms_heavy(spark, sf):
     ).where(F.col("w") != "")
     halves = [cms_sketch(words.where(F.col("doc_id") % 2 == i), "w") for i in (0, 1)]
     sk = cms_merge(*halves)
-    # r12 (guide §1.2 — don't recompute what one pass produces): the
-    # exact per-word counts feed the estimate probe AND the final join,
-    # and their sum IS the total word count — checkpoint the
-    # distinct-words-sized table once and derive n_total from it
-    # instead of a fourth full corpus explode (sum of group counts ==
-    # count of exploded rows, exactly).
-    exact = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .localCheckpoint(eager=False)
-    )
+    # r12 A/B adjudication — LEFT ALONE: deriving n_total from the
+    # exact count table (sum of group counts == total words) removes
+    # one corpus pass on paper, but totals feeds a broadcast subquery
+    # that runs as its OWN job, so nothing shares the exact agg's
+    # shuffle with it: both the lazy-checkpoint form (+20%) and the
+    # rely-on-reuse form (+14%) measured SLOWER than this narrow
+    # map-side count pass in interleaved A/B at sf0.1 — and at scale a
+    # narrow scan+count is also cheaper than an unshared re-shuffle of
+    # the explode. The totals pass stays.
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
     est = cms_estimate(exact.select("w"), "w", sk)
-    totals = exact.agg(F.sum("n_exact").alias("n_total"))
+    totals = words.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         est.join(exact, "w")
         .crossJoin(F.broadcast(totals))

@@ -2274,10 +2274,11 @@ def tpch_q21(spark, sf):
     # order; n_late_supp == countDistinct(when(late, suppkey)) ==
     # #pairs with ANY late line; blamed == distinct late pairs ==
     # pairs where late_any.
-    pairs = (
-        j.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("late").alias("late_any"))
-        .localCheckpoint(eager=False)
+    # (no checkpoint: both consumers embed the identical pair-agg
+    # Exchange, so ReuseExchange shares the fact-side shuffle at
+    # runtime — A/B-measured faster than materializing the pair table)
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late_any")
     )
     per_order = pairs.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
