@@ -228,20 +228,28 @@ def triangle_count(
     fwd = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
     )
+    # r12 (guide §5 — cache only when reused): the oriented edge set is
+    # referenced THREE times (both wedge sides + the closing semi-join)
+    # and each reference inlined the full distinct+degree+orient chain —
+    # the static plan grew to 90 parquet scans / 176 Exchanges. One lazy
+    # localCheckpoint bounds it at the |E|-sized oriented edge list (the
+    # standard materialization of the Suri-Vassilvitskii formulation).
     o = keyed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     wedges = o.alias("E1").join(
         o.alias("E2"), F.col("E1.v") == F.col("E2.u")
     ).select(
         F.col("E1.u").alias("u"), F.col("E1.v").alias("v"), F.col("E2.v").alias("w")
     ).alias("W")
+    # triangle table referenced three times (one per corner): checkpoint
+    # it too — bounded by the triangle count
     closed = wedges.join(
         o.alias("E3"),
         (F.col("W.u") == F.col("E3.u")) & (F.col("W.w") == F.col("E3.v")),
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     corners = (
         closed.select(F.col("u").alias("node"))
         .unionByName(closed.select(F.col("v").alias("node")))
@@ -393,6 +401,14 @@ def common_neighbors(
     query runs uncapped on a bounded-degree graph; at 100 TB you set
     it and the wedge stage is O(sum of capped d^2), shuffle-keyed on
     the center."""
+    # r12 A/B adjudication — NO checkpoint: the distinct edge set is
+    # referenced ~9x in the static plan, but every reference bottoms
+    # out in the IDENTICAL distinct Exchange, which the runtime shares
+    # across consumers; a lazy localCheckpoint here measured x1.11 in
+    # interleaved A/B (materialization cost, nothing saved). Contrast
+    # triangle_count, whose reused subtree is a projection ABOVE
+    # differently-aliased joins (no shared exchange) — there the
+    # checkpoint measured x0.87 and stays.
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),

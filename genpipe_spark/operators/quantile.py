@@ -625,11 +625,20 @@ def mann_kendall_theil_sen_grouped(
     hot = base.join(hot_keys, keys, "left_semi")
 
     w_rn = Window.partitionBy(*keys).orderBy(*order_cols)
+    # r12 (guide §5): v fed four consumers (count, both self-join
+    # sides, ties) and the quadratic pair relation fed two (stats agg
+    # + median window) — the static plan re-derived the scan + anti-
+    # join + rank window 4x and the PAIR SELF-JOIN twice (28 scans /
+    # 52 exchanges at sf0.1). Checkpoint v once, and fuse the pair
+    # stats into the median's own windowed pass (ONE groupBy: m_pairs
+    # == max of the per-key window count, s_stat == sum(sg) over the
+    # same rows, the median slope == the single row at rank
+    # (m+1) div 2) so pairs is derived exactly once.
     v = cold.select(
         *keys,
         F.col(y_col).alias("y"),
         F.row_number().over(w_rn).alias("rn"),
-    )
+    ).localCheckpoint(eager=False)
     n_df = v.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     a = v.select(*keys, F.col("y").alias("ya"), F.col("rn").alias("ra"))
     b = v.select(*keys, F.col("y").alias("yb"), F.col("rn").alias("rb"))
@@ -641,18 +650,23 @@ def mann_kendall_theil_sen_grouped(
             / (F.col("rb") - F.col("ra")).cast("double")
         ).alias("slope"),
     )
-    agg = pairs.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("m_pairs"), F.sum("sg").alias("s_stat")
-    )
     wm = Window.partitionBy(*keys).orderBy("slope")
-    med = (
+    agg_med = (
         pairs.select(
-            *keys, "slope",
+            *keys, "sg", "slope",
             F.row_number().over(wm).alias("r"),
             F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("m"),
         )
-        .where(F.col("r") == F.expr("(m + 1) div 2"))
-        .select(*keys, "slope")
+        .groupBy(*keys)
+        .agg(
+            F.max("m").alias("m_pairs"),
+            F.sum("sg").alias("s_stat"),
+            F.max(
+                F.when(
+                    F.col("r") == F.expr("(m + 1) div 2"), F.col("slope")
+                )
+            ).alias("slope"),
+        )
     )
     ties = (
         v.groupBy(*keys, "y")
@@ -666,8 +680,7 @@ def mann_kendall_theil_sen_grouped(
     )
     j = (
         n_df.where(F.col("n") >= 2)
-        .join(agg, keys)
-        .join(med, keys)
+        .join(agg_med, keys)
         .join(ties, keys)
     )
     var18 = F.expr("n * (n - 1) * (2 * n + 5) - tie18")
