@@ -165,10 +165,18 @@ def unigram_logprob_score(
     cheap stand-in for a KenLM-perplexity quality filter (documents full
     of rare/garbage tokens score low, natural text scores high).
 
-    Shape at scale: one map-side-combinable word-count agg over the
-    corpus, an equi-join of doc words onto that frequency table (both
-    sides shuffle once on the word), and a per-doc agg — no broadcast
-    of the vocabulary (it grows with the corpus), no driver collection.
+    Shape at scale: ONE tokenize pass pre-aggregated to the (doc, word,
+    count) matrix (map-side combinable — r13, guide §2.3: the w-join
+    and every downstream agg now move doc-term rows, never raw tokens;
+    before, the explode was re-derived three times — freq leg, the
+    ``total`` broadcast subquery, and the scoring join — 6 parquet
+    scans / 18 Exchanges). The matrix is lazily checkpointed (it is
+    the compressed doc-term form of the corpus, strictly smaller than
+    the token stream each of its three consumers used to re-derive);
+    frequencies/totals aggregate from it, and the per-doc mean uses
+    exact bigint sums of count*lp — identical integers to the per-token
+    sum. No broadcast of the vocabulary (it grows with the corpus),
+    no driver collection.
 
     Cross-engine determinism: libm ``log10`` differs by 1 ulp between
     engines, which flips floor() exactly when a word probability is a
@@ -179,26 +187,33 @@ def unigram_logprob_score(
     the per-doc mean is integer arithmetic on exact bigint sums —
     order-independent, no float accumulation.
     Output: id_col, n_words, mean_logprob (floor-truncated, 4 dp)."""
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    dtf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    freq = dtf.groupBy("w").agg(F.sum("c").alias("wc"))
     total = freq.agg(F.sum("wc").alias("n_total"))
     lp_micro = F.floor(
         F.round(F.log10(F.col("wc") / F.col("n_total")) * 1e9) / 1000
     ).cast("long")
     scored = (
-        toks.join(freq, "w")
+        dtf.join(freq, "w")
         .crossJoin(F.broadcast(total))
-        .select("__id", lp_micro.alias("lp_u"))
+        .select("__id", "c", lp_micro.alias("lp_u"))
     )
-    n = F.count(F.lit(1))
+    n = F.sum("c")
     return (
         scored.groupBy("__id")
         .agg(
             n.alias("n_words"),
-            (F.floor(F.sum("lp_u") / (n * 100)) / 1e4).alias("mean_logprob"),
+            (F.floor(F.sum(F.col("c") * F.col("lp_u")) / (n * 100)) / 1e4).alias(
+                "mean_logprob"
+            ),
         )
         .withColumnRenamed("__id", id_col)
     )
@@ -230,41 +245,63 @@ def bm25_scores(
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a bag of query terms.
 
-    Shape at scale: one explode + two groupBys on (doc) and (doc, term) —
-    all map-side-combinable; the corpus-level scalars (N, avgdl) and the
-    per-term document frequencies (|query| rows) ride along as broadcast
-    crossJoins, so the corpus table itself is never reshuffled beyond the
-    tf aggregation. Scores are floor-truncated at 4 decimals BEFORE any
-    ranking so downstream order is engine-independent.
+    Shape at scale (r13, guide §§2.3-2.4 — the embedding-center-l2
+    precedent): the query terms are a FIXED small list, so per-doc
+    ``dl`` and per-term ``tf`` are plain array expressions on the row
+    (size/filter of the tokenized words array) — no explode, no
+    corpus shuffle at all. One 1-row corpus agg (n_docs, total_dl,
+    per-term document frequencies — all map-side-combinable counts)
+    rides back as a broadcast crossJoin and the score is a NARROW
+    projection. The corpus is scanned twice and never exchanged
+    (before: 8 parquet scans / 8 explodes / 20 Exchanges — dl, stats,
+    tf and dfreq each re-derived the tokenize). Per-term scores sum
+    in fixed term order; a tf=0 term contributes exactly 0.0
+    (0/positive times a finite idf), so the sum equals the old
+    matched-terms-only aggregation bit for bit. Scores are
+    floor-truncated at 4 decimals BEFORE any ranking so downstream
+    order is engine-independent.
     Output: doc_id, score (one row per doc with >=1 matching term)."""
-    terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = df.select(
+    arr = words(F.lower(F.col(text_col)))
+    nt = len(query_terms)
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+        F.size(arr).cast("long").alias("dl"),
+        *[
+            (F.size(arr) - F.size(F.array_remove(arr, t)))
+            .cast("long")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).where(F.col("dl") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, 1)).alias(f"__df{i}")
+            for i in range(nt)
+        ],
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    hits = toks.where(F.array_contains(terms, F.col("w")))
-    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = hits.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = idf * (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
-    )
-    per_term = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("s"))
-    )
-    return per_term.groupBy("doc_id").agg(
-        (F.floor(F.sum("s") * 10000) / 10000.0).alias("score")
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"__tf{i}")
+        dfq = F.col(f"__df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - dfq + 0.5) / (dfq + 0.5)
+        )
+        return idf * (
+            tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / avgdl))
+        )
+
+    total = term_score(0)
+    matched = F.col("__tf0")
+    for i in range(1, nt):
+        total = total + term_score(i)
+        matched = matched + F.col(f"__tf{i}")
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .where(matched > 0)
+        .select("doc_id", (F.floor(total * 10000) / 10000.0).alias("score"))
     )
 
 
